@@ -1,0 +1,64 @@
+"""Benchmark harness: runs every registered query on $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as plan-build + execution to completion
+(df.write.format("noop") would skip result materialization; we use
+count-style full materialization via toPandas-free collect of the
+aggregated result — queries return small results by design, except scans,
+which we materialize with count()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from franzoxide_spark import queries as q
+from franzoxide_spark.session import get_spark
+
+# Queries whose result is row-heavy at sf0.1: materialize with count() not
+# collect() so the benchmark measures engine work, not driver transfer.
+ROW_HEAVY_PREFIXES = ("q01_",)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    q.load_all()
+    spark = get_spark(app_name="franzoxide_spark_bench")
+
+    # Warm the JVM/codegen paths once so per-query timings reflect steady state.
+    q.QUERIES["q02_agg_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(q.QUERIES):
+        fn = q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name.startswith(ROW_HEAVY_PREFIXES):
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

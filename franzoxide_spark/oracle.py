@@ -1,0 +1,72 @@
+"""Local DuckDB-oracle comparison harness.
+
+Mirrors the driver's t2 gate so every query is validated locally before the
+driver ever sees it: run the Spark query and the oracle SQL on the same
+parquet fixtures, canonicalize (sort columns by name, round floats to 6
+decimals, stringify), and compare as an order-insensitive multiset.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+import pandas as pd
+
+from franzoxide_spark.tables import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def canonicalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_value(v) for v in row))
+    return out
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
+    """Order-insensitive multiset compare of a Spark DataFrame vs the oracle
+    result. Returns (match, diagnostic)."""
+    spark_pdf = spark_df.toPandas()
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return False, (
+            f"column mismatch: spark={sorted(spark_pdf.columns)} "
+            f"oracle={sorted(oracle_pdf.columns)}"
+        )
+    a = Counter(canonicalize(spark_pdf))
+    b = Counter(canonicalize(oracle_pdf))
+    if a == b:
+        return True, f"OK rows={len(spark_pdf)}"
+    only_spark = list((a - b).items())[:5]
+    only_oracle = list((b - a).items())[:5]
+    return False, (
+        f"rows spark={len(spark_pdf)} oracle={len(oracle_pdf)}; "
+        f"only-in-spark={only_spark}; only-in-oracle={only_oracle}"
+    )

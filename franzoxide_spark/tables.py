@@ -1,0 +1,40 @@
+"""Table catalog over the driver-generated parquet fixtures (TESTDATA.md).
+
+Parquet scans are the engine's batch source: Catalyst pushes filters and
+prunes columns into the scan (verify with ``df.explain`` → ``PushedFilters``
+/ ``ReadSchema``), so query functions read via this module and rely on
+pushdown rather than pre-filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H dims
+# grow slowly or not at all): always broadcast these in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for the SQL surface)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
