@@ -13,7 +13,7 @@ the driver-mandated Tier C extension (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from franzoxide_spark.functions.numeric import (
@@ -89,5 +89,592 @@ WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
 """
 
+# --------------------------------------------------------------------------
+# Q03 — inner equi-join + aggregate
+# --------------------------------------------------------------------------
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    # customer is a broadcastable dim at any SF (TPC-H dims grow linearly but
+    # stay tiny next to facts); the hint removes the shuffle on the big side.
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum(dec("o_totalprice"), "total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+Q03_SQL = f"""
+SELECT c_mktsegment,
+       {sql_dsum(sql_dec("o_totalprice"), "total_revenue")},
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Q04 — multi-join, filter, top-N (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+Q04_CUT = "1998-01-01"
+
+
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q04_CUT).cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q04_CUT).cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(12,4)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(revenue, "revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q04_SQL = f"""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       {sql_dsum(_DP, "revenue")}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q04_CUT}'
+  AND l_shipdate  > TIMESTAMP '{Q04_CUT}'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q05 — broadcast join chain through the dim hierarchy
+# --------------------------------------------------------------------------
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(12,4)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    # Dim chain is broadcast end-to-end: the fact table never shuffles for
+    # the joins (only the final small groupBy aggregates exchange).
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q05_SQL = f"""
+SELECT n_name, {sql_dsum(_DP, "revenue")}, COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q06 — left-semi join (EXISTS)
+# --------------------------------------------------------------------------
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+Q06_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q07 — left-anti join (NOT EXISTS)
+# --------------------------------------------------------------------------
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+Q07_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q08 — left outer join + null-aware aggregation
+# --------------------------------------------------------------------------
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(F.sum(dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+Q08_SQL = f"""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS order_count,
+       COALESCE(CAST(SUM({sql_dec("o_totalprice")}) AS DOUBLE), 0.0) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q09 — equi-join with a range (theta) residual condition
+# --------------------------------------------------------------------------
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey)
+            & (li.l_quantity >= p.p_size - 5)
+            & (li.l_quantity <= p.p_size + 5),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(dec("l_quantity"), "sum_qty"),
+        )
+    )
+
+
+Q09_SQL = f"""
+SELECT p_brand, COUNT(*) AS n_items,
+       {sql_dsum(sql_dec("l_quantity"), "sum_qty")}
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey
+ AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 — exact distinct aggregation
+# --------------------------------------------------------------------------
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q10_SQL = """
+SELECT COUNT(DISTINCT o_custkey) AS n_custkeys, COUNT(*) AS n_orders
+FROM orders
+"""
+
+
+def q10b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — engine-specific sketch, so rows-only:
+    the estimate is measured but cannot hash-match another engine's HLL."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"))
+
+
+# --------------------------------------------------------------------------
+# Q11 — ROLLUP / Q12 — CUBE
+# --------------------------------------------------------------------------
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(dsum(dec("o_totalprice"), "revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q11_SQL = f"""
+SELECT n_name, o_orderpriority,
+       {sql_dsum(sql_dec("o_totalprice"), "revenue")},
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+"""
+
+
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+Q12_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13 — ranking window (top-3 per group)
+# --------------------------------------------------------------------------
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+Q13_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14 — analytic window (lag / lead)
+# --------------------------------------------------------------------------
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+Q14_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       o_totalprice,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15 — frame window (running sum, exact decimal)
+# --------------------------------------------------------------------------
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures, so the sort
+    # must be totalized for a deterministic running sum. Including
+    # l_extendedprice in the key means any rows still tied have equal
+    # summands -> the output multiset is order-independent.
+    order_cols = ["l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey", "l_quantity"]
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec("l_extendedprice")).over(w).cast("double").alias("running_rev"),
+    )
+
+
+Q15_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM({sql_dec("l_extendedprice")}) OVER (
+            PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey, l_quantity
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_rev
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16 — global sort + limit (top-100, fully tie-broken)
+# --------------------------------------------------------------------------
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+Q16_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 — set operations (union / intersect / except), tagged in one result
+# --------------------------------------------------------------------------
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    high_bal = c.filter(F.col("c_acctbal") > 5000).select("c_custkey").distinct()
+    return (
+        with_orders.union(high_bal)
+        .distinct()
+        .withColumn("op", F.lit("union"))
+        .unionByName(with_orders.intersect(high_bal).withColumn("op", F.lit("intersect")))
+        .unionByName(with_orders.subtract(high_bal).withColumn("op", F.lit("except")))
+    )
+
+
+Q17_SQL = """
+WITH with_orders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+     high_bal    AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_custkey, 'union' AS op
+  FROM (SELECT c_custkey FROM with_orders UNION SELECT c_custkey FROM high_bal)
+UNION ALL
+SELECT c_custkey, 'intersect' AS op
+  FROM (SELECT c_custkey FROM with_orders INTERSECT SELECT c_custkey FROM high_bal)
+UNION ALL
+SELECT c_custkey, 'except' AS op
+  FROM (SELECT c_custkey FROM with_orders EXCEPT SELECT c_custkey FROM high_bal)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q18 — string functions
+# --------------------------------------------------------------------------
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.lower("p_type").alias("type_lower"),
+    )
+
+
+Q18_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       SUBSTRING(p_name, 1, 5) AS name_pfx,
+       CONCAT(p_brand, '#', p_type) AS brand_type,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       LENGTH(p_name) AS name_len,
+       LOWER(p_type) AS type_lower
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 — date/time functions (timestamps surfaced as strings)
+# --------------------------------------------------------------------------
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_2000"),
+    )
+
+
+Q19_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(day(o_orderdate) AS INT) AS d,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+         AS days_to_2000
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — math + conditional (CASE bands)
+# --------------------------------------------------------------------------
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") < 0.03, "low")
+        .when(F.col("l_discount") < 0.07, "mid")
+        .otherwise("high")
+    )
+    return (
+        li.withColumn("disc_band", band)
+        .groupBy("disc_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("l_quantity"), "sum_qty"),
+            F.floor(F.sum(dec("l_extendedprice")).cast("double")).alias("floor_rev"),
+            F.round(
+                F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 3
+            ).alias("avg_disc_r3"),
+            F.sqrt(F.sum(dec("l_quantity")).cast("double")).alias("sqrt_qty"),
+        )
+    )
+
+
+Q20_SQL = f"""
+SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+            WHEN l_discount < 0.07 THEN 'mid'
+            ELSE 'high' END AS disc_band,
+       COUNT(*) AS n,
+       {sql_dsum(sql_dec("l_quantity"), "sum_qty")},
+       CAST(FLOOR(CAST(SUM({sql_dec("l_extendedprice")}) AS DOUBLE)) AS BIGINT)
+         AS floor_rev,
+       ROUND(CAST(SUM({sql_dec("l_discount")}) AS DOUBLE) / COUNT(*), 3)
+         AS avg_disc_r3,
+       SQRT(CAST(SUM({sql_dec("l_quantity")}) AS DOUBLE)) AS sqrt_qty
+FROM lineitem
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 — array functions over the embedding column
+# --------------------------------------------------------------------------
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    sq = "transform(embedding, x -> cast(x as double) * cast(x as double))"
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.expr(
+            f"sqrt(aggregate({sq}, cast(0.0 as double), (acc, x) -> acc + x))"
+        ).alias("l2_norm"),
+        F.expr(
+            "aggregate(slice(embedding, 1, 4), cast(0.0 as double),"
+            " (acc, x) -> acc + cast(x as double))"
+        ).alias("sum_first4"),
+    )
+
+
+Q21_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS e0,
+       sqrt(list_reduce(
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            (acc, x) -> acc + x)) AS l2_norm,
+       list_reduce(
+            list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)),
+            (acc, x) -> acc + x) AS sum_first4
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22 — JSON extraction + aggregate
+# --------------------------------------------------------------------------
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events)
+GROUP BY event_type
+"""
+
+
 register("q01_scan_filter_project", q01, Q01_SQL)
 register("q02_agg_pricing_summary", q02, Q02_SQL)
+register("q03_join_agg_mktsegment", q03, Q03_SQL)
+register("q04_multijoin_topn", q04, Q04_SQL)
+register("q05_broadcast_dim_chain", q05, Q05_SQL)
+register("q06_semi_join_exists", q06, Q06_SQL)
+register("q07_anti_join_not_exists", q07, Q07_SQL)
+register("q08_left_join_null_agg", q08, Q08_SQL)
+register("q09_range_theta_join", q09, Q09_SQL)
+register("q10_distinct_exact", q10, Q10_SQL)
+register("q10b_approx_count_distinct", q10b, None)
+register("q11_rollup_revenue", q11, Q11_SQL)
+register("q12_cube_counts", q12, Q12_SQL)
+register("q13_window_rank_topk", q13, Q13_SQL)
+register("q14_window_lag_lead", q14, Q14_SQL)
+register("q15_window_running_sum", q15, Q15_SQL)
+register("q16_global_sort_limit", q16, Q16_SQL)
+register("q17_set_ops", q17, Q17_SQL)
+register("q18_string_functions", q18, Q18_SQL)
+register("q19_date_functions", q19, Q19_SQL)
+register("q20_math_conditional", q20, Q20_SQL)
+register("q21_array_functions", q21, Q21_SQL)
+register("q22_json_extract_agg", q22, Q22_SQL)

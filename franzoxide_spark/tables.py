@@ -31,7 +31,15 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the parquet; Spark reads it as a nanos
+        # long (see session.py). Truncate to micros — same as DuckDB's
+        # ns -> TIMESTAMP cast — so both engines see identical instants.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
