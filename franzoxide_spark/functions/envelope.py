@@ -1,0 +1,152 @@
+"""Record-envelope encoding and object-key partitioning, Spark-first.
+
+Re-expresses the reference sink's record transforms as pure Catalyst column
+expressions (JVM-side, codegen'd — no Python in the hot path):
+
+- JSON-lines envelope with JSON-sniff-else-base64 payload handling
+  (reference: /root/reference/src/connector/sink/s3.rs:182-298 — key sniff
+  208-236, value sniff 238-266, empty->omitted 208/238, headers 268-279).
+- Default object-key naming ``{prefix}/{topic}/{partition}_{timestamp}.{ext}``
+  (s3.rs:138-148) and Hive time-partitioned layout
+  ``{prefix}/{topic}/year=Y/month=MM/day=DD/hour=HH/{offset}.{ext}``
+  (s3.rs:161-177).
+
+Envelope field order is fixed (topic, partition, offset, timestamp, key[,
+key_format], value[, value_format], headers) and payload JSON is embedded
+verbatim. The reference re-serializes through serde_json (sorted keys); we
+deliberately keep the raw bytes — content is compared parsed-JSON-wise, not
+byte-wise (SURVEY.md §7 risk 1).
+
+Deviation from the reference, by design: ts<=0 falls back to ``now()`` in
+the reference (s3.rs:164) which is nondeterministic; here ts<=0 partitions
+to the epoch (1970-01-01) deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _json_or_base64(field: str, payload: Column) -> Column:
+    """The sniff operator: emit ``"<field>":<raw json>`` when the payload
+    parses as JSON, else ``"<field>":"<base64>","<field>_format":"base64"``;
+    NULL (omitted) when the payload is empty — s3.rs:208-266 semantics."""
+    txt = payload.cast("string")
+    as_json = F.concat(F.lit(f'"{field}":'), txt)
+    as_b64 = F.concat(
+        F.lit(f'"{field}":"'),
+        F.base64(payload),
+        F.lit(f'","{field}_format":"base64"'),
+    )
+    return (
+        F.when(payload.isNull() | (F.length(payload) == 0), F.lit(None).cast("string"))
+        .when(F.try_parse_json(txt).isNotNull(), as_json)
+        .otherwise(as_b64)
+    )
+
+
+def envelope_json(
+    topic: Column,
+    partition: Column,
+    offset: Column,
+    timestamp_ms: Column,
+    key: Column,
+    value: Column,
+    headers_json: Column | None = None,
+) -> Column:
+    """One JSON-lines envelope object per record (s3.rs:182-298).
+
+    ``key``/``value`` are binary; ``headers_json`` is an already-rendered
+    JSON object string (or NULL to omit).
+    """
+    parts = [
+        F.concat(
+            F.lit('{"topic":"'),
+            topic,
+            F.lit('","partition":'),
+            partition.cast("string"),
+            F.lit(',"offset":'),
+            offset.cast("string"),
+            F.lit(',"timestamp":'),
+            timestamp_ms.cast("string"),
+        ),
+        _json_or_base64("key", key),
+        _json_or_base64("value", value),
+        F.when(headers_json.isNotNull(), F.concat(F.lit('"headers":'), headers_json))
+        if headers_json is not None
+        else F.lit(None).cast("string"),
+    ]
+    return F.concat(F.concat_ws(",", *parts), F.lit("}"))
+
+
+def normalize_headers(headers: Column) -> Column:
+    """Kafka-source headers (array<struct<key:string, value:binary>>) ->
+    map<string,string>, dropping entries whose value is not valid UTF-8 and
+    keeping the LAST occurrence of a repeated key — the reference's HashMap
+    insert semantics (kafka.rs:111-121).
+
+    UTF-8 validity proxy: a binary->string->binary round-trip is lossless
+    iff the bytes were valid UTF-8 (invalid sequences are replaced).
+    """
+    valid = F.filter(
+        headers,
+        lambda h: h["value"].isNotNull()
+        & (F.encode(h["value"].cast("string"), "UTF-8") == h["value"]),
+    )
+    return F.map_from_entries(
+        F.transform(valid, lambda h: F.struct(h["key"], h["value"].cast("string")))
+    )
+
+
+def default_partition_key(
+    prefix: str, topic: Column, partition: Column, timestamp_ms: Column, ext: str
+) -> Column:
+    """``{prefix}/{topic}/{partition}_{timestamp}.{ext}`` (s3.rs:138-148).
+
+    Golden: prefix/test-topic/0_1234567890.json (s3.rs:836). The reference
+    keys a whole flush group off its FIRST record (s3.rs:636-644), so
+    same-timestamp groups overwrite — callers that need the reference's
+    group behavior apply this to the group's min-offset record.
+    """
+    return F.concat_ws(
+        "/",
+        F.lit(prefix),
+        topic,
+        F.concat(partition.cast("string"), F.lit("_"), timestamp_ms.cast("string"), F.lit("." + ext)),
+    )
+
+
+def time_partition_cols(timestamp_ms: Column) -> list[Column]:
+    """Hive partition columns year/month/day/hour from epoch-millis UTC
+    (s3.rs:161-177, chrono UTC conversion). ts<=0 -> epoch, deterministic."""
+    ts = F.timestamp_millis(F.when(timestamp_ms > 0, timestamp_ms).otherwise(F.lit(0)))
+    return [
+        F.year(ts).alias("year"),
+        F.month(ts).alias("month"),
+        F.dayofmonth(ts).alias("day"),
+        F.hour(ts).alias("hour"),
+    ]
+
+
+def time_partition_key(
+    prefix: str, topic: Column, timestamp_ms: Column, offset: Column, ext: str
+) -> Column:
+    """``{prefix}/{topic}/year=Y/month=MM/day=DD/hour=HH/{offset}.{ext}``
+    (s3.rs:161-177; golden shape s3.rs:838-851). Zero-padded month/day/hour."""
+    y, m, d, h = time_partition_cols(timestamp_ms)
+    return F.concat(
+        F.lit(prefix + "/"),
+        topic,
+        F.lit("/year="),
+        y.cast("string"),
+        F.lit("/month="),
+        F.format_string("%02d", m),
+        F.lit("/day="),
+        F.format_string("%02d", d),
+        F.lit("/hour="),
+        F.format_string("%02d", h),
+        F.lit("/"),
+        offset.cast("string"),
+        F.lit("." + ext),
+    )

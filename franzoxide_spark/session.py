@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Repeated map keys keep the last occurrence — the reference's
+        # HashMap-insert header semantics (kafka.rs:117).
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
         # timestamp type, so read it as a long and convert in tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

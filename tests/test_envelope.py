@@ -1,0 +1,109 @@
+"""Golden tests for the envelope encoder and partition-key derivations,
+ported from the reference's own unit tests (s3.rs:799-851 key goldens;
+integration-test payload shapes per SURVEY.md §5 / FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from franzoxide_spark.functions.envelope import (
+    default_partition_key,
+    envelope_json,
+    normalize_headers,
+    time_partition_key,
+)
+
+
+def _one(df, col="out"):
+    return df.select(F.col(col)).collect()[0][0]
+
+
+def test_default_partition_key_golden(spark):
+    # s3.rs:836 golden: prefix/test-topic/0_1234567890.json
+    df = spark.createDataFrame([Row(topic="test-topic", partition=0, ts=1234567890)])
+    out = df.select(
+        default_partition_key(
+            "prefix", F.col("topic"), F.col("partition"), F.col("ts"), "json"
+        ).alias("out")
+    )
+    assert _one(out) == "prefix/test-topic/0_1234567890.json"
+
+
+def test_time_partition_key_golden(spark):
+    # s3.rs:838-851 shape: prefix/topic/year=Y/month=MM/day=DD/hour=HH/offset.ext
+    # 2021-02-03T04:05:06Z = 1612325106000 ms
+    df = spark.createDataFrame([Row(topic="test-topic", offset=100, ts=1612325106000)])
+    out = df.select(
+        time_partition_key("prefix", F.col("topic"), F.col("ts"), F.col("offset"), "json").alias("out")
+    )
+    assert _one(out) == "prefix/test-topic/year=2021/month=02/day=03/hour=04/100.json"
+
+
+def test_time_partition_key_zero_ts_is_epoch(spark):
+    # deliberate deviation from s3.rs:164 (now() fallback): ts<=0 -> epoch
+    df = spark.createDataFrame([Row(topic="t", offset=7, ts=0)])
+    out = df.select(
+        time_partition_key("p", F.col("topic"), F.col("ts"), F.col("offset"), "json").alias("out")
+    )
+    assert _one(out) == "p/t/year=1970/month=01/day=01/hour=00/7.json"
+
+
+def _envelope_for(spark, key: bytes, value: bytes, headers_json=None):
+    df = spark.createDataFrame([Row(key=key, value=value)])
+    hdr = F.lit(headers_json) if headers_json else F.lit(None).cast("string")
+    out = df.select(
+        envelope_json(
+            F.lit("test-topic"), F.lit(0), F.lit(42), F.lit(1234567890),
+            F.col("key"), F.col("value"), hdr,
+        ).alias("out")
+    )
+    return json.loads(_one(out))
+
+
+def test_envelope_json_value(spark):
+    # integration_test payload shape: JSON value, plain-string key -> base64
+    val = b'{"id": 1, "name": "Test 1", "value": 100}'
+    env = _envelope_for(spark, b"key-1", val)
+    assert env["topic"] == "test-topic"
+    assert env["partition"] == 0
+    assert env["offset"] == 42
+    assert env["timestamp"] == 1234567890
+    assert env["value"] == {"id": 1, "name": "Test 1", "value": 100}
+    assert "value_format" not in env
+    assert env["key_format"] == "base64"
+    assert base64.b64decode(env["key"]) == b"key-1"
+
+
+def test_envelope_empty_key_omitted(spark):
+    env = _envelope_for(spark, b"", b'{"a":1}', '{"h":"v"}')
+    assert "key" not in env and "key_format" not in env
+    assert env["value"] == {"a": 1}
+    assert env["headers"] == {"h": "v"}
+
+
+def test_envelope_binary_value_base64(spark):
+    env = _envelope_for(spark, b'{"k":1}', b"\xff\xfenot-json")
+    assert env["key"] == {"k": 1}
+    assert env["value_format"] == "base64"
+    assert base64.b64decode(env["value"]) == b"\xff\xfenot-json"
+
+
+def test_normalize_headers_drops_non_utf8_keeps_last(spark):
+    # kafka.rs:111-121: non-UTF8 header values silently dropped; repeated
+    # keys keep the last occurrence (HashMap insert).
+    rows = [
+        Row(
+            headers=[
+                Row(key="a", value=b"one"),
+                Row(key="bad", value=b"\xff\xfe"),
+                Row(key="a", value=b"two"),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(normalize_headers(F.col("headers")).alias("m")).collect()[0]["m"]
+    assert out == {"a": "two"}
