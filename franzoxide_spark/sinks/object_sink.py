@@ -1,0 +1,197 @@
+"""Partitioned object-store sink for KafkaRecord streams.
+
+Re-expresses the reference's S3 sink (s3.rs) on Spark's streaming file
+sinks:
+
+- buffer-until-``flush.size``-then-flush (s3.rs:522-578) -> the micro-batch
+  itself is the flush unit (``maxOffsetsPerTrigger`` on the source bounds
+  it; ``rotate.interval.ms`` -> processing-time trigger, B5);
+- group-by (topic, partition) one-object-per-group (s3.rs:613-633) ->
+  ``partitionBy`` directory layout + one file per partition dir per batch;
+- formats: JSON-lines envelope (A18), raw-bytes concat (A19), plus the
+  declared-but-unimplemented Parquet (B2) and compression (B6) as plain
+  writer options; Avro (B1) gated on the spark-avro package being present;
+- partitioners: default ``{topic}/{partition}`` (A15), Hive time layout
+  ``{topic}/year=/month=/day=/hour=`` (A16), field-based (A17/B3 — the
+  reference parses the enum then falls back; here it's real);
+- S3/MinIO client config (s3.rs:417-461: path-style, static creds,
+  endpoint) -> hadoop ``fs.s3a.*`` configuration.
+
+Delivery semantics: the reference is at-most-once (buffer cleared before
+upload, offsets committed regardless of sink outcome — s3.rs:565-573,
+kafka.rs:264-265). Here the native streaming file sink commits files
+through its metadata log under the query checkpoint -> end-to-end
+exactly-once. The bytes format goes through foreachBatch with
+deterministic object keys (idempotent overwrite on replay).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from franzoxide_spark.config import ConnectorConfig
+from franzoxide_spark.errors import ConfigError, SinkError
+from franzoxide_spark.functions.envelope import (
+    envelope_json,
+    time_partition_cols,
+)
+
+FORMATS = ("json", "bytes", "parquet", "avro")
+PARTITIONERS = ("default", "time", "field")
+
+
+def _headers_json(col: F.Column) -> F.Column:
+    """map<string,string> -> rendered JSON object string (or NULL if empty)."""
+    return F.when(F.size(F.map_keys(col)) > 0, F.to_json(col))
+
+
+class ObjectSink:
+    """One configured sink connector -> a started streaming query."""
+
+    def __init__(self, spark: SparkSession, connector: ConnectorConfig, checkpoint_root: str):
+        self.spark = spark
+        self.connector = connector
+        cfg = connector.config
+        self.format = cfg.get("format.class", "json").lower()
+        if self.format not in FORMATS:
+            raise ConfigError(
+                f"connector {connector.name!r}: unknown format.class {self.format!r}"
+            )
+        self.partitioner = cfg.get("partitioner.class", "default").lower()
+        if self.partitioner not in PARTITIONERS:
+            raise ConfigError(
+                f"connector {connector.name!r}: unknown partitioner.class"
+                f" {self.partitioner!r}"
+            )
+        self.partition_field = cfg.get("partition.field")
+        if self.partitioner == "field" and not self.partition_field:
+            raise ConfigError(
+                f"connector {connector.name!r}: field partitioner needs"
+                " 'partition.field'"
+            )
+        self.compression = cfg.get("compression", None)
+        self.prefix = cfg.get("s3.prefix", "data")
+        self.checkpoint = os.path.join(checkpoint_root, connector.name)
+        self.path = self._resolve_path(cfg)
+        self.trigger_ms = cfg.get("rotate.interval.ms")
+
+    def _resolve_path(self, cfg: dict[str, str]) -> str:
+        # Local override for broker/object-store-less environments & tests.
+        base = cfg.get("path.base")
+        if base:
+            return os.path.join(base, self.prefix)
+        bucket = cfg.get("s3.bucket.name")
+        if not bucket:
+            raise ConfigError(
+                f"connector {self.connector.name!r}: need s3.bucket.name or path.base"
+            )
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        endpoint = cfg.get("s3.endpoint")
+        if endpoint:  # MinIO: path-style + explicit endpoint (s3.rs:417-430)
+            hconf.set("fs.s3a.endpoint", endpoint)
+            hconf.set("fs.s3a.path.style.access", "true")
+        if cfg.get("s3.access.key"):  # static creds (s3.rs:431-443)
+            hconf.set("fs.s3a.access.key", cfg["s3.access.key"])
+            hconf.set("fs.s3a.secret.key", cfg.get("s3.secret.key", ""))
+        return f"s3a://{bucket}/{self.prefix}"
+
+    # -- layout ------------------------------------------------------------
+    def _partition_cols(self) -> list[str]:
+        if self.partitioner == "time":
+            return ["topic", "year", "month", "day", "hour"]
+        if self.partitioner == "field":
+            return ["topic", self.partition_field]
+        return ["topic", "partition"]
+
+    def _prepare(self, records: DataFrame) -> DataFrame:
+        df = records
+        if self.partitioner == "time":
+            df = df.select("*", *time_partition_cols(F.col("timestamp")))
+        elif self.partitioner == "field":
+            # field value extracted from the JSON payload (B3/A17 made real)
+            df = df.withColumn(
+                self.partition_field,
+                F.coalesce(
+                    F.get_json_object(F.col("value").cast("string"), f"$.{self.partition_field}"),
+                    F.lit("__null__"),
+                ),
+            )
+        return df
+
+    # -- writers -----------------------------------------------------------
+    def start(self, records: DataFrame):
+        """Attach this sink to a (streaming) KafkaRecord DataFrame and start."""
+        df = self._prepare(records)
+        parts = self._partition_cols()
+        if self.format == "json":
+            out = df.select(
+                *parts,
+                envelope_json(
+                    F.col("topic"),
+                    F.col("partition"),
+                    F.col("offset"),
+                    F.col("timestamp"),
+                    F.col("key"),
+                    F.col("value"),
+                    _headers_json(F.col("headers")),
+                ).alias("value"),
+            )
+            writer = out.writeStream.format("text")
+        elif self.format == "parquet":
+            writer = df.writeStream.format("parquet")
+        elif self.format == "avro":
+            try:
+                self.spark._jvm.org.apache.spark.sql.avro.functions  # noqa: B018
+            except Exception as e:  # spark-avro jar not on the classpath
+                raise SinkError(
+                    "avro format requires the spark-avro package on the"
+                    " classpath (not present in this environment)"
+                ) from e
+            writer = df.writeStream.format("avro")
+        else:  # bytes: custom per-group concat objects via foreachBatch
+            writer = df.writeStream.foreachBatch(self._write_bytes_batch)
+            parts = []
+        if parts:
+            writer = writer.partitionBy(*parts).option("path", self.path)
+        if self.compression and self.format in ("json", "parquet"):
+            writer = writer.option("compression", self.compression)
+        writer = writer.option("checkpointLocation", self.checkpoint)
+        if self.trigger_ms:
+            writer = writer.trigger(processingTime=f"{self.trigger_ms} milliseconds")
+        return writer.queryName(self.connector.name).start()
+
+    def _write_bytes_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """A19 bytes-concat: one object per (topic, partition) group, raw
+        ``value`` bytes concatenated with no delimiter (s3.rs:674-688).
+
+        Executor-side distributed write via applyInPandas — no driver
+        collect. Object keys are ``{topic}/{partition}_{min_offset}.bin``:
+        deterministic per input group, so a replayed epoch overwrites the
+        same keys (idempotent; fixes the reference's same-timestamp
+        collision, s3.rs:140-147).
+        """
+        base = self.path
+
+        def write_group(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("offset")
+            topic = pdf["topic"].iloc[0]
+            part = int(pdf["partition"].iloc[0])
+            key = f"{topic}/{part}_{int(pdf['offset'].min())}.bin"
+            full = os.path.join(base, key)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "wb") as f:
+                for v in pdf["value"]:
+                    f.write(bytes(v))
+            return pd.DataFrame({"key": [key], "n": [len(pdf)]})
+
+        (
+            batch_df.select("topic", "partition", "offset", "value")
+            .groupBy("topic", "partition")
+            .applyInPandas(write_group, schema="key string, n long")
+            .collect()  # small: one row per group — forces the write
+        )

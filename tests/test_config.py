@@ -1,0 +1,100 @@
+"""Config-parse goldens (ported from the reference's config round-trip
+tests, config.rs:104-169) + registry dispatch errors + Kafka option
+mapping (kafka.rs:459-474 semantics, testable without a broker)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from franzoxide_spark.config import ConnectorConfig, KafkaConfig, load_config, parse_config
+from franzoxide_spark.errors import ConfigError
+from franzoxide_spark.sources.kafka import kafka_reader_options
+
+REFERENCE_SHAPED = {
+    "tcp_address": "0.0.0.0:50051",
+    "unix_socket_path": "/tmp/rust-connect.sock",
+    "kafka": {
+        "bootstrap_servers": ["kafka:9092"],
+        "group_id": "rust-connect",
+        "properties": {"auto.offset.reset": "earliest"},
+    },
+    "connectors": [
+        {
+            "name": "s3-sink",
+            "connector_class": "io.rustconnect.S3SinkConnector",
+            "connector_type": "sink",
+            "tasks_max": 2,
+            "topics": ["test-topic"],
+            "config": {
+                "s3.bucket.name": "kafka-connect-bucket",
+                "format.class": "json",
+                "partitioner.class": "default",
+                "flush.size": "100",
+            },
+        }
+    ],
+}
+
+
+def test_parse_reference_config_shape(tmp_path):
+    p = tmp_path / "connect.json"
+    p.write_text(json.dumps(REFERENCE_SHAPED))
+    cfg = load_config(str(p))
+    assert cfg.tcp_address == "0.0.0.0:50051"
+    assert cfg.kafka.bootstrap_servers == ["kafka:9092"]
+    snk = cfg.connector("s3-sink")
+    assert snk.connector_type == "sink"
+    assert snk.tasks_max == 2
+    assert snk.config["flush.size"] == "100"
+    with pytest.raises(ConfigError):
+        cfg.connector("nope")
+
+
+def test_bad_connector_type_rejected():
+    with pytest.raises(ConfigError):
+        parse_config(
+            {
+                "connectors": [
+                    {
+                        "name": "x",
+                        "connector_class": "kafka",
+                        "connector_type": "banana",
+                    }
+                ]
+            }
+        )
+
+
+def test_missing_file_wrapped():
+    with pytest.raises(ConfigError, match="failed to load config"):
+        load_config("/nonexistent/connect.json")
+
+
+def test_kafka_option_passthrough():
+    kcfg = KafkaConfig(
+        bootstrap_servers=["a:9092", "b:9092"],
+        group_id="g1",
+        properties={"auto.offset.reset": "earliest", "security.protocol": "SSL"},
+    )
+    conn = ConnectorConfig(
+        name="src",
+        connector_class="kafka",
+        connector_type="source",
+        topics=["t1", "t2"],
+        config={
+            "batch.size": "100",
+            "kafka.fetch.min.bytes": "1024",
+            "unrelated.key": "ignored",
+        },
+    )
+    opts = kafka_reader_options(kcfg, conn)
+    assert opts["kafka.bootstrap.servers"] == "a:9092,b:9092"
+    assert opts["subscribe"] == "t1,t2"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.auto.offset.reset"] == "earliest"
+    assert opts["kafka.security.protocol"] == "SSL"
+    assert opts["kafka.fetch.min.bytes"] == "1024"
+    assert opts["maxOffsetsPerTrigger"] == "100"
+    assert "unrelated.key" not in opts

@@ -1,0 +1,221 @@
+"""Structured Streaming tests: the connector pipeline end-to-end (file
+source standing in for Kafka — same KafkaRecord schema and downstream
+plan), checkpoint-recovery idempotence, watermark late-data semantics, and
+the bytes sink. These cover the streaming-only behaviors the DuckDB oracle
+cannot (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from franzoxide_spark.config import parse_config
+from franzoxide_spark.manager import ConnectorManager
+from franzoxide_spark.queries.envelope import kafka_records_from_events
+
+
+def _write_record_files(spark, sf_dir, out_dir, n_files=2):
+    """Materialize KafkaRecord-schema parquet from the events fixture."""
+    rec = kafka_records_from_events(spark, sf_dir).withColumn(
+        "headers",
+        F.create_map(F.lit("content-type"), F.lit("application/json")),
+    ).drop("headers_json")
+    rec = rec.select("topic", "partition", "offset", "timestamp", "key", "value", "headers")
+    total = rec.count()
+    half = total // n_files
+    for i in range(n_files):
+        chunk = rec.filter(
+            (F.col("offset") % n_files) == i
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, f"chunk{i}"))
+    # flatten: file source watches a single dir of parquet files
+    flat = os.path.join(out_dir, "flat")
+    os.makedirs(flat, exist_ok=True)
+    for i, f in enumerate(glob.glob(os.path.join(out_dir, "chunk*", "*.parquet"))):
+        os.link(f, os.path.join(flat, f"part{i}.parquet"))
+    return flat, total, half
+
+
+def _pipeline_config(in_path, out_base):
+    return parse_config(
+        {
+            "kafka": {"bootstrap_servers": [], "group_id": "t"},
+            "connectors": [
+                {
+                    "name": "file-source",
+                    "connector_class": "file",
+                    "connector_type": "source",
+                    "topics": ["events"],
+                    "config": {"path": in_path, "files.per.trigger": "1"},
+                },
+                {
+                    "name": "json-sink",
+                    "connector_class": "io.rustconnect.S3SinkConnector",
+                    "connector_type": "sink",
+                    "topics": ["events"],
+                    "config": {
+                        "path.base": out_base,
+                        "s3.prefix": "data",
+                        "format.class": "json",
+                        "partitioner.class": "default",
+                    },
+                },
+            ],
+        }
+    )
+
+
+def test_pipeline_end_to_end_and_checkpoint_idempotence(spark, sf_dir, tmp_path):
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    out_base = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = _pipeline_config(in_dir, out_base)
+
+    mgr = ConnectorManager(spark, cfg, ckpt)
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    st = mgr.status()
+    assert st["file-source"]["state"] == "RUNNING"
+    mgr.stop()
+    assert mgr.status()["json-sink"]["state"] == "STOPPED"
+
+    files = glob.glob(os.path.join(out_base, "data", "topic=events", "partition=*", "*.txt"))
+    assert files, "no output files written"
+    lines = []
+    for fp in files:
+        with open(fp) as f:
+            lines += [ln for ln in f.read().splitlines() if ln]
+    assert len(lines) == total
+    env = json.loads(lines[0])
+    assert env["topic"] == "events"
+    assert env["headers"] == {"content-type": "application/json"}
+    assert ("value_format" in env) == isinstance(env["value"], str)
+
+    # restart on the same checkpoint: nothing new to read -> no duplicates
+    mgr2 = ConnectorManager(spark, cfg, ckpt)
+    mgr2.initialize()
+    mgr2.start()
+    mgr2.process_all_available()
+    mgr2.stop()
+    lines2 = []
+    for fp in glob.glob(
+        os.path.join(out_base, "data", "topic=events", "partition=*", "*.txt")
+    ):
+        with open(fp) as f:
+            lines2 += [ln for ln in f.read().splitlines() if ln]
+    assert len(lines2) == total, "checkpoint restart duplicated records"
+
+
+def test_time_partitioner_layout(spark, sf_dir, tmp_path):
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    out_base = str(tmp_path / "out")
+    cfg = _pipeline_config(in_dir, out_base)
+    cfg.connectors[1].config["partitioner.class"] = "time"
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+    dirs = glob.glob(
+        os.path.join(out_base, "data", "topic=events", "year=*", "month=*", "day=*", "hour=*")
+    )
+    assert dirs, "no Hive time-partition directories"
+    # fixture events are all Jan 2024
+    assert all("year=2024" in d and "month=1" in d for d in dirs)
+
+
+def test_bytes_sink_concat(spark, sf_dir, tmp_path):
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    out_base = str(tmp_path / "out")
+    cfg = _pipeline_config(in_dir, out_base)
+    cfg.connectors[1].config["format.class"] = "bytes"
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+    objs = glob.glob(os.path.join(out_base, "data", "events", "*.bin"))
+    assert objs, "no bytes objects written"
+    blob = open(sorted(objs)[0], "rb").read()
+    # values are either raw:N or {"k": N} — concatenated with no delimiter
+    assert blob.startswith((b"raw:", b'{"k"'))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Windowed count with a 30-min watermark in append mode: a record
+    older than the watermark is dropped; closed windows emit exactly once."""
+    in_dir = str(tmp_path / "wm_in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "ts timestamp, v long"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        for i, f in enumerate(glob.glob(str(tmp_path / name / "*.parquet"))):
+            os.link(f, os.path.join(in_dir, f"{name}.parquet"))
+
+    import datetime as dt
+
+    t = lambda h, m: (dt.datetime(2024, 1, 1, h, m), 1)
+    write_batch("b1", [t(10, 0), t(10, 30), t(12, 0)])  # watermark -> 11:30
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    write_batch("b2", [t(10, 15), t(13, 0)])  # 10:15 late -> dropped
+    q.processAllAvailable()
+    write_batch("b3", [t(14, 0)])  # watermark -> 13:30, closes the 12:00 window
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["w"]: r["n"] for r in spark.sql("SELECT * FROM wm_out").collect()}
+    assert rows.get("10:00") == 2, f"late record not dropped: {rows}"
+    assert rows.get("12:00") == 1, f"12:00 window not closed: {rows}"
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    in_dir = str(tmp_path / "dd_in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "ts timestamp, k string"
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 0), "a"),
+        (dt.datetime(2024, 1, 1, 10, 1), "a"),  # duplicate key within watermark
+        (dt.datetime(2024, 1, 1, 10, 2), "b"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "dd_b1")
+    )
+    for f in glob.glob(str(tmp_path / "dd_b1" / "*.parquet")):
+        os.link(f, os.path.join(in_dir, "b1.parquet"))
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ks = sorted(r["k"] for r in spark.sql("SELECT * FROM dd_out").collect())
+    assert ks == ["a", "b"]
