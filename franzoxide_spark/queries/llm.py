@@ -1,1 +1,486 @@
-"""Placeholder — populated in later milestones."""
+"""LLM-training-data pipeline queries (Q29-Q31 + Q33-Q43).
+
+Dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (exact brute-force + LSH ANN), text analysis
+(lang-ID, quality, tokenization, fingerprinting), multimodal byte
+plumbing, and an as-of join. Operators live in ``operators/``; each query
+here binds one to the fixture tables with a DuckDB oracle wherever the op
+is deterministic + SQL-expressible (the LSH ANN is approximate-by-design
+-> rows-only, with recall measured in tests against the exact path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from franzoxide_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_ORDER,
+    bpe_ish_count,
+    lang_score,
+    rolling_fingerprint,
+    sql_bpe_ish_count,
+    sql_lang_score,
+    sql_rolling_fingerprint,
+    tokens,
+)
+from franzoxide_spark.operators.asof import asof_join
+from franzoxide_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from franzoxide_spark.operators.multimodal import (
+    byte_stats,
+    media_frame_from_documents,
+)
+from franzoxide_spark.operators.similarity import lsh_ann_topk, topk_cosine_exact
+from franzoxide_spark.queries import register
+from franzoxide_spark.tables import table
+
+# --------------------------------------------------------------------------
+# Q29 — exact dedup on text hash
+# --------------------------------------------------------------------------
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+Q29_SQL = """
+SELECT sha256(text) AS content_sha, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q30 — exact top-k cosine for 10 fixed query vectors
+# --------------------------------------------------------------------------
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return topk_cosine_exact(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+Q30_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])), 6) AS cos
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Q31 — text stats with a median filter
+# --------------------------------------------------------------------------
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens("text"))
+    )
+    p50 = docs.agg(F.expr("percentile(n_chars, 0.5)").alias("p50"))
+    return (
+        docs.join(F.broadcast(p50))
+        .filter(F.col("n_chars") > F.col("p50"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+Q31_SQL = """
+WITH st AS (
+  SELECT lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+p AS (SELECT quantile_cont(n_chars, 0.5) AS p50 FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       MAX(n_chars) AS max_chars
+FROM st, p WHERE st.n_chars > p.p50
+GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Q33 — MinHash + LSH near-duplicate pairs (verified with exact Jaccard)
+# --------------------------------------------------------------------------
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.8, num_hashes=8, bands=4, shingle_k=3,
+    )
+
+
+_H60 = "CAST('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || {s}), 1, 15) AS BIGINT)"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),"
+    " i -> array_to_string(tk[i:i+2], ' ')))"
+)
+Q33_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
+sig AS (
+  SELECT doc_id, ss,
+         list_transform(range(0, 8),
+           i -> list_min(list_transform(ss, s -> {_H60.format(i="i", s="s")}))) AS sg
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, k AS band, sg[2 * k + 1] AS h1, sg[2 * k + 2] AS h2
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+             / CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))
+                    AS DOUBLE), 6) AS jaccard
+FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+            / CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))
+                   AS DOUBLE), 6) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# Q34 — SimHash near-duplicate pairs (hamming <= 3 on 32-bit signatures)
+# --------------------------------------------------------------------------
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_duplicates(
+        table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
+
+
+Q34_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+),
+th AS (SELECT doc_id, {_H60.format(i="0", s="t")} AS h FROM tok),
+votes AS (
+  SELECT doc_id, j,
+         CASE WHEN (h & (CAST(1 AS BIGINT) << j)) != 0 THEN 1 ELSE -1 END AS v
+  FROM th, (SELECT unnest(range(0, 32)) AS j)
+),
+sv AS (SELECT doc_id, j, SUM(v) AS s FROM votes GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM sv GROUP BY 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q35 — exact n-gram Jaccard pairs (shingle-join)
+# --------------------------------------------------------------------------
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3
+    )
+
+
+Q35_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
+ex AS (SELECT doc_id, unnest(ss) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / CAST(len(sa.ss) + len(sb.ss) - i AS DOUBLE), 6)
+         AS jaccard
+FROM inter JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(i AS DOUBLE) / CAST(len(sa.ss) + len(sb.ss) - i AS DOUBLE), 6)
+      >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q36 — embedding-cosine near-dup, blocked by label
+# --------------------------------------------------------------------------
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    # blocking: candidate pairs only within a label partition (10x fewer
+    # pairs; the blocking key is the shuffle key at scale)
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
+    from franzoxide_spark.functions.vectors import cosine_rounded
+
+    return (
+        pairs.withColumn("cos", cosine_rounded("va", "vb"))
+        .filter(F.col("cos") >= 0.3)
+        .select("label", "id_a", "id_b", "cos")
+    )
+
+
+Q36_SQL = """
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q37 — LSH-bucketed approximate NN (rows-only: approximate by design;
+#        recall vs the exact path is asserted in tests/test_llm_ops.py)
+# --------------------------------------------------------------------------
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, bits=4, max_probe_hamming=1,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q38 — language-ID heuristic (stopword lexicon argmax)
+# --------------------------------------------------------------------------
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[lang_score("__toks", lg).alias(f"s_{lg}") for lg in LANG_ORDER],
+    )
+    m = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_ORDER])
+    pred = F.when(F.col(f"s_{LANG_ORDER[0]}") == m, LANG_ORDER[0])
+    for lg in LANG_ORDER[1:]:
+        pred = pred.when(F.col(f"s_{lg}") == m, lg)
+    return scored.withColumn("pred_lang", pred).withColumn(
+        "correct", (F.col("pred_lang") == F.col("lang")).cast("int")
+    )
+
+
+_TOKS_SQL = "string_split(text, ' ')"
+_SCORES_SQL = ",\n       ".join(
+    f"{sql_lang_score(_TOKS_SQL, lg)} AS s_{lg}" for lg in LANG_ORDER
+)
+_M = "GREATEST(" + ", ".join(f"s_{lg}" for lg in LANG_ORDER) + ")"
+_PRED = "CASE " + " ".join(
+    f"WHEN s_{lg} = {_M} THEN '{lg}'" for lg in LANG_ORDER
+) + " END"
+Q38_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_SCORES_SQL}
+  FROM documents
+)
+SELECT doc_id, lang, {", ".join(f"s_{lg}" for lg in LANG_ORDER)},
+       {_PRED} AS pred_lang,
+       CAST({_PRED} = lang AS INT) AS correct
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Q39 — quality scoring (length / punctuation / stopword ratios)
+# --------------------------------------------------------------------------
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    n_tok = F.size("__toks").cast("double")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)).cast("double")
+    n_upper = F.size(F.regexp_extract_all("text", F.lit("[A-Z]"), 0)).cast("double")
+    stop_ratio = lang_score("__toks", "en").cast("double") / n_tok
+    punct_ratio = n_punct / F.col("n_chars").cast("double")
+    quality = F.round(
+        0.4 * stop_ratio
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * F.least(n_tok / 100.0, F.lit(1.0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        n_upper.cast("int").alias("n_upper"),
+        quality.alias("quality"),
+        F.when(quality > 0.5, "high").when(quality > 0.3, "mid").otherwise("low").alias("band"),
+    )
+
+
+Q39_SQL = f"""
+WITH st AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
+         CAST({sql_lang_score("string_split(text, ' ')", "en")} AS DOUBLE) AS s_en
+  FROM documents
+),
+calc AS (
+  SELECT doc_id, n_tok, n_upper,
+         s_en / n_tok AS stop_ratio,
+         n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio,
+         ROUND(0.4 * (s_en / n_tok)
+               + 0.3 * (1.0 - n_punct / CAST(n_chars AS DOUBLE))
+               + 0.3 * LEAST(n_tok / 100.0, 1.0), 6) AS quality
+  FROM st
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       CAST(n_upper AS INT) AS n_upper,
+       quality,
+       CASE WHEN quality > 0.5 THEN 'high'
+            WHEN quality > 0.3 THEN 'mid' ELSE 'low' END AS band
+FROM calc
+"""
+
+
+# --------------------------------------------------------------------------
+# Q40 — token counting (whitespace + BPE-ish regex), per language
+# --------------------------------------------------------------------------
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    st = docs.select(
+        "lang",
+        F.size(tokens("text")).alias("ws_tokens"),
+        bpe_ish_count("text").alias("bpe_tokens"),
+    )
+    return st.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("sum_ws"),
+        F.sum("bpe_tokens").alias("sum_bpe"),
+        (F.sum("ws_tokens").cast("double") / F.count(F.lit(1))).alias("avg_ws"),
+        F.max("bpe_tokens").alias("max_bpe"),
+    )
+
+
+Q40_SQL = f"""
+WITH st AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+         {sql_bpe_ish_count("text")} AS bpe_tokens
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS sum_bpe,
+       CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_ws,
+       MAX(bpe_tokens) AS max_bpe
+FROM st GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Q41 — rolling-hash document fingerprint
+# --------------------------------------------------------------------------
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint("text").alias("fingerprint"),
+        "n_chars",
+    )
+
+
+Q41_SQL = f"""
+SELECT doc_id, {sql_rolling_fingerprint("text")} AS fingerprint, n_chars
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Q42 — multimodal byte plumbing (binary media column + typed metadata)
+# --------------------------------------------------------------------------
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_frame_from_documents(table(spark, sf_dir, "documents"))
+    return byte_stats(media)
+
+
+Q42_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       substr(sha256(text), 1, 16) AS sha256_pfx,
+       CAST(n_chars % 640 AS INT) AS width,
+       CAST(n_chars % 480 AS INT) AS height,
+       'fake/v1' AS format
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Q43 — as-of join: latest order per customer at each event's time
+# --------------------------------------------------------------------------
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    j = asof_join(
+        ev, o,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_totalprice"],
+        left_id="event_id", right_id="o_orderkey",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        "o_totalprice",
+    )
+
+
+Q43_SQL = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC NULLS LAST,
+                                     o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       o_totalprice
+FROM j WHERE rn = 1
+"""
+
+register("q29_exact_dedup", q29, Q29_SQL)
+register("q30_topk_cosine_exact", q30, Q30_SQL)
+register("q31_text_stats_median", q31, Q31_SQL)
+register("q33_minhash_lsh_neardup", q33, Q33_SQL)
+register("q34_simhash_neardup", q34, Q34_SQL)
+register("q35_ngram_jaccard_pairs", q35, Q35_SQL)
+register("q36_embedding_neardup_blocked", q36, Q36_SQL)
+register("q37_lsh_ann_topk", q37, None)
+register("q38_lang_id_heuristic", q38, Q38_SQL)
+register("q39_quality_score", q39, Q39_SQL)
+register("q40_token_counting", q40, Q40_SQL)
+register("q41_rolling_fingerprint", q41, Q41_SQL)
+register("q42_multimodal_byte_stats", q42, Q42_SQL)
+register("q43_asof_join", q43, Q43_SQL)
