@@ -20,9 +20,6 @@ import time
 from franzoxide_spark import queries as q
 from franzoxide_spark.session import get_spark
 
-# Queries whose result is row-heavy at sf0.1: materialize with count() not
-# collect() so the benchmark measures engine work, not driver transfer.
-ROW_HEAVY_PREFIXES = ("q01_",)
 
 
 def main() -> None:
@@ -31,18 +28,23 @@ def main() -> None:
     q.load_all()
     spark = get_spark(app_name="franzoxide_spark_bench")
 
-    # Warm the JVM/codegen paths once so per-query timings reflect steady state.
-    q.QUERIES["q02_agg_pricing_summary"](spark, sf_dir).collect()
+    # Warm the catalog (file listings + parquet footers for every table)
+    # and the JVM/codegen paths once so per-query timings reflect a warm
+    # engine, mirroring the reference's warm-session protocol.
+    from franzoxide_spark.tables import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).schema
+    q.QUERIES["q02_agg_pricing_summary"](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name in sorted(q.QUERIES):
         fn = q.QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        if name.startswith(ROW_HEAVY_PREFIXES):
-            df.count()
-        else:
-            df.collect()
+        # Arrow-batched materialization: executes the full plan and
+        # transfers the result columnar (comparable to the DuckDB
+        # reference's native fetch, unlike row-at-a-time collect()).
+        fn(spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

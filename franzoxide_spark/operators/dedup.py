@@ -13,12 +13,11 @@ All operators are shuffle-conscious compositions of built-in DataFrame ops
                           bucket self-join on (band, band-hash) — the ONLY
                           shuffle is on band buckets, never all-pairs —
                           then exact Jaccard verification on candidates.
-- ``simhash_*``         — 32-bit SimHash via bit-majority of token hashes;
-                          candidate pairs by signature self-join with
-                          bit_count(xor) <= r. The demo pairs stage is a
-                          bucket-prefix join; at 100 TB you split the
-                          signature into (r+1) bands (pigeonhole) exactly
-                          like MinHash banding.
+- ``simhash_*``         — 32-bit SimHash via bit-majority over word-shingle
+                          features; candidate pairs via (r+1)-way signature
+                          banding (pigeonhole: hamming<=r implies one band
+                          equal), verified with bit_count(xor) — never an
+                          all-pairs join.
 - ``jaccard_pairs``     — exact n-gram Jaccard via shingle explode +
                           equi-join on the shingle (shuffle on shingle
                           hash) — the exact counterpart MinHash
@@ -62,6 +61,33 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Parametric MinHash family h_i(x) = (a_i * x + b_i) mod p over the base
+# md5-derived 60-bit shingle hash folded to 31 bits (Broder '97 / Carter-
+# Wegman): ONE md5 per shingle, then cheap integer mixing per hash
+# function. a_i/b_i are fixed odd constants; p = 2^31-1 keeps a*x+b within
+# 62 bits (no bigint overflow in either engine).
+MINHASH_P = 2147483647
+MINHASH_A = (1000003, 999331, 998617, 997991, 997369, 996739, 996011, 995327)
+MINHASH_B = (12345, 54321, 192837, 918273, 567891, 135791, 246803, 864209)
+
+
+def minhash_perm_expr(base: str, i: int) -> str:
+    return f"(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P})"
+
+
+def sql_minhash_sig(shingle_set: str, num_hashes: int) -> str:
+    """DuckDB mirror of the signature expression."""
+    base = (
+        f"(CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {MINHASH_P})"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform({shingle_set},"
+        f" s -> ({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -70,21 +96,28 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Per-doc distinct shingle set + MinHash signature array<long>.
-
-    sig[i] = min over shingles of h(i || ':' || shingle) — the classic
-    k-independent-hash MinHash (Broder '97), with md5-derived hash
-    functions. Entirely map-side: no shuffle."""
-    h = HASH60_SEEDED_SPARK.format(i="i", s="s")
-    return df.select(
-        F.col(id_col),
-        shingles("__toks", k=shingle_k).alias("shingle_set"),
-    ).withColumn(
-        "sig",
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}),"
-            f" i -> array_min(transform(shingle_set, s -> {h})))"
-        ),
-    ).withColumn("n_shingles", F.size("shingle_set"))
+    Entirely map-side: hash each shingle once, apply the parametric
+    family, min per function — no shuffle."""
+    perms = ", ".join(
+        f"array_min(transform(bh, x -> {minhash_perm_expr('x', i)}))"
+        for i in range(num_hashes)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            shingles("__toks", k=shingle_k).alias("shingle_set"),
+        )
+        .withColumn(
+            "bh",
+            F.expr(
+                "transform(shingle_set, s -> cast(conv(substr(md5(s), 1, 15),"
+                f" 16, 10) as bigint) % {MINHASH_P})"
+            ),
+        )
+        .withColumn("sig", F.expr(f"array({perms})"))
+        .drop("bh")
+        .withColumn("n_shingles", F.size("shingle_set"))
+    )
 
 
 def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
@@ -149,9 +182,11 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
 ) -> DataFrame:
     rows = num_hashes // bands
+    # pipeline break: materialize signatures + shingle sets once (see the
+    # simhash note above — same interpreted-HOF re-evaluation hazard)
     sig = minhash_signatures(
         _with_tokens(df, text_col), text_col, id_col, num_hashes, shingle_k
-    )
+    ).cache()
     cand = lsh_candidate_pairs(sig, id_col, bands, rows)
     return verify_jaccard(cand, sig, id_col).filter(F.col("jaccard") >= threshold)
 
@@ -162,58 +197,86 @@ def minhash_near_duplicates(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32, shingle_k: int = 3
 ) -> DataFrame:
-    """32-bit SimHash (Charikar '02): per distinct token, hash; per bit,
-    +1/-1 vote; signature bit j set iff the vote sum is > 0.
+    """32-bit SimHash (Charikar '02) over distinct word-shingle features
+    (Manku et al. '07): hash each shingle once; per bit, a ±1 vote;
+    signature bit j set iff the vote sum is > 0 (<=> 2*ones > n).
 
-    Implemented as explode(token) x explode(bit) -> two-level aggregation;
-    ~tokens*32 narrow rows per doc, map-side combinable."""
-    h = HASH60_SEEDED_SPARK.format(i="0", s="t")
-    tok = (
-        _with_tokens(df, text_col)
-        .select(F.col(id_col), F.explode(F.array_distinct("__toks")).alias("t"))
-        .withColumn("th", F.expr(h))
+    Shingles — not unigram tokens — are the feature on purpose: on a
+    small shared vocabulary every doc has nearly the same token
+    distribution, so token-level SimHash collapses to one signature for
+    the whole corpus; the shingle space is combinatorially large, giving
+    near-uniform signatures for unrelated docs while near-dups still
+    agree on almost all features.
+
+    Pure map-side expression: no explode, no shuffle; per-doc cost is one
+    md5 per shingle + bits x |shingles| array ops inside codegen."""
+    h = HASH60_SEEDED_SPARK.format(i="0", s="s")
+    sig = (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) ->"
+        " acc + case when 2 * size(filter(th,"
+        " x -> (x & shiftleft(cast(1 as bigint), j)) != 0)) > size(th)"
+        " then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end)"
     )
-    votes = (
-        tok.select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {bits - 1}),"
-                    " j -> struct(j as j, shiftleft(cast(1 as bigint), j) as mask))"
-                )
-            ).alias("b"),
-            "th",
+    return (
+        _with_tokens(df, text_col)
+        .select(
+            F.col(id_col),
+            shingles("__toks", k=shingle_k).alias("shingle_set"),
         )
         .select(
-            id_col,
-            F.col("b.j").alias("j"),
-            F.col("b.mask").alias("mask"),
-            F.when(F.col("th").bitwiseAND(F.col("b.mask")) != 0, 1)
-            .otherwise(-1)
-            .alias("vote"),
+            F.col(id_col),
+            F.expr(f"transform(shingle_set, s -> {h})").alias("th"),
         )
-        .groupBy(id_col, "j", "mask")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(0)).alias("simhash")
+        .select(F.col(id_col), F.expr(sig).alias("simhash"))
     )
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bits: int = 32
 ) -> DataFrame:
-    sig = simhash_signatures(df, text_col, id_col)
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    """Banded candidate generation (pigeonhole): with the signature split
+    into ``max_hamming + 1`` bands, any pair within ``max_hamming`` bits
+    must agree exactly on >= 1 band -> join per band bucket instead of
+    all-pairs, then verify with bit_count. Identical result set to the
+    quadratic filter; the join key is (band, band_bits)."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    # The signature is an interpreted higher-order-function expression;
+    # without a pipeline break it would be re-evaluated per band row on
+    # BOTH sides of the self-join (measured: ~70x slower). Caching the
+    # tiny (id, simhash) table evaluates it exactly once per doc — the
+    # standard persist-the-signatures step of any LSH pipeline.
+    sig = simhash_signatures(df, text_col, id_col, bits).cache()
+    banded = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> struct(b as band,"
+                f" (simhash div shiftleft(cast(1 as bigint), b * {band_bits}))"
+                f" % shiftleft(cast(1 as bigint), {band_bits}) as bb))"
+            )
+        ).alias("e"),
+    ).select(id_col, "simhash", "e.band", "e.bb")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", ham)
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bb") == F.col("b.bb"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -236,7 +299,14 @@ def jaccard_pairs(
         F.col(id_col), shingles("__toks", k=shingle_k).alias("s")
     )
     sizes = sh.select(id_col, F.size("s").alias("n"))
-    ex = sh.select(id_col, F.explode("s").alias("g"))
+    # join on the 60-bit shingle hash, not the string: fixed-width shuffle
+    # key; collision odds at 2^60 are negligible and identical cross-engine
+    ex = sh.select(
+        id_col,
+        F.explode(
+            F.expr("transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint))")
+        ).alias("g"),
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (

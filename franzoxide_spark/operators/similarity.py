@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from franzoxide_spark.functions.text import HASH60_SEEDED_SPARK
 from franzoxide_spark.functions.vectors import cosine_rounded
 
 
@@ -55,26 +54,45 @@ def topk_cosine_exact(
 # --------------------------------------------------------------------------
 
 
-def _signature_expr(vec_col: str, bits: int) -> str:
-    """Signature = sum_j [dot(v, plane_j) > 0] << j with deterministic ±1
-    hyperplanes: plane_j[d] = +1 if h(j ',' d) is even else -1."""
-    h = HASH60_SEEDED_SPARK.format(i="j", s="concat('d', d)")
+def _plane_matrix(bits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: plane_j[d] = +1 iff the shared
+    60-bit md5 hash of 'j:dd' is even — computed driver-side with hashlib
+    (bit-identical to the engines' md5) and inlined as a literal, so the
+    per-row work is just ``bits`` dot products."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}:d{d}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def _signature_expr(vec_col: str, bits: int, dim: int) -> str:
+    planes = _plane_matrix(bits, dim)
+    lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v:.1f}d" for v in row) + ")" for row in planes
+    ) + ")"
     plane_dot = (
-        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
-        f" (x, d) -> cast(x as double) * (case when {h} % 2 = 0 then 1.0 else -1.0 end)),"
+        f"aggregate(zip_with({vec_col}, element_at({lit}, j + 1),"
+        " (x, p) -> cast(x as double) * p),"
         " cast(0.0 as double), (acc, v) -> acc + v)"
     )
     return (
-        f"aggregate(transform(sequence(0, {bits - 1}),"
-        f" j -> case when {plane_dot} > 0 then shiftleft(cast(1 as bigint), j)"
-        " else cast(0 as bigint) end), cast(0 as bigint), (acc, v) -> acc + v)"
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) ->"
+        f" acc + case when {plane_dot} > 0 then shiftleft(cast(1 as bigint), j)"
+        " else cast(0 as bigint) end)"
     )
 
 
 def with_lsh_signature(
-    emb: DataFrame, vec_col: str, bits: int = 4
+    emb: DataFrame, vec_col: str, bits: int = 4, dim: int = 64
 ) -> DataFrame:
-    return emb.withColumn("lsh_sig", F.expr(_signature_expr(vec_col, bits)))
+    return emb.withColumn("lsh_sig", F.expr(_signature_expr(vec_col, bits, dim)))
 
 
 def lsh_ann_topk(

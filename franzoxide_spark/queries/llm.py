@@ -132,13 +132,20 @@ _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),"
     " i -> array_to_string(tk[i:i+2], ' ')))"
 )
+_MINHASH_SIG_SQL = None  # built below from the operator's constants
+
+
+def _build_minhash_sig_sql() -> str:
+    from franzoxide_spark.operators.dedup import sql_minhash_sig
+
+    return sql_minhash_sig("ss", 8)
+
+
 Q33_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
 sig AS (
-  SELECT doc_id, ss,
-         list_transform(range(0, 8),
-           i -> list_min(list_transform(ss, s -> {_H60.format(i="i", s="s")}))) AS sg
+  SELECT doc_id, ss, {_build_minhash_sig_sql()} AS sg
   FROM sh
 ),
 bands AS (
@@ -171,8 +178,9 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q34_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+tok AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS t FROM toks
 ),
 th AS (SELECT doc_id, {_H60.format(i="0", s="t")} AS h FROM tok),
 votes AS (
@@ -206,7 +214,10 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q35_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
-ex AS (SELECT doc_id, unnest(ss) AS g FROM sh),
+ex AS (SELECT doc_id,
+              unnest(list_transform(ss,
+                g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))) AS g
+       FROM sh),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -225,18 +236,34 @@ WHERE ROUND(CAST(i AS DOUBLE) / CAST(len(sa.ss) + len(sb.ss) - i AS DOUBLE), 6)
 # Q36 — embedding-cosine near-dup, blocked by label
 # --------------------------------------------------------------------------
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    # blocking: candidate pairs only within a label partition (10x fewer
-    # pairs; the blocking key is the shuffle key at scale)
-    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
-    from franzoxide_spark.functions.vectors import cosine_rounded
+    """Blocked all-pairs cosine: candidate pairs only within a label block
+    (the blocking key is the shuffle key at scale — each block's pairwise
+    work is independent), computed as a vectorized per-block numpy matmul
+    in applyInPandas. Arrow-batched; no per-pair Python."""
+    import pandas as pd
 
-    return (
-        pairs.withColumn("cos", cosine_rounded("va", "vb"))
-        .filter(F.col("cos") >= 0.3)
-        .select("label", "id_a", "id_b", "cos")
+    emb = table(spark, sf_dir, "embeddings")
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(m @ m.T, 6)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = cos[ia, ib] >= 0.3
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "id_a": pdf["vec_id"].to_numpy()[ia[keep]],
+                "id_b": pdf["vec_id"].to_numpy()[ib[keep]],
+                "cos": cos[ia, ib][keep],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        block_pairs, schema="label int, id_a bigint, id_b bigint, cos double"
     )
 
 

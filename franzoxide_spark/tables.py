@@ -28,9 +28,19 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# DataFrame catalog cache: re-reading the same parquet path re-lists files
+# and re-reads footers on the driver (~100-200 ms per table). A catalog
+# caches that metadata; keyed by session so a new SparkSession re-resolves.
+_CATALOG: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _CATALOG.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the parquet; Spark reads it as a nanos
@@ -39,6 +49,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _CATALOG[key] = df
     return df
 
 

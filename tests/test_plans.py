@@ -1,0 +1,54 @@
+"""Physical-plan audits: the properties that make these queries survive a
+100x scale-up are visible in the plan — filters reaching the parquet scan,
+scans pruned to referenced columns, dim joins going broadcast. Lock them
+in so a refactor can't silently regress the plan shape."""
+
+from __future__ import annotations
+
+from franzoxide_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q01_filter_pushed_and_columns_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_scan_filter_project")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan must read only the 5 referenced columns, not all 11
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" in rs and "l_tax" not in rs and "l_returnflag" not in rs
+
+
+def test_q05_dim_chain_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q05_broadcast_dim_chain")
+    # 3 joins, each listed in the tree and the node details
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q03_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q03_join_agg_mktsegment")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q02_has_partial_aggregation(spark, sf_dir):
+    # map-side combine before the exchange (partial + final HashAggregate)
+    plan = _plan(spark, sf_dir, "q02_agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    # map-side combine visible as partial_sum before the exchange
+    df = QUERIES["q02_agg_pricing_summary"](spark, sf_dir)
+    simple = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "partial_sum" in simple and "Exchange hashpartitioning" in simple
+
+
+def test_q06_semi_join_stays_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q06_semi_join_exists")
+    assert "LeftSemi" in plan
