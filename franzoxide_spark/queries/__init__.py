@@ -32,6 +32,7 @@ def load_all() -> None:
     """Import every query module (each registers itself on import)."""
     from franzoxide_spark.queries import (  # noqa: F401
         envelope,
+        extras,
         llm,
         relational,
         windows_batch,

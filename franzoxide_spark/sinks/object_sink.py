@@ -39,7 +39,7 @@ from franzoxide_spark.functions.envelope import (
     time_partition_cols,
 )
 
-FORMATS = ("json", "bytes", "parquet", "avro")
+FORMATS = ("json", "bytes", "parquet", "avro", "iceberg")
 PARTITIONERS = ("default", "time", "field")
 
 
@@ -151,6 +151,21 @@ class ObjectSink:
                     " classpath (not present in this environment)"
                 ) from e
             writer = df.writeStream.format("avro")
+        elif self.format == "iceberg":
+            # B9/B10 (GAP.md:14,33-36): Iceberg table sink with exactly-once
+            # commit. Needs the iceberg-spark-runtime jar + a catalog conf;
+            # gated cleanly when absent.
+            if not self.spark.conf.get(
+                "spark.sql.catalog.spark_catalog.type", None
+            ) and not self.spark.conf.get("spark.sql.catalog.iceberg", None):
+                raise SinkError(
+                    "iceberg format requires iceberg-spark-runtime on the"
+                    " classpath and a configured catalog (e.g."
+                    " spark.sql.catalog.iceberg) — not present in this"
+                    " environment; the write path is writeStream"
+                    f".format('iceberg').toTable('{self.connector.name}')"
+                )
+            writer = df.writeStream.format("iceberg")
         else:  # bytes: custom per-group concat objects via foreachBatch
             writer = df.writeStream.foreachBatch(self._write_bytes_batch)
             parts = []

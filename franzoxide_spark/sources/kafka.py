@@ -73,6 +73,11 @@ def kafka_reader_options(
     batch_size = connector.config.get("batch.size")
     if batch_size is not None:
         opts["maxOffsetsPerTrigger"] = batch_size
+    # tasks_max (manager.rs:82-91 spawns N duplicate consumers) -> ask the
+    # source for at least N input partitions; Spark then schedules N
+    # parallel tasks against the consumer group.
+    if connector.tasks_max and connector.tasks_max > 1:
+        opts["minPartitions"] = str(connector.tasks_max)
     return opts
 
 

@@ -190,6 +190,96 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows.get("12:00") == 1, f"12:00 window not closed: {rows}"
 
 
+def test_multi_sink_fanout(spark, sf_dir, tmp_path):
+    """One source feeding two sinks (json + parquet) — the multi-table
+    fan-out the reference declares but never implements (GAP.md:17,
+    first-sink-only routing at manager.rs:184)."""
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    out_base = str(tmp_path / "out")
+    cfg = _pipeline_config(in_dir, out_base)
+    cfg.connectors.append(
+        type(cfg.connectors[1])(
+            name="pq-sink",
+            connector_class="object",
+            connector_type="sink",
+            topics=["events"],
+            config={
+                "path.base": out_base,
+                "s3.prefix": "pq",
+                "format.class": "parquet",
+                "partitioner.class": "default",
+                "compression": "gzip",
+            },
+        )
+    )
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+    txt = glob.glob(os.path.join(out_base, "data", "topic=events", "partition=*", "*.txt"))
+    pq = glob.glob(os.path.join(out_base, "pq", "topic=events", "partition=*", "*.parquet"))
+    assert txt and pq, "both sinks must receive the stream"
+    n_pq = spark.read.parquet(os.path.join(out_base, "pq")).count()
+    assert n_pq == total
+
+
+def test_iceberg_sink_gated(spark, tmp_path):
+    from franzoxide_spark.config import ConnectorConfig
+    from franzoxide_spark.errors import SinkError
+    from franzoxide_spark.sinks.object_sink import ObjectSink
+
+    snk = ConnectorConfig(
+        name="ice",
+        connector_class="object",
+        connector_type="sink",
+        topics=["t"],
+        config={"path.base": str(tmp_path), "format.class": "iceberg"},
+    )
+    sink = ObjectSink(spark, snk, str(tmp_path / "ckpt"))
+    with pytest.raises(SinkError, match="iceberg"):
+        sink.start(None)
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState: per-key state evolves across micro-batches
+    and survives inside the checkpoint."""
+    from franzoxide_spark.streaming.stateful import running_counts
+
+    in_dir = str(tmp_path / "st_in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "user_id bigint, value double"
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        for f in glob.glob(str(tmp_path / name / "*.parquet")):
+            os.link(f, os.path.join(in_dir, f"{name}.parquet"))
+
+    feed("b1", [(1, 2.0), (1, 3.0), (2, 5.0)])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+    counts = running_counts(stream, "user_id", "value")
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st_out")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    feed("b2", [(1, 10.0)])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM st_out").collect()
+    # last emission for key 1 must accumulate across batches: 3 events, 15.0
+    latest = {}
+    for r in rows:
+        latest[r["key"]] = (r["n_events"], r["total"])
+    assert latest["1"] == (3, 15.0), rows
+    assert latest["2"] == (1, 5.0), rows
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     in_dir = str(tmp_path / "dd_in")
     os.makedirs(in_dir, exist_ok=True)
