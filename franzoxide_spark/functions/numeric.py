@@ -15,11 +15,16 @@ operands are DECIMAL(12,4); a product of three operands is DECIMAL(34,12);
 SUM widens to 38. At 100 TB the same expressions hold — a DECIMAL(38,12)
 sum has 26 integer digits of headroom (1e26), far beyond any real total.
 
-Note on double->decimal casts: Spark rounds HALF_UP, DuckDB rounds to
-nearest. They can only disagree on an exact tie at the target scale, and a
-tie at scale 4 requires the double to equal x + 5e-5 exactly — 5e-5 is not
-a dyadic rational, so no IEEE double ever hits it. The casts are therefore
-bit-identical across engines.
+Note on the double->decimal conversion: the engines' native casts differ
+at ties — Spark rounds HALF_UP, DuckDB half-even, and dyadic doubles like
+1.90625 ARE exact scale-4 ties (any double with a short binary fraction
+terminates in ...5 at some decimal place; hypothesis finds these
+immediately). So the conversion here never uses a native decimal cast:
+``floor(x * 10^4 + 0.5)`` is two IEEE double ops and a floor — bit-
+identical in any IEEE-754 engine — and the result (an exact integer
+double) is lifted into decimal with an exact scale shift. Semantics:
+round-half-toward-+infinity at scale 4, identical across engines for ALL
+doubles including adversarial ties (property-tested).
 """
 
 from __future__ import annotations
@@ -27,15 +32,21 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Operand type: 8 integer digits, 4 fractional — covers every fixture column
-# (prices < 1.1e5, quantities <= 50, rates <= 1).
-DEC = "decimal(12,4)"
+# fixed-point scale: 4 decimal digits
+_S = 10_000
+# integer part of the scaled operand: covers |x| < 10^8 (prices/totals in
+# the fixtures are < 1.1e6)
+_SCALED = "decimal(12,0)"
+# exact scale-shift constant: DECIMAL(5,4) 0.0001
+_SHIFT = "0.0001"
 
 
 def dec(c: Column | str) -> Column:
-    """Cast an operand column to the exact decimal operand type."""
+    """Deterministic double -> DECIMAL(17,4) conversion (see module doc):
+    floor(x*10^4 + 0.5) lifted back by an exact decimal scale shift."""
     col = F.col(c) if isinstance(c, str) else c
-    return col.cast(DEC)
+    scaled = F.floor(col.cast("double") * _S + 0.5).cast(_SCALED)
+    return scaled * F.lit(_SHIFT).cast("decimal(5,4)")
 
 
 def dsum(expr: Column, alias: str) -> Column:
@@ -56,7 +67,10 @@ def davg(expr: Column, alias: str) -> Column:
 
 
 def sql_dec(c: str) -> str:
-    return f"CAST({c} AS DECIMAL(12,4))"
+    return (
+        f"(CAST(FLOOR(CAST({c} AS DOUBLE) * {_S} + 0.5) AS {_SCALED.upper()})"
+        f" * CAST({_SHIFT} AS DECIMAL(5,4)))"
+    )
 
 
 def sql_dsum(expr: str, alias: str) -> str:

@@ -22,7 +22,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name, o_orderpriority,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+               CAST(SUM((CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 10000 + 0.5) AS DECIMAL(12,0)) * CAST(0.0001 AS DECIMAL(5,4)))) AS DOUBLE)
                  AS revenue,
                COUNT(*) AS n_orders
         FROM v_orders

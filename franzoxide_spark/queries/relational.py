@@ -54,7 +54,9 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(12,4)")
     disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
-    charge = disc_price * (one + dec("l_tax"))
+    # intermediate cast keeps the three-factor product inside 38 digits in
+    # BOTH engines (exact: disc_price has <= 6 integer digits)
+    charge = disc_price.cast("decimal(18,8)") * (one + dec("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -72,7 +74,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DP = f"{sql_dec('l_extendedprice')} * (CAST(1 AS DECIMAL(12,4)) - {sql_dec('l_discount')})"
-_CH = f"({_DP}) * (CAST(1 AS DECIMAL(12,4)) + {sql_dec('l_tax')})"
+_CH = f"CAST(({_DP}) AS DECIMAL(18,8)) * (CAST(1 AS DECIMAL(12,4)) + {sql_dec('l_tax')})"
 Q02_SQL = f"""
 SELECT
   l_returnflag, l_linestatus,

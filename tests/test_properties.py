@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the correctness-critical
+primitives. Each example ships a BATCH of generated rows through one Spark
+job to keep the example count x job latency tolerable."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from franzoxide_spark.functions.envelope import envelope_json
+from franzoxide_spark.functions.text import rolling_fingerprint
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --------------------------------------------------------------------------
+# envelope: structural invariants for ARBITRARY payload bytes
+# --------------------------------------------------------------------------
+payload = st.one_of(
+    st.binary(max_size=64),
+    st.text(max_size=48).map(lambda s: s.encode("utf-8")),
+    st.builds(lambda n: json.dumps({"k": n}).encode(), st.integers(-(10**6), 10**6)),
+)
+
+
+@SET
+@given(st.lists(st.tuples(payload, payload), min_size=1, max_size=24))
+def test_envelope_structural_invariants(spark, pairs):
+    rows = [
+        Row(i=i, key=k, value=v) for i, (k, v) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "i",
+        "key",
+        "value",
+        envelope_json(
+            F.lit("t"), F.lit(0), F.col("i"), F.lit(1), F.col("key"), F.col("value"),
+            F.lit(None).cast("string"),
+        ).alias("env"),
+    ).collect()
+    for r in out:
+        env = json.loads(r["env"])  # the envelope line is always valid JSON
+        assert env["topic"] == "t" and env["offset"] == r["i"]
+        for field, original in (("key", bytes(r["key"])), ("value", bytes(r["value"]))):
+            if len(original) == 0:
+                assert field not in env and f"{field}_format" not in env
+            elif env.get(f"{field}_format") == "base64":
+                assert base64.b64decode(env[field]) == original
+            else:
+                # engine judged it JSON -> embedded verbatim; the raw text
+                # must decode to the same object json sees
+                assert env[field] == json.loads(original.decode("utf-8"))
+
+
+# --------------------------------------------------------------------------
+# rolling fingerprint == pure-Python fold (exact)
+# --------------------------------------------------------------------------
+def _py_fingerprint(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % 2147483647
+    return acc
+
+
+@SET
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_rolling_fingerprint_matches_python(spark, texts):
+    rows = [Row(i=i, s=s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows)
+    out = df.select("i", "s", rolling_fingerprint("s").alias("fp")).collect()
+    for r in out:
+        assert r["fp"] == _py_fingerprint(r["s"]), repr(r["s"])
+
+
+# --------------------------------------------------------------------------
+# exact-decimal SUM: Spark == DuckDB bit-for-bit on adversarial doubles
+# --------------------------------------------------------------------------
+@SET
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(0, 1e5, allow_nan=False, allow_infinity=False),
+            # values ON the decimal(12,4) grid
+            st.integers(0, 10**9).map(lambda n: n / 10**4),
+            # adversarial: exact/near rounding-midpoint constructions —
+            # the floor(x*1e4+0.5) conversion (functions/numeric.py) is
+            # IEEE-identical across engines even here
+            st.integers(0, 10**9).map(lambda n: n / 10**4 + 5e-5),
+            st.integers(0, 10**5).map(lambda n: n / 32),  # dyadic ties
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_decimal_sum_cross_engine_exact(spark, values):
+    from franzoxide_spark.functions.numeric import dec, dsum, sql_dec
+
+    df = spark.createDataFrame([Row(x=float(v)) for v in values])
+    spark_sum = df.agg(dsum(dec("x"), "s")).collect()[0]["s"]
+    vals = ", ".join(f"({float(v)!r})" for v in values)
+    duck_sum = duckdb.sql(
+        f"SELECT CAST(SUM({sql_dec('x')}) AS DOUBLE) FROM (VALUES {vals}) t(x)"
+    ).fetchone()[0]
+    assert spark_sum == duck_sum, (spark_sum, duck_sum)
