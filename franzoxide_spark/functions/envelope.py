@@ -24,28 +24,65 @@ to the epoch (1970-01-01) deterministically.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def json_strict_valid(payload: Column) -> Column:
+    """Strict JSON validity of a binary payload, matching the reference's
+    ``serde_json::from_slice`` (and DuckDB's ``json_valid``): requires
+    valid UTF-8, rejects trailing garbage and NaN/Infinity literals.
+
+    Spark's JVM-side parsers (get_json_object / try_parse_json) are
+    Jackson-lenient — both accept ``{} x`` and ``{"a":1}junk``, which
+    embedded verbatim would CORRUPT the envelope line — so strictness
+    needs the Arrow-batched pandas UDF below. It is the only Python in
+    the envelope path and runs one vectorized pass per batch.
+    """
+    import json as _json
+
+    def _reject_const(_):
+        raise ValueError("non-standard JSON constant")
+
+    @F.pandas_udf("boolean")
+    def _strict(s: pd.Series) -> pd.Series:
+        def ok(b) -> bool:
+            if b is None:
+                return False
+            try:
+                _json.loads(
+                    bytes(b).decode("utf-8"), parse_constant=_reject_const
+                )
+                return True
+            except Exception:
+                return False
+
+        return s.map(ok)
+
+    return _strict(payload)
+
+
 def _json_or_base64(field: str, payload: Column) -> Column:
     """The sniff operator: emit ``"<field>":<raw json>`` when the payload
-    parses as JSON, else ``"<field>":"<base64>","<field>_format":"base64"``;
+    parses as (strict) JSON, else
+    ``"<field>":"<base64>","<field>_format":"base64"``;
     NULL (omitted) when the payload is empty — s3.rs:208-266 semantics."""
     txt = payload.cast("string")
     as_json = F.concat(F.lit(f'"{field}":'), txt)
+    # Spark's base64() is MIME-chunked: it inserts \r\n every 76 chars,
+    # which is an unescaped control character inside a JSON string and
+    # corrupts the envelope for payloads > ~57 bytes (hypothesis caught
+    # this). Strip to the standard unwrapped alphabet (= reference's
+    # base64 crate / DuckDB to_base64).
     as_b64 = F.concat(
         F.lit(f'"{field}":"'),
-        F.base64(payload),
+        F.regexp_replace(F.base64(payload), "[\\r\\n]", ""),
         F.lit(f'","{field}_format":"base64"'),
     )
-    # validity probe: get_json_object(s, '$') is a codegen'd Jackson parse
-    # returning NULL on invalid JSON — same accept set as DuckDB's
-    # json_valid and serde_json (verified incl. scalars/whitespace/null
-    # literals), and ~5x cheaper than the variant try_parse_json.
     return (
         F.when(payload.isNull() | (F.length(payload) == 0), F.lit(None).cast("string"))
-        .when(F.get_json_object(txt, "$").isNotNull(), as_json)
+        .when(json_strict_valid(payload), as_json)
         .otherwise(as_b64)
     )
 

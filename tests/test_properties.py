@@ -115,10 +115,18 @@ def test_rolling_fingerprint_matches_python(spark, texts):
 def test_decimal_sum_cross_engine_exact(spark, values):
     from franzoxide_spark.functions.numeric import dec, dsum, sql_dec
 
+    import pandas as pd
+
     df = spark.createDataFrame([Row(x=float(v)) for v in values])
     spark_sum = df.agg(dsum(dec("x"), "s")).collect()[0]["s"]
-    vals = ", ".join(f"({float(v)!r})" for v in values)
-    duck_sum = duckdb.sql(
-        f"SELECT CAST(SUM({sql_dec('x')}) AS DOUBLE) FROM (VALUES {vals}) t(x)"
+    # feed DuckDB the exact float64 bits via a DataFrame — SQL literals
+    # with >15 significant digits get parsed as decimal and can lose the
+    # final ulp, which would compare different INPUTS, not engines
+    pdf = pd.DataFrame({"x": pd.array([float(v) for v in values], dtype="float64")})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck_sum = con.execute(
+        f"SELECT CAST(SUM({sql_dec('x')}) AS DOUBLE) FROM t"
     ).fetchone()[0]
+    con.close()
     assert spark_sum == duck_sum, (spark_sum, duck_sum)
