@@ -172,8 +172,30 @@ SELECT doc_id, COUNT(*) AS n_shingles, MIN(shingle) AS first_shingle
 FROM sh GROUP BY doc_id
 """
 
+# --------------------------------------------------------------------------
+# Q49 — exact percentiles (interpolated), grouped
+# --------------------------------------------------------------------------
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+Q49_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75
+FROM orders GROUP BY o_orderstatus
+"""
+
 register("q44_grouping_sets", q44, Q44_SQL)
 register("q45_pivot", q45, Q45_SQL)
 register("q46_unpivot_stack", q46, Q46_SQL)
 register("q47_pandas_udf_score", q47, Q47_SQL)
 register("q48_python_udtf_shingles", q48, Q48_SQL)
+register("q49_exact_percentiles", q49, Q49_SQL)

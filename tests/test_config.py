@@ -72,6 +72,31 @@ def test_missing_file_wrapped():
         load_config("/nonexistent/connect.json")
 
 
+def test_kafka_sink_options_and_gating(spark):
+    from franzoxide_spark.errors import SinkError
+    from franzoxide_spark.sinks.kafka_sink import (
+        kafka_writer_options,
+        start_kafka_sink,
+    )
+
+    kcfg = KafkaConfig(bootstrap_servers=["b:9092"], properties={"acks": "all"})
+    conn = ConnectorConfig(
+        name="out",
+        connector_class="kafka",
+        connector_type="sink",
+        topics=["t-out"],
+        config={"kafka.linger.ms": "5"},
+    )
+    opts = kafka_writer_options(kcfg, conn)
+    assert opts["topic"] == "t-out"
+    assert opts["kafka.acks"] == "all"
+    assert opts["kafka.linger.ms"] == "5"
+    with pytest.raises(SinkError, match="spark-sql-kafka"):
+        start_kafka_sink(spark.range(1).selectExpr("cast(null as binary) key", "cast(null as binary) value"), kcfg, conn, "/tmp/x")
+    with pytest.raises(ConfigError, match="needs a topic"):
+        kafka_writer_options(kcfg, ConnectorConfig("x", "kafka", "sink"))
+
+
 def test_kafka_option_passthrough():
     kcfg = KafkaConfig(
         bootstrap_servers=["a:9092", "b:9092"],
