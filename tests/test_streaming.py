@@ -280,6 +280,64 @@ def test_stateful_running_counts(spark, tmp_path):
     assert latest["2"] == (1, 5.0), rows
 
 
+def test_sink_clusters_files_per_partition(spark, sf_dir, tmp_path):
+    """Small-file control: one file per partition dir per micro-batch."""
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"), n_files=1)
+    out_base = str(tmp_path / "out")
+    cfg = _pipeline_config(in_dir, out_base)
+    cfg.connectors[0].config.pop("files.per.trigger", None)  # one batch
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+    part_dirs = glob.glob(os.path.join(out_base, "data", "topic=events", "partition=*"))
+    for d in part_dirs:
+        files = glob.glob(os.path.join(d, "*.txt"))
+        assert len(files) == 1, f"{d} has {len(files)} files (want 1/batch)"
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window in a real streaming query (batch-equiv is q27)."""
+    import datetime as dt
+
+    in_dir = str(tmp_path / "sw_in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "ts timestamp, user_id bigint"
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 0), 1),
+        (dt.datetime(2024, 1, 1, 10, 10), 1),   # same session (gap < 30m)
+        (dt.datetime(2024, 1, 1, 12, 0), 1),    # new session
+        (dt.datetime(2024, 1, 1, 10, 5), 2),
+        (dt.datetime(2024, 1, 1, 23, 0), 99),   # watermark pusher
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "sw_b1")
+    )
+    for f in glob.glob(str(tmp_path / "sw_b1" / "*.parquet")):
+        os.link(f, os.path.join(in_dir, "b1.parquet"))
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.date_format("session_window.start", "HH:mm").alias("s"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sw_out")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["user_id"], r["s"]): r["n"] for r in spark.sql("SELECT * FROM sw_out").collect()}
+    assert got.get((1, "10:00")) == 2, got   # merged session of two events
+    assert got.get((1, "12:00")) == 1, got
+    assert got.get((2, "10:05")) == 1, got
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     in_dir = str(tmp_path / "dd_in")
     os.makedirs(in_dir, exist_ok=True)
