@@ -30,7 +30,7 @@ oracle-checked cross-engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from franzoxide_spark.functions.text import (

@@ -280,6 +280,41 @@ def test_stateful_running_counts(spark, tmp_path):
     assert latest["2"] == (1, 5.0), rows
 
 
+def test_envelope_round_trip(spark, sf_dir, tmp_path):
+    """records -> sink -> envelope reader -> records: base64 payloads are
+    byte-exact; raw-JSON payloads parsed-equal; metadata exact."""
+    import json as _json
+
+    from franzoxide_spark.sources.envelope_reader import read_envelope_objects
+
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    out_base = str(tmp_path / "out")
+    cfg = _pipeline_config(in_dir, out_base)
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+
+    back = read_envelope_objects(spark, os.path.join(out_base, "data")).collect()
+    orig = {
+        r["offset"]: r
+        for r in spark.read.parquet(in_dir).collect()
+    }
+    assert len(back) == total
+    for r in back:
+        o = orig[r["offset"]]
+        assert r["timestamp"] == o["timestamp"]
+        assert r["headers"] == o["headers"]
+        ov, rv = bytes(o["value"]), bytes(r["value"])
+        if ov.startswith(b"raw:"):
+            assert rv == ov  # base64 branch: byte-exact
+        else:
+            assert _json.loads(rv) == _json.loads(ov)  # JSON branch: parsed-equal
+        # keys are 'user-N' (base64 branch) or empty
+        assert bytes(r["key"]) == bytes(o["key"])
+
+
 def test_sink_clusters_files_per_partition(spark, sf_dir, tmp_path):
     """Small-file control: one file per partition dir per micro-batch."""
     in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"), n_files=1)
