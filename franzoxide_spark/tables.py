@@ -33,10 +33,34 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 # caches that metadata; keyed by session so a new SparkSession re-resolves.
 _CATALOG: dict[tuple[int, str, str], DataFrame] = {}
 
+# Correctness-critical runtime confs, re-asserted per session: query
+# callables may be invoked with a session the caller built (e.g. the
+# driver's own vanilla SparkSession), where missing values would crash the
+# events scan (nanos timestamps) or drift timestamp rendering vs the
+# oracle. All three are runtime-settable SQLConfs.
+_REQUIRED_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+}
+_CONFED_SESSIONS: set[int] = set()
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    if id(spark) in _CONFED_SESSIONS:
+        return
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static/locked conf on some deployment: leave as-is
+    _CONFED_SESSIONS.add(id(spark))
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_confs(spark)
     key = (id(spark), sf_dir, name)
     cached = _CATALOG.get(key)
     if cached is not None:
