@@ -31,6 +31,47 @@ def _update(key, pdf_iter, state: GroupState):
     yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total": [total]})
 
 
+DEDUP_OUTPUT_SCHEMA = "key string, member string"
+DEDUP_STATE_SCHEMA = "seen array<string>"
+
+
+def _dedup_update(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    seen = set(state.get[0]) if state.exists else set()
+    fresh: list[str] = []
+    for pdf in pdf_iter:
+        for m in pdf["member"]:
+            if m not in seen:
+                seen.add(m)
+                fresh.append(m)
+    state.update((list(seen),))
+    yield pd.DataFrame({"key": [key[0]] * len(fresh), "member": fresh})
+
+
+def stateful_dedup(events: DataFrame, key_col: str, member_col: str) -> DataFrame:
+    """Streaming dedup with UNBOUNDED retention — emits each (key, member)
+    exactly once across the whole stream, beyond any watermark horizon
+    (``dropDuplicatesWithinWatermark`` forgets after the watermark passes;
+    this holds per-key state in the checkpointed store forever).
+
+    At 100 TB the exact seen-set becomes a per-key Bloom filter with the
+    same update shape — swap the ``set`` for a bitarray in ``_dedup_update``
+    and accept the false-positive rate; the operator contract (state in
+    the store, append output of first-seen members) is identical.
+    """
+    keyed = events.selectExpr(
+        f"cast({key_col} as string) as key", f"cast({member_col} as string) as member"
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _dedup_update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_counts(events: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Per-key running (count, sum) across micro-batches.
 

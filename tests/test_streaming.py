@@ -373,6 +373,40 @@ def test_streaming_session_window(spark, tmp_path):
     assert got.get((2, "10:05")) == 1, got
 
 
+def test_stateful_unbounded_dedup(spark, tmp_path):
+    """Custom stateful dedup: a member re-arriving MANY batches later is
+    still suppressed (beyond any watermark horizon)."""
+    from franzoxide_spark.streaming.stateful import stateful_dedup
+
+    in_dir = str(tmp_path / "sd_in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "k bigint, m string"
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        for f in glob.glob(str(tmp_path / name / "*.parquet")):
+            os.link(f, os.path.join(in_dir, f"{name}.parquet"))
+
+    feed("b1", [(1, "a"), (1, "b"), (2, "a")])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+    out = stateful_dedup(stream, "k", "m")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sd_out")
+        .option("checkpointLocation", str(tmp_path / "sd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    feed("b2", [(1, "a"), (1, "c"), (2, "a")])  # 'a' duplicates suppressed
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["key"], r["member"]) for r in spark.sql("SELECT * FROM sd_out").collect())
+    assert got == [("1", "a"), ("1", "b"), ("1", "c"), ("2", "a")], got
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     in_dir = str(tmp_path / "dd_in")
     os.makedirs(in_dir, exist_ok=True)
