@@ -40,8 +40,9 @@ def main() -> None:
     # Steady-state protocol: each query runs RUNS times on the warm
     # session and reports the fastest — one-shot Janino codegen compile
     # (~0.3-0.8s per unique plan) is a constant that vanishes at real data
-    # scale and would otherwise dominate small-SF timings.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # scale and would otherwise dominate small-SF timings; the min also
+    # rejects shared-host load spikes (observed 2x suite variance).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(q.QUERIES):
         fn = q.QUERIES[name]
