@@ -370,7 +370,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q13_SQL = """
-SELECT o_custkey, o_orderkey, o_totalprice, rn
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
 FROM (SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -512,7 +512,7 @@ SELECT p_partkey,
        SUBSTRING(p_name, 1, 5) AS name_pfx,
        CONCAT(p_brand, '#', p_type) AS brand_type,
        regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
-       LENGTH(p_name) AS name_len,
+       CAST(LENGTH(p_name) AS INT) AS name_len,
        LOWER(p_type) AS type_lower
 FROM part
 """
