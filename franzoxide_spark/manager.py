@@ -80,11 +80,14 @@ class ConnectorManager:
             q.processAllAvailable()
 
     def stop(self) -> None:
-        for name, q in self._queries.items():
+        for pipe, q in self._queries.items():
             try:
                 q.stop()
             except Exception:
-                self._states[name] = ConnectorState.FAILED
+                # mark both endpoints of the failed pipeline
+                for conn_name in pipe.split("->"):
+                    if conn_name in self._states:
+                        self._states[conn_name] = ConnectorState.FAILED
                 raise
         for name in self._states:
             if self._states[name] == ConnectorState.RUNNING:

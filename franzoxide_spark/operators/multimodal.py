@@ -49,7 +49,7 @@ def byte_stats(media_df: DataFrame) -> DataFrame:
 
 
 def extract_features(
-    media_df: DataFrame, batch_cols: int = 8, fake: bool = False
+    media_df: DataFrame, bins: int = 8, fake: bool = False
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas.
 
@@ -74,7 +74,7 @@ def extract_features(
             feats = []
             for blob in pdf["media"]:
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-                hist = np.bincount(arr % batch_cols, minlength=batch_cols)
+                hist = np.bincount(arr % bins, minlength=bins)
                 total = max(len(arr), 1)
                 feats.append((hist / total).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})

@@ -95,7 +95,7 @@ def test_multimodal_decode_stub_raises(spark, sf_dir):
 
 def test_multimodal_fake_decode_features(spark, sf_dir):
     media = media_frame_from_documents(table(spark, sf_dir, "documents"))
-    rows = extract_features(media, batch_cols=8, fake=True).collect()
+    rows = extract_features(media, bins=8, fake=True).collect()
     assert len(rows) == media.count()
     feat = rows[0]["feat"]
     assert len(feat) == 8
