@@ -11,11 +11,19 @@ re-export of its query registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from franzoxide_spark import queries as _q
+# the driver may load this module by file path; make the sibling package
+# importable regardless of the caller's cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from franzoxide_spark import queries as _q  # noqa: E402
 
 _q.load_all()
 
