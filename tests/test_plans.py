@@ -52,3 +52,31 @@ def test_q02_has_partial_aggregation(spark, sf_dir):
 def test_q06_semi_join_stays_semi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q06_semi_join_exists")
     assert "LeftSemi" in plan
+
+
+def test_q09_range_residual_on_broadcast_join(spark, sf_dir):
+    """The equi-key drives the join; the range bound must be a residual
+    condition, not a nested-loop."""
+    plan = _plan(spark, sf_dir, "q09_range_theta_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_pruning_on_partitioned_output(spark, tmp_path):
+    """Hive-partitioned data written by the engine prunes partitions at
+    read time — the property that makes the time partitioner useful."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 24).cast("int").alias("hour"),
+    )
+    out = str(tmp_path / "p")
+    df.write.partitionBy("hour").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("hour") == 3)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # partition filter listed separately from data filters -> pruned scan
+    assert "PartitionFilters" in plan and "hour" in plan.split("PartitionFilters")[1][:200]
+    assert q.count() == 1000 // 24 + (1 if 3 < 1000 % 24 else 0)

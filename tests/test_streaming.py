@@ -280,6 +280,70 @@ def test_stateful_running_counts(spark, tmp_path):
     assert latest["2"] == (1, 5.0), rows
 
 
+def test_bytes_sink_replay_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the same micro-batch must overwrite the same object keys
+    (the foreachBatch path's exactly-once contract on retry)."""
+    from franzoxide_spark.config import ConnectorConfig
+    from franzoxide_spark.sinks.object_sink import ObjectSink
+
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    batch = spark.read.parquet(in_dir)
+    snk = ConnectorConfig(
+        name="b",
+        connector_class="object",
+        connector_type="sink",
+        topics=["events"],
+        config={"path.base": str(tmp_path / "out"), "format.class": "bytes"},
+    )
+    sink = ObjectSink(spark, snk, str(tmp_path / "ckpt"))
+    sink._write_bytes_batch(batch, 0)
+    first = {
+        f: open(f, "rb").read()
+        for f in glob.glob(str(tmp_path / "out" / "data" / "events" / "*.bin"))
+    }
+    sink._write_bytes_batch(batch, 1)  # replay
+    second = {
+        f: open(f, "rb").read()
+        for f in glob.glob(str(tmp_path / "out" / "data" / "events" / "*.bin"))
+    }
+    assert first.keys() == second.keys(), "replay created different object keys"
+    assert first == second, "replay changed object contents"
+
+
+def test_streaming_reingest_of_sink_output(spark, sf_dir, tmp_path):
+    """Chained pipelines: the envelope objects one pipeline writes are a
+    valid streaming SOURCE for the next (parse_envelope_lines on
+    readStream.text)."""
+    from franzoxide_spark.sources.envelope_reader import parse_envelope_lines
+
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    out_base = str(tmp_path / "out")
+    cfg = _pipeline_config(in_dir, out_base)
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+
+    lines = (
+        spark.readStream.option("recursiveFileLookup", "true")
+        .text(os.path.join(out_base, "data"))
+    )
+    records = parse_envelope_lines(lines)
+    q = (
+        records.selectExpr("topic", "offset")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("reingest")
+        .option("checkpointLocation", str(tmp_path / "ri_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n = spark.sql("SELECT count(*) n FROM reingest").collect()[0]["n"]
+    assert n == total
+
+
 def test_envelope_round_trip(spark, sf_dir, tmp_path):
     """records -> sink -> envelope reader -> records: base64 payloads are
     byte-exact; raw-JSON payloads parsed-equal; metadata exact."""
