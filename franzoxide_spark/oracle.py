@@ -60,6 +60,15 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
             f"column mismatch: spark={sorted(spark_pdf.columns)} "
             f"oracle={sorted(oracle_pdf.columns)}"
         )
+    # enforce width-exact schemas (int32 vs int64 drift between engines is
+    # invisible to the value hash but not to a schema comparison)
+    dt = [
+        (c, str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype))
+        for c in spark_pdf.columns
+        if str(spark_pdf[c].dtype) != str(oracle_pdf[c].dtype)
+    ]
+    if dt:
+        return False, f"dtype mismatch: {dt}"
     a = Counter(canonicalize(spark_pdf))
     b = Counter(canonicalize(oracle_pdf))
     if a == b:
