@@ -497,7 +497,81 @@ SELECT event_id, user_id,
 FROM j WHERE rn = 1
 """
 
+# --------------------------------------------------------------------------
+# Q51 — PII-style scrubbing (regex redaction over text)
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact synthetic emails. The fixture texts contain none, so a
+    deterministic injection (every 7th doc gets a contact line) exercises
+    both the match and no-match paths; both engines run the same RE2/Java-
+    compatible pattern."""
+    docs = table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" contact: user"), F.col("doc_id"), F.lit("@example.com")),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.length(injected).alias("len_before"),
+        F.length(scrubbed).alias("len_after"),
+        (injected != scrubbed).cast("int").alias("was_redacted"),
+    )
+
+
+Q51_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact: user' || doc_id || '@example.com'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LENGTH(t) AS INT) AS len_before,
+       CAST(LENGTH(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g')) AS INT)
+         AS len_after,
+       CAST(t != regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS INT)
+         AS was_redacted
+FROM inj
+"""
+
+
+# --------------------------------------------------------------------------
+# Q52 — corpus-level repeated n-grams (boilerplate detection)
+# --------------------------------------------------------------------------
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 shingles by document frequency: explode distinct per-doc
+    shingles, count docs per shingle, rank with a total tie-break. The
+    shuffle key is the shingle hash — corpus-size-linear, the standard
+    boilerplate/contamination sweep."""
+    from franzoxide_spark.functions.text import shingles
+
+    docs = table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    ex = docs.select(
+        "doc_id", F.explode(shingles("__toks", k=3)).alias("g")
+    )
+    counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.orderBy(F.desc("n_docs"), "g").limit(20)
+    )
+
+
+Q52_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ex AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM toks)
+SELECT g, COUNT(*) AS n_docs
+FROM ex GROUP BY g
+ORDER BY n_docs DESC, g
+LIMIT 20
+"""
+
 register("q29_exact_dedup", q29, Q29_SQL)
+register("q51_pii_scrub", q51, Q51_SQL)
+register("q52_top_ngrams_boilerplate", q52, Q52_SQL)
 register("q30_topk_cosine_exact", q30, Q30_SQL)
 register("q31_text_stats_median", q31, Q31_SQL)
 register("q33_minhash_lsh_neardup", q33, Q33_SQL)
