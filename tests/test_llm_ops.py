@@ -35,6 +35,35 @@ def test_lsh_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.4, f"ANN recall too low: {recall}"
 
 
+def test_minhash_signature_matches_pure_python(spark, sf_dir):
+    """Third-engine check: the Spark signature expression reproduces a
+    from-scratch hashlib implementation of the same parametric family."""
+    import hashlib
+
+    from franzoxide_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        _with_tokens,
+        minhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(5)
+    sig_rows = minhash_signatures(
+        _with_tokens(docs, "text"), "text", "doc_id"
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in sig_rows:
+        toks = texts[r["doc_id"]].split(" ")
+        sh = list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))))
+        base = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P for s in sh]
+        expect = [
+            min((MINHASH_A[i] * b + MINHASH_B[i]) % MINHASH_P for b in base)
+            for i in range(8)
+        ]
+        assert list(r["sig"]) == expect, r["doc_id"]
+
+
 def test_minhash_finds_planted_near_dups(spark, sf_dir):
     pairs = minhash_near_duplicates(
         table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
