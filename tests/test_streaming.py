@@ -129,6 +129,75 @@ def test_time_partitioner_layout(spark, sf_dir, tmp_path):
     assert all("year=2024" in d and "month=1" in d for d in dirs)
 
 
+def test_field_partitioner_layout(spark, sf_dir, tmp_path):
+    """A17/B3: partition by a field extracted from the JSON payload;
+    non-JSON payloads land in the __null__ partition."""
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    out_base = str(tmp_path / "out")
+    cfg = _pipeline_config(in_dir, out_base)
+    cfg.connectors[1].config.update(
+        {"partitioner.class": "field", "partition.field": "k"}
+    )
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+    dirs = glob.glob(os.path.join(out_base, "data", "topic=events", "k=*"))
+    names = {os.path.basename(d) for d in dirs}
+    assert "k=__null__" in names, names       # raw:N payloads
+    assert any(n != "k=__null__" for n in names), names  # real k values
+
+
+def test_sink_config_errors(spark, tmp_path):
+    from franzoxide_spark.config import ConnectorConfig
+    from franzoxide_spark.errors import ConfigError
+    from franzoxide_spark.sinks.object_sink import ObjectSink
+
+    def mk(cfg):
+        return ObjectSink(
+            spark,
+            ConnectorConfig("x", "object", "sink", topics=["t"], config=cfg),
+            str(tmp_path),
+        )
+
+    with pytest.raises(ConfigError, match="format.class"):
+        mk({"path.base": str(tmp_path), "format.class": "xml"})
+    with pytest.raises(ConfigError, match="partitioner.class"):
+        mk({"path.base": str(tmp_path), "partitioner.class": "zodiac"})
+    with pytest.raises(ConfigError, match="partition.field"):
+        mk({"path.base": str(tmp_path), "partitioner.class": "field"})
+    with pytest.raises(ConfigError, match="s3.bucket.name or path.base"):
+        mk({})
+
+
+def test_json_file_source_variant(spark, sf_dir, tmp_path):
+    """file source with file.format=json: binary columns round-trip as
+    base64 through Spark's JSON lines format."""
+    rec = kafka_records_from_events(spark, sf_dir).withColumn(
+        "headers", F.create_map(F.lit("h"), F.lit("v"))
+    ).drop("headers_json")
+    in_dir = str(tmp_path / "jin")
+    rec.coalesce(1).write.json(in_dir)
+    cfg = _pipeline_config(in_dir, str(tmp_path / "out"))
+    cfg.connectors[0].config["file.format"] = "json"
+    cfg.connectors[0].config["path"] = in_dir
+    cfg.connectors[0].config.pop("files.per.trigger", None)
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+    lines = []
+    for fp in glob.glob(
+        os.path.join(str(tmp_path / "out"), "data", "topic=events", "partition=*", "*.txt")
+    ):
+        lines += [ln for ln in open(fp).read().splitlines() if ln]
+    assert len(lines) == rec.count()
+    env = json.loads(lines[0])
+    assert env["topic"] == "events" and "offset" in env
+
+
 def test_bytes_sink_concat(spark, sf_dir, tmp_path):
     in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
     out_base = str(tmp_path / "out")
