@@ -95,6 +95,71 @@ def with_lsh_signature(
     return emb.withColumn("lsh_sig", F.expr(_signature_expr(vec_col, bits, dim)))
 
 
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means the corpus into ``n_lists``
+    cells; each query probes its ``n_probe`` nearest centroids and
+    exact-reranks only those cells' members.
+
+    At 100 TB the assignment is a map-side transform against broadcast
+    centroids and the probe join touches n_probe/n_lists of the corpus —
+    the complementary trade to LSH (data-adaptive cells vs oblivious
+    hyperplanes). Seeded k-means -> deterministic per dataset, but
+    data-dependent -> rows-only checked; recall vs the exact path is
+    asserted in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    ).withColumn("features", array_to_vector(F.expr("transform(nv, x -> cast(x as double))")))
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(corpus)
+    assigned = km.transform(corpus).withColumnRenamed("prediction", "cell")
+
+    centers = [c.tolist() for c in km.clusterCenters()]
+    centers_df = emb.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
+    )
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # each query's n_probe nearest cells by centroid distance
+    qc = (
+        qs.crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(qv, center,"
+                " (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),"
+                " cast(0.0 as double), (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cand.withColumn("cos", cosine_rounded("qv", "nv"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -11,7 +11,7 @@ is deterministic + SQL-expressible (the LSH ANN is approximate-by-design
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from franzoxide_spark.functions.text import (
@@ -578,7 +578,74 @@ register("q33_minhash_lsh_neardup", q33, Q33_SQL)
 register("q34_simhash_neardup", q34, Q34_SQL)
 register("q35_ngram_jaccard_pairs", q35, Q35_SQL)
 register("q36_embedding_neardup_blocked", q36, Q36_SQL)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means cells + n_probe rerank) — data-adaptive
+    counterpart of q37's LSH; rows-only (clustering is data-dependent),
+    recall vs exact asserted in tests."""
+    from franzoxide_spark.operators.similarity import ivf_ann_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_lists=16, n_probe=4,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q54 — composed curation pipeline: dedup -> quality gate -> stats
+# --------------------------------------------------------------------------
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation chain as ONE declarative plan: exact
+    dedup survivors -> stopword-quality gate -> per-lang token stats.
+    Catalyst fuses the stages; nothing materializes in between."""
+    docs = table(spark, sf_dir, "documents")
+    survivors = (
+        docs.withColumn("content_sha", F.sha2("text", 256))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("content_sha").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "content_sha")
+    )
+    toks = survivors.withColumn("__toks", tokens("text"))
+    gated = toks.withColumn(
+        "stop_ratio",
+        lang_score("__toks", "en").cast("double") / F.size("__toks"),
+    ).filter(F.col("stop_ratio") >= 0.05)
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks")).alias("sum_tokens"),
+        F.round(F.min("stop_ratio"), 6).alias("min_stop_ratio"),
+    )
+
+
+Q54_SQL = f"""
+WITH survivors AS (
+  SELECT * FROM (
+    SELECT doc_id, text, lang,
+           ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+gated AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+         CAST({sql_lang_score(_TOKS_SQL, "en")} AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM survivors
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       ROUND(MIN(stop_ratio), 6) AS min_stop_ratio
+FROM gated WHERE stop_ratio >= 0.05
+GROUP BY lang
+"""
+
 register("q37_lsh_ann_topk", q37, None)
+register("q53_ivf_ann_topk", q53, None)
+register("q54_curation_pipeline", q54, Q54_SQL)
 register("q38_lang_id_heuristic", q38, Q38_SQL)
 register("q39_quality_score", q39, Q39_SQL)
 register("q40_token_counting", q40, Q40_SQL)

@@ -35,6 +35,25 @@ def test_lsh_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.4, f"ANN recall too low: {recall}"
 
 
+def test_ivf_ann_recall_vs_exact(spark, sf_dir):
+    from franzoxide_spark.operators.similarity import ivf_ann_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_cosine_exact(emb, qs, "vec_id", "embedding", k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, qs, "vec_id", "embedding", k=5).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # 4-of-16 cells probed = 25% of the corpus on average; recall above
+    # that floor shows cells correlate with cosine neighborhoods
+    assert recall >= 0.35, f"IVF recall too low: {recall}"
+
+
 def test_minhash_signature_matches_pure_python(spark, sf_dir):
     """Third-engine check: the Spark signature expression reproduces a
     from-scratch hashlib implementation of the same parametric family."""
