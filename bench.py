@@ -57,6 +57,10 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    oracle_names = set(q.ORACLES)
+    oracle_total = round(
+        sum(v for k, v in timings.items() if k in oracle_names), 4
+    )
     print(
         json.dumps(
             {
@@ -65,6 +69,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # oracle-checked subset only — the apples-to-apples number
+                # vs the DuckDB reference (rows-only queries have no DuckDB
+                # counterpart)
+                "oracle_value": oracle_total,
             }
         )
     )

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns.
 
-Two paths, same contract:
+Three paths, same contract:
 
 - ``topk_cosine_exact``  — brute-force: broadcast the (small) query set
   against the full corpus, expression-based dot products (JVM codegen, no
@@ -14,6 +14,10 @@ Two paths, same contract:
   candidates. At 100 TB the bucket join replaces the corpus scan per query
   batch; recall is tunable via bits/probes. Approximate by nature ->
   rows-only checked, with recall measured against the exact path in tests.
+
+- ``ivf_ann_topk``       — inverted-file ANN: seeded k-means cells +
+  nearest-centroid multiprobe + exact rerank of probed cells. The
+  data-adaptive counterpart to LSH; same rows-only + recall-test regime.
 """
 
 from __future__ import annotations
@@ -117,12 +121,12 @@ def ivf_ann_topk(
     asserted in tests.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
     ).withColumn("features", array_to_vector(F.expr("transform(nv, x -> cast(x as double))")))
-    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(corpus)
+    km = KMeans(k=n_lists, seed=seed, maxIter=5).fit(corpus)
     assigned = km.transform(corpus).withColumnRenamed("prediction", "cell")
 
     centers = [c.tolist() for c in km.clusterCenters()]
