@@ -28,6 +28,9 @@ from franzoxide_spark.sinks.object_sink import ObjectSink
 from franzoxide_spark.sources.registry import build_source
 
 SINK_CLASSES = ("io.rustconnect.S3SinkConnector", "object", "s3")
+# debugging/testing sinks (Tier C): stream straight to an in-memory table
+# or the console instead of object storage
+DEBUG_SINK_CLASSES = ("memory", "console")
 
 
 class ConnectorState(str, enum.Enum):
@@ -50,7 +53,7 @@ class ConnectorManager:
         sources = [c for c in self.config.connectors if c.connector_type == "source"]
         sinks = [c for c in self.config.connectors if c.connector_type == "sink"]
         for snk in sinks:
-            if snk.connector_class not in SINK_CLASSES:
+            if snk.connector_class not in SINK_CLASSES + DEBUG_SINK_CLASSES:
                 raise ConfigError(
                     f"unknown sink connector_class {snk.connector_class!r}"
                 )
@@ -64,11 +67,30 @@ class ConnectorManager:
         for c in self.config.connectors:
             self._states[c.name] = ConnectorState.UNINITIALIZED
 
+    def _start_debug_sink(self, records, snk: ConnectorConfig):
+        import os
+
+        writer = (
+            records.writeStream.format(snk.connector_class)
+            .outputMode("append")
+            .queryName(snk.name)
+        )
+        if snk.connector_class == "memory":
+            # memory sink keeps its table for the session; checkpoint still
+            # tracks source offsets for restart semantics
+            writer = writer.option(
+                "checkpointLocation", os.path.join(self.checkpoint_root, snk.name)
+            )
+        return writer.start()
+
     def start(self) -> None:
         for src, snk in self._pipelines:
             records = build_source(self.spark, self.config.kafka, src)
-            sink = ObjectSink(self.spark, snk, self.checkpoint_root)
-            query = sink.start(records)
+            if snk.connector_class in DEBUG_SINK_CLASSES:
+                query = self._start_debug_sink(records, snk)
+            else:
+                sink = ObjectSink(self.spark, snk, self.checkpoint_root)
+                query = sink.start(records)
             self._queries[f"{src.name}->{snk.name}"] = query
             self._states[src.name] = ConnectorState.RUNNING
             self._states[snk.name] = ConnectorState.RUNNING

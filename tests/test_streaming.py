@@ -129,6 +129,25 @@ def test_time_partitioner_layout(spark, sf_dir, tmp_path):
     assert all("year=2024" in d and "month=1" in d for d in dirs)
 
 
+def test_memory_debug_sink(spark, sf_dir, tmp_path):
+    """The 'memory' debug sink class streams records to an in-session
+    table named after the connector."""
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    cfg = _pipeline_config(in_dir, str(tmp_path / "out"))
+    cfg.connectors[1] = type(cfg.connectors[1])(
+        name="mem_dbg",
+        connector_class="memory",
+        connector_type="sink",
+        topics=["events"],
+    )
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+    assert spark.sql("SELECT count(*) n FROM mem_dbg").collect()[0]["n"] == total
+
+
 def test_field_partitioner_layout(spark, sf_dir, tmp_path):
     """A17/B3: partition by a field extracted from the JSON payload;
     non-JSON payloads land in the __null__ partition."""
