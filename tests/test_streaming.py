@@ -129,6 +129,44 @@ def test_time_partitioner_layout(spark, sf_dir, tmp_path):
     assert all("year=2024" in d and "month=1" in d for d in dirs)
 
 
+def test_rate_source_generates_records(spark, tmp_path):
+    """Synthetic-load source: KafkaRecord-shaped rows from the rate
+    source, streamed to a memory sink until rows arrive."""
+    import time
+
+    from franzoxide_spark.config import ConnectorConfig, KafkaConfig
+    from franzoxide_spark.sources.registry import build_source
+
+    conn = ConnectorConfig(
+        name="rate-src",
+        connector_class="rate",
+        connector_type="source",
+        topics=["synthetic"],
+        config={"rows.per.second": "500"},
+    )
+    records = build_source(spark, KafkaConfig(), conn)
+    q = (
+        records.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_out")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .start()
+    )
+    try:
+        n = 0
+        for _ in range(30):  # up to ~15s
+            time.sleep(0.5)
+            n = spark.sql("SELECT count(*) n FROM rate_out").collect()[0]["n"]
+            if n > 0:
+                break
+        assert n > 0, "rate source produced no records"
+        row = spark.sql("SELECT * FROM rate_out LIMIT 1").collect()[0]
+        assert row["topic"] == "synthetic"
+        assert bytes(row["value"]).startswith(b'{"id":')
+    finally:
+        q.stop()
+
+
 def test_memory_debug_sink(spark, sf_dir, tmp_path):
     """The 'memory' debug sink class streams records to an in-session
     table named after the connector."""
