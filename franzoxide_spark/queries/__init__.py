@@ -29,11 +29,19 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 
 
 def load_all() -> None:
-    """Import every query module (each registers itself on import)."""
+    """Import every query module (each registers itself on import).
+
+    Import order IS registration order, and the driver records at most 50
+    CORRECTNESS rows per round in that order (r01 recorded exactly 50 of 54,
+    silently cutting the last 4 registered — q26/q27/q28/q32). The registry
+    is therefore consolidated to exactly 50 entries, and the §2.4
+    streaming-semantics contract queries (windows_batch) register first so
+    they can never fall off the tail again.
+    """
     from franzoxide_spark.queries import (  # noqa: F401
+        windows_batch,
+        relational,
         envelope,
         extras,
         llm,
-        relational,
-        windows_batch,
     )

@@ -1,6 +1,7 @@
-"""Extended surface queries (Q44-Q48): GROUPING SETS, pivot/unpivot, the
-pandas-UDF scalar path, and a Python UDTF — the remaining API families
-from SURVEY.md §2.3's Tier C inventory."""
+"""Extended surface queries (Q45-Q49): pivot/unpivot round trip, the
+pandas-UDF scalar path, a Python UDTF, and exact percentiles — the
+remaining API families from SURVEY.md §2.3's Tier C inventory.
+(GROUPING SETS moved into relational.q11's merged grouping entry.)"""
 
 from __future__ import annotations
 
@@ -8,45 +9,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from franzoxide_spark.functions.numeric import sql_dec, sql_dsum
 from franzoxide_spark.queries import register
 from franzoxide_spark.tables import table
 
 # --------------------------------------------------------------------------
-# Q44 — GROUPING SETS (SQL surface; Catalyst expands to an Expand node)
+# Q45 — pivot (long -> wide) then unpivot via stack() (wide -> long)
 # --------------------------------------------------------------------------
-def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
-    table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
-    return spark.sql(
-        """
-        SELECT n_name, o_orderpriority,
-               CAST(SUM((CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 10000 + 0.5) AS DECIMAL(12,0)) * CAST(0.0001 AS DECIMAL(5,4)))) AS DOUBLE)
-                 AS revenue,
-               COUNT(*) AS n_orders
-        FROM v_orders
-        JOIN v_customer ON o_custkey = c_custkey
-        JOIN v_nation   ON c_nationkey = n_nationkey
-        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
-        """
-    )
-
-
-Q44_SQL = f"""
-SELECT n_name, o_orderpriority,
-       {sql_dsum(sql_dec("o_totalprice"), "revenue")},
-       COUNT(*) AS n_orders
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
-"""
-
-
-# --------------------------------------------------------------------------
-# Q45 — pivot (orders count by status x priority)
-# --------------------------------------------------------------------------
+# Round trip covering both reshaping operators in one registry entry (see
+# the Q11 consolidation note in relational.py): pivot orders counts by
+# status x priority with zero-fill, then stack the wide columns back to
+# long form — the oracle reproduces the zero-filled status x priority
+# grid directly.
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PIVOT_ALIASES = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
 
@@ -58,45 +31,25 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderpriority", _PRIORITIES)
         .count()
         .na.fill(0)
+    ).toDF("o_orderstatus", *_PIVOT_ALIASES)
+    stack_arms = ", ".join(f"'{a}', {a}" for a in _PIVOT_ALIASES)
+    return piv.selectExpr(
+        "o_orderstatus",
+        f"stack({len(_PIVOT_ALIASES)}, {stack_arms}) AS (priority, n)",
     )
-    return piv.toDF("o_orderstatus", *_PIVOT_ALIASES)
 
 
-_PIVOT_ARMS = ",\n       ".join(
-    f"COUNT(*) FILTER (o_orderpriority = '{p}') AS {a}"
-    for p, a in zip(_PRIORITIES, _PIVOT_ALIASES)
-)
+_PRIO_LIST = ", ".join(f"'{p}'" for p in _PRIORITIES)
+_ALIAS_LIST = ", ".join(f"'{a}'" for a in _PIVOT_ALIASES)
 Q45_SQL = f"""
-SELECT o_orderstatus,
-       {_PIVOT_ARMS}
-FROM orders GROUP BY o_orderstatus
-"""
-
-
-# --------------------------------------------------------------------------
-# Q46 — unpivot via stack() (wide measures -> long)
-# --------------------------------------------------------------------------
-def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    long = li.selectExpr(
-        "stack(3, 'qty', l_quantity, 'price', l_extendedprice,"
-        " 'disc', l_discount) as (measure, val)"
-    )
-    return long.groupBy("measure").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("val").alias("min_val"),
-        F.max("val").alias("max_val"),
-    )
-
-
-Q46_SQL = """
-WITH long AS (
-  SELECT 'qty' AS measure, l_quantity AS val FROM lineitem
-  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
-  UNION ALL SELECT 'disc', l_discount FROM lineitem
-)
-SELECT measure, COUNT(*) AS n, MIN(val) AS min_val, MAX(val) AS max_val
-FROM long GROUP BY measure
+WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+     p AS (SELECT unnest([{_ALIAS_LIST}]) AS priority,
+                  unnest([{_PRIO_LIST}]) AS prio_val),
+     c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+           FROM orders GROUP BY 1, 2)
+SELECT s.o_orderstatus, p.priority, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM s CROSS JOIN p
+LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus AND c.o_orderpriority = p.prio_val
 """
 
 
@@ -193,9 +146,7 @@ SELECT o_orderstatus, COUNT(*) AS n,
 FROM orders GROUP BY o_orderstatus
 """
 
-register("q44_grouping_sets", q44, Q44_SQL)
-register("q45_pivot", q45, Q45_SQL)
-register("q46_unpivot_stack", q46, Q46_SQL)
+register("q45_pivot_unpivot", q45, Q45_SQL)
 register("q47_pandas_udf_score", q47, Q47_SQL)
 register("q48_python_udtf_shingles", q48, Q48_SQL)
 register("q49_exact_percentiles", q49, Q49_SQL)

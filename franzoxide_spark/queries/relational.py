@@ -219,18 +219,30 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 # --------------------------------------------------------------------------
 # Q07 — left-anti join (NOT EXISTS)
 # --------------------------------------------------------------------------
+# Customers with no order after the cutoff ("lapsed customers"): every
+# customer key appears in orders in the fixtures, so the cutoff makes the
+# anti-join non-vacuous — ~20% of customers qualify at every SF (the
+# fixtures' order dates run through 2001-08) — while exercising the same
+# left_anti operator.
+Q07_CUT = "2000-08-01"
+
+
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q07_CUT).cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
 
-Q07_SQL = """
+Q07_SQL = f"""
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q07_CUT}')
 """
 
 
@@ -317,92 +329,119 @@ def q10b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q11 — ROLLUP / Q12 — CUBE
+# Q11 — multi-dimensional grouping: ROLLUP + CUBE + GROUPING SETS
 # --------------------------------------------------------------------------
+# One registry entry covering all three grouping surfaces (DataFrame
+# .rollup, .cube, and SQL GROUPING SETS — Catalyst expands each to the
+# same Expand node). Branches are tagged and unioned with an aligned
+# schema; the driver's hash covers every branch. (Registered as one query
+# because the driver records at most 50 CORRECTNESS rows per round —
+# r01 recorded exactly 50 of 54, cutting the last 4 in registration
+# order — so the registry is consolidated to 50 without dropping any
+# operator.)
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .rollup("n_name", "o_orderpriority")
-        .agg(dsum(dec("o_totalprice"), "revenue"), F.count(F.lit(1)).alias("n_orders"))
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
+    rollup = (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(dsum(dec("o_totalprice"), "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.lit("rollup").alias("gset"),
+            F.col("n_name").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "revenue",
+            "n_orders",
+        )
+    )
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.lit("cube").alias("gset"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            F.lit(None).cast("double").alias("revenue"),
+            "n_orders",
+        )
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS gset, n_name AS g1, o_orderpriority AS g2,
+               CAST(SUM((CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 10000 + 0.5) AS DECIMAL(12,0)) * CAST(0.0001 AS DECIMAL(5,4)))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_orders
+        FROM v_orders
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation   ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        """
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 Q11_SQL = f"""
-SELECT n_name, o_orderpriority,
+SELECT 'rollup' AS gset, n_name AS g1, o_orderpriority AS g2,
        {sql_dsum(sql_dec("o_totalprice"), "revenue")},
        COUNT(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, o_orderpriority)
-"""
-
-
-def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-
-
-Q12_SQL = """
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+UNION ALL
+SELECT 'cube' AS gset, o_orderstatus AS g1, o_orderpriority AS g2,
+       CAST(NULL AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'gsets' AS gset, n_name AS g1, o_orderpriority AS g2,
+       {sql_dsum(sql_dec("o_totalprice"), "revenue")},
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
 """
 
 
 # --------------------------------------------------------------------------
-# Q13 — ranking window (top-3 per group)
+# Q13 — window functions: ranking (row_number) + analytic (lag/lead)
 # --------------------------------------------------------------------------
+# Two window specs over the same partition key — Catalyst shares one
+# exchange on o_custkey and runs two sorts within it (merged entry; see
+# the Q11 consolidation note).
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-Q13_SQL = """
-SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
-FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders)
-WHERE rn <= 3
-"""
-
-
-# --------------------------------------------------------------------------
-# Q14 — analytic window (lag / lead)
-# --------------------------------------------------------------------------
-def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
         "o_totalprice",
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.row_number().over(wr).alias("price_rank"),
+        F.lag("o_totalprice").over(wd).alias("prev_price"),
+        F.lead("o_totalprice").over(wd).alias("next_price"),
     )
 
 
-Q14_SQL = """
+Q13_SQL = """
 SELECT o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
        o_totalprice,
-       LAG(o_totalprice)  OVER w AS prev_price,
-       LEAD(o_totalprice) OVER w AS next_price
+       CAST(ROW_NUMBER() OVER wr AS INT) AS price_rank,
+       LAG(o_totalprice)  OVER wd AS prev_price,
+       LEAD(o_totalprice) OVER wd AS next_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+       wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
@@ -668,10 +707,8 @@ register("q08_left_join_null_agg", q08, Q08_SQL)
 register("q09_range_theta_join", q09, Q09_SQL)
 register("q10_distinct_exact", q10, Q10_SQL)
 register("q10b_approx_count_distinct", q10b, None)
-register("q11_rollup_revenue", q11, Q11_SQL)
-register("q12_cube_counts", q12, Q12_SQL)
-register("q13_window_rank_topk", q13, Q13_SQL)
-register("q14_window_lag_lead", q14, Q14_SQL)
+register("q11_rollup_cube_gsets", q11, Q11_SQL)
+register("q13_window_rank_lag_lead", q13, Q13_SQL)
 register("q15_window_running_sum", q15, Q15_SQL)
 register("q16_global_sort_limit", q16, Q16_SQL)
 register("q17_set_ops", q17, Q17_SQL)
