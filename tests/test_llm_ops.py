@@ -54,6 +54,19 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.35, f"IVF recall too low: {recall}"
 
 
+def test_ivf_index_build_is_memoized(spark, sf_dir):
+    """The IVF query path must not re-fit per call: a cache_key'd build
+    returns the same persisted assignment object on reuse."""
+    from franzoxide_spark.operators.similarity import build_ivf_index
+
+    emb = table(spark, sf_dir, "embeddings")
+    key = ("test-ivf", sf_dir)
+    c1, a1 = build_ivf_index(emb, "vec_id", "embedding", cache_key=key)
+    c2, a2 = build_ivf_index(emb, "vec_id", "embedding", cache_key=key)
+    assert a1 is a2 and c1 is c2
+    assert a1.storageLevel.useMemory  # persisted index, not a throwaway plan
+
+
 def test_minhash_signature_matches_pure_python(spark, sf_dir):
     """Third-engine check: the Spark signature expression reproduces a
     from-scratch hashlib implementation of the same parametric family."""

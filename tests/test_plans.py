@@ -62,6 +62,16 @@ def test_q09_range_residual_on_broadcast_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q37_lsh_probe_is_signature_hash_join(spark, sf_dir):
+    """The LSH ANN probe must be an equi-join on the signature (hash join
+    touching only matching buckets), never a hamming-filtered nested loop
+    over the full corpus."""
+    plan = _plan(spark, sf_dir, "q37_lsh_ann_topk")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "lsh_sig" in plan
+
+
 def test_partition_pruning_on_partitioned_output(spark, tmp_path):
     """Hive-partitioned data written by the engine prunes partitions at
     read time — the property that makes the time partitioner useful."""
