@@ -35,10 +35,25 @@ def json_strict_valid(payload: Column) -> Column:
     valid UTF-8, rejects trailing garbage and NaN/Infinity literals.
 
     Spark's JVM-side parsers (get_json_object / try_parse_json) are
-    Jackson-lenient — both accept ``{} x`` and ``{"a":1}junk``, which
-    embedded verbatim would CORRUPT the envelope line — so strictness
-    needs the Arrow-batched pandas UDF below. It is the only Python in
-    the envelope path and runs one vectorized pass per batch.
+    Jackson-lenient where it corrupts (``{} x`` and ``{"a":1}junk`` are
+    accepted — embedded verbatim they would break the envelope line) AND
+    stricter where it loses data (duplicate-key objects are rejected while
+    serde_json/json.loads accept them) — measured divergences in both
+    directions, so no JVM expression can be exact and strictness needs the
+    Arrow-batched pandas UDF below. It is the only Python in the envelope
+    path; three tiers keep it cheap:
+
+    1. first-non-ws-byte prefilter — no JSON value can start outside
+       ``{["-0123456789tfn``, so obvious non-JSON (the common sink case)
+       rejects without raising an exception;
+    2. ``orjson.loads`` (C, ~10x stdlib) — spec-compliant: rejects
+       trailing garbage and NaN/Infinity exactly like the reference;
+       acceptance is final;
+    3. stdlib ``json.loads`` fallback ONLY when orjson rejects, because
+       orjson is stricter than the contract in rare cases (integers
+       beyond 64-bit, lone surrogate escapes) — the stdlib verdict is
+       definitive. Equivalence to pure json.loads is hypothesis-tested
+       (tests/test_properties.py).
     """
     import json as _json
 
@@ -47,13 +62,27 @@ def json_strict_valid(payload: Column) -> Column:
 
     @F.pandas_udf("boolean")
     def _strict(s: pd.Series) -> pd.Series:
+        try:
+            from orjson import loads as _fast_loads
+        except ImportError:  # pragma: no cover - env without orjson
+            _fast_loads = None
+        first_bytes = frozenset(b'{["-0123456789tfn')
+
         def ok(b) -> bool:
             if b is None:
                 return False
+            bb = bytes(b)
+            head = bb.lstrip(b" \t\n\r")
+            if not head or head[0] not in first_bytes:
+                return False
+            if _fast_loads is not None:
+                try:
+                    _fast_loads(bb)
+                    return True
+                except Exception:
+                    pass
             try:
-                _json.loads(
-                    bytes(b).decode("utf-8"), parse_constant=_reject_const
-                )
+                _json.loads(bb.decode("utf-8"), parse_constant=_reject_const)
                 return True
             except Exception:
                 return False

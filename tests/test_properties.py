@@ -64,6 +64,77 @@ def test_envelope_structural_invariants(spark, pairs):
 
 
 # --------------------------------------------------------------------------
+# strict-JSON sniff: the tiered (prefilter -> orjson -> stdlib) UDF must be
+# EXACTLY json.loads-with-constants-rejected — the reference's serde_json
+# strictness contract
+# --------------------------------------------------------------------------
+def _stdlib_strict(bb: bytes) -> bool:
+    try:
+        json.loads(
+            bb.decode("utf-8"),
+            parse_constant=lambda c: (_ for _ in ()).throw(ValueError(c)),
+        )
+        return True
+    except Exception:
+        return False
+
+
+_SNIFF_CORPUS = [
+    b'{"a":1}', b'{} x', b'{"a":1}junk', b'NaN', b'Infinity', b'-Infinity',
+    b'1 2', b'"abc"', b'null', b'123', b'[1,2]', b'{"a":}', b'{"a":1,}',
+    b"'a'", b'{a:1}', b'01', b'+1', b'.5', b'1.', b'1e999', b'2e308',
+    b' {"a":1} ', b'', b' ', b'{"dup":1,"dup":2}',
+    b'9' * 40, b'-' + b'9' * 40, b'{"a":"\\ud800"}', b'"\\uD83D\\uDE00"',
+    b'raw:12345', b'user-77', b'\xef\xbb\xbf{}', b'{\x00', b'\xff\xfe[',
+    b'tru', b'"unterminated', b'  \t\n[1, 2]\r\n ',
+]
+
+
+def test_strict_sniff_matches_stdlib_on_adversarial_corpus(spark):
+    from franzoxide_spark.functions.envelope import json_strict_valid
+
+    df = spark.createDataFrame(
+        [Row(i=i, p=p) for i, p in enumerate(_SNIFF_CORPUS)]
+    )
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select("i", json_strict_valid(F.col("p")).alias("ok")).collect()
+    }
+    for i, p in enumerate(_SNIFF_CORPUS):
+        # NULL payload short-circuits before the UDF in _json_or_base64;
+        # the UDF itself maps None -> False
+        assert got[i] == _stdlib_strict(p), repr(p)
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(
+            st.binary(max_size=64),
+            st.text(max_size=48).map(lambda s: s.encode("utf-8")),
+            st.builds(
+                lambda n: json.dumps({"k": n}).encode(),
+                st.integers(-(10**30), 10**30),
+            ),
+            st.builds(lambda s: (s + "junk").encode(), st.text(max_size=24)),
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_strict_sniff_matches_stdlib_random(spark, payloads):
+    from franzoxide_spark.functions.envelope import json_strict_valid
+
+    df = spark.createDataFrame([Row(i=i, p=p) for i, p in enumerate(payloads)])
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select("i", json_strict_valid(F.col("p")).alias("ok")).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == _stdlib_strict(bytes(p)), repr(p)
+
+
+# --------------------------------------------------------------------------
 # rolling fingerprint == pure-Python fold (exact)
 # --------------------------------------------------------------------------
 def _py_fingerprint(s: str) -> int:
