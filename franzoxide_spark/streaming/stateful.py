@@ -55,10 +55,10 @@ def stateful_dedup(events: DataFrame, key_col: str, member_col: str) -> DataFram
     (``dropDuplicatesWithinWatermark`` forgets after the watermark passes;
     this holds per-key state in the checkpointed store forever).
 
-    At 100 TB the exact seen-set becomes a per-key Bloom filter with the
-    same update shape — swap the ``set`` for a bitarray in ``_dedup_update``
-    and accept the false-positive rate; the operator contract (state in
-    the store, append output of first-seen members) is identical.
+    State grows linearly with distinct members — correct but unbounded, so
+    this exact variant is for bounded key domains. At 100 TB stream scale
+    use :func:`stateful_dedup_bloom`, which holds the same contract in a
+    fixed-size per-key Bloom filter.
     """
     keyed = events.selectExpr(
         f"cast({key_col} as string) as key", f"cast({member_col} as string) as member"
@@ -67,6 +67,92 @@ def stateful_dedup(events: DataFrame, key_col: str, member_col: str) -> DataFram
         _dedup_update,
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+BLOOM_STATE_SCHEMA = "bits binary, n bigint"
+
+
+def bloom_params(capacity: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m bits for ``capacity`` insertions at false-
+    positive rate ``fpp``, k hash functions. m is rounded up to whole
+    bytes so the state blob has a fixed, predictable size."""
+    import math
+
+    m = math.ceil(-capacity * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 7) // 8) * 8
+    k = max(1, round(m / capacity * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(member: str, m: int, k: int) -> list[int]:
+    """k bit positions via double hashing over one md5 digest — fully
+    deterministic (no process-salted ``hash()``) so state survives
+    checkpoint recovery on a different executor/process."""
+    import hashlib
+
+    d = hashlib.md5(member.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def make_bloom_dedup_update(capacity: int, fpp: float):
+    """Build the applyInPandasWithState update fn for the Bloom dedup:
+    per-key state is a FIXED m/8-byte bit array + insert counter, however
+    many members stream through — the bounded-state counterpart of
+    ``_dedup_update``'s exact set. One-sided error: a false positive drops
+    a genuinely-new member (rate <= fpp while n <= capacity); duplicates
+    are NEVER emitted, which is the right trade for training-data dedup."""
+    m, k = bloom_params(capacity, fpp)
+
+    def _update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            raw, n = state.get
+            bits = bytearray(raw)
+        else:
+            bits, n = bytearray(m // 8), 0
+        fresh: list[str] = []
+        for pdf in pdf_iter:
+            for member in pdf["member"]:
+                pos = _bloom_positions(member, m, k)
+                if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+                    continue  # probably seen (or false positive)
+                for p in pos:
+                    bits[p >> 3] |= 1 << (p & 7)
+                n += 1
+                fresh.append(member)
+        state.update((bytes(bits), n))
+        yield pd.DataFrame({"key": [key[0]] * len(fresh), "member": fresh})
+
+    return _update
+
+
+def stateful_dedup_bloom(
+    events: DataFrame,
+    key_col: str,
+    member_col: str,
+    capacity: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Streaming dedup with BOUNDED per-key state: same contract as
+    :func:`stateful_dedup` (first-seen members emitted exactly once, beyond
+    any watermark horizon) but the checkpointed state is a fixed-size Bloom
+    filter — ~1.2 MB per key at the defaults (1M members @ 1% fpp) forever,
+    vs the exact set's unbounded linear growth. Use the exact variant when
+    emitted-member loss is unacceptable; use this at 100 TB stream scale.
+    """
+    keyed = events.selectExpr(
+        f"cast({key_col} as string) as key", f"cast({member_col} as string) as member"
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        make_bloom_dedup_update(capacity, fpp),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=BLOOM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -597,6 +597,89 @@ def test_stateful_unbounded_dedup(spark, tmp_path):
     assert got == [("1", "a"), ("1", "b"), ("1", "c"), ("2", "a")], got
 
 
+def test_stateful_bloom_dedup_streaming(spark, tmp_path):
+    """Bloom-variant dedup: same first-seen-once contract as the exact
+    variant across micro-batches (no false positives at this tiny load)."""
+    from franzoxide_spark.streaming.stateful import stateful_dedup_bloom
+
+    in_dir = str(tmp_path / "bd_in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "k bigint, m string"
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        for f in glob.glob(str(tmp_path / name / "*.parquet")):
+            os.link(f, os.path.join(in_dir, f"{name}.parquet"))
+
+    feed("b1", [(1, "a"), (1, "b"), (2, "a")])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+    out = stateful_dedup_bloom(stream, "k", "m", capacity=1000, fpp=0.01)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bd_out")
+        .option("checkpointLocation", str(tmp_path / "bd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    feed("b2", [(1, "a"), (1, "c"), (2, "a")])  # 'a' duplicates suppressed
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["key"], r["member"]) for r in spark.sql("SELECT * FROM bd_out").collect())
+    assert got == [("1", "a"), ("1", "b"), ("1", "c"), ("2", "a")], got
+
+
+def test_stateful_bloom_dedup_state_stays_bounded():
+    """Drive the Bloom update function directly across many 'batches':
+    the state blob must stay EXACTLY m/8 bytes however many members are
+    inserted (the unbounded exact-set variant grows linearly), false
+    negatives must never occur, and the false-positive rate must hold."""
+    import pandas as pd
+
+    from franzoxide_spark.streaming.stateful import (
+        bloom_params,
+        make_bloom_dedup_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    capacity, fpp = 2000, 0.01
+    m, _k = bloom_params(capacity, fpp)
+    update = make_bloom_dedup_update(capacity, fpp)
+    state = FakeState()
+    emitted: list[str] = []
+    sizes = set()
+    for batch in range(20):
+        members = [f"member-{batch}-{i}" for i in range(100)]
+        # half of each later batch re-sends earlier members -> must be suppressed
+        if batch > 0:
+            members[:50] = [f"member-0-{i}" for i in range(50)]
+        pdf = pd.DataFrame({"member": members})
+        for out in update(("key1",), iter([pdf]), state):
+            emitted.extend(out["member"])
+        sizes.add(len(state.get[0]))
+    assert sizes == {m // 8}, f"state size drifted: {sizes}"
+    # no duplicates ever emitted (one-sided error)
+    assert len(emitted) == len(set(emitted))
+    # ~1550 distinct members inserted; false-positive suppressions must be
+    # rare at fpp=1% (allow generous slack for hash variance)
+    distinct_sent = 100 + 19 * 50
+    assert len(emitted) >= distinct_sent * 0.97, (len(emitted), distinct_sent)
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     in_dir = str(tmp_path / "dd_in")
     os.makedirs(in_dir, exist_ok=True)
