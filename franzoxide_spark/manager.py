@@ -83,9 +83,27 @@ class ConnectorManager:
             )
         return writer.start()
 
+    @staticmethod
+    def _fold_flush_size(src: ConnectorConfig, snk: ConnectorConfig) -> ConnectorConfig:
+        """The reference's shipped config bounds batches with the SINK's
+        flush.size (s3.rs:131, config/connect.json:28); Spark's batch bound
+        lives on the source (maxOffsetsPerTrigger via batch.size). When the
+        source doesn't set batch.size, inherit the sink's flush.size so a
+        reference-style config doesn't get unbounded micro-batches."""
+        flush = snk.config.get("flush.size")
+        if flush is None or src.config.get("batch.size") is not None:
+            return src
+        import dataclasses
+
+        return dataclasses.replace(
+            src, config={**src.config, "batch.size": flush}
+        )
+
     def start(self) -> None:
         for src, snk in self._pipelines:
-            records = build_source(self.spark, self.config.kafka, src)
+            records = build_source(
+                self.spark, self.config.kafka, self._fold_flush_size(src, snk)
+            )
             if snk.connector_class in DEBUG_SINK_CLASSES:
                 query = self._start_debug_sink(records, snk)
             else:

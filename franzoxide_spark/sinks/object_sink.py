@@ -44,8 +44,11 @@ PARTITIONERS = ("default", "time", "field")
 
 
 def _headers_json(col: F.Column) -> F.Column:
-    """map<string,string> -> rendered JSON object string (or NULL if empty)."""
-    return F.when(F.size(F.map_keys(col)) > 0, F.to_json(col))
+    """map<string,string> -> rendered JSON object string. The reference's
+    format_as_json ALWAYS emits a headers member — ``{}`` when the record
+    carried none (s3.rs:268-279) — so an empty/NULL map renders as '{}'
+    rather than omitting the key."""
+    return F.to_json(F.coalesce(col, F.create_map().cast("map<string,string>")))
 
 
 class ObjectSink:
@@ -76,6 +79,17 @@ class ObjectSink:
         self.prefix = cfg.get("s3.prefix", "data")
         self.checkpoint = os.path.join(checkpoint_root, connector.name)
         self.path = self._resolve_path(cfg)
+        # The bytes writer concatenates raw payloads through executor-local
+        # file I/O (no Hadoop FS involvement), so an object-store URI would
+        # silently become a local directory literally named 's3a:/...' —
+        # fail fast instead of appearing to commit.
+        if self.format == "bytes" and "://" in self.path:
+            raise ConfigError(
+                f"connector {connector.name!r}: format.class=bytes writes via"
+                " local file I/O and does not support object-store paths"
+                f" ({self.path!r}); use path.base (a mounted filesystem) or"
+                " the json/parquet formats for s3a targets"
+            )
         self.trigger_ms = cfg.get("rotate.interval.ms")
 
     def _resolve_path(self, cfg: dict[str, str]) -> str:
@@ -109,7 +123,17 @@ class ObjectSink:
     def _prepare(self, records: DataFrame) -> DataFrame:
         df = records
         if self.partitioner == "time":
-            df = df.select("*", *time_partition_cols(F.col("timestamp")))
+            y, m, d, h = time_partition_cols(F.col("timestamp"))
+            # zero-padded month/day/hour directory names, matching the
+            # reference layout (s3.rs:165-177 {:02}) and this repo's
+            # time_partition_key golden (month=01, not month=1)
+            df = df.select(
+                "*",
+                y.alias("year"),
+                F.format_string("%02d", m).alias("month"),
+                F.format_string("%02d", d).alias("day"),
+                F.format_string("%02d", h).alias("hour"),
+            )
         elif self.partitioner == "field":
             # field value extracted from the JSON payload (B3/A17 made real)
             df = df.withColumn(

@@ -18,12 +18,26 @@ from pyspark.sql import functions as F
 
 
 def _payload(line, field: str):
-    raw = F.get_json_object(line, f"$.{field}")
-    fmt = F.get_json_object(line, f"$.{field}_format")
+    """Recover the payload bytes of one envelope member.
+
+    The JSON branch extracts through VARIANT (``variant_get`` + ``to_json``)
+    rather than ``get_json_object``, because the latter unquotes top-level
+    strings (a payload stored verbatim as ``"hello"`` would come back as
+    the non-JSON bytes ``hello``) and returns SQL NULL for a JSON ``null``
+    payload (misread as omitted). VARIANT preserves the member's JSON type:
+    strings re-render quoted, ``null`` re-renders as ``null``, and only a
+    genuinely absent member yields SQL NULL -> empty bytes. Rendering is
+    canonical-not-byte-exact, which is exactly the module's parsed-JSON-
+    equal contract; the base64 branch stays byte-exact via the raw string.
+    """
+    col = F.col(line)
+    fmt = F.get_json_object(col, f"$.{field}_format")
+    b64 = F.get_json_object(col, f"$.{field}")
+    txt = F.to_json(F.expr(f"variant_get(try_parse_json(`{line}`), '$.{field}')"))
     return (
-        F.when(raw.isNull(), F.encode(F.lit(""), "UTF-8"))  # omitted -> empty
-        .when(fmt == "base64", F.unbase64(raw))
-        .otherwise(F.encode(raw, "UTF-8"))
+        F.when(fmt == "base64", F.unbase64(b64))
+        .when(txt.isNull(), F.encode(F.lit(""), "UTF-8"))  # omitted -> empty
+        .otherwise(F.encode(txt, "UTF-8"))
     )
 
 
@@ -34,8 +48,8 @@ def parse_envelope_lines(lines: DataFrame, column: str = "value") -> DataFrame:
         F.get_json_object(line, "$.partition").cast("int").alias("partition"),
         F.get_json_object(line, "$.offset").cast("bigint").alias("offset"),
         F.get_json_object(line, "$.timestamp").cast("bigint").alias("timestamp"),
-        _payload(line, "key").alias("key"),
-        _payload(line, "value").alias("value"),
+        _payload(column, "key").alias("key"),
+        _payload(column, "value").alias("value"),
         F.coalesce(
             F.from_json(
                 F.get_json_object(line, "$.headers"), "map<string,string>"

@@ -123,3 +123,42 @@ def test_kafka_option_passthrough():
     assert opts["kafka.fetch.min.bytes"] == "1024"
     assert opts["maxOffsetsPerTrigger"] == "100"
     assert "unrelated.key" not in opts
+
+
+def test_sink_flush_size_folds_into_source_batch(spark):
+    """A reference-style config that bounds batches only via the SINK's
+    flush.size must still get bounded micro-batches: the manager folds it
+    into the source's batch.size (-> maxOffsetsPerTrigger) when the source
+    doesn't set one."""
+    from franzoxide_spark.manager import ConnectorManager
+    from franzoxide_spark.sources.kafka import kafka_reader_options
+
+    src = ConnectorConfig("s", "kafka", "source", topics=["t"], config={})
+    snk = ConnectorConfig(
+        "k", "object", "sink", topics=["t"],
+        config={"path.base": "/tmp/x", "flush.size": "250"},
+    )
+    folded = ConnectorManager._fold_flush_size(src, snk)
+    opts = kafka_reader_options(KafkaConfig(bootstrap_servers=["b:9092"]), folded)
+    assert opts["maxOffsetsPerTrigger"] == "250"
+
+    # explicit source batch.size wins over the sink's flush.size
+    src2 = ConnectorConfig(
+        "s2", "kafka", "source", topics=["t"], config={"batch.size": "100"}
+    )
+    folded2 = ConnectorManager._fold_flush_size(src2, snk)
+    assert folded2.config["batch.size"] == "100"
+    assert folded2 is src2  # untouched, no copy
+
+
+def test_bytes_format_rejects_object_store_path(spark):
+    """format.class=bytes writes through executor-local file I/O; an s3a
+    path would silently become a local directory, so it must fail fast."""
+    from franzoxide_spark.sinks.object_sink import ObjectSink
+
+    snk = ConnectorConfig(
+        "b", "object", "sink", topics=["t"],
+        config={"s3.bucket.name": "bkt", "format.class": "bytes"},
+    )
+    with pytest.raises(ConfigError, match="bytes.*object-store|object-store.*bytes"):
+        ObjectSink(spark, snk, "/tmp/ckpt")

@@ -92,6 +92,47 @@ def test_envelope_binary_value_base64(spark):
     assert base64.b64decode(env["value"]) == b"\xff\xfenot-json"
 
 
+def test_headers_json_always_emits_object(spark):
+    """s3.rs:268-279 parity: the sink's headers renderer emits '{}' for
+    empty (or null) header maps instead of omitting the member."""
+    from franzoxide_spark.sinks.object_sink import _headers_json
+
+    df = spark.createDataFrame(
+        [("a", {"h": "v"}), ("b", {}), ("c", None)],
+        "tag string, h map<string,string>",
+    )
+    got = {
+        r["tag"]: r["out"]
+        for r in df.select("tag", _headers_json(F.col("h")).alias("out")).collect()
+    }
+    assert json.loads(got["a"]) == {"h": "v"}
+    assert got["b"] == "{}"
+    assert got["c"] == "{}"
+
+
+def test_envelope_reader_scalar_and_null_payloads(spark):
+    """A payload stored verbatim as a top-level JSON string or null must
+    round-trip as valid JSON bytes (get_json_object would unquote the
+    string and misread null as omitted)."""
+    from franzoxide_spark.sources.envelope_reader import parse_envelope_lines
+
+    lines = [
+        '{"topic":"t","partition":0,"offset":1,"timestamp":5,"value":"hello","headers":{}}',
+        '{"topic":"t","partition":0,"offset":2,"timestamp":5,"value":null,"headers":{}}',
+        '{"topic":"t","partition":0,"offset":3,"timestamp":5,"headers":{}}',
+        '{"topic":"t","partition":0,"offset":4,"timestamp":5,"value":{"a":1},"headers":{}}',
+        '{"topic":"t","partition":0,"offset":5,"timestamp":5,'
+        '"value":"aGk=","value_format":"base64","headers":{}}',
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    got = {r["offset"]: bytes(r["value"]) for r in parse_envelope_lines(df).collect()}
+    assert json.loads(got[1]) == "hello"  # quoted string stays valid JSON
+    assert json.loads(got[2]) is None     # JSON null preserved, not omitted
+    assert got[3] == b""                  # genuinely absent -> empty bytes
+    assert json.loads(got[4]) == {"a": 1}
+    assert got[5] == b"hi"                # base64 branch stays byte-exact
+
+
 def test_normalize_headers_drops_non_utf8_keeps_last(spark):
     # kafka.rs:111-121: non-UTF8 header values silently dropped; repeated
     # keys keep the last occurrence (HashMap insert).

@@ -125,8 +125,9 @@ def test_time_partitioner_layout(spark, sf_dir, tmp_path):
         os.path.join(out_base, "data", "topic=events", "year=*", "month=*", "day=*", "hour=*")
     )
     assert dirs, "no Hive time-partition directories"
-    # fixture events are all Jan 2024
-    assert all("year=2024" in d and "month=1" in d for d in dirs)
+    # fixture events are all Jan 2024; month/day/hour dirs are zero-padded
+    # to match the reference layout (s3.rs:165-177 {:02})
+    assert all("year=2024" in d and "month=01" in d for d in dirs)
 
 
 def test_rate_source_generates_records(spark, tmp_path):
