@@ -172,6 +172,14 @@ class ObjectSink:
     def start(self, records: DataFrame):
         """Attach this sink to a (streaming) KafkaRecord DataFrame and start."""
         self._check_format_available()
+        # A21: reference sinks ensure the target bucket at initialize
+        # (s3.rs:463-496); s3a never creates buckets itself.
+        if self.path.startswith("s3a://") and self.connector.config.get(
+            "s3.bucket.ensure", "true"
+        ).lower() == "true":
+            from franzoxide_spark.sinks.bucket import ensure_bucket
+
+            ensure_bucket(self.connector.config)
         df = self._prepare(records)
         parts = self._partition_cols()
         # Small-file control: without this, every (partition-dir x task x

@@ -162,3 +162,69 @@ def test_bytes_format_rejects_object_store_path(spark):
     )
     with pytest.raises(ConfigError, match="bytes.*object-store|object-store.*bytes"):
         ObjectSink(spark, snk, "/tmp/ckpt")
+
+
+class _FakeS3Client:
+    """Minimal boto3-shaped stub for the A21 bucket bootstrap."""
+
+    def __init__(self, existing=(), create_fails=False):
+        self.existing = set(existing)
+        self.create_fails = create_fails
+        self.created = []
+
+    def head_bucket(self, Bucket):
+        if Bucket not in self.existing:
+            raise RuntimeError("404 head_bucket")
+
+    def create_bucket(self, Bucket, **kwargs):
+        if self.create_fails:
+            raise RuntimeError("AccessDenied")
+        self.created.append((Bucket, kwargs))
+        self.existing.add(Bucket)
+
+
+def test_ensure_bucket_exists_and_create_paths():
+    from franzoxide_spark.sinks.bucket import ensure_bucket
+
+    cfg = {"s3.bucket.name": "bkt"}
+    assert ensure_bucket(cfg, client=_FakeS3Client(existing=["bkt"])) == "exists"
+
+    c = _FakeS3Client()
+    assert ensure_bucket(cfg, client=c) == "created"
+    assert c.created == [("bkt", {})]
+
+    # non-default region must ship a LocationConstraint (reference builds
+    # the client with an explicit region, s3.rs:444-456)
+    c2 = _FakeS3Client()
+    ensure_bucket({**cfg, "s3.region": "eu-west-1"}, client=c2)
+    assert c2.created[0][1] == {
+        "CreateBucketConfiguration": {"LocationConstraint": "eu-west-1"}
+    }
+
+
+def test_ensure_bucket_errors():
+    from franzoxide_spark.errors import SinkError
+    from franzoxide_spark.sinks.bucket import build_client, ensure_bucket
+
+    with pytest.raises(ConfigError, match="s3.bucket.name"):
+        ensure_bucket({}, client=_FakeS3Client())
+
+    with pytest.raises(SinkError, match="create bucket"):
+        ensure_bucket(
+            {"s3.bucket.name": "bkt"}, client=_FakeS3Client(create_fails=True)
+        )
+
+    # no static creds and no ambient chain -> ConfigError at client build
+    import boto3
+
+    class _NoCreds:
+        def get_credentials(self):
+            return None
+
+    orig = boto3.session.Session
+    boto3.session.Session = lambda *a, **k: _NoCreds()
+    try:
+        with pytest.raises(ConfigError, match="credentials"):
+            build_client({"s3.bucket.name": "bkt"})
+    finally:
+        boto3.session.Session = orig
