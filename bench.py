@@ -1,8 +1,14 @@
 """Benchmark harness: runs every registered query on $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "oracle_queries": {name: sec},
-"sched_floor_s": ..., "over_bar": [...]}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "suite_ratio": ..., "over_bar": [...]}.
+
+The full per-query detail (Spark timings AND DuckDB oracle timings, plus
+every summary field) is written to BENCH_DETAIL.json next to this file —
+the round-2 artifact lost ~40 per-query timings because the driver's
+capture truncated the single giant line, so the printed line now carries
+only the driver-contract fields plus the (short) per-query Spark map,
+while the detail file is the auditable record.
 
 Both sides of the per-query bar are measured here: each oracle SQL is also
 timed in DuckDB on the same files (warm connection, same min-of-N pandas
@@ -117,38 +123,47 @@ def main() -> None:
     # covered by the suite-level ratio instead. Full per-query scatter is in
     # the artifact so the cut is auditable.
     bar_min_oracle_s = 0.5
+    # Per-query bar per BASELINE.md: spark <= 2 * duckdb + sched_floor_s
+    # (the floor term was missing in r2 — the artifact could flag queries
+    # the documented criterion permits).
     over_bar = sorted(
         name
         for name, osec in oracle_timings.items()
-        if osec >= bar_min_oracle_s and timings.get(name, 0.0) > 2 * osec
+        if osec >= bar_min_oracle_s
+        and timings.get(name, 0.0) > 2 * osec + floor
     )
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # oracle-checked subset only — the apples-to-apples number
-                # vs the DuckDB reference (rows-only queries have no DuckDB
-                # counterpart)
-                "oracle_value": oracle_total,
-                # per-query DuckDB reference timings (same files, same
-                # min-of-N pandas-materialization protocol)
-                "oracle_queries": oracle_timings,
-                "oracle_queries_total": round(sum(oracle_timings.values()), 4),
-                "suite_ratio": round(
-                    oracle_total / max(sum(oracle_timings.values()), 1e-9), 3
-                ),
-                "sched_floor_s": floor,
-                # data-dominated queries (duckdb >= 0.5 s) exceeding the
-                # per-query 2x bar (see BASELINE.md)
-                "bar_min_oracle_s": bar_min_oracle_s,
-                "over_bar": over_bar,
-            }
-        )
-    )
+    summary = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        # driver contract: per-query Spark seconds (3dp keeps the line short
+        # enough to survive the driver's tail-capture; full 4dp in detail)
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        # oracle-checked subset only — the apples-to-apples number vs the
+        # DuckDB reference (rows-only queries have no DuckDB counterpart)
+        "oracle_value": oracle_total,
+        "oracle_queries_total": round(sum(oracle_timings.values()), 4),
+        "suite_ratio": round(
+            oracle_total / max(sum(oracle_timings.values()), 1e-9), 3
+        ),
+        "sched_floor_s": floor,
+        "bar_min_oracle_s": bar_min_oracle_s,
+        "over_bar": over_bar,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    detail = dict(summary)
+    detail["queries"] = timings
+    # per-query DuckDB reference timings (same files, same min-of-N
+    # pandas-materialization protocol) — detail file only; on the printed
+    # line they doubled its length and caused the r2 truncation.
+    detail["oracle_queries"] = oracle_timings
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    sys.stdout.flush()
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":
