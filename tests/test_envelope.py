@@ -133,6 +133,75 @@ def test_envelope_reader_scalar_and_null_payloads(spark):
     assert got[5] == b"hi"                # base64 branch stays byte-exact
 
 
+def test_envelope_reader_verbatim_edge_payloads(spark):
+    """Payloads the sink's strict sniff embeds verbatim but VARIANT
+    corrupts: duplicate-key objects (try_parse_json of the whole line
+    fails -> would read back as omitted) and integers beyond variant's
+    decimal range (would re-render as 1.2E39). The flagged-row raw
+    extraction must return the exact source text; a clean member on the
+    same poisoned line must also survive."""
+    from franzoxide_spark.sources.envelope_reader import parse_envelope_lines
+
+    big = "1234567890123456789012345678901234567890"
+    lines = [
+        # 1: dup-key object payload — whole-line variant parse fails
+        '{"topic":"t","partition":0,"offset":1,"timestamp":5,'
+        '"value":{"dup":1,"dup":2},"headers":{}}',
+        # 2: 40-digit integer payload
+        '{"topic":"t","partition":0,"offset":2,"timestamp":5,'
+        f'"value":{big},"headers":{{}}}}',
+        # 3: big int nested inside an object
+        '{"topic":"t","partition":0,"offset":3,"timestamp":5,'
+        f'"value":{{"n":{big}}},"headers":{{}}}}',
+        # 4: dup-key KEY poisons the line; string VALUE must stay quoted
+        '{"topic":"t","partition":0,"offset":4,"timestamp":5,'
+        '"key":{"dup":1,"dup":2},"value":"hi","headers":{}}',
+        # 5: dup-key key + absent value -> empty bytes, not NULL
+        '{"topic":"t","partition":0,"offset":5,"timestamp":5,'
+        '"key":{"dup":1,"dup":2},"headers":{}}',
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    rows = {r["offset"]: r for r in parse_envelope_lines(df).collect()}
+    assert bytes(rows[1]["value"]) == b'{"dup":1,"dup":2}'
+    assert bytes(rows[2]["value"]) == big.encode()
+    assert bytes(rows[3]["value"]) == b'{"n":%s}' % big.encode()
+    assert bytes(rows[4]["key"]) == b'{"dup":1,"dup":2}'
+    assert bytes(rows[4]["value"]) == b'"hi"'
+    assert bytes(rows[5]["value"]) == b""
+
+
+def test_envelope_reader_base64_absent_member(spark):
+    """ADVICE r2: {field}_format=='base64' with the member itself absent
+    must yield empty bytes (the envelope's empty-payload convention),
+    not NULL from unbase64(NULL)."""
+    from franzoxide_spark.sources.envelope_reader import parse_envelope_lines
+
+    df = spark.createDataFrame(
+        [(
+            '{"topic":"t","partition":0,"offset":1,"timestamp":5,'
+            '"value_format":"base64","headers":{}}',
+        )],
+        "value string",
+    )
+    row = parse_envelope_lines(df).collect()[0]
+    assert row["value"] is not None
+    assert bytes(row["value"]) == b""
+
+
+def test_raw_member_text_scanner():
+    """Pure-Python scanner unit: exact source spans, strict-JSON shapes."""
+    from franzoxide_spark.sources.envelope_reader import raw_member_text
+
+    line = '{"a": {"x":[1,{"y":"}"}]} , "b": "q\\"uote", "c": null, "d": 1e4}'
+    assert raw_member_text(line, "a") == '{"x":[1,{"y":"}"}]}'
+    assert raw_member_text(line, "b") == '"q\\"uote"'
+    assert raw_member_text(line, "c") == "null"
+    assert raw_member_text(line, "d") == "1e4"
+    assert raw_member_text(line, "zz") is None
+    assert raw_member_text("not json", "a") is None
+    assert raw_member_text('{"u":"\\u0041b"}', "u") == '"\\u0041b"'
+
+
 def test_normalize_headers_drops_non_utf8_keeps_last(spark):
     # kafka.rs:111-121: non-UTF8 header values silently dropped; repeated
     # keys keep the last occurrence (HashMap insert).
