@@ -288,6 +288,54 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q37_sql() -> str:
+    """DuckDB mirror of the deterministic LSH path: the ±1 hyperplanes are
+    driver-side md5-derived literals shared with the Spark side via
+    ``_plane_matrix`` (single source of truth), the multiprobe is the same
+    XOR-mask explode, and the rerank is exact — so the whole 'approximate'
+    query is cross-engine reproducible and hash-checkable, same pattern as
+    Q33's mirrored MinHash. Multiplying by ±1.0 and float->double casts
+    are exact in IEEE754, so the only cross-engine risk is summation order
+    in the sign decision; both engines fold the 64 terms sequentially."""
+    from franzoxide_spark.operators.similarity import _plane_matrix, _probe_masks
+
+    planes = _plane_matrix(4, 64)
+
+    def arr(row: list[float]) -> str:
+        return "[" + ", ".join(f"{v:.1f}" for v in row) + "]::DOUBLE[]"
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr(p)})"
+        f" > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    masks = ", ".join(f"({m})" for m in _probe_masks(4, 1))
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, CAST({sig_terms} AS BIGINT) AS lsh_sig
+  FROM embeddings
+),
+probes AS (
+  SELECT s.vec_id AS query_id, s.embedding AS qv,
+         xor(s.lsh_sig, CAST(m.mask AS BIGINT)) AS probe_sig
+  FROM sig s CROSS JOIN (VALUES {masks}) m(mask)
+  WHERE s.vec_id < 10
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+  FROM probes p JOIN sig c ON c.lsh_sig = p.probe_sig
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM cand)
+WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Q38 — language-ID heuristic (stopword lexicon argmax)
 # --------------------------------------------------------------------------
@@ -646,7 +694,7 @@ FROM gated WHERE stop_ratio >= 0.05
 GROUP BY lang
 """
 
-register("q37_lsh_ann_topk", q37, None)
+register("q37_lsh_ann_topk", q37, _q37_sql())
 register("q53_ivf_ann_topk", q53, None)
 register("q54_curation_pipeline", q54, Q54_SQL)
 register("q38_lang_id_heuristic", q38, Q38_SQL)
