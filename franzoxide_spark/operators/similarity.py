@@ -56,6 +56,116 @@ def topk_cosine_exact(
     )
 
 
+def _tiled_blocks(
+    emb: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    tile_cap: int,
+) -> DataFrame:
+    """Band each block's rows by id (``pmod(id, ceil(n/cap))``) and explode
+    each row into its band-pair tiles, so all-pairs work within a block can
+    run as independent (band_a, band_b) tasks of <= ~2*tile_cap rows each.
+
+    Every unordered within-block pair lands in exactly one tile: a row in
+    band b is sent to tile (min(b, b2), max(b, b2)) for every band b2, so
+    the pair (x, y) meets only in tile (band(x), band(y)) sorted. The
+    replication factor is n_bands = ceil(n/cap) — the unavoidable cost of
+    distributing O(n^2) work — and a hot block fans out across n_bands^2
+    tiles, which also removes the block-key skew."""
+    counts = emb.groupBy(block_col).agg(F.count(F.lit(1)).alias("_n"))
+    banded = (
+        emb.select(block_col, id_col, vec_col)
+        .join(F.broadcast(counts), block_col)
+        .withColumn(
+            "_nb", F.ceil(F.col("_n") / F.lit(float(tile_cap))).cast("int")
+        )
+        .withColumn("_band", F.pmod(F.col(id_col), F.col("_nb")).cast("int"))
+    )
+    return (
+        banded.withColumn(
+            "_b2", F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
+        )
+        .withColumn("_ta", F.least("_band", "_b2"))
+        .withColumn("_tb", F.greatest("_band", "_b2"))
+        .drop("_b2", "_n", "_nb")
+    )
+
+
+def blocked_cosine_pairs(
+    emb: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    tile_cap: int = 4096,
+) -> DataFrame:
+    """All-pairs cosine >= threshold within each block, as vectorized numpy
+    matmuls over bounded tiles.
+
+    The r2 hazard this replaces: one applyInPandas task per block meant a
+    hot block materialized O(n^2) ``triu_indices`` arrays in a single
+    Python worker — correct at sf0.1, OOM at 100x. Tiling bounds every
+    task at ~2*tile_cap rows (a 4096^2 float64 cosine tile is ~128 MB,
+    transient) regardless of block size, with identical output.
+    """
+    import pandas as pd
+
+    tiled = _tiled_blocks(emb, block_col, id_col, vec_col, tile_cap)
+
+    def tile_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        block, ta, tb = key
+        empty = pd.DataFrame(
+            {
+                block_col: np.array([], dtype=np.int64),
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+
+        def norm_rows(frame: pd.DataFrame) -> np.ndarray:
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in frame[vec_col]]
+            )
+            return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+        if ta == tb:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            if len(pdf) < 2:
+                return empty
+            cos = np.round(norm_rows(pdf) @ norm_rows(pdf).T, 6)
+            ia, ib = np.triu_indices(len(pdf), k=1)
+            keep = cos[ia, ib] >= threshold
+            ids = pdf[id_col].to_numpy()
+            lo, hi, cv = ids[ia[keep]], ids[ib[keep]], cos[ia, ib][keep]
+        else:
+            a = pdf[pdf["_band"] == ta]
+            b = pdf[pdf["_band"] == tb]
+            if len(a) == 0 or len(b) == 0:
+                return empty
+            cos = np.round(norm_rows(a) @ norm_rows(b).T, 6)
+            ia, ib = np.nonzero(cos >= threshold)
+            id_a = a[id_col].to_numpy()[ia]
+            id_b = b[id_col].to_numpy()[ib]
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            cv = cos[ia, ib]
+        return pd.DataFrame(
+            {block_col: block, "id_a": lo, "id_b": hi, "cos": cv}
+        )
+
+    block_type = dict(
+        (f.name, f.dataType.simpleString()) for f in emb.schema.fields
+    )[block_col]
+    return tiled.groupBy(block_col, "_ta", "_tb").applyInPandas(
+        tile_pairs,
+        schema=f"{block_col} {block_type}, id_a bigint, id_b bigint, cos double",
+    )
+
+
 # --------------------------------------------------------------------------
 # random-hyperplane LSH
 # --------------------------------------------------------------------------

@@ -238,32 +238,14 @@ WHERE ROUND(CAST(i AS DOUBLE) / CAST(len(sa.ss) + len(sb.ss) - i AS DOUBLE), 6)
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked all-pairs cosine: candidate pairs only within a label block
     (the blocking key is the shuffle key at scale — each block's pairwise
-    work is independent), computed as a vectorized per-block numpy matmul
-    in applyInPandas. Arrow-batched; no per-pair Python."""
-    import pandas as pd
+    work is independent), computed as vectorized numpy matmuls over
+    id-band tiles so no single task ever materializes O(n^2) for a hot
+    block (the r2 scale hazard). Arrow-batched; no per-pair Python."""
+    from franzoxide_spark.operators.similarity import blocked_cosine_pairs
 
     emb = table(spark, sf_dir, "embeddings")
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        cos = np.round(m @ m.T, 6)
-        ia, ib = np.triu_indices(len(pdf), k=1)
-        keep = cos[ia, ib] >= 0.3
-        return pd.DataFrame(
-            {
-                "label": pdf["label"].iloc[0],
-                "id_a": pdf["vec_id"].to_numpy()[ia[keep]],
-                "id_b": pdf["vec_id"].to_numpy()[ib[keep]],
-                "cos": cos[ia, ib][keep],
-            }
-        )
-
-    return emb.groupBy("label").applyInPandas(
-        block_pairs, schema="label int, id_a bigint, id_b bigint, cos double"
+    return blocked_cosine_pairs(
+        emb, "label", "vec_id", "embedding", threshold=0.3, tile_cap=4096
     )
 
 

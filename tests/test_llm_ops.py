@@ -161,3 +161,44 @@ def test_multimodal_fake_decode_features(spark, sf_dir):
     feat = rows[0]["feat"]
     assert len(feat) == 8
     assert abs(sum(feat) - 1.0) < 1e-9  # normalized byte histogram
+
+
+def test_blocked_cosine_pairs_tiling_bounds_and_identity(spark, sf_dir):
+    """r2 scale hazard regression: id-band tiling must (a) keep every
+    applyInPandas input group at <= ~2*tile_cap rows even when a block is
+    far larger than the cap, and (b) produce the identical pair set as the
+    untiled computation (tile_cap larger than any block)."""
+    from franzoxide_spark.operators.similarity import (
+        _tiled_blocks,
+        blocked_cosine_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cap = 16  # far below the per-label block sizes at sf0.01
+    max_block = (
+        emb.groupBy("label").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_block > 2 * cap  # the cap is actually exercised
+
+    tile_sizes = (
+        _tiled_blocks(emb, "label", "vec_id", "embedding", cap)
+        .groupBy("label", "_ta", "_tb")
+        .count()
+    )
+    max_tile = tile_sizes.agg(F.max("count")).collect()[0][0]
+    # a tile holds two pmod bands of ~cap rows each; 3x allows band skew
+    assert max_tile <= 3 * cap
+
+    tiled = {
+        (r["label"], r["id_a"], r["id_b"], r["cos"])
+        for r in blocked_cosine_pairs(
+            emb, "label", "vec_id", "embedding", tile_cap=cap
+        ).collect()
+    }
+    untiled = {
+        (r["label"], r["id_a"], r["id_b"], r["cos"])
+        for r in blocked_cosine_pairs(
+            emb, "label", "vec_id", "embedding", tile_cap=1_000_000
+        ).collect()
+    }
+    assert tiled == untiled and len(tiled) > 0
