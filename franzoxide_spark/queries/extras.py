@@ -128,13 +128,42 @@ FROM sh GROUP BY doc_id
 # --------------------------------------------------------------------------
 # Q49 — exact percentiles (interpolated), grouped
 # --------------------------------------------------------------------------
-def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+def grouped_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Grouped percentiles with an exact/approx switch.
+
+    Exact ``percentile`` buffers every group value in one aggregation
+    buffer — required by the cross-engine oracle contract (hash-exact
+    interpolated values), but a single hot group with billions of rows
+    would blow the executor at 100 TB. The scale-safe twin is
+    ``approx_percentile`` (Greenwald-Khanna: bounded sketch memory, rank
+    error <= n/accuracy, merges map-side like any partial agg), same plan
+    shape — switching is a flag, not a rewrite. Exact stays the oracle
+    path; approx is the 100 TB path (the q30-exact / q37-approx pattern).
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    return df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+        *[
+            F.round(F.expr(f"{fn}({value_col}, {q}{acc})"), 6).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in qs
+        ],
+    )
+
+
+def q49(spark: SparkSession, sf_dir: str, exact: bool = True) -> DataFrame:
+    return grouped_percentiles(
+        table(spark, sf_dir, "orders"), "o_totalprice", "o_orderstatus",
+        exact=exact,
     )
 
 

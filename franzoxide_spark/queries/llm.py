@@ -83,11 +83,23 @@ WHERE rnk <= 5
 # --------------------------------------------------------------------------
 # Q31 — text stats with a median filter
 # --------------------------------------------------------------------------
-def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q31(spark: SparkSession, sf_dir: str, exact: bool = True) -> DataFrame:
+    """Text stats above the corpus-median char count.
+
+    ``exact=True`` (the oracle path) computes the interpolated median by
+    buffering all values in one agg buffer; at 100 TB pass ``exact=False``
+    for the approx_percentile twin (bounded-memory GK sketch, rank error
+    <= n/accuracy) — for a > p50 gate the difference is at most the
+    boundary documents.
+    """
     docs = table(spark, sf_dir, "documents").withColumn(
         "n_tokens", F.size(tokens("text"))
     )
-    p50 = docs.agg(F.expr("percentile(n_chars, 0.5)").alias("p50"))
+    median = (
+        "percentile(n_chars, 0.5)" if exact
+        else "approx_percentile(n_chars, 0.5, 10000)"
+    )
+    p50 = docs.agg(F.expr(median).alias("p50"))
     return (
         docs.join(F.broadcast(p50))
         .filter(F.col("n_chars") > F.col("p50"))
