@@ -61,8 +61,20 @@ def ensure_bucket(cfg: dict[str, str], client=None) -> str:
     try:
         client.head_bucket(Bucket=bucket)
         return "exists"
-    except Exception:
-        pass  # missing OR inaccessible -> attempt create, as the reference does
+    except Exception as head_err:
+        # Only a missing-bucket response falls through to create; an auth
+        # failure, unreachable endpoint, or TLS error must surface as the
+        # real problem instead of being masked by a doomed create_bucket
+        # attempt (ADVICE r2).
+        code = ""
+        resp = getattr(head_err, "response", None)
+        if isinstance(resp, dict):
+            code = str(resp.get("Error", {}).get("Code", ""))
+        if code not in ("404", "NoSuchBucket", "NotFound"):
+            raise SinkError(
+                f"bucket {bucket!r} not reachable (head_bucket failed with"
+                f" {type(head_err).__name__}: {head_err})"
+            ) from head_err
     region = cfg.get("s3.region")
     create_kwargs: dict[str, object] = {"Bucket": bucket}
     if region and region != "us-east-1":

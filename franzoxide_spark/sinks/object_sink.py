@@ -79,16 +79,18 @@ class ObjectSink:
         self.prefix = cfg.get("s3.prefix", "data")
         self.checkpoint = os.path.join(checkpoint_root, connector.name)
         self.path = self._resolve_path(cfg)
-        # The bytes writer concatenates raw payloads through executor-local
-        # file I/O (no Hadoop FS involvement), so an object-store URI would
-        # silently become a local directory literally named 's3a:/...' —
-        # fail fast instead of appearing to commit.
-        if self.format == "bytes" and "://" in self.path:
+        # The bytes writer puts whole objects itself (no Hadoop committer):
+        # local paths, file:// URIs, and s3a://'s3:// (via the same s3.*
+        # client config as the bucket bootstrap) are supported; any other
+        # scheme would silently become a local directory literally named
+        # 'scheme:/...' — fail fast instead of appearing to commit.
+        if self.format == "bytes" and "://" in self.path and not self.path.startswith(
+            ("file://", "s3a://", "s3://")
+        ):
             raise ConfigError(
-                f"connector {connector.name!r}: format.class=bytes writes via"
-                " local file I/O and does not support object-store paths"
-                f" ({self.path!r}); use path.base (a mounted filesystem) or"
-                " the json/parquet formats for s3a targets"
+                f"connector {connector.name!r}: format.class=bytes supports"
+                f" local paths, file://, and s3a://'s3:// targets, not"
+                f" {self.path!r}"
             )
         self.trigger_ms = cfg.get("rotate.interval.ms")
 
@@ -235,9 +237,12 @@ class ObjectSink:
         collect. Object keys are ``{topic}/{partition}_{min_offset}.bin``:
         deterministic per input group, so a replayed epoch overwrites the
         same keys (idempotent; fixes the reference's same-timestamp
-        collision, s3.rs:140-147).
+        collision, s3.rs:140-147). Object-store targets go through
+        :func:`_put_object` (the analog of the reference's PutObject,
+        s3.rs:301-348) with the connector's ``s3.*`` client config.
         """
         base = self.path
+        cfg = dict(self.connector.config)
 
         def write_group(pdf):
             import pandas as pd
@@ -246,11 +251,7 @@ class ObjectSink:
             topic = pdf["topic"].iloc[0]
             part = int(pdf["partition"].iloc[0])
             key = f"{topic}/{part}_{int(pdf['offset'].min())}.bin"
-            full = os.path.join(base, key)
-            os.makedirs(os.path.dirname(full), exist_ok=True)
-            with open(full, "wb") as f:
-                for v in pdf["value"]:
-                    f.write(bytes(v))
+            _put_object(base, key, b"".join(bytes(v) for v in pdf["value"]), cfg)
             return pd.DataFrame({"key": [key], "n": [len(pdf)]})
 
         (
@@ -259,3 +260,39 @@ class ObjectSink:
             .applyInPandas(write_group, schema="key string, n long")
             .collect()  # small: one row per group — forces the write
         )
+
+
+# Per-worker boto3 client cache for the bytes writer: one client per
+# distinct s3.* config per Python worker process, not per group.
+_S3_CLIENTS: dict[frozenset, object] = {}
+
+
+def _put_object(base: str, key: str, data: bytes, cfg: dict[str, str]) -> None:
+    """Whole-object write for the bytes format, executor-side.
+
+    Mirrors the reference's upload_to_s3 PutObject of one in-memory byte
+    buffer per group (s3.rs:301-348): local paths and ``file://`` URIs
+    write through the OS; ``s3a://``/``s3://`` URIs PUT via boto3 built
+    from the same ``s3.*`` keys (endpoint / path-style / static creds,
+    s3.rs:417-461) the bucket bootstrap uses. The bytes format carries
+    opaque payloads, so there is no Hadoop committer to route through —
+    object-per-group PUT with deterministic keys IS the commit protocol,
+    and replays overwrite idempotently."""
+    if base.startswith(("s3a://", "s3://")):
+        bucket, _, prefix = base.split("://", 1)[1].partition("/")
+        ck = frozenset(
+            (k, v) for k, v in cfg.items() if k.startswith("s3.")
+        )
+        client = _S3_CLIENTS.get(ck)
+        if client is None:
+            from franzoxide_spark.sinks.bucket import build_client
+
+            client = _S3_CLIENTS[ck] = build_client(cfg)
+        full_key = f"{prefix}/{key}".lstrip("/")
+        client.put_object(Bucket=bucket, Key=full_key, Body=data)
+        return
+    root = base[len("file://"):] if base.startswith("file://") else base
+    full = os.path.join(root, key)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    with open(full, "wb") as f:
+        f.write(data)

@@ -151,30 +151,74 @@ def test_sink_flush_size_folds_into_source_batch(spark):
     assert folded2 is src2  # untouched, no copy
 
 
-def test_bytes_format_rejects_object_store_path(spark):
-    """format.class=bytes writes through executor-local file I/O; an s3a
-    path would silently become a local directory, so it must fail fast."""
+def test_bytes_format_path_schemes(spark):
+    """format.class=bytes supports local, file://, and s3a/s3 targets (the
+    PUT path mirrors the reference's upload_to_s3); any other scheme would
+    silently become a local directory, so it must still fail fast."""
     from franzoxide_spark.sinks.object_sink import ObjectSink
 
-    snk = ConnectorConfig(
+    s3a = ConnectorConfig(
         "b", "object", "sink", topics=["t"],
         config={"s3.bucket.name": "bkt", "format.class": "bytes"},
     )
-    with pytest.raises(ConfigError, match="bytes.*object-store|object-store.*bytes"):
-        ObjectSink(spark, snk, "/tmp/ckpt")
+    assert ObjectSink(spark, s3a, "/tmp/ckpt").path == "s3a://bkt/data"
+
+    bad = ConnectorConfig(
+        "b", "object", "sink", topics=["t"],
+        config={"path.base": "ftp://host/dir", "format.class": "bytes"},
+    )
+    with pytest.raises(ConfigError, match="bytes"):
+        ObjectSink(spark, bad, "/tmp/ckpt")
+
+
+def test_bytes_put_object_routes_to_s3_client(monkeypatch):
+    """The s3a:// branch of the bytes writer PUTs whole objects through a
+    boto3-shaped client built from the connector's s3.* keys."""
+    from franzoxide_spark.sinks import object_sink
+
+    puts = []
+
+    class _Client:
+        def put_object(self, Bucket, Key, Body):
+            puts.append((Bucket, Key, bytes(Body)))
+
+    monkeypatch.setattr(
+        "franzoxide_spark.sinks.bucket.build_client", lambda cfg: _Client()
+    )
+    object_sink._S3_CLIENTS.clear()
+    cfg = {"s3.bucket.name": "bkt", "s3.access.key": "k", "s3.secret.key": "s"}
+    object_sink._put_object("s3a://bkt/data", "events/0_7.bin", b"abc", cfg)
+    object_sink._put_object("s3a://bkt/data", "events/1_9.bin", b"xyz", cfg)
+    assert puts == [
+        ("bkt", "data/events/0_7.bin", b"abc"),
+        ("bkt", "data/events/1_9.bin", b"xyz"),
+    ]
+    assert len(object_sink._S3_CLIENTS) == 1  # client reused per config
+    object_sink._S3_CLIENTS.clear()
+
+
+class _FakeS3Error(RuntimeError):
+    """botocore.ClientError-shaped: carries a .response error code."""
+
+    def __init__(self, msg, code):
+        super().__init__(msg)
+        self.response = {"Error": {"Code": code}}
 
 
 class _FakeS3Client:
     """Minimal boto3-shaped stub for the A21 bucket bootstrap."""
 
-    def __init__(self, existing=(), create_fails=False):
+    def __init__(self, existing=(), create_fails=False, head_error=None):
         self.existing = set(existing)
         self.create_fails = create_fails
+        self.head_error = head_error
         self.created = []
 
     def head_bucket(self, Bucket):
+        if self.head_error is not None:
+            raise self.head_error
         if Bucket not in self.existing:
-            raise RuntimeError("404 head_bucket")
+            raise _FakeS3Error("404 head_bucket", "404")
 
     def create_bucket(self, Bucket, **kwargs):
         if self.create_fails:
@@ -212,6 +256,20 @@ def test_ensure_bucket_errors():
     with pytest.raises(SinkError, match="create bucket"):
         ensure_bucket(
             {"s3.bucket.name": "bkt"}, client=_FakeS3Client(create_fails=True)
+        )
+
+    # a non-404 head failure (auth, endpoint, TLS) must surface as the
+    # real reachability problem, not be masked by a doomed create attempt
+    # (ADVICE r2)
+    with pytest.raises(SinkError, match="not reachable.*403"):
+        ensure_bucket(
+            {"s3.bucket.name": "bkt"},
+            client=_FakeS3Client(head_error=_FakeS3Error("forbidden 403", "403")),
+        )
+    with pytest.raises(SinkError, match="not reachable"):
+        ensure_bucket(
+            {"s3.bucket.name": "bkt"},
+            client=_FakeS3Client(head_error=ConnectionError("no route")),
         )
 
     # no static creds and no ambient chain -> ConfigError at client build

@@ -407,9 +407,11 @@ def test_stateful_running_counts(spark, tmp_path):
     assert latest["2"] == (1, 5.0), rows
 
 
-def test_bytes_sink_replay_idempotent(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("uri_scheme", ["", "file://"])
+def test_bytes_sink_replay_idempotent(spark, sf_dir, tmp_path, uri_scheme):
     """Replaying the same micro-batch must overwrite the same object keys
-    (the foreachBatch path's exactly-once contract on retry)."""
+    (the foreachBatch path's exactly-once contract on retry) — both for a
+    plain path.base and for an FS URI target (the non-local write path)."""
     from franzoxide_spark.config import ConnectorConfig
     from franzoxide_spark.sinks.object_sink import ObjectSink
 
@@ -420,7 +422,10 @@ def test_bytes_sink_replay_idempotent(spark, sf_dir, tmp_path):
         connector_class="object",
         connector_type="sink",
         topics=["events"],
-        config={"path.base": str(tmp_path / "out"), "format.class": "bytes"},
+        config={
+            "path.base": uri_scheme + str(tmp_path / "out"),
+            "format.class": "bytes",
+        },
     )
     sink = ObjectSink(spark, snk, str(tmp_path / "ckpt"))
     sink._write_bytes_batch(batch, 0)
