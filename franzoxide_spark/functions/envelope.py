@@ -199,6 +199,34 @@ def time_partition_cols(timestamp_ms: Column) -> list[Column]:
     ]
 
 
+def custom_time_partition_cols(
+    timestamp_ms: Column, pattern: str
+) -> list[tuple[str, Column]]:
+    """B4 ``time_partition_pattern`` (connector.proto:210 — declared but
+    never read by the reference): a '/'-separated list of Java
+    ``date_format`` segments, each becoming one Hive partition column.
+
+    A segment of the form ``'name'=fmt`` names its column (directory
+    ``name=<rendered>``); bare segments get positional names ``pt0, pt1``.
+    Rendering as Hive ``col=value`` directories (Spark's native layout,
+    partition-prunable on read-back) rather than the raw rendered path the
+    reference's proto implies — same divergence-by-design as A15/A16
+    (SURVEY §7 risk 3). ts<=0 -> epoch, deterministic, matching
+    :func:`time_partition_cols`."""
+    import re
+
+    ts = F.timestamp_millis(
+        F.when(timestamp_ms > 0, timestamp_ms).otherwise(F.lit(0))
+    )
+    out: list[tuple[str, Column]] = []
+    for i, seg in enumerate(pattern.split("/")):
+        m = re.match(r"^'([A-Za-z_][A-Za-z0-9_]*)'=(.+)$", seg)
+        name = m.group(1) if m else f"pt{i}"
+        fmt = m.group(2) if m else seg
+        out.append((name, F.date_format(ts, fmt)))
+    return out
+
+
 def time_partition_key(
     prefix: str, topic: Column, timestamp_ms: Column, offset: Column, ext: str
 ) -> Column:

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from franzoxide_spark.config import ConnectorConfig
 from franzoxide_spark.errors import ConfigError, SinkError
 from franzoxide_spark.functions.envelope import (
+    custom_time_partition_cols,
     envelope_json,
     time_partition_cols,
 )
@@ -74,6 +75,14 @@ class ObjectSink:
             raise ConfigError(
                 f"connector {connector.name!r}: field partitioner needs"
                 " 'partition.field'"
+            )
+        # B4: custom time partition pattern (time_partition_pattern,
+        # connector.proto:210) — only meaningful for the time partitioner
+        self.time_pattern = cfg.get("time.partition.pattern")
+        if self.time_pattern and self.partitioner != "time":
+            raise ConfigError(
+                f"connector {connector.name!r}: 'time.partition.pattern'"
+                " requires partitioner.class=time"
             )
         self.compression = cfg.get("compression", None)
         self.prefix = cfg.get("s3.prefix", "data")
@@ -117,6 +126,13 @@ class ObjectSink:
     # -- layout ------------------------------------------------------------
     def _partition_cols(self) -> list[str]:
         if self.partitioner == "time":
+            if self.time_pattern:
+                return ["topic"] + [
+                    name
+                    for name, _ in custom_time_partition_cols(
+                        F.lit(0), self.time_pattern
+                    )
+                ]
             return ["topic", "year", "month", "day", "hour"]
         if self.partitioner == "field":
             return ["topic", self.partition_field]
@@ -124,7 +140,17 @@ class ObjectSink:
 
     def _prepare(self, records: DataFrame) -> DataFrame:
         df = records
-        if self.partitioner == "time":
+        if self.partitioner == "time" and self.time_pattern:
+            df = df.select(
+                "*",
+                *[
+                    col.alias(name)
+                    for name, col in custom_time_partition_cols(
+                        F.col("timestamp"), self.time_pattern
+                    )
+                ],
+            )
+        elif self.partitioner == "time":
             y, m, d, h = time_partition_cols(F.col("timestamp"))
             # zero-padded month/day/hour directory names, matching the
             # reference layout (s3.rs:165-177 {:02}) and this repo's

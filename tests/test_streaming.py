@@ -130,6 +130,58 @@ def test_time_partitioner_layout(spark, sf_dir, tmp_path):
     assert all("year=2024" in d and "month=01" in d for d in dirs)
 
 
+def test_custom_time_partition_pattern_layout(spark, sf_dir, tmp_path):
+    """B4 (time_partition_pattern, connector.proto:210): a non-default
+    '/'-separated date_format pattern drives the partition directory
+    layout, with named segments becoming Hive column names."""
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    out_base = str(tmp_path / "out")
+    cfg = _pipeline_config(in_dir, out_base)
+    cfg.connectors[1].config["partitioner.class"] = "time"
+    cfg.connectors[1].config["time.partition.pattern"] = "'dt'=yyyy-MM-dd/'hr'=HH"
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+    dirs = glob.glob(
+        os.path.join(out_base, "data", "topic=events", "dt=*", "hr=*")
+    )
+    assert dirs, "no custom time-partition directories"
+    assert all("dt=2024-01-" in d for d in dirs)  # fixture events: Jan 2024
+
+    # bare segments get positional pt{i} names
+    from franzoxide_spark.config import ConnectorConfig
+    from franzoxide_spark.errors import ConfigError
+    from franzoxide_spark.sinks.object_sink import ObjectSink
+
+    snk = ConnectorConfig(
+        "x", "object", "sink", topics=["t"],
+        config={
+            "path.base": str(tmp_path),
+            "partitioner.class": "time",
+            "time.partition.pattern": "yyyy/MM",
+        },
+    )
+    assert ObjectSink(spark, snk, str(tmp_path))._partition_cols() == [
+        "topic", "pt0", "pt1",
+    ]
+
+    # pattern without the time partitioner is a config error
+    with pytest.raises(ConfigError, match="time.partition.pattern"):
+        ObjectSink(
+            spark,
+            ConnectorConfig(
+                "y", "object", "sink", topics=["t"],
+                config={
+                    "path.base": str(tmp_path),
+                    "time.partition.pattern": "yyyy/MM",
+                },
+            ),
+            str(tmp_path),
+        )
+
+
 def test_rate_source_generates_records(spark, tmp_path):
     """Synthetic-load source: KafkaRecord-shaped rows from the rate
     source, streamed to a memory sink until rows arrive."""
