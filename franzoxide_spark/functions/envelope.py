@@ -215,16 +215,51 @@ def custom_time_partition_cols(
     :func:`time_partition_cols`."""
     import re
 
+    from franzoxide_spark.errors import ConfigError
+
     ts = F.timestamp_millis(
         F.when(timestamp_ms > 0, timestamp_ms).otherwise(F.lit(0))
     )
     out: list[tuple[str, Column]] = []
-    for i, seg in enumerate(pattern.split("/")):
+    seen: set[str] = set()
+    for i, seg in enumerate(_split_outside_quotes(pattern)):
         m = re.match(r"^'([A-Za-z_][A-Za-z0-9_]*)'=(.+)$", seg)
         name = m.group(1) if m else f"pt{i}"
         fmt = m.group(2) if m else seg
+        if name == "topic":
+            raise ConfigError(
+                "time.partition.pattern segment may not be named 'topic'"
+                " (reserved: the sink already partitions by topic)"
+            )
+        if name in seen:
+            raise ConfigError(
+                f"time.partition.pattern has duplicate segment name {name!r}"
+                " — partition columns must be unique"
+            )
+        seen.add(name)
         out.append((name, F.date_format(ts, fmt)))
     return out
+
+
+def _split_outside_quotes(pattern: str) -> list[str]:
+    """Split a time.partition.pattern on '/' but never inside a Java
+    ``date_format`` single-quoted literal, so ``'dt'=yyyy'/'MM`` stays one
+    segment (a quoted '/' is a literal character of the format, not a
+    directory separator)."""
+    segs: list[str] = []
+    buf: list[str] = []
+    in_quote = False
+    for ch in pattern:
+        if ch == "'":
+            in_quote = not in_quote
+            buf.append(ch)
+        elif ch == "/" and not in_quote:
+            segs.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    segs.append("".join(buf))
+    return segs
 
 
 def time_partition_key(

@@ -1,0 +1,171 @@
+"""EP2 push-ingest data plane (transport-independent).
+
+Re-expresses the reference SinkStream semantics (src/grpc/service.rs:102-335):
+
+- record_batch -> ``put`` into the routed sink, reply RecordAck carrying one
+  RecordId (topic, partition, offset) per record with success=true, or an
+  empty-id ack with success=false and the error message on failure
+  (service.rs:185-227).
+- flush        -> sink ``flush``, reply FlushResponse echoing request_id
+  with success/error (service.rs:229-320).
+- heartbeat    -> Heartbeat reply with the server's current epoch-millis
+  (service.rs:118-134).
+
+The handler is deliberately transport-free: the gRPC wiring
+(:mod:`franzoxide_spark.ingest.grpc_server`) is a thin, availability-gated
+adapter, so the whole protocol state machine is testable in-process without
+grpcio — mirroring the reference's own client flow (test_grpc_sink.py:26-88:
+batch of 10 JSON records, then flush, then objects appear under
+``data/test-topic/``).
+
+Where the reference buffers in the Rust sink and uploads on flush
+(s3.rs:522-578), the Spark side buffers KafkaRecords driver-side and on
+flush materializes ONE DataFrame and writes it through the same prepare/
+partition/envelope plan the streaming ObjectSink uses — a batch write with
+identical layout, so pushed records and streamed records are
+indistinguishable to readers. Per-batch ingest stays O(batch) Python (the
+wire handed us Python objects already); everything from flush onward is
+JVM-side."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from franzoxide_spark.config import ConnectorConfig
+from franzoxide_spark.ingest import protowire as pw
+from franzoxide_spark.sinks.object_sink import ObjectSink, _headers_json
+from franzoxide_spark.functions.envelope import envelope_json
+
+_RECORD_SCHEMA = (
+    "topic string, partition int, offset long, timestamp long,"
+    " key binary, value binary, headers map<string,string>"
+)
+
+
+class PushBatchSink:
+    """Buffer-then-flush sink for pushed records, sharing ObjectSink's
+    layout logic (prepare/partition columns/envelope encoding) so the
+    on-disk result matches the streaming path byte-for-byte."""
+
+    def __init__(
+        self, spark: SparkSession, connector: ConnectorConfig, checkpoint_root: str
+    ):
+        self.spark = spark
+        self.sink = ObjectSink(spark, connector, checkpoint_root)
+        if self.sink.format not in ("json", "parquet", "bytes"):
+            # avro/iceberg gating is handled by ObjectSink at start(); the
+            # push path supports the formats with batch writers
+            self.sink._check_format_available()
+        self._buffer: list[pw.KafkaRecord] = []
+
+    def put(self, records: list[pw.KafkaRecord]) -> None:
+        self._buffer.extend(records)
+
+    def flush(self) -> int:
+        """Write all buffered records; returns the record count flushed."""
+        if not self._buffer:
+            return 0
+        rows = [
+            (r.topic, r.partition, r.offset, r.timestamp, r.key, r.value, r.headers)
+            for r in self._buffer
+        ]
+        n = len(rows)
+        self._buffer = []
+        df = self.spark.createDataFrame(rows, _RECORD_SCHEMA)
+        sink = self.sink
+        df = sink._prepare(df)
+        parts = sink._partition_cols()
+        if parts:
+            df = df.repartition(*[F.col(c) for c in parts])
+        if sink.format == "json":
+            out = df.select(
+                *parts,
+                envelope_json(
+                    F.col("topic"),
+                    F.col("partition"),
+                    F.col("offset"),
+                    F.col("timestamp"),
+                    F.col("key"),
+                    F.col("value"),
+                    _headers_json(F.col("headers")),
+                ).alias("value"),
+            )
+            writer = out.write.partitionBy(*parts).mode("append")
+            if sink.compression:
+                writer = writer.option("compression", sink.compression)
+            writer.text(sink.path)
+        elif sink.format == "parquet":
+            writer = df.write.partitionBy(*parts).mode("append")
+            if sink.compression:
+                writer = writer.option("compression", sink.compression)
+            writer.parquet(sink.path)
+        else:  # bytes
+            sink._write_bytes_batch(df, epoch_id=int(time.time() * 1000))
+        return n
+
+
+class SinkStreamHandler:
+    """The SinkStream request -> response state machine (service.rs:102-335).
+
+    One handler per stream connection. ``handle`` maps every SinkRequest to
+    exactly one SinkResponse, same as the reference's loop."""
+
+    def __init__(self, sink: PushBatchSink):
+        self.sink = sink
+
+    def handle(self, req: pw.SinkRequest) -> pw.SinkResponse:
+        if req.heartbeat is not None:
+            return pw.SinkResponse(
+                heartbeat=pw.Heartbeat(timestamp=int(time.time() * 1000))
+            )
+        if req.record_batch is not None:
+            batch = req.record_batch
+            try:
+                self.sink.put(batch.records)
+            except Exception as e:  # mirror service.rs:185-203 error ack
+                return pw.SinkResponse(
+                    ack=pw.RecordAck(
+                        record_ids=[],
+                        success=False,
+                        error_message=f"Failed to put records to sink connector: {e}",
+                    )
+                )
+            return pw.SinkResponse(
+                ack=pw.RecordAck(
+                    record_ids=[
+                        pw.RecordId(r.topic, r.partition, r.offset)
+                        for r in batch.records
+                    ],
+                    success=True,
+                )
+            )
+        if req.flush is not None:
+            try:
+                self.sink.flush()
+            except Exception as e:  # service.rs:277-299
+                return pw.SinkResponse(
+                    flush_response=pw.FlushResponse(
+                        request_id=req.flush.request_id,
+                        success=False,
+                        error_message=f"Failed to flush sink connector: {e}",
+                    )
+                )
+            return pw.SinkResponse(
+                flush_response=pw.FlushResponse(
+                    request_id=req.flush.request_id, success=True
+                )
+            )
+        return pw.SinkResponse(
+            error=pw.ConnectorError(
+                error_message="empty SinkRequest (no oneof member set)",
+                error_code="BAD_REQUEST",
+            )
+        )
+
+    def handle_stream(self, requests):
+        """Bidirectional-stream shape: one response per request, in order."""
+        for req in requests:
+            yield self.handle(req)

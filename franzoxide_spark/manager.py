@@ -99,19 +99,66 @@ class ConnectorManager:
             src, config={**src.config, "batch.size": flush}
         )
 
+    def _start_pipeline(self, src: ConnectorConfig, snk: ConnectorConfig) -> None:
+        records = build_source(
+            self.spark, self.config.kafka, self._fold_flush_size(src, snk)
+        )
+        if snk.connector_class in DEBUG_SINK_CLASSES:
+            query = self._start_debug_sink(records, snk)
+        else:
+            sink = ObjectSink(self.spark, snk, self.checkpoint_root)
+            query = sink.start(records)
+        self._queries[f"{src.name}->{snk.name}"] = query
+        self._states[src.name] = ConnectorState.RUNNING
+        self._states[snk.name] = ConnectorState.RUNNING
+
     def start(self) -> None:
         for src, snk in self._pipelines:
-            records = build_source(
-                self.spark, self.config.kafka, self._fold_flush_size(src, snk)
+            self._start_pipeline(src, snk)
+
+    def restart(self, name: str, new_options: dict[str, str]) -> None:
+        """B14 UpdateConfig (connector.proto:23,106-108 — declared but never
+        implemented by the reference): apply new options to one connector and
+        restart its pipelines from the SAME checkpoint.
+
+        Exactly-once across the restart falls out of the checkpoint WAL: the
+        stopped query's committed offsets are the restarted query's starting
+        offsets, so changing an operational option (batch.size, flush.size,
+        compression, ...) loses no records and duplicates none (asserted in
+        tests/test_streaming.py). Identity fields (name/class/type) are not
+        updatable — that's a new connector, not a config update."""
+        import dataclasses
+
+        old = self.config.connector(name)  # raises ConfigError if unknown
+        updated = dataclasses.replace(old, config={**old.config, **new_options})
+        # stop only the pipelines this connector participates in
+        affected = [
+            (src, snk)
+            for src, snk in self._pipelines
+            if name in (src.name, snk.name)
+        ]
+        was_running: set[str] = set()
+        for src, snk in affected:
+            pipe = f"{src.name}->{snk.name}"
+            query = self._queries.pop(pipe, None)
+            if query is not None:
+                was_running.add(pipe)
+                query.stop()
+                query.awaitTermination()
+        # swap the connector config everywhere it is referenced
+        self.config.connectors = [
+            updated if c.name == name else c for c in self.config.connectors
+        ]
+        self._pipelines = [
+            (
+                updated if src.name == name else src,
+                updated if snk.name == name else snk,
             )
-            if snk.connector_class in DEBUG_SINK_CLASSES:
-                query = self._start_debug_sink(records, snk)
-            else:
-                sink = ObjectSink(self.spark, snk, self.checkpoint_root)
-                query = sink.start(records)
-            self._queries[f"{src.name}->{snk.name}"] = query
-            self._states[src.name] = ConnectorState.RUNNING
-            self._states[snk.name] = ConnectorState.RUNNING
+            for src, snk in self._pipelines
+        ]
+        for src, snk in self._pipelines:
+            if f"{src.name}->{snk.name}" in was_running:
+                self._start_pipeline(src, snk)
 
     def process_all_available(self) -> None:
         """Drain everything currently readable — the reference's manual

@@ -80,7 +80,16 @@ def _tiled_blocks(
         .withColumn(
             "_nb", F.ceil(F.col("_n") / F.lit(float(tile_cap))).cast("int")
         )
-        .withColumn("_band", F.pmod(F.col(id_col), F.col("_nb")).cast("int"))
+        # Band on a HASH of the id, not the id itself: raw pmod(id, nb) is
+        # data-dependent (strided or sparse ids can collapse into few bands,
+        # re-creating the O(n^2) hot-tile hazard tiling exists to remove).
+        # xxhash64 spreads arbitrary id distributions uniformly while staying
+        # deterministic; band choice never affects output (each pair still
+        # meets exactly once).
+        .withColumn(
+            "_band",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int"),
+        )
     )
     return (
         banded.withColumn(
@@ -216,8 +225,30 @@ def with_lsh_signature(
 # the expensive part of IVF is the one-time build (centroid fit + corpus
 # assignment), which must amortize across query batches instead of being
 # re-run per query. Entries hold (centers_df, assigned) with `assigned`
-# persisted.
+# persisted. Hygiene: entries from other applications are evicted (and
+# unpersisted) on every build — a stopped application's persisted frames
+# would otherwise pin executor storage for the process lifetime — and the
+# build is serialized under a lock so two concurrent callers cannot both
+# fit KMeans for the same key.
+import threading as _threading
+
 _IVF_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_IVF_BUILD_LOCK = _threading.Lock()
+
+
+def _evict_stale_ivf_entries(current_app_id: str) -> None:
+    """Drop (and unpersist) cache entries belonging to other applications.
+
+    Called with the build lock held. Unpersist is best-effort: a frame
+    bound to an already-stopped SparkContext raises on unpersist, but the
+    entry must still be dropped so the dict cannot grow across sequential
+    test sessions in one process."""
+    for key in [k for k in _IVF_INDEX_CACHE if k[0] != current_app_id]:
+        _, assigned = _IVF_INDEX_CACHE.pop(key)
+        try:
+            assigned.unpersist()
+        except Exception:
+            pass
 
 
 def build_ivf_index(
@@ -246,34 +277,47 @@ def build_ivf_index(
     from pyspark.ml.functions import array_to_vector
 
     spark = emb.sparkSession
-    if cache_key is not None:
-        full_key = (spark.sparkContext.applicationId, cache_key, n_lists, seed)
+
+    def _build() -> tuple[DataFrame, DataFrame]:
+        corpus = emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        ).withColumn(
+            "features",
+            array_to_vector(F.expr("transform(nv, x -> cast(x as double))")),
+        )
+        n = corpus.count()
+        sample = (
+            corpus.sample(fraction=min(1.0, sample_cap / n), seed=seed)
+            if n > sample_cap
+            else corpus
+        )
+        km = KMeans(k=n_lists, seed=seed, maxIter=5).fit(sample)
+        assigned = km.transform(corpus).withColumnRenamed("prediction", "cell")
+
+        centers = [c.tolist() for c in km.clusterCenters()]
+        centers_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            "cell int, center array<double>",
+        )
+        return centers_df, assigned
+
+    if cache_key is None:
+        return _build()
+
+    app_id = spark.sparkContext.applicationId
+    full_key = (app_id, cache_key, n_lists, seed)
+    # Double-build guard: check-and-build under one lock, so two concurrent
+    # callers cannot both fit KMeans (the second would leak a persisted
+    # duplicate of `assigned` when its entry is overwritten).
+    with _IVF_BUILD_LOCK:
+        _evict_stale_ivf_entries(app_id)
         hit = _IVF_INDEX_CACHE.get(full_key)
         if hit is not None:
             return hit
-
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    ).withColumn(
-        "features", array_to_vector(F.expr("transform(nv, x -> cast(x as double))"))
-    )
-    n = corpus.count()
-    sample = (
-        corpus.sample(fraction=min(1.0, sample_cap / n), seed=seed)
-        if n > sample_cap
-        else corpus
-    )
-    km = KMeans(k=n_lists, seed=seed, maxIter=5).fit(sample)
-    assigned = km.transform(corpus).withColumnRenamed("prediction", "cell")
-
-    centers = [c.tolist() for c in km.clusterCenters()]
-    centers_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
-    )
-    if cache_key is not None:
+        centers_df, assigned = _build()
         assigned = assigned.persist()
         _IVF_INDEX_CACHE[full_key] = (centers_df, assigned)
-    return centers_df, assigned
+        return centers_df, assigned
 
 
 def ivf_ann_topk(

@@ -201,8 +201,10 @@ class ObjectSink:
         """Attach this sink to a (streaming) KafkaRecord DataFrame and start."""
         self._check_format_available()
         # A21: reference sinks ensure the target bucket at initialize
-        # (s3.rs:463-496); s3a never creates buckets itself.
-        if self.path.startswith("s3a://") and self.connector.config.get(
+        # (s3.rs:463-496); s3a never creates buckets itself. Gate on BOTH
+        # schemes _put_object accepts — an s3:// bytes target must bootstrap
+        # its bucket too, not fail later with NoSuchBucket executor-side.
+        if self.path.startswith(("s3a://", "s3://")) and self.connector.config.get(
             "s3.bucket.ensure", "true"
         ).lower() == "true":
             from franzoxide_spark.sinks.bucket import ensure_bucket

@@ -176,7 +176,16 @@ def _payload(line, field: str):
     return (
         F.when(fmt == "base64", F.coalesce(F.unbase64(b64), empty))
         .when(~F.coalesce(present, F.lit(False)), empty)
-        .when(risky, F.encode(py_txt, "UTF-8"))
+        # py_txt can be None on a row the strict Python scanner rejects but
+        # json_object_keys accepted — fall back to the VARIANT rendering
+        # (then empty) instead of introducing a SQL-NULL payload, an
+        # outcome the decision table never otherwise produces.
+        .when(
+            risky,
+            F.coalesce(
+                F.encode(py_txt, "UTF-8"), F.encode(var_txt, "UTF-8"), empty
+            ),
+        )
         .otherwise(F.encode(var_txt, "UTF-8"))
     )
 

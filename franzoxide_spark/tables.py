@@ -31,7 +31,10 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 # DataFrame catalog cache: re-reading the same parquet path re-lists files
 # and re-reads footers on the driver (~100-200 ms per table). A catalog
 # caches that metadata; keyed by session so a new SparkSession re-resolves.
-_CATALOG: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed on applicationId, NOT id(spark): a GC'd-then-reallocated session
+# object can reuse the same id() and would alias a stale entry (and stale
+# DataFrames bound to a stopped SparkContext raise on use).
+_CATALOG: dict[tuple[str, str, str], DataFrame] = {}
 
 # Correctness-critical runtime confs, re-asserted per session: query
 # callables may be invoked with a session the caller built (e.g. the
@@ -43,25 +46,47 @@ _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
 }
-_CONFED_SESSIONS: set[int] = set()
+_CONFED_SESSIONS: set[str] = set()
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable identity for a live session: the Spark applicationId.
+
+    ``id(spark)`` is unsafe as a cache key — CPython reuses addresses after
+    GC, so a new session could silently hit a dead session's entries and
+    skip the correctness-critical conf re-assertion (nanosAsLong, UTC).
+    applicationId is unique per SparkContext lifetime.
+    """
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # Spark Connect or stopped context: degrade per-object
+        return f"py-id-{id(spark)}"
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
-    if id(spark) in _CONFED_SESSIONS:
+    key = _session_key(spark)
+    if key in _CONFED_SESSIONS:
         return
     for k, v in _REQUIRED_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static/locked conf on some deployment: leave as-is
-    _CONFED_SESSIONS.add(id(spark))
+    _CONFED_SESSIONS.add(key)
+    # A new application means every older application's cached entries are
+    # dead (their DataFrames point at a stopped context) — drop them so the
+    # caches cannot grow across sequential sessions in one process.
+    for stale in [k for k in _CONFED_SESSIONS if k != key]:
+        _CONFED_SESSIONS.discard(stale)
+    for ck in [ck for ck in _CATALOG if ck[0] != key]:
+        _CATALOG.pop(ck, None)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_confs(spark)
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     cached = _CATALOG.get(key)
     if cached is not None:
         return cached

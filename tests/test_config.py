@@ -286,3 +286,86 @@ def test_ensure_bucket_errors():
             build_client({"s3.bucket.name": "bkt"})
     finally:
         boto3.session.Session = orig
+
+
+class _FakeConf:
+    def __init__(self):
+        self.sets = []
+
+    def set(self, k, v):
+        self.sets.append((k, v))
+
+
+class _FakeSC:
+    def __init__(self, app_id):
+        self.applicationId = app_id
+
+
+class _FakeSession:
+    """Duck-typed SparkSession standing in for two SEQUENTIAL real sessions
+    (one JVM allows one SparkContext at a time, so sequential applications
+    are the realistic hazard)."""
+
+    def __init__(self, app_id):
+        self.sparkContext = _FakeSC(app_id)
+        self.conf = _FakeConf()
+
+
+def test_session_caches_keyed_on_application_id():
+    """r3 VERDICT hazard 2: id(spark)-keyed caches alias when a GC'd
+    session object's id() is reused — a stale hit would silently skip the
+    correctness-critical conf re-assertion (nanosAsLong, UTC). Keys must be
+    applicationId, and a NEW application must (a) get the confs re-asserted
+    and (b) evict the dead application's catalog entries."""
+    from franzoxide_spark import tables
+
+    s1 = _FakeSession("app-1")
+    tables.ensure_session_confs(s1)
+    assert dict(s1.conf.sets) == tables._REQUIRED_CONFS
+    # second call on the SAME application: no re-assertion
+    tables.ensure_session_confs(s1)
+    assert len(s1.conf.sets) == len(tables._REQUIRED_CONFS)
+
+    # simulate the id()-reuse hazard directly: a new application whose
+    # session object could share the old one's memory address
+    tables._CATALOG[("app-1", "/sf", "orders")] = object()
+    s2 = _FakeSession("app-2")
+    tables.ensure_session_confs(s2)
+    assert dict(s2.conf.sets) == tables._REQUIRED_CONFS, (
+        "new application did not get confs re-asserted"
+    )
+    assert ("app-1", "/sf", "orders") not in tables._CATALOG, (
+        "dead application's catalog entries were not evicted"
+    )
+    assert "app-1" not in tables._CONFED_SESSIONS
+
+
+def test_ivf_cache_evicts_stale_applications():
+    """r3 VERDICT hazard 1: _IVF_INDEX_CACHE must unpersist+drop entries of
+    other (stopped) applications instead of pinning their executor storage
+    for the process lifetime."""
+    from franzoxide_spark.operators import similarity
+
+    class _FakeDF:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    class _RaisingDF(_FakeDF):
+        def unpersist(self):
+            self.unpersisted = True
+            raise RuntimeError("SparkContext stopped")
+
+    stale_a, stale_b = _FakeDF(), _RaisingDF()
+    similarity._IVF_INDEX_CACHE.clear()
+    similarity._IVF_INDEX_CACHE[("app-old", "k", 16, 42)] = (None, stale_a)
+    similarity._IVF_INDEX_CACHE[("app-dead", "k", 16, 42)] = (None, stale_b)
+    similarity._IVF_INDEX_CACHE[("app-new", "k", 16, 42)] = (None, _FakeDF())
+    similarity._evict_stale_ivf_entries("app-new")
+    assert list(similarity._IVF_INDEX_CACHE) == [("app-new", "k", 16, 42)]
+    assert stale_a.unpersisted
+    # a frame whose context already died must still be dropped
+    assert stale_b.unpersisted
+    similarity._IVF_INDEX_CACHE.clear()

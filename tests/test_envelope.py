@@ -217,3 +217,32 @@ def test_normalize_headers_drops_non_utf8_keeps_last(spark):
     df = spark.createDataFrame(rows)
     out = df.select(normalize_headers(F.col("headers")).alias("m")).collect()[0]["m"]
     assert out == {"a": "two"}
+
+
+def test_custom_pattern_quoted_slash_and_validation(spark):
+    """ADVICE r3 (functions/envelope.py custom pattern): a quoted '/' is a
+    literal character of a date_format segment, not a directory separator;
+    duplicate or reserved segment names are config errors."""
+    import pytest as _pytest
+
+    from franzoxide_spark.errors import ConfigError
+    from franzoxide_spark.functions.envelope import (
+        _split_outside_quotes,
+        custom_time_partition_cols,
+    )
+
+    assert _split_outside_quotes("'dt'=yyyy'/'MM/'hr'=HH") == [
+        "'dt'=yyyy'/'MM",
+        "'hr'=HH",
+    ]
+    assert _split_outside_quotes("yyyy/MM") == ["yyyy", "MM"]
+
+    cols = custom_time_partition_cols(F.lit(1704067200000), "'dt'=yyyy'/'MM")
+    assert [name for name, _ in cols] == ["dt"]
+    rendered = spark.range(1).select(cols[0][1].alias("dt")).collect()[0]["dt"]
+    assert rendered == "2024/01"  # quoted slash is literal in the value
+
+    with _pytest.raises(ConfigError, match="duplicate"):
+        custom_time_partition_cols(F.lit(0), "'a'=yyyy/'a'=MM")
+    with _pytest.raises(ConfigError, match="topic"):
+        custom_time_partition_cols(F.lit(0), "'topic'=yyyy")

@@ -202,3 +202,70 @@ def test_blocked_cosine_pairs_tiling_bounds_and_identity(spark, sf_dir):
         ).collect()
     }
     assert tiled == untiled and len(tiled) > 0
+
+
+def test_q37_plane_margins_monitor():
+    """ADVICE r3 (llm.py q37 oracle brittleness): the hash-exact DuckDB
+    mirror relies on both engines agreeing on the SIGN of every hyperplane
+    dot product. Monitor the margin: the smallest |dot| across all fixture
+    embeddings x all 4 planes must sit far above the cross-engine
+    summation-order noise floor (~1e-13 for 64 float64 terms), so a sign
+    flip cannot occur at any tested scale."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from franzoxide_spark.operators.similarity import _plane_matrix
+
+    planes = np.asarray(_plane_matrix(4, 64))
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        tbl = pq.read_table(
+            f"/root/testdata/{sf}/embeddings.parquet", columns=["embedding"]
+        )
+        m = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+        margin = np.abs(m @ planes.T).min()
+        assert margin > 1e-6, (sf, margin)
+
+
+def test_tiled_blocks_bands_spread_structured_ids(spark):
+    """ADVICE r3 (similarity.py band assignment): banding must hash the id
+    — raw pmod(id, n_bands) collapses strided ids (here id = 8*i with
+    n_bands=8 -> every row in band 0, resurrecting the O(n^2) hot tile)."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.operators.similarity import _tiled_blocks
+
+    emb = spark.createDataFrame(
+        [(1, 8 * i, [float(i), 1.0]) for i in range(64)],
+        "block int, id bigint, vec array<double>",
+    )
+    tiled = _tiled_blocks(emb, "block", "id", "vec", tile_cap=8)  # _nb = 8
+    bands = [
+        r["_band"]
+        for r in tiled.select("id", "_band").distinct().collect()
+    ]
+    assert len(set(bands)) >= 4, (
+        f"strided ids collapsed into {set(bands)} — banding is not hashed"
+    )
+    # pair coverage is unchanged by the band function: every unordered pair
+    # of ids meets in exactly one (_ta, _tb) tile
+    rows = tiled.select("id", "_band", "_ta", "_tb").collect()
+    by_tile: dict[tuple, set] = {}
+    for r in rows:
+        by_tile.setdefault((r["_ta"], r["_tb"]), set()).add((r["id"], r["_band"]))
+    meet = {}
+    for (ta, tb), members in by_tile.items():
+        ids_a = sorted(i for i, b in members if b == ta)
+        ids_b = sorted(i for i, b in members if b == tb)
+        if ta == tb:
+            pairs = {
+                (x, y) for x in ids_a for y in ids_b if x < y
+            }
+        else:
+            pairs = {
+                (min(x, y), max(x, y)) for x in ids_a for y in ids_b
+            }
+        for p in pairs:
+            meet[p] = meet.get(p, 0) + 1
+    n = 64
+    assert len(meet) == n * (n - 1) // 2, "some pair never meets"
+    assert set(meet.values()) == {1}, "some pair meets in more than one tile"

@@ -767,3 +767,101 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.stop()
     ks = sorted(r["k"] for r in spark.sql("SELECT * FROM dd_out").collect())
     assert ks == ["a", "b"]
+
+
+def test_restart_with_new_options(spark, sf_dir, tmp_path):
+    """B14 UpdateConfig (connector.proto:23,106-108 — declared, never
+    implemented by the reference): restart(name, new_options) applies the
+    change and resumes from the SAME checkpoint, losing and duplicating
+    nothing across the restart."""
+    rec = (
+        kafka_records_from_events(spark, sf_dir)
+        .withColumn("headers", F.create_map(F.lit("h"), F.lit("v")))
+        .drop("headers_json")
+        .select("topic", "partition", "offset", "timestamp", "key", "value", "headers")
+    )
+    total = rec.count()
+    in_dir = str(tmp_path / "in" / "flat")
+    os.makedirs(in_dir, exist_ok=True)
+    for i in range(2):
+        rec.filter((F.col("offset") % 2) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"chunk{i}"))
+
+    def link_chunk(i):
+        for j, f in enumerate(glob.glob(str(tmp_path / f"chunk{i}" / "*.parquet"))):
+            os.link(f, os.path.join(in_dir, f"c{i}_{j}.parquet"))
+
+    link_chunk(0)
+    out_base = str(tmp_path / "out")
+    cfg = _pipeline_config(in_dir, out_base)
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+
+    def read_lines():
+        lines = []
+        for fp in glob.glob(
+            os.path.join(out_base, "data", "topic=events", "partition=*", "*.txt")
+        ):
+            with open(fp) as f:
+                lines += [ln for ln in f.read().splitlines() if ln]
+        return lines
+
+    n_first = len(read_lines())
+    assert 0 < n_first < total  # only chunk0 has been ingested
+
+    mgr.restart("file-source", {"files.per.trigger": "4"})
+    assert mgr.config.connector("file-source").config["files.per.trigger"] == "4"
+    assert mgr.status()["file-source->json-sink"]["state"] == "RUNNING"
+
+    link_chunk(1)
+    mgr.process_all_available()
+    mgr.stop()
+    lines = read_lines()
+    assert len(lines) == total, "records lost or duplicated across restart"
+    offsets = [json.loads(ln)["offset"] for ln in lines]
+    assert len(set(offsets)) == total, "duplicate offsets after restart"
+
+    # restarting an unknown connector is a config error
+    import pytest as _pytest
+
+    from franzoxide_spark.errors import ConfigError
+
+    with _pytest.raises(ConfigError, match="no connector"):
+        mgr.restart("nope", {})
+
+
+def test_parquet_sink_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """B8 minimal schema evolution (reference GAP.md:12,18 — aspirational
+    there): parquet batches written with an ADDED column read back as the
+    union schema under mergeSchema, old rows NULL in the new column."""
+    from franzoxide_spark.sources.parquet_reader import read_sink_parquet
+
+    rec = (
+        kafka_records_from_events(spark, sf_dir)
+        .withColumn("headers", F.create_map(F.lit("h"), F.lit("v")))
+        .drop("headers_json")
+        .select("topic", "partition", "offset", "timestamp", "key", "value", "headers")
+    )
+    out = str(tmp_path / "evo")
+    old = rec.filter(F.col("offset") % 2 == 0)
+    new = rec.filter(F.col("offset") % 2 == 1).withColumn(
+        "schema_version", F.lit(2)
+    )
+    old.write.partitionBy("topic", "partition").parquet(out)
+    new.write.mode("append").partitionBy("topic", "partition").parquet(out)
+
+    merged = read_sink_parquet(spark, out, merge_schema=True)
+    assert "schema_version" in merged.columns
+    assert merged.count() == rec.count()
+    nulls = merged.filter(F.col("schema_version").isNull()).count()
+    assert nulls == old.count(), "old rows must surface as NULL in the new column"
+    assert (
+        merged.filter(F.col("schema_version") == 2).count() == new.count()
+    )
+    # without mergeSchema the planner picks one footer's schema — the
+    # single-footer fast path stays available for non-evolved datasets
+    plain = read_sink_parquet(spark, out, merge_schema=False)
+    assert plain.count() == rec.count()
