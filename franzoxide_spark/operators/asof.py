@@ -56,22 +56,46 @@ def asof_join_pandas(
     left_ts: str,
     right_ts: str,
     out_schema: str,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Co-partitioned merge_asof. ``right`` columns are suffixed as given
-    in out_schema; both frames must share the join key column name."""
+    in out_schema; both frames must share the join key column name.
+
+    ``right_tiebreak`` makes ties deterministic: when several right rows
+    share one ``right_ts``, ``merge_asof`` picks the LAST row in sort
+    order, so a secondary ascending sort on the tie-break column selects
+    the MAX tie-break value — exactly the ``ORDER BY ts DESC, id DESC``
+    pick of :func:`asof_join`, making the two paths hash-identical (q43b
+    is oracle-checked against the same Q43_SQL as q43)."""
     import pandas as pd
 
     lcols = left.columns
+    # right columns with integral Spark types: unmatched left rows surface
+    # as NaN in pandas (which only exists for floats) — convert those
+    # columns to pandas' nullable Int64 so Arrow hands Spark proper NULLs
+    # instead of failing to cast non-finite floats to bigint.
+    int_rcols = {
+        "r_" + f.name
+        for f in right.schema.fields
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+        and f.name != key
+    }
+    r_sort = ["r_" + right_ts] + (
+        ["r_" + right_tiebreak] if right_tiebreak else []
+    )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         l = pdf[pdf["__side"] == 0][lcols].sort_values(left_ts)
         rcols = [c for c in pdf.columns if c.startswith("r_")]
-        r = pdf[pdf["__side"] == 1][rcols].sort_values("r_" + right_ts)
+        r = pdf[pdf["__side"] == 1][rcols].sort_values(r_sort)
         if l.empty:
             return pd.DataFrame(columns=list(l.columns) + list(r.columns))
         merged = pd.merge_asof(
             l, r, left_on=left_ts, right_on="r_" + right_ts, direction="backward"
         )
+        for c in int_rcols:
+            if c in merged.columns and merged[c].dtype == "float64":
+                merged[c] = merged[c].astype("Int64")
         return merged
 
     lp = left.withColumn("__side", F.lit(0))

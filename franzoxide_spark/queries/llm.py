@@ -539,6 +539,41 @@ SELECT event_id, user_id,
 FROM j WHERE rn = 1
 """
 
+def q43b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's 100 TB path (asof.py:asof_join_pandas): co-partition
+    both sides on the key and linear-merge per group with pd.merge_asof —
+    no fan-out row inflation, one shuffle per side. Registered as a twin
+    against the SAME Q43_SQL oracle as q43 (the q31/q49 exact/approx twin
+    pattern), so the scale path itself is hash-matched, not just
+    equivalence-tested."""
+    from franzoxide_spark.operators.asof import asof_join_pandas
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("o_ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    j = asof_join_pandas(
+        ev, o,
+        key="user_id", left_ts="ts", right_ts="o_ts",
+        right_tiebreak="o_orderkey",
+        out_schema=(
+            "event_id bigint, user_id bigint, ts timestamp,"
+            " r_o_ts timestamp, r_o_orderkey bigint, r_o_totalprice double"
+        ),
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.col("r_o_orderkey").alias("o_orderkey"),
+        F.date_format("r_o_ts", "yyyy-MM-dd").alias("o_orderdate_s"),
+        F.col("r_o_totalprice").alias("o_totalprice"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Q51 — PII-style scrubbing (regex redaction over text)
 # --------------------------------------------------------------------------
@@ -697,3 +732,4 @@ register("q40_token_counting", q40, Q40_SQL)
 register("q41_rolling_fingerprint", q41, Q41_SQL)
 register("q42_multimodal_byte_stats", q42, Q42_SQL)
 register("q43_asof_join", q43, Q43_SQL)
+register("q43b_asof_merge_scale_path", q43b, Q43_SQL)
