@@ -1,0 +1,207 @@
+"""Scale-slope evidence for the dedup/ANN family + envelope throughput.
+
+The 100 TB claims in COVERAGE/VERDICT rest on plan shape (bucketed, never
+all-pairs); this script adds measured data points:
+
+1. **Slope**: build a 10x replica of the sf0.1 ``documents``/``embeddings``
+   fixtures (realistic growth mode — replicas are disjoint in shingle space
+   / block space, so data growth adds shards and blocks rather than
+   inflating near-dup clusters, which is what a bigger corpus does), then
+   time q29/q33/q34/q35/q36/q37 at both scales and report sec ratios.
+   Near-linear ratios (~10x work for 10x data, modulo the fixed scheduling
+   floor) are the pass criterion; quadratic blowup would show as >>10x.
+
+   Replica construction:
+   - documents: every token gets a per-replica suffix (JVM ``transform``),
+     so no shingle ever matches across replicas; doc_id shifted by
+     1e6 * replica. Within-replica near-dup structure is exactly sf0.1's.
+   - embeddings: vectors copied verbatim; vec_id shifted by 1e6 * replica,
+     ``label`` (q36's blocking key) shifted by 100 * replica so replicas
+     are distinct blocks.
+
+2. **Envelope throughput** (A18): rows/s of the envelope_json encode path
+   over KafkaRecord rows derived from events, with the strict Python sniff
+   (production path, functions/envelope.py:json_strict_valid) vs a
+   JVM-only lenient proxy (try_parse_json IS NOT NULL) — quantifying the
+   cost of the one justified Python step in the streaming hot path.
+
+Usage: python examples/scale_slope.py  [env: SPARK_GRAFT_SCALE_R (10),
+SPARK_GRAFT_SF_DIR (/root/testdata/sf0.1), SPARK_GRAFT_BENCH_RUNS (2)]
+Prints one JSON document; results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from franzoxide_spark import queries as q  # noqa: E402
+from franzoxide_spark.session import get_spark  # noqa: E402
+from franzoxide_spark.tables import table  # noqa: E402
+
+SLOPE_QUERIES = (
+    "q29_exact_dedup",
+    "q33_minhash_lsh_neardup",
+    "q34_simhash_neardup",
+    "q35_ngram_jaccard_pairs",
+    "q36_embedding_neardup_blocked",
+    "q37_lsh_ann_topk",
+)
+
+
+def build_scaled(spark, src: str, out: str, r: int) -> None:
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    docs = table(spark, src, "documents")
+    emb = table(spark, src, "embeddings")
+    reps = spark.range(r).withColumnRenamed("id", "__rep")
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("__rep") * 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(t, F.lit("_"), F.col("__rep").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.parquet(os.path.join(out, "documents.parquet"))
+    )
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("__rep") * 1_000_000).alias("vec_id"),
+            "embedding",
+            (F.col("label") + (F.col("__rep") * 100).cast("int")).alias("label"),
+        )
+        .write.parquet(os.path.join(out, "embeddings.parquet"))
+    )
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
+    fn = q.QUERIES[name]
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).toPandas()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def envelope_throughput(spark, sf_dir: str, r: int, runs: int) -> dict:
+    """rows/s of the A18 envelope encode, strict sniff vs JVM-only proxy."""
+    from franzoxide_spark.functions.envelope import (
+        _json_or_base64,
+        envelope_json,
+    )
+    from franzoxide_spark.queries.envelope import kafka_records_from_events
+
+    rec = kafka_records_from_events(spark, sf_dir)
+    reps = spark.range(r).withColumnRenamed("id", "__rep")
+    big = (
+        rec.crossJoin(reps)
+        .withColumn("offset", F.col("offset") + F.col("__rep") * 10_000_000)
+        .drop("__rep")
+        .persist()
+    )
+    n = big.count()
+
+    strict = big.select(
+        envelope_json(
+            F.col("topic"), F.col("partition"), F.col("offset"),
+            F.col("timestamp"), F.col("key"), F.col("value"),
+            F.col("headers_json"),
+        ).alias("line")
+    )
+
+    def lenient_member(fname: str, payload):
+        txt = payload.cast("string")
+        return (
+            F.when(
+                payload.isNull() | (F.length(payload) == 0),
+                F.lit(None).cast("string"),
+            )
+            .when(
+                F.expr(f"try_parse_json(cast({fname} as string)) is not null"),
+                F.concat(F.lit(f'"{fname}":'), txt),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(f'"{fname}":"'),
+                    F.regexp_replace(F.base64(payload), "[\\r\\n]", ""),
+                    F.lit(f'","{fname}_format":"base64"'),
+                )
+            )
+        )
+
+    jvm_only = big.select(
+        F.concat(
+            F.concat_ws(
+                ",",
+                F.concat(
+                    F.lit('{"topic":"'), F.col("topic"),
+                    F.lit('","partition":'), F.col("partition").cast("string"),
+                    F.lit(',"offset":'), F.col("offset").cast("string"),
+                    F.lit(',"timestamp":'), F.col("timestamp").cast("string"),
+                ),
+                lenient_member("key", F.col("key")),
+                lenient_member("value", F.col("value")),
+                F.concat(F.lit('"headers":'), F.col("headers_json")),
+            ),
+            F.lit("}"),
+        ).alias("line")
+    )
+
+    out = {"rows": n}
+    for label, df in (("strict_sniff", strict), ("jvm_lenient", jvm_only)):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df.selectExpr("sum(length(line)) as total_bytes").collect()
+            best = min(best, time.perf_counter() - t0)
+        out[label] = {"sec": round(best, 3), "rows_per_s": round(n / best)}
+    big.unpersist()
+    return out
+
+
+def main() -> None:
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    r = int(os.environ.get("SPARK_GRAFT_SCALE_R", "10"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", f"x{r}",
+    )
+    q.load_all()
+    spark = get_spark(app_name="franzoxide_scale_slope")
+    build_scaled(spark, src, out_dir, r)
+
+    result: dict = {"replication": r, "base": src, "queries": {}}
+    for name in SLOPE_QUERIES:
+        base = time_query(spark, name, src, runs)
+        scaled = time_query(spark, name, out_dir, runs)
+        result["queries"][name] = {
+            "base_sec": base,
+            "scaled_sec": scaled,
+            "ratio": round(scaled / base, 2),
+        }
+    result["envelope_throughput"] = envelope_throughput(spark, src, r, runs)
+    print(json.dumps(result, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

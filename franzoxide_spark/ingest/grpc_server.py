@@ -31,8 +31,20 @@ def grpc_available() -> bool:
         return False
 
 
-def serve(handler: SinkStreamHandler, address: str = "[::]:50051"):
-    """Start a gRPC server exposing SinkStream backed by ``handler``.
+def serve(
+    handler: SinkStreamHandler,
+    address: str = "[::]:50051",
+    control=None,
+    unix_socket_path: str | None = None,
+):
+    """Start a gRPC server exposing ConnectorService backed by ``handler``
+    (SinkStream) and, when ``control`` (a
+    :class:`franzoxide_spark.ingest.control.ControlPlaneHandler`) is given,
+    GetConfig / UpdateConfig / GetStatus as unary RPCs.
+
+    ``unix_socket_path`` additionally binds a unix-domain listener next to
+    the TCP one — the reference's dual-transport server (A28, main.rs:26-157
+    serves tcp_address AND unix_socket_path simultaneously).
 
     Returns the started ``grpc.Server`` (caller stops it). Raises
     ConfigError when grpcio is absent — same gating contract as the
@@ -47,18 +59,47 @@ def serve(handler: SinkStreamHandler, address: str = "[::]:50051"):
             " franzoxide_spark.ingest.push.SinkStreamHandler"
         ) from e
 
-    rpc = grpc.stream_stream_rpc_method_handler(
-        lambda request_iterator, context: handler.handle_stream(request_iterator),
-        request_deserializer=pw.SinkRequest.decode,
-        response_serializer=lambda resp: resp.encode(),
-    )
-    generic = grpc.method_handlers_generic_handler(
-        SERVICE_NAME, {"SinkStream": rpc}
-    )
+    def unary(fn, req_decoder):
+        """Wrap a control method: KeyError -> NOT_FOUND, ValueError ->
+        INVALID_ARGUMENT (the reference's Status choices,
+        service.rs:348-352, 375-377)."""
+
+        def call(request, context):
+            try:
+                return fn(request)
+            except KeyError as e:
+                context.abort(grpc.StatusCode.NOT_FOUND, str(e))
+            except ValueError as e:
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+
+        return grpc.unary_unary_rpc_method_handler(
+            call,
+            request_deserializer=req_decoder,
+            response_serializer=lambda resp: resp.encode(),
+        )
+
+    methods = {
+        "SinkStream": grpc.stream_stream_rpc_method_handler(
+            lambda request_iterator, context: handler.handle_stream(
+                request_iterator
+            ),
+            request_deserializer=pw.SinkRequest.decode,
+            response_serializer=lambda resp: resp.encode(),
+        )
+    }
+    if control is not None:
+        methods["GetConfig"] = unary(control.get_config, pw.ConfigRequest.decode)
+        methods["UpdateConfig"] = unary(
+            control.update_config, pw.ConfigUpdateRequest.decode
+        )
+        methods["GetStatus"] = unary(control.get_status, pw.StatusRequest.decode)
+    generic = grpc.method_handlers_generic_handler(SERVICE_NAME, methods)
     from concurrent import futures
 
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=4))
     server.add_generic_rpc_handlers((generic,))
     server.add_insecure_port(address)
+    if unix_socket_path:
+        server.add_insecure_port(f"unix:{unix_socket_path}")
     server.start()
     return server

@@ -435,3 +435,183 @@ class SinkResponse:
             elif fno == 4 and wt == 2:
                 r = cls(flush_response=FlushResponse.decode(val))
         return r
+
+
+# -- control-plane messages (connector.proto:20-27, 100-141) ----------------
+# GetConfig is real in the reference (service.rs:337-365); UpdateConfig and
+# GetStatus are declared but panic with unimplemented!() (service.rs:368-381,
+# 384-421) — the Spark shim implements all three for real (ingest/control.py).
+
+
+@dataclass
+class ConnectorConfigMsg:
+    """proto ConnectorConfig (connector.proto:43-48). Named *Msg to avoid
+    clashing with franzoxide_spark.config.ConnectorConfig (the engine-side
+    model this message converts to/from in ingest/control.py)."""
+
+    connector_class: str = ""
+    name: str = ""
+    config: dict[str, str] = field(default_factory=dict)
+    tasks_max: int = 0
+
+    def encode(self) -> bytes:
+        return (
+            _str_field(1, self.connector_class)
+            + _str_field(2, self.name)
+            + _map_field(3, self.config)
+            + _varint_field(4, self.tasks_max)
+        )
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "ConnectorConfigMsg":
+        c = cls()
+        for fno, wt, val in _fields(buf):
+            if fno == 1 and wt == 2:
+                c.connector_class = val.decode("utf-8")
+            elif fno == 2 and wt == 2:
+                c.name = val.decode("utf-8")
+            elif fno == 3 and wt == 2:
+                k, v = _decode_map_entry(val)
+                c.config[k] = v
+            elif fno == 4 and wt == 0:
+                c.tasks_max = _signed64(val)
+        return c
+
+
+@dataclass
+class ConfigRequest:
+    connector_name: str = ""
+
+    def encode(self) -> bytes:
+        return _str_field(1, self.connector_name)
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "ConfigRequest":
+        r = cls()
+        for fno, wt, val in _fields(buf):
+            if fno == 1 and wt == 2:
+                r.connector_name = val.decode("utf-8")
+        return r
+
+
+@dataclass
+class ConfigUpdateRequest:
+    config: ConnectorConfigMsg | None = None
+
+    def encode(self) -> bytes:
+        if self.config is None:
+            return b""
+        p = self.config.encode()
+        return _tag(1, 2) + encode_varint(len(p)) + p
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "ConfigUpdateRequest":
+        r = cls()
+        for fno, wt, val in _fields(buf):
+            if fno == 1 and wt == 2:
+                r.config = ConnectorConfigMsg.decode(val)
+        return r
+
+
+@dataclass
+class ConfigResponse:
+    config: ConnectorConfigMsg | None = None
+
+    def encode(self) -> bytes:
+        if self.config is None:
+            return b""
+        p = self.config.encode()
+        return _tag(1, 2) + encode_varint(len(p)) + p
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "ConfigResponse":
+        r = cls()
+        for fno, wt, val in _fields(buf):
+            if fno == 1 and wt == 2:
+                r.config = ConnectorConfigMsg.decode(val)
+        return r
+
+
+@dataclass
+class StatusRequest:
+    connector_name: str = ""
+
+    def encode(self) -> bytes:
+        return _str_field(1, self.connector_name)
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "StatusRequest":
+        r = cls()
+        for fno, wt, val in _fields(buf):
+            if fno == 1 and wt == 2:
+                r.connector_name = val.decode("utf-8")
+        return r
+
+
+# StatusResponse.State enum values (connector.proto:119-126)
+STATE_UNKNOWN = 0
+STATE_RUNNING = 1
+STATE_PAUSED = 2
+STATE_FAILED = 3
+STATE_UNASSIGNED = 4
+
+
+@dataclass
+class TaskStatus:
+    task_id: int = 0
+    state: int = STATE_UNKNOWN
+    worker_id: str = ""
+    error_message: str = ""
+
+    def encode(self) -> bytes:
+        return (
+            _varint_field(1, self.task_id)
+            + _varint_field(2, self.state)
+            + _str_field(3, self.worker_id)
+            + _str_field(4, self.error_message)
+        )
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "TaskStatus":
+        t = cls()
+        for fno, wt, val in _fields(buf):
+            if fno == 1 and wt == 0:
+                t.task_id = _signed64(val)
+            elif fno == 2 and wt == 0:
+                t.state = val
+            elif fno == 3 and wt == 2:
+                t.worker_id = val.decode("utf-8")
+            elif fno == 4 and wt == 2:
+                t.error_message = val.decode("utf-8")
+        return t
+
+
+@dataclass
+class StatusResponse:
+    state: int = STATE_UNKNOWN
+    worker_id: str = ""
+    tasks: list[TaskStatus] = field(default_factory=list)
+    error_message: str = ""
+
+    def encode(self) -> bytes:
+        out = bytearray(_varint_field(1, self.state))
+        out += _str_field(2, self.worker_id)
+        for t in self.tasks:
+            p = t.encode()
+            out += _tag(3, 2) + encode_varint(len(p)) + p
+        out += _str_field(4, self.error_message)
+        return bytes(out)
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "StatusResponse":
+        s = cls()
+        for fno, wt, val in _fields(buf):
+            if fno == 1 and wt == 0:
+                s.state = val
+            elif fno == 2 and wt == 2:
+                s.worker_id = val.decode("utf-8")
+            elif fno == 3 and wt == 2:
+                s.tasks.append(TaskStatus.decode(val))
+            elif fno == 4 and wt == 2:
+                s.error_message = val.decode("utf-8")
+        return s

@@ -223,3 +223,75 @@ def test_grpc_serve_gated_or_live(spark, tmp_path):
         assert out[0].ack.success and out[1].flush_response.success
     finally:
         server.stop(0)
+
+
+# -- control plane ----------------------------------------------------------
+
+def test_control_messages_round_trip():
+    cfg = pw.ConnectorConfigMsg(
+        connector_class="io.rustconnect.S3SinkConnector",
+        name="s3-sink",
+        config={"s3.bucket.name": "b", "flush.size": "100"},
+        tasks_max=2,
+    )
+    assert pw.ConnectorConfigMsg.decode(cfg.encode()) == cfg
+    assert pw.ConfigResponse.decode(pw.ConfigResponse(config=cfg).encode()).config == cfg
+    assert (
+        pw.ConfigUpdateRequest.decode(pw.ConfigUpdateRequest(config=cfg).encode()).config
+        == cfg
+    )
+    st = pw.StatusResponse(
+        state=pw.STATE_RUNNING,
+        worker_id="w",
+        tasks=[pw.TaskStatus(task_id=1, state=pw.STATE_RUNNING, worker_id="w-1")],
+    )
+    assert pw.StatusResponse.decode(st.encode()) == st
+    assert pw.ConfigRequest.decode(pw.ConfigRequest("x").encode()).connector_name == "x"
+
+
+def test_control_plane_handler_bridges_manager(spark, sf_dir, tmp_path):
+    """GetConfig mirrors the live config (A24); GetStatus maps engine
+    states onto the proto enum with per-task fan-out (A25/B15; the
+    reference panics unimplemented!, service.rs:384-421); UpdateConfig
+    performs the B14 checkpoint-preserving restart (reference panics,
+    service.rs:368-381)."""
+    from test_streaming import _pipeline_config, _write_record_files
+
+    from franzoxide_spark.ingest.control import ControlPlaneHandler
+    from franzoxide_spark.manager import ConnectorManager
+
+    in_dir, total, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in"))
+    cfg = _pipeline_config(in_dir, str(tmp_path / "out"))
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    ctl = ControlPlaneHandler(mgr)
+
+    got = ctl.get_config(pw.ConfigRequest(connector_name="json-sink")).config
+    assert got.connector_class == "io.rustconnect.S3SinkConnector"
+    assert got.config["format.class"] == "json"
+
+    # pre-start: UNASSIGNED; running: RUNNING; stopped: PAUSED
+    assert ctl.get_status(pw.StatusRequest("file-source")).state == pw.STATE_UNASSIGNED
+    mgr.start()
+    st = ctl.get_status(pw.StatusRequest("file-source"))
+    assert st.state == pw.STATE_RUNNING and len(st.tasks) == 1
+    assert st.tasks[0].state == pw.STATE_RUNNING
+
+    # UpdateConfig = B14 restart with merged options over the wire shape
+    resp = ctl.update_config(
+        pw.ConfigUpdateRequest(
+            config=pw.ConnectorConfigMsg(
+                name="file-source", config={"files.per.trigger": "3"}
+            )
+        )
+    )
+    assert resp.config.config["files.per.trigger"] == "3"
+    assert mgr.config.connector("file-source").config["files.per.trigger"] == "3"
+    mgr.process_all_available()
+    mgr.stop()
+    assert ctl.get_status(pw.StatusRequest("file-source")).state == pw.STATE_PAUSED
+
+    with pytest.raises(KeyError, match="not found"):
+        ctl.get_config(pw.ConfigRequest("ghost"))
+    with pytest.raises(ValueError, match="Missing"):
+        ctl.update_config(pw.ConfigUpdateRequest())
