@@ -201,3 +201,75 @@ def test_decimal_sum_cross_engine_exact(spark, values):
     ).fetchone()[0]
     con.close()
     assert spark_sum == duck_sum, (spark_sum, duck_sum)
+
+
+# -- EP2 proto3 wire codec round-trips (ingest/protowire.py) ----------------
+
+_proto_str = st.text(max_size=40)
+_proto_bytes = st.binary(max_size=60)
+_int32 = st.integers(-(2**31), 2**31 - 1)
+_int64 = st.integers(-(2**63), 2**63 - 1)
+_headers = st.dictionaries(st.text(max_size=15), st.text(max_size=15), max_size=5)
+
+
+@st.composite
+def _kafka_records(draw):
+    from franzoxide_spark.ingest import protowire as pw
+
+    return pw.KafkaRecord(
+        topic=draw(_proto_str),
+        partition=draw(_int32),
+        offset=draw(_int64),
+        timestamp=draw(_int64),
+        key=draw(_proto_bytes),
+        value=draw(_proto_bytes),
+        headers=draw(_headers),
+    )
+
+
+@given(st.lists(_kafka_records(), max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_protowire_sink_request_round_trip(records):
+    """encode∘decode = id over the full SinkRequest value space, including
+    negative intN (10-byte varints), empty strings/bytes (omitted fields
+    decode to proto3 defaults), and arbitrary header maps."""
+    from franzoxide_spark.ingest import protowire as pw
+
+    req = pw.SinkRequest(record_batch=pw.RecordBatch(records=records))
+    assert pw.SinkRequest.decode(req.encode()) == req
+
+
+@given(
+    st.lists(
+        st.tuples(_proto_str, _int32, _int64).map(
+            lambda t: ("RecordId", *t)
+        ),
+        max_size=6,
+    ),
+    st.booleans(),
+    _proto_str,
+)
+@settings(max_examples=100, deadline=None)
+def test_protowire_ack_and_control_round_trip(ids, success, msg):
+    from franzoxide_spark.ingest import protowire as pw
+
+    ack = pw.SinkResponse(
+        ack=pw.RecordAck(
+            record_ids=[pw.RecordId(t, p, o) for _, t, p, o in ids],
+            success=success,
+            error_message=msg,
+        )
+    )
+    assert pw.SinkResponse.decode(ack.encode()) == ack
+
+    cfg = pw.ConnectorConfigMsg(
+        connector_class=msg, name=msg, config={msg[:10]: msg}, tasks_max=len(ids)
+    )
+    assert pw.ConnectorConfigMsg.decode(cfg.encode()) == cfg
+    stat = pw.StatusResponse(
+        state=pw.STATE_PAUSED if success else pw.STATE_FAILED,
+        worker_id=msg,
+        tasks=[pw.TaskStatus(i, pw.STATE_RUNNING, msg) for i in range(len(ids))],
+        error_message=msg,
+    )
+    assert pw.StatusResponse.decode(stat.encode()) == stat
