@@ -172,3 +172,59 @@ def running_counts(events: DataFrame, key_col: str, value_col: str) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas variant (Spark 4 stateful API)
+# --------------------------------------------------------------------------
+
+OUTPUT_SCHEMA_TWS = OUTPUT_SCHEMA
+
+
+def running_counts_tws(events: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key running (count, sum) on Spark 4's ``transformWithState``
+    API — the successor of ``applyInPandasWithState`` with typed state
+    handles (ValueState/ListState/MapState), timers, and TTL support.
+    Same contract and output as :func:`running_counts`; requires the
+    RocksDB state store provider (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` before starting the query —
+    TWS state lives in RocksDB, not the default HDFS-backed store).
+
+    Kept alongside the applyInPandasWithState variants rather than
+    replacing them: TWS is the forward path (per-state-variable TTL and
+    timers are what a production Bloom-dedup wants for key expiry), while
+    applyInPandasWithState runs on any state store provider.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_events": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = events.selectExpr(
+        f"cast({key_col} as string) as key", f"{value_col} as value"
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=RunningCounts(),
+        outputStructType=OUTPUT_SCHEMA_TWS,
+        outputMode="Update",
+        timeMode="None",
+    )
