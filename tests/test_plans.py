@@ -90,3 +90,43 @@ def test_partition_pruning_on_partitioned_output(spark, tmp_path):
     # partition filter listed separately from data filters -> pruned scan
     assert "PartitionFilters" in plan and "hour" in plan.split("PartitionFilters")[1][:200]
     assert q.count() == 1000 // 24 + (1 if 3 < 1000 % 24 else 0)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing both sides of a fact-fact join on the key removes the
+    shuffle entirely: the physical plan must contain no Exchange, and
+    with sortBy no extra Sort either — the co-located join that makes
+    repeated large joins affordable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.operators.bucketing import bucketed_join, write_bucketed
+    from franzoxide_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_by="o_orderkey")
+    write_bucketed(li, "b_lineitem", "o_orderkey", 8, sort_by="o_orderkey")
+    # the claim is about the 100 TB regime where NEITHER side broadcasts;
+    # at fixture scale Catalyst would broadcast the small side, so disable
+    # auto-broadcast to exercise the SortMergeJoin path the buckets serve
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        n = j.count()
+        # correctness: same count as the plain (shuffling) join
+        expected = orders.join(li, "o_orderkey").count()
+        assert n == expected
+        # the plain join DOES shuffle — the bucketed plan's advantage is real
+        plain_plan = (
+            orders.join(li, "o_orderkey")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
