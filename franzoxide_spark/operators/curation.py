@@ -1,0 +1,116 @@
+"""Corpus-curation operators a training-data pipeline needs beyond dedup:
+benchmark decontamination and deterministic dataset splitting.
+
+- ``decontaminate``  — drop training documents that share any k-gram word
+                       shingle with an evaluation/benchmark set. The eval
+                       side is small by nature (benchmarks are thousands of
+                       documents, the corpus is billions), so its distinct
+                       shingle hashes BROADCAST and the corpus-side
+                       membership probe is shuffle-free; the only shuffles
+                       are on the (tiny) contaminated-id set. This is the
+                       standard n-gram decontamination used before training
+                       so eval results are not inflated by memorized test
+                       items.
+- ``split_assign``   — deterministic train/val/test assignment by hashing
+                       the document id into 100 buckets (seeded md5, the
+                       cross-engine hash from functions/text.py). Pure
+                       map-side projection: no shuffle, stable across runs,
+                       engines, and partitionings — re-running the pipeline
+                       on a grown corpus never moves an existing document
+                       between splits.
+
+Both are deterministic and SQL-expressible, so the composed curation
+pipeline (queries/llm.py q54) hash-checks against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from franzoxide_spark.functions.text import hash60, shingles, tokens
+
+
+def _shingle_hashes(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, h) rows: one per distinct k-gram shingle per document (from a
+    ``__toks`` token-array column), with the shingle replaced by its 60-bit
+    hash so every downstream join key is fixed-width (the same trick
+    dedup.py uses — at 100 TB you never want to shuffle raw n-gram
+    strings)."""
+    return (
+        df.select(id_col, F.explode(shingles("__toks", k)).alias("__g"))
+        .select(id_col, hash60(F.col("__g")).alias("h"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Return the rows of ``docs`` that share NO k-gram shingle with any
+    row of ``eval_docs``. Columns of ``docs`` pass through unchanged.
+
+    Plan shape (audited in tests/test_curation.py):
+      1. eval distinct shingle hashes — tiny, broadcast;
+      2. corpus shingle explode + broadcast LEFT SEMI join -> contaminated
+         ids (no shuffle of the corpus);
+      3. distinct on contaminated ids (shuffle of a small id set only);
+      4. corpus LEFT ANTI join on the (small, broadcast) contaminated ids.
+    """
+    d = docs.withColumn("__toks", tokens(text_col))
+    e = eval_docs.withColumn("__toks", tokens(text_col))
+    eval_hashes = _shingle_hashes(e, id_col, k).select("h").distinct()
+    contaminated = (
+        _shingle_hashes(d, id_col, k)
+        .join(F.broadcast(eval_hashes), "h", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, ...] = (90, 5, 5),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add ``out_col`` assigning each row to one of ``names`` with
+    proportions ``weights`` (percent, must sum to 100), decided by
+    ``hash60(seed || ':' || id) % 100``. Deterministic, engine-agnostic,
+    and independent of row order or partitioning."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    if sum(weights) != 100:
+        raise ValueError(f"weights must sum to 100, got {sum(weights)}")
+    bucket = F.pmod(
+        hash60(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), F.lit(100)
+    )
+    col = None
+    hi = 0
+    for w, name in zip(weights, names):
+        hi += w
+        col = (
+            F.when(bucket < hi, F.lit(name))
+            if col is None
+            else col.when(bucket < hi, F.lit(name))
+        )
+    return df.withColumn(out_col, col)
+
+
+def sql_split_assign(id_expr: str, weights=(90, 5, 5), names=("train", "val", "test"), seed: str = "split") -> str:
+    """DuckDB mirror of ``split_assign``'s bucket->name CASE expression."""
+    from franzoxide_spark.functions.text import sql_hash60
+
+    seeded = "'" + seed + ":' || CAST(" + id_expr + " AS VARCHAR)"
+    bucket = f"({sql_hash60(seeded)} % 100)"
+    parts, hi = [], 0
+    for w, name in zip(weights, names):
+        hi += w
+        parts.append(f"WHEN {bucket} < {hi} THEN '{name}'")
+    return "CASE " + " ".join(parts) + " END"

@@ -386,11 +386,16 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * F.least(n_tok / 100.0, F.lit(1.0)),
         6,
     )
+    # Gopher-style repetition signal: fraction of tokens that repeat an
+    # earlier token (1 - type/token ratio). High values flag boilerplate
+    # and degenerate generations; pure per-row codegen, no shuffle.
+    rep_ratio = 1.0 - F.size(F.array_distinct("__toks")).cast("double") / n_tok
     return docs.select(
         "doc_id",
         n_tok.cast("int").alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(rep_ratio, 6).alias("rep_ratio"),
         n_upper.cast("int").alias("n_upper"),
         quality.alias("quality"),
         F.when(quality > 0.5, "high").when(quality > 0.3, "mid").otherwise("low").alias("band"),
@@ -401,6 +406,7 @@ Q39_SQL = f"""
 WITH st AS (
   SELECT doc_id, n_chars,
          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS n_punct,
          CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
          CAST({sql_lang_score("string_split(text, ' ')", "en")} AS DOUBLE) AS s_en
@@ -410,6 +416,7 @@ calc AS (
   SELECT doc_id, n_tok, n_upper,
          s_en / n_tok AS stop_ratio,
          n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio,
+         1.0 - n_distinct / n_tok AS rep_ratio,
          ROUND(0.4 * (s_en / n_tok)
                + 0.3 * (1.0 - n_punct / CAST(n_chars AS DOUBLE))
                + 0.3 * LEAST(n_tok / 100.0, 1.0), 6) AS quality
@@ -418,6 +425,7 @@ calc AS (
 SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
        ROUND(stop_ratio, 6) AS stop_ratio,
        ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(rep_ratio, 6) AS rep_ratio,
        CAST(n_upper AS INT) AS n_upper,
        quality,
        CASE WHEN quality > 0.5 THEN 'high'
@@ -672,15 +680,34 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q54 — composed curation pipeline: dedup -> quality gate -> stats
+# Q54 — composed curation pipeline:
+#   eval carve-out -> exact dedup -> quality gate -> benchmark
+#   decontamination -> deterministic train/val/test split -> stats
 # --------------------------------------------------------------------------
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-data curation chain as ONE declarative plan: exact
-    dedup survivors -> stopword-quality gate -> per-lang token stats.
-    Catalyst fuses the stages; nothing materializes in between."""
+    """The full training-data curation chain as ONE declarative plan.
+
+    Stages (operators/curation.py for decontam + split):
+      1. carve out the benchmark/eval set (doc_id % 97 == 0 stands in for
+         a held-out eval suite);
+      2. exact-dedup the training pool (sha-256 content key, min-id
+         survivor);
+      3. stopword-quality gate (stop_ratio >= 0.05);
+      4. decontaminate: drop pool docs sharing any 4-gram shingle with any
+         eval doc (broadcast semi-join — the eval side is tiny at any
+         corpus scale);
+      5. assign train/val/test (90/5/5) by seeded md5 bucket — map-side,
+         order- and partitioning-independent;
+      6. per-(lang, split) doc/token stats.
+    Catalyst fuses 1-3 and 5-6 into the scan; the only shuffles are the
+    dedup hash-agg and the tiny contaminated-id distinct."""
+    from franzoxide_spark.operators.curation import decontaminate, split_assign
+
     docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    pool = docs.filter(F.col("doc_id") % 97 != 0)
     survivors = (
-        docs.withColumn("content_sha", F.sha2("text", 256))
+        pool.withColumn("content_sha", F.sha2("text", 256))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -695,37 +722,66 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stop_ratio",
         lang_score("__toks", "en").cast("double") / F.size("__toks"),
     ).filter(F.col("stop_ratio") >= 0.05)
-    return gated.groupBy("lang").agg(
+    clean = decontaminate(gated, eval_docs, k=4)
+    split = split_assign(clean)
+    return split.groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("__toks")).alias("sum_tokens"),
         F.round(F.min("stop_ratio"), 6).alias("min_stop_ratio"),
     )
 
 
-Q54_SQL = f"""
-WITH survivors AS (
+_Q54_SHINGLE4 = (
+    "list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1)),"
+    " i -> array_to_string(tk[i:i+3], ' ')))"
+)
+
+
+def _q54_sql() -> str:
+    from franzoxide_spark.operators.curation import sql_split_assign
+
+    return f"""
+WITH eval_sh AS (
+  SELECT DISTINCT unnest({_Q54_SHINGLE4}) AS g
+  FROM (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id % 97 = 0)
+),
+survivors AS (
   SELECT * FROM (
     SELECT doc_id, text, lang,
            ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-    FROM documents) WHERE rn = 1
+    FROM documents WHERE doc_id % 97 <> 0) WHERE rn = 1
 ),
 gated AS (
-  SELECT lang,
+  SELECT doc_id, text, lang,
          CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
          CAST({sql_lang_score(_TOKS_SQL, "en")} AS DOUBLE)
            / len(string_split(text, ' ')) AS stop_ratio
   FROM survivors
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({_Q54_SHINGLE4}) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM gated
+              WHERE stop_ratio >= 0.05)) s
+  JOIN eval_sh USING (g)
+),
+split AS (
+  SELECT lang, n_tok, stop_ratio,
+         {sql_split_assign("doc_id")} AS split
+  FROM gated
+  WHERE stop_ratio >= 0.05
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 )
-SELECT lang, COUNT(*) AS n_docs,
+SELECT lang, split, COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
        ROUND(MIN(stop_ratio), 6) AS min_stop_ratio
-FROM gated WHERE stop_ratio >= 0.05
-GROUP BY lang
+FROM split
+GROUP BY lang, split
 """
 
 register("q37_lsh_ann_topk", q37, _q37_sql())
 register("q53_ivf_ann_topk", q53, None)
-register("q54_curation_pipeline", q54, Q54_SQL)
+register("q54_curation_pipeline", q54, _q54_sql())
 register("q38_lang_id_heuristic", q38, Q38_SQL)
 register("q39_quality_score", q39, Q39_SQL)
 register("q40_token_counting", q40, Q40_SQL)

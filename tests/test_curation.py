@@ -1,0 +1,113 @@
+"""Curation operators: benchmark decontamination + deterministic splits.
+
+These are the two corpus-curation steps a training-data pipeline runs
+after dedup/quality filtering (operators/curation.py); q54 composes them
+into the oracle-checked pipeline, these tests pin the operator semantics
+and the 100 TB plan shape in isolation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from franzoxide_spark.operators.curation import (
+    decontaminate,
+    split_assign,
+    sql_split_assign,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestDecontaminate:
+    def test_drops_only_overlapping_docs(self, spark):
+        eval_docs = _docs(spark, [(100, "alpha beta gamma delta epsilon", "en")])
+        pool = _docs(
+            spark,
+            [
+                # shares the 4-gram "alpha beta gamma delta" -> contaminated
+                (1, "zero alpha beta gamma delta more words here", "en"),
+                # shares only a 3-gram ("beta gamma delta" overlaps but no
+                # 4 consecutive tokens in common) -> clean
+                (2, "x beta gamma delta y z w v", "en"),
+                # no overlap at all -> clean
+                (3, "completely different text with no overlap at all", "en"),
+            ],
+        )
+        out = decontaminate(pool, eval_docs, k=4)
+        assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+
+    def test_passthrough_columns_and_short_docs(self, spark):
+        # docs shorter than k have no shingles -> never contaminated;
+        # all input columns survive unchanged
+        eval_docs = _docs(spark, [(100, "a b c d", "en")])
+        pool = _docs(spark, [(1, "a b c", "en"), (2, "a b c d", "de")])
+        out = decontaminate(pool, eval_docs, k=4)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {1}
+        assert rows[1]["text"] == "a b c" and rows[1]["lang"] == "en"
+        assert out.columns == pool.columns
+
+    def test_plan_broadcasts_both_small_sides(self, spark):
+        """The corpus side must never shuffle: the eval shingle set and the
+        contaminated-id set both broadcast (the decontam contract at scale
+        — eval suites are tiny, corpora are not)."""
+        eval_docs = _docs(spark, [(100, "alpha beta gamma delta epsilon", "en")])
+        pool = _docs(spark, [(1, "zero alpha beta gamma delta more", "en")])
+        plan = decontaminate(pool, eval_docs, k=4)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+class TestSplitAssign:
+    def test_deterministic_and_exhaustive(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = split_assign(docs).select("doc_id", "split")
+        b = split_assign(docs.repartition(7)).select("doc_id", "split")
+        # same assignment regardless of partitioning; no row unassigned
+        assert a.filter(F.col("split").isNull()).count() == 0
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_proportions_roughly_match_weights(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        counts = dict(
+            split_assign(docs).groupBy("split").count().rdd.map(tuple).collect()
+        )
+        assert set(counts) <= {"train", "val", "test"}
+        # md5 buckets: train ~90% with generous slack for small fixtures
+        assert counts["train"] / n > 0.8
+        assert counts.get("val", 0) / n < 0.15
+        assert counts.get("test", 0) / n < 0.15
+
+    def test_duckdb_mirror_is_identical(self, spark, sf_dir):
+        import duckdb
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sp = dict(
+            split_assign(docs).select("doc_id", "split").rdd.map(tuple).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/documents.parquet')"
+        )
+        du = dict(
+            con.execute(
+                f"SELECT doc_id, {sql_split_assign('doc_id')} FROM documents"
+            ).fetchall()
+        )
+        assert sp == du
+
+    def test_seed_changes_assignment_weights_validated(self, spark):
+        df = _docs(spark, [(i, "t", "en") for i in range(200)])
+        a = split_assign(df, seed="split").select("doc_id", "split")
+        b = split_assign(df, seed="other").select("doc_id", "split")
+        assert a.exceptAll(b).count() > 0  # a different seed reshuffles
+        with pytest.raises(ValueError, match="sum to 100"):
+            split_assign(df, weights=(80, 10), names=("a", "b"))
+        with pytest.raises(ValueError, match="align"):
+            split_assign(df, weights=(90, 5, 5), names=("a", "b"))
