@@ -722,7 +722,9 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stop_ratio",
         lang_score("__toks", "en").cast("double") / F.size("__toks"),
     ).filter(F.col("stop_ratio") >= 0.05)
-    clean = decontaminate(gated, eval_docs, k=4)
+    # probe contamination on the raw pool (map-side explode only) so the
+    # dedup shuffle + window lineage above executes once, not twice
+    clean = decontaminate(gated, eval_docs, k=4, probe=pool)
     split = split_assign(clean)
     return split.groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -51,6 +51,27 @@ class TestDecontaminate:
         assert rows[1]["text"] == "a b c" and rows[1]["lang"] == "en"
         assert out.columns == pool.columns
 
+    def test_probe_superset_gives_identical_result(self, spark):
+        """Probing contamination on a cheap upstream superset (q54 passes
+        the raw pool while filtering the gated frame) must not change the
+        outcome: probe-only ids can't survive the anti-join."""
+        eval_docs = _docs(spark, [(100, "alpha beta gamma delta epsilon", "en")])
+        pool = _docs(
+            spark,
+            [
+                (1, "zero alpha beta gamma delta more words here", "en"),
+                (2, "x beta gamma delta y z w v", "en"),
+                (3, "completely different text with no overlap at all", "en"),
+                # present only in the probe frame, not in docs
+                (4, "alpha beta gamma delta tail", "en"),
+            ],
+        )
+        docs = pool.filter(F.col("doc_id") < 4)
+        via_probe = decontaminate(docs, eval_docs, k=4, probe=pool)
+        direct = decontaminate(docs, eval_docs, k=4)
+        assert sorted(r["doc_id"] for r in via_probe.collect()) == [2, 3]
+        assert sorted(r["doc_id"] for r in direct.collect()) == [2, 3]
+
     def test_plan_broadcasts_both_small_sides(self, spark):
         """The corpus side must never shuffle: the eval shingle set and the
         contaminated-id set both broadcast (the decontam contract at scale
