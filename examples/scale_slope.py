@@ -53,6 +53,10 @@ SLOPE_QUERIES = (
     "q35_ngram_jaccard_pairs",
     "q36_embedding_neardup_blocked",
     "q37_lsh_ann_topk",
+    # full curation chain incl. decontamination: per-replica token suffixes
+    # keep shingle space disjoint across replicas, so the eval overlap
+    # structure grows by sharding exactly as a real corpus would
+    "q54_curation_pipeline",
 )
 
 
