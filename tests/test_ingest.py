@@ -295,3 +295,46 @@ def test_control_plane_handler_bridges_manager(spark, sf_dir, tmp_path):
         ctl.get_config(pw.ConfigRequest("ghost"))
     with pytest.raises(ValueError, match="Missing"):
         ctl.update_config(pw.ConfigUpdateRequest())
+
+
+# -- example daemon glue ----------------------------------------------------
+
+def test_example_daemon_grpc_gate(spark, tmp_path):
+    """examples/run_pipeline._maybe_serve_grpc mirrors the reference
+    daemon's startup (main.rs:100-157): serves only when the config
+    carries transport fields AND an object sink exists AND grpcio is
+    importable; otherwise degrades to a notice, never an exception."""
+    import examples.run_pipeline as rp
+    from franzoxide_spark.config import load_config
+
+    def cfg(extra):
+        p = tmp_path / "c.json"
+        p.write_text(json.dumps({
+            "kafka": {"bootstrap_servers": ["localhost:9092"], "group_id": "g"},
+            **extra,
+        }))
+        return load_config(str(p))
+
+    sink = {
+        "name": "fs-sink", "connector_class": "io.rustconnect.S3SinkConnector",
+        "connector_type": "sink", "topics": ["t1"],
+        "config": {"path.base": str(tmp_path / "out"), "format.class": "json",
+                   "partitioner.class": "default"},
+    }
+
+    # no transport fields -> no server, regardless of sinks
+    c = cfg({"connectors": [sink]})
+    assert rp._maybe_serve_grpc(spark, None, c, str(tmp_path / "ck")) is None
+
+    # transport fields but no object sink -> skip
+    c = cfg({"tcp_address": "127.0.0.1:50097", "connectors": []})
+    assert rp._maybe_serve_grpc(spark, None, c, str(tmp_path / "ck")) is None
+
+    # transport fields + sink: gated None without grpcio, live server with
+    c = cfg({"tcp_address": "127.0.0.1:50097", "connectors": [sink]})
+    server = rp._maybe_serve_grpc(spark, None, c, str(tmp_path / "ck"))
+    if grpc_available():
+        assert server is not None
+        server.stop(0)
+    else:
+        assert server is None
