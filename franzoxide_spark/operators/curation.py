@@ -25,6 +25,7 @@ pipeline (queries/llm.py q54) hash-checks against a DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -82,6 +83,60 @@ def decontaminate(
         .distinct()
     )
     return docs.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def eval_shingle_hashes(
+    eval_docs: DataFrame, text_col: str = "text", k: int = 4
+) -> set[int]:
+    """Collect the eval set's distinct k-gram xxhash64 values — the static
+    side of streaming decontamination. Eval suites are small by nature, so
+    this is a tiny driver-side set (the batch path broadcasts the same
+    relation instead of collecting it)."""
+    e = eval_docs.withColumn("__toks", tokens(text_col))
+    return {
+        r["h"]
+        for r in (
+            e.select(F.explode(shingles("__toks", k)).alias("__g"))
+            .select(F.xxhash64("__g").alias("h"))
+            .distinct()
+            .collect()
+        )
+    }
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    eval_hashes: set[int],
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Streaming-legal decontamination: drop rows sharing any k-gram with
+    the precollected ``eval_hashes`` (from :func:`eval_shingle_hashes`).
+
+    The batch path's contaminated-id build is a second pass over the
+    corpus (explode -> distinct -> anti join), which Structured Streaming
+    cannot express; this variant decides per row in ONE pass — shingle
+    hashes stay an array column and an Arrow-batched pandas UDF probes
+    them against the closure set (O(shingles) set lookups per row, no
+    shuffle, no state). Works identically on batch frames; the join-based
+    :func:`decontaminate` stays the batch default because the JVM join
+    beats Python row flags when a second corpus pass is allowed.
+
+    ``eval_hashes`` may also be a ``sparkContext.broadcast`` of the set —
+    for eval suites past a few hundred thousand shingles, broadcast once
+    instead of shipping the set in every task closure.
+    """
+    @F.pandas_udf("boolean")
+    def _clean(hs: pd.Series) -> pd.Series:
+        ev = eval_hashes.value if hasattr(eval_hashes, "value") else eval_hashes
+        return hs.map(lambda arr: all(h not in ev for h in arr))
+
+    with_hashes = (
+        docs.withColumn("__toks", tokens(text_col))
+        .withColumn("__hs", F.transform(shingles("__toks", k), lambda g: F.xxhash64(g)))
+        .drop("__toks")
+    )
+    return with_hashes.filter(_clean(F.col("__hs"))).drop("__hs")
 
 
 def split_assign(

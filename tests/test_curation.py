@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from franzoxide_spark.operators.curation import (
     decontaminate,
+    decontaminate_stream,
+    eval_shingle_hashes,
     split_assign,
     sql_split_assign,
 )
@@ -81,6 +83,51 @@ class TestDecontaminate:
         plan = decontaminate(pool, eval_docs, k=4)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") >= 2, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestDecontaminateStream:
+    def test_single_pass_variant_matches_join_path(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        pool = docs.filter(F.col("doc_id") % 97 != 0)
+        ev_hs = eval_shingle_hashes(ev, k=4)
+        join_ids = {r["doc_id"] for r in decontaminate(pool, ev, k=4).select("doc_id").collect()}
+        udf_ids = {r["doc_id"] for r in decontaminate_stream(pool, ev_hs, k=4).select("doc_id").collect()}
+        assert join_ids == udf_ids
+        # a sparkContext.broadcast of the set works identically
+        bc = spark.sparkContext.broadcast(ev_hs)
+        bc_ids = {r["doc_id"] for r in decontaminate_stream(pool, bc, k=4).select("doc_id").collect()}
+        assert bc_ids == join_ids
+
+    def test_works_on_a_streaming_source(self, spark, sf_dir, tmp_path):
+        """Curation at ingest time: decontam + split on readStream, result
+        identical to the batch pipeline (the join-based batch path is a
+        two-pass plan Structured Streaming rejects)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        pool = docs.filter(F.col("doc_id") % 97 != 0)
+        pool.write.parquet(str(tmp_path / "in"))
+        stream = spark.readStream.schema(docs.schema).parquet(str(tmp_path / "in"))
+        clean = split_assign(decontaminate_stream(stream, eval_shingle_hashes(ev, k=4), k=4))
+        q = (
+            clean.writeStream.format("memory").queryName("curation_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["doc_id"], r["split"])
+            for r in spark.sql("select doc_id, split from curation_stream").collect()
+        }
+        want = {
+            (r["doc_id"], r["split"])
+            for r in split_assign(decontaminate(pool, ev, k=4)).select("doc_id", "split").collect()
+        }
+        assert got == want
 
 
 class TestSplitAssign:
