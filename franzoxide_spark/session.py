@@ -48,8 +48,10 @@ def get_spark(
         # Repeated map keys keep the last occurrence — the reference's
         # HashMap-insert header semantics (kafka.rs:117).
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
-        # timestamp type, so read it as a long and convert in tables.py.
+        # Older events.parquet fixtures stored TIMESTAMP(NANOS); Spark has
+        # no nanosecond timestamp type, so read those as a long and convert
+        # in tables.py (current fixtures store TIMESTAMP(MICROS), for which
+        # this conf is a harmless no-op).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

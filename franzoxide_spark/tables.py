@@ -39,8 +39,8 @@ _CATALOG: dict[tuple[str, str, str], DataFrame] = {}
 # Correctness-critical runtime confs, re-asserted per session: query
 # callables may be invoked with a session the caller built (e.g. the
 # driver's own vanilla SparkSession), where missing values would crash the
-# events scan (nanos timestamps) or drift timestamp rendering vs the
-# oracle. All three are runtime-settable SQLConfs.
+# events scan (legacy nanos-timestamp fixtures) or drift timestamp
+# rendering vs the oracle. All three are runtime-settable SQLConfs.
 _REQUIRED_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -92,12 +92,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the parquet; Spark reads it as a nanos
-        # long (see session.py). Truncate to micros — same as DuckDB's
-        # ns -> TIMESTAMP cast — so both engines see identical instants.
+        # Fixture generations differ: older events.parquet stored ts as
+        # TIMESTAMP(NANOS), which Spark (under nanosAsLong, session.py)
+        # reads as a bigint of nanoseconds — truncate to micros, matching
+        # DuckDB's ns -> TIMESTAMP cast. Newer fixtures store
+        # TIMESTAMP(MICROS), which Spark reads as timestamp/timestamp_ntz
+        # directly — pass through. Guard on the read dtype so both work.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # Downstream consumers (unix_millis, time windows, watermarks)
+            # require TIMESTAMP (ltz) — the type the nanos path also yields.
+            # Session tz is UTC (ensure_session_confs), so this cast is
+            # value-preserving: the NTZ wall clock IS the UTC instant.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _CATALOG[key] = df
     return df
 
