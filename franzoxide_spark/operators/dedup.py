@@ -354,6 +354,90 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Opt-in ppjoin-style prefix-filter variant of :func:`jaccard_pairs`.
+
+    Identical result set, different candidate generator: shingles are
+    globally ordered rarest-first (document frequency asc, hash asc) and
+    each document contributes only its first ``n - ceil(t*n) + 1``
+    shingles to the candidate join — any pair with J >= t MUST share a
+    prefix shingle (pigeonhole), so the equi-join runs over a
+    ``(1 - t)``-fraction of the exploded table. Verification then computes
+    exact ``|A∩B|`` via ``array_intersect`` on the per-doc hash arrays,
+    touching only surviving candidate pairs.
+
+    When to choose which (measured, BASELINE.md round-6 slope table):
+    the default shingle-join wins at low thresholds (t=0.3 keeps ~70% of
+    every prefix, and the array-payload verify shuffle costs more than
+    the join it saves — measured 3.2x slower at sf0.1). The prefix path
+    wins as ``t`` rises (prefix shrinks to ``1-t``) or when shingle
+    frequency is skewed and a handful of hot shingles dominate the
+    baseline's join (the classic ppjoin regime); it is the variant to
+    reach for when q52's boilerplate sweep cannot run upstream."""
+    sh = (
+        _with_tokens(df, text_col)
+        .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
+        .select(
+            id_col,
+            F.expr(
+                "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint))"
+            ).alias("h"),
+            F.size("s").alias("n"),
+        )
+    )
+    ex = sh.select(id_col, "n", F.explode("h").alias("g"))
+    # global rarity: document frequency per shingle hash (one narrow agg)
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    t = F.lit(threshold)
+    # prefix length n - ceil(t*n) + 1: pigeonhole guarantee that two sets
+    # with J >= t share at least one shingle inside both prefixes when
+    # both are ordered by the SAME global order (df asc, g asc)
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("g").asc())
+    prefix = (
+        ex.join(freq, "g")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
+        .select(id_col, "n", "g")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.greatest(F.col("a.n"), F.col("b.n")) * t
+                <= F.least(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = sh.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"), F.col("n").alias("na"))
+    hb = sh.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = F.round(
+        inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double"),
+        6,
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # --------------------------------------------------------------------------
 # embedding near-dup (exact; the LSH scale path lives in similarity.py)
 # --------------------------------------------------------------------------

@@ -33,10 +33,13 @@ def load_all() -> None:
 
     Import order IS registration order, and the driver records at most 50
     CORRECTNESS rows per round in that order (r01 recorded exactly 50 of 54,
-    silently cutting the last 4 registered — q26/q27/q28/q32). The registry
-    is therefore consolidated to exactly 50 entries, and the §2.4
-    streaming-semantics contract queries (windows_batch) register first so
-    they can never fall off the tail again.
+    silently cutting the last 4 registered — q26/q27/q28/q32). Ordering
+    policy: the §2.4 streaming-semantics contract queries (windows_batch)
+    register first, every oracle-checked query registers before any
+    rows-only one, and the rows-only entries (queries/rows_only.py) sit at
+    the tail — if the 50-row cap cuts anything, it cuts a weak rows-only
+    smoke record (those ops carry their real verification in tests/), never
+    an oracle-checked result.
     """
     from franzoxide_spark.queries import (  # noqa: F401
         windows_batch,
@@ -44,4 +47,5 @@ def load_all() -> None:
         envelope,
         extras,
         llm,
+        rows_only,
     )

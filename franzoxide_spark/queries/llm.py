@@ -223,6 +223,20 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in ppjoin-style prefix-filter twin of q35 — identical result
+    set (checked against the SAME oracle), different candidate generator:
+    rarest-first global shingle order, prefix length n - ceil(t*n) + 1,
+    array_intersect verify on candidates only. The variant for
+    high-threshold or shingle-skewed corpora where the plain shingle join
+    degrades (see operators/dedup.py:jaccard_pairs_prefix)."""
+    from franzoxide_spark.operators.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(
+        table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3
+    )
+
+
 Q35_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
@@ -662,6 +676,7 @@ register("q31_text_stats_median", q31, Q31_SQL)
 register("q33_minhash_lsh_neardup", q33, Q33_SQL)
 register("q34_simhash_neardup", q34, Q34_SQL)
 register("q35_ngram_jaccard_pairs", q35, Q35_SQL)
+register("q35b_ngram_jaccard_prefix", q35b, Q35_SQL)
 register("q36_embedding_neardup_blocked", q36, Q36_SQL)
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means cells + n_probe rerank) — data-adaptive
@@ -782,7 +797,7 @@ GROUP BY lang, split
 """
 
 register("q37_lsh_ann_topk", q37, _q37_sql())
-register("q53_ivf_ann_topk", q53, None)
+# q53 registers in queries/rows_only.py (see that module: rows-only tail)
 register("q54_curation_pipeline", q54, _q54_sql())
 register("q38_lang_id_heuristic", q38, Q38_SQL)
 register("q39_quality_score", q39, Q39_SQL)

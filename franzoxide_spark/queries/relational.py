@@ -698,7 +698,9 @@ register("q07_anti_join_not_exists", q07, Q07_SQL)
 register("q08_left_join_null_agg", q08, Q08_SQL)
 register("q09_range_theta_join", q09, Q09_SQL)
 register("q10_distinct_exact", q10, Q10_SQL)
-register("q10b_approx_count_distinct", q10b, None)
+# q10b registers in queries/rows_only.py (rows-only entries sit at the
+# registry tail so the driver's 50-row CORRECTNESS cap can never cut an
+# oracle-checked entry)
 register("q11_rollup_cube_gsets", q11, Q11_SQL)
 register("q13_window_rank_lag_lead", q13, Q13_SQL)
 register("q15_window_running_sum", q15, Q15_SQL)

