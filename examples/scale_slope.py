@@ -51,6 +51,10 @@ SLOPE_QUERIES = (
     "q33_minhash_lsh_neardup",
     "q34_simhash_neardup",
     "q35_ngram_jaccard_pairs",
+    # opt-in prefix-filter twin (same oracle): measured here so the
+    # jaccard_pairs_prefix docstring's which-variant-when guidance carries
+    # a slope number, not just the sf0.1 point
+    "q35b_ngram_jaccard_prefix",
     "q36_embedding_neardup_blocked",
     "q37_lsh_ann_topk",
     # full curation chain incl. decontamination: per-replica token suffixes
@@ -193,8 +197,12 @@ def main() -> None:
     spark = get_spark(app_name="franzoxide_scale_slope")
     build_scaled(spark, src, out_dir, r)
 
+    # optional subset (comma-separated names) for quick single-family runs
+    only = os.environ.get("SPARK_GRAFT_SLOPE_QUERIES")
+    slope_queries = tuple(only.split(",")) if only else SLOPE_QUERIES
+
     result: dict = {"replication": r, "base": src, "queries": {}}
-    for name in SLOPE_QUERIES:
+    for name in slope_queries:
         base = time_query(spark, name, src, runs)
         scaled = time_query(spark, name, out_dir, runs)
         result["queries"][name] = {
