@@ -439,6 +439,98 @@ def jaccard_pairs_prefix(
 
 
 # --------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> survivor per cluster
+# --------------------------------------------------------------------------
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the step
+    that turns any pair finder (MinHash q33 / SimHash q34 / Jaccard q35 /
+    cosine q36) into an actionable dedup decision: every document in a
+    component keeps exactly one survivor, the component's min id.
+
+    Algorithm: min-label propagation. Each node starts labeled with its
+    own id; every iteration each node takes the min of its own label and
+    its neighbors' labels (one shuffle on node id per iteration, fully
+    distributed — the driver only checks the converged-yet flag).
+    Iterations needed = graph diameter, and near-dup graphs are
+    shallow by construction (a cluster is a set of mutual near-copies;
+    diameters beyond ~3 essentially never occur), so the loop converges
+    in a handful of rounds at ANY corpus scale. For adversarial
+    long-chain graphs the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce", SOCC'14) drops convergence to
+    O(log n) rounds with the same per-round shuffle shape — the swap is
+    local to this function and not needed for near-dup workloads.
+
+    Each iteration persists its labels and unpersists the previous
+    generation: without the pipeline break the lineage doubles per round
+    (each iteration references the last twice: the label join and the
+    convergence check), going exponential by iteration ~10.
+
+    Returns (doc id, cluster_id, is_survivor) for every node that
+    appears in >= 1 pair; unpaired documents are trivially their own
+    survivor and are left out of the relation (callers anti-join the
+    non-survivors against the corpus, so absent == kept).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.id == nbr_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"neardup_clusters did not converge in {max_iter} iterations"
+            )
+        return labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            (F.col("id") == F.col("comp")).alias("is_survivor"),
+        )
+    finally:
+        edges.unpersist()
+
+
+# --------------------------------------------------------------------------
 # embedding near-dup (exact; the LSH scale path lives in similarity.py)
 # --------------------------------------------------------------------------
 

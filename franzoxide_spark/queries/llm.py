@@ -215,6 +215,39 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 # --------------------------------------------------------------------------
+# Q57 — near-dup clustering: MinHash pairs -> connected components ->
+# one survivor (min doc_id) per cluster. The step that turns pair
+# finders into dedup decisions.
+# --------------------------------------------------------------------------
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs (q33's exact plan) clustered into connected
+    components by distributed min-label propagation
+    (operators/dedup.py:neardup_clusters); survivor = min id per
+    component. Oracle: the same pair relation fed to a recursive CTE."""
+    from franzoxide_spark.operators.dedup import neardup_clusters
+
+    return neardup_clusters(q33(spark, sf_dir))
+
+
+def _q57_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({Q33_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS n, src AS r FROM edges
+  UNION
+  SELECT e.dst AS n, reach.r FROM reach JOIN edges e ON e.src = reach.n
+),
+cc AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor FROM cc
+"""
+
+
+# --------------------------------------------------------------------------
 # Q35 — exact n-gram Jaccard pairs (shingle-join)
 # --------------------------------------------------------------------------
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,6 +710,7 @@ register("q33_minhash_lsh_neardup", q33, Q33_SQL)
 register("q34_simhash_neardup", q34, Q34_SQL)
 register("q35_ngram_jaccard_pairs", q35, Q35_SQL)
 register("q35b_ngram_jaccard_prefix", q35b, Q35_SQL)
+register("q57_neardup_clusters", q57, _q57_sql())
 register("q36_embedding_neardup_blocked", q36, Q36_SQL)
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means cells + n_probe rerank) — data-adaptive

@@ -269,3 +269,39 @@ def test_tiled_blocks_bands_spread_structured_ids(spark):
     n = 64
     assert len(meet) == n * (n - 1) // 2, "some pair never meets"
     assert set(meet.values()) == {1}, "some pair meets in more than one tile"
+
+
+def test_neardup_clusters_chain_and_survivors(spark):
+    """Min-label propagation over a 6-node chain (diameter 5 — forces
+    multiple iterations), a triangle, and an isolated pair: every node
+    labels with its component min, exactly one survivor per cluster."""
+    from franzoxide_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5-6, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_survivor)
+        for r in neardup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (1, False), 5: (1, False), 6: (1, False),
+        10: (10, True), 11: (10, False), 12: (10, False),
+        20: (20, True), 21: (20, False),
+    }
+
+
+def test_neardup_clusters_direction_insensitive(spark):
+    """Edge direction in the pair relation must not matter (pair finders
+    emit id_a < id_b, but the operator symmetrizes internally)."""
+    from franzoxide_spark.operators.dedup import neardup_clusters
+
+    fwd = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rev = spark.createDataFrame([(3, 2), (2, 1)], "id_a long, id_b long")
+    as_rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert as_rows(neardup_clusters(fwd)) == as_rows(neardup_clusters(rev))
