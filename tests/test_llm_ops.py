@@ -305,3 +305,42 @@ def test_neardup_clusters_direction_insensitive(spark):
     rev = spark.createDataFrame([(3, 2), (2, 1)], "id_a long, id_b long")
     as_rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert as_rows(neardup_clusters(fwd)) == as_rows(neardup_clusters(rev))
+
+
+def test_jaccard_prefix_variant_matches_default(spark):
+    """The opt-in ppjoin-style prefix-filter path must produce the exact
+    pair set of the default shingle join (same threshold, same corpus) —
+    the pigeonhole prefix bound is an equivalence, not an approximation.
+    Corpus is built to exercise every branch: near-identical pairs,
+    partial overlaps straddling the threshold, a hot shingle shared by
+    all docs (the skew case prefix filtering targets), short docs below
+    shingle size, and exact duplicates."""
+    from franzoxide_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " bank"),                      # near-identical to 1
+            (3, "the quick brown fox sleeps all day long in the warm sun"),
+            (4, "completely different words about training data pipelines"),
+            (5, "completely different words about training data curation"),
+            (6, "tiny doc"),                          # below shingle size
+            (7, base),                                # exact duplicate of 1
+            (8, "common tail phrase " + base),        # superset overlap
+        ],
+        "doc_id long, text string",
+    )
+    for t in (0.3, 0.6, 0.9):
+        want = sorted(
+            map(tuple, jaccard_pairs(docs, "text", "doc_id", t).collect())
+        )
+        got = sorted(
+            map(tuple, jaccard_pairs_prefix(docs, "text", "doc_id", t).collect())
+        )
+        assert got == want, f"threshold {t}: {got} != {want}"
+    # sanity: the corpus actually produces pairs at the loosest threshold
+    assert len(sorted(map(tuple, jaccard_pairs(docs, "text", "doc_id", 0.3).collect()))) >= 2
