@@ -34,7 +34,9 @@ from franzoxide_spark import queries as q
 from franzoxide_spark.session import get_spark
 
 
-def _time_oracles(sf_dir: str, runs: int) -> dict[str, float]:
+def _time_oracles(
+    sf_dir: str, runs: int, errors: dict[str, str]
+) -> dict[str, float]:
     """Per-query DuckDB reference timings on the same files, same protocol
     (warm connection, min-of-runs, pandas materialization) — the apples-to-
     apples denominator for the per-query bar in BASELINE.md."""
@@ -56,7 +58,10 @@ def _time_oracles(sf_dir: str, runs: int) -> dict[str, float]:
                     t0 = time.perf_counter()
                     con.execute(sql).df()
                     best = min(best, time.perf_counter() - t0)
-            except Exception:  # noqa: BLE001 — skip; ratio uses intersection
+            except Exception as e:  # noqa: BLE001 — ratio uses intersection
+                # record WHY the intersection shrank — the bar must stay
+                # checkable from the artifact alone
+                errors[f"oracle:{name}"] = f"{type(e).__name__}: {e}"[:300]
                 continue
             out[name] = round(best, 4)
         return out
@@ -109,6 +114,10 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001 — time the rest regardless
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+            # a transient failure on a LATER run must not discard a valid
+            # earlier timing — the min-of-N exists to reject load spikes
+            if best != float("inf"):
+                timings[name] = round(best, 4)
             continue
         timings[name] = round(best, 4)
 
@@ -126,14 +135,18 @@ def main() -> None:
             floor = min(floor, time.perf_counter() - t0)
     except Exception as e:  # noqa: BLE001
         errors["sched_floor"] = f"{type(e).__name__}: {e}"[:300]
-        floor = 0.0
-    floor = round(floor, 4)
+    floor_failed = floor == float("inf")
+    # without a measured floor, the per-query bar can't be evaluated as
+    # documented (spark <= 2*duckdb + floor) — flagging with floor=0 would
+    # wrongly flag queries the criterion permits, so skip the flag instead
+    # (the recorded error makes the skip auditable)
+    floor = 0.0 if floor_failed else round(floor, 4)
 
     total = round(sum(timings.values()), 4)
     spark.stop()
 
     try:
-        oracle_timings = _time_oracles(sf_dir, runs)
+        oracle_timings = _time_oracles(sf_dir, runs, errors)
     except Exception as e:  # noqa: BLE001
         errors["oracle_suite"] = f"{type(e).__name__}: {e}"[:300]
         oracle_timings = {}
@@ -157,7 +170,7 @@ def main() -> None:
         for name, osec in oracle_timings.items()
         if osec >= bar_min_oracle_s
         and timings.get(name, 0.0) > 2 * osec + floor
-    )
+    ) if not floor_failed else []
     summary = {
         "metric": "suite_wall_clock",
         "value": total,
@@ -173,14 +186,18 @@ def main() -> None:
         "suite_ratio": round(
             oracle_total / max(sum(oracle_timings[k] for k in both), 1e-9), 3
         ),
-        "sched_floor_s": floor,
+        "sched_floor_s": None if floor_failed else floor,
         "bar_min_oracle_s": bar_min_oracle_s,
         "over_bar": over_bar,
-        "errors": errors,
+        # names only on the printed line: full messages would re-grow the
+        # single JSON line whose length already caused the r2 tail-capture
+        # truncation once — details live in BENCH_DETAIL.json
+        "error_keys": sorted(errors),
         "detail_file": "BENCH_DETAIL.json",
     }
     detail = dict(summary)
     detail["queries"] = timings
+    detail["errors"] = errors
     # per-query DuckDB reference timings (same files, same min-of-N
     # pandas-materialization protocol) — detail file only; on the printed
     # line they doubled its length and caused the r2 truncation.

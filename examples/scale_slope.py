@@ -194,12 +194,22 @@ def main() -> None:
         ".scale", f"x{r}",
     )
     q.load_all()
+
+    # optional subset (comma-separated names) for quick single-family runs;
+    # validated up front — a typo must fail BEFORE the minutes-long replica
+    # build, not mid-run in time_query
+    only = os.environ.get("SPARK_GRAFT_SLOPE_QUERIES")
+    slope_queries = (
+        tuple(s.strip() for s in only.split(",") if s.strip())
+        if only
+        else SLOPE_QUERIES
+    )
+    unknown = [n for n in slope_queries if n not in q.QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown SPARK_GRAFT_SLOPE_QUERIES entries: {unknown}")
+
     spark = get_spark(app_name="franzoxide_scale_slope")
     build_scaled(spark, src, out_dir, r)
-
-    # optional subset (comma-separated names) for quick single-family runs
-    only = os.environ.get("SPARK_GRAFT_SLOPE_QUERIES")
-    slope_queries = tuple(only.split(",")) if only else SLOPE_QUERIES
 
     result: dict = {"replication": r, "base": src, "queries": {}}
     for name in slope_queries:

@@ -397,12 +397,23 @@ def jaccard_pairs_prefix(
     t = F.lit(threshold)
     # prefix length n - ceil(t*n) + 1: pigeonhole guarantee that two sets
     # with J >= t share at least one shingle inside both prefixes when
-    # both are ordered by the SAME global order (df asc, g asc)
+    # both are ordered by the SAME global order (df asc, g asc).
+    # t is relaxed by 1e-6 because the verify accepts round(J, 6) >= t,
+    # which admits pairs with true J down to t - 5e-7 — the pigeonhole
+    # bound must cover those too or the variant could drop a pair the
+    # default shingle join emits; the subtracted 1e-9 absorbs float
+    # error in t*n (e.g. 0.3*10 = 3.0000000000000004 would over-ceil).
+    # Both relaxations only LENGTHEN the prefix — superset of candidates,
+    # never a miss.
+    t_bound = F.lit(threshold - 1e-6)
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("g").asc())
     prefix = (
         ex.join(freq, "g")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(t_bound * F.col("n") - F.lit(1e-9)) + 1
+        )
         .select(id_col, "n", "g")
     )
     a = prefix.alias("a")
@@ -475,7 +486,10 @@ def neardup_clusters(
     Returns (doc id, cluster_id, is_survivor) for every node that
     appears in >= 1 pair; unpaired documents are trivially their own
     survivor and are left out of the relation (callers anti-join the
-    non-survivors against the corpus, so absent == kept).
+    non-survivors against the corpus, so absent == kept). The returned
+    frame is the converged label generation and is still persisted —
+    free re-reads for the caller's downstream joins; call
+    ``.unpersist()`` on it when done if executor storage matters.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -506,11 +520,14 @@ def neardup_clusters(
                 )
                 .persist()
             )
+            # full count, NOT limit(1): the count is also what materializes
+            # new_labels' cache before the previous generation unpersists —
+            # a short-circuiting check could leave partitions uncached and
+            # re-derive them through the unpersisted parent next iteration
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
                 .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
                 .count()
             )
             labels.unpersist()
@@ -518,6 +535,7 @@ def neardup_clusters(
             if changed == 0:
                 break
         else:
+            labels.unpersist()
             raise RuntimeError(
                 f"neardup_clusters did not converge in {max_iter} iterations"
             )

@@ -26,18 +26,15 @@ from franzoxide_spark.tables import TABLES  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-def _norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # order-insensitive: sort rows by all columns' string rendering
-    s = df.astype(str)
-    order = s.sort_values(by=list(s.columns)).index
-    return df.loc[order].reset_index(drop=True)
-
-
 def _hash(df: pd.DataFrame) -> int:
-    norm = _norm(df)
-    rendered = norm.map(
-        lambda v: f"{v:.6g}" if isinstance(v, float) else str(v)
+    # Sort by the SAME rendering that is hashed: sorting on full-precision
+    # str() while hashing at .6g lets benign cross-engine float noise
+    # reorder tolerance-identical rows differently per engine -> spurious
+    # mismatch.
+    df = df.reindex(sorted(df.columns), axis=1)
+    rendered = df.map(lambda v: f"{v:.6g}" if isinstance(v, float) else str(v))
+    rendered = rendered.sort_values(by=list(rendered.columns)).reset_index(
+        drop=True
     )
     return hash(tuple(map(tuple, rendered.itertuples(index=False))))
 

@@ -54,9 +54,19 @@ def test_events_loader_handles_both_ts_encodings(spark, tmp_path, ts_type):
     # Whichever physical encoding, the loaded column must be a timestamp
     # (the streaming/window family requires a temporal type)...
     assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
-    # ...and carry the exact micro-precision instants.
-    got = [r.ts.replace(tzinfo=None) for r in df.orderBy("event_id").collect()]
-    assert got == _INSTANTS
+    # ...and carry the exact micro-precision instants. Compare epoch
+    # micros, not collect()ed datetimes: PySpark renders TIMESTAMP in the
+    # Python process's OS timezone on collect, which would skew the naive
+    # comparison on any non-UTC host even though the loader is correct.
+    import pyspark.sql.functions as F
+
+    got = [
+        r.us
+        for r in df.orderBy("event_id").select(F.unix_micros("ts").alias("us")).collect()
+    ]
+    epoch = dt.datetime(1970, 1, 1)
+    want = [(i - epoch) // dt.timedelta(microseconds=1) for i in _INSTANTS]
+    assert got == want
 
 
 def test_events_loader_same_instants_across_encodings(spark, tmp_path):
