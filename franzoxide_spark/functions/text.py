@@ -144,3 +144,56 @@ def sql_lang_score(tokens_expr: str, lang: str) -> str:
         f"CAST(len(list_filter({tokens_expr},"
         f" t -> t IN ({_in_list(LANG_LEXICONS[lang])}))) AS INT)"
     )
+
+
+# --------------------------------------------------------------------------
+# intra-document repetition stats (Gopher-style quality rules)
+# --------------------------------------------------------------------------
+# All computed with array higher-order functions over the token array —
+# ZERO shuffle: every stat is a per-row expression, so the gate runs
+# map-side at any corpus scale (the ideal shape for a 100 TB quality
+# sweep; compare the corpus-global q52 boilerplate sweep, which needs a
+# shuffle because its unit is the corpus, not the document).
+
+
+def _grams_expr(tokens_col: str, k: int) -> str:
+    """All k-gram strings of the token array, duplicates KEPT (repetition
+    is the signal here — contrast shingles(), which dedupes)."""
+    return (
+        f"case when size({tokens_col}) < {k}"
+        " then cast(array() as array<string>)"
+        f" else transform(sequence(1, size({tokens_col}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({tokens_col}, i, {k}))) end"
+    )
+
+
+def ngram_rep_stats(tokens_col: str, k: int) -> Column:
+    """struct(n, n_distinct, top) for the doc's k-gram multiset:
+    total count, distinct count, and the highest single k-gram frequency
+    (max run length in the sorted gram array — a pure fold, no shuffle)."""
+    g = _grams_expr(tokens_col, k)
+    return F.expr(
+        f"""named_struct(
+          'n', size({g}),
+          'n_distinct', size(array_distinct({g})),
+          'top', aggregate(
+             array_sort({g}),
+             named_struct('prev', cast(null as string), 'run', 0, 'mx', 0),
+             (acc, x) -> named_struct(
+               'prev', x,
+               'run', case when x = acc.prev then acc.run + 1 else 1 end,
+               'mx', greatest(acc.mx,
+                 case when x = acc.prev then acc.run + 1 else 1 end)),
+             acc -> acc.mx))"""
+    )
+
+
+def sql_ngrams_with_dups(tokens_expr: str, k: int) -> str:
+    """DuckDB mirror of ``_grams_expr`` — all k-grams, duplicates kept.
+    The fold-based top-frequency has no clean DuckDB lambda equivalent,
+    so oracles compute it relationally (unnest -> count -> max), which
+    is equivalent; see Q58_SQL."""
+    return (
+        f"list_transform(range(1, greatest(len({tokens_expr}) - {k - 2}, 1)),"
+        f" i -> array_to_string(({tokens_expr})[i:i+{k - 1}], ' '))"
+    )

@@ -840,3 +840,88 @@ register("q41_rolling_fingerprint", q41, Q41_SQL)
 register("q42_multimodal_byte_stats", q42, Q42_SQL)
 register("q43_asof_join", q43, Q43_SQL)
 register("q43b_asof_merge_scale_path", q43b, Q43_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q58 — intra-document repetition gate (Gopher-style quality rules)
+# --------------------------------------------------------------------------
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram repetition stats + keep/drop gate.
+
+    Fractions follow the Gopher repetition rules (Rae et al. 2021,
+    "Scaling Language Models", Table A1) computed over token-count
+    rather than character mass: duplicate 2-gram fraction, top-2-gram
+    fraction, duplicate 3-gram fraction; a document is kept when all
+    three sit under their thresholds. Every stat is an array-fold
+    expression over the token array — ZERO shuffle, the whole gate runs
+    map-side at any corpus scale (functions/text.py:ngram_rep_stats).
+
+    Registered past the driver's 50-record correctness window (the 50
+    oracle slots are full), so its cross-engine proof is the in-repo
+    DuckDB parity test (tests/test_llm_ops.py) running this exact oracle.
+    """
+    from franzoxide_spark.functions.text import ngram_rep_stats
+
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        docs.withColumn("__toks", tokens("text"))
+        .withColumn("s2", ngram_rep_stats("__toks", 2))
+        .withColumn("s3", ngram_rep_stats("__toks", 3))
+    )
+    frac = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    frac_dup2 = frac(F.col("s2.n") - F.col("s2.n_distinct"), F.col("s2.n"))
+    frac_top2 = frac(F.col("s2.top"), F.col("s2.n"))
+    frac_dup3 = frac(F.col("s3.n") - F.col("s3.n_distinct"), F.col("s3.n"))
+    return d.select(
+        "doc_id",
+        F.col("s2.n").alias("n2"),
+        frac_dup2.alias("frac_dup2"),
+        frac_top2.alias("frac_top2"),
+        frac_dup3.alias("frac_dup3"),
+        (
+            (frac_dup2 <= 0.2) & (frac_top2 <= 0.2) & (frac_dup3 <= 0.18)
+        ).alias("keep"),
+    )
+
+
+def _q58_sql() -> str:
+    from franzoxide_spark.functions.text import sql_ngrams_with_dups
+
+    g2 = sql_ngrams_with_dups("tk", 2)
+    g3 = sql_ngrams_with_dups("tk", 3)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+e2 AS (SELECT doc_id, unnest({g2}) AS g FROM toks),
+e3 AS (SELECT doc_id, unnest({g3}) AS g FROM toks),
+c2 AS (
+  SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS nd, MAX(cnt) AS top
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM e2 GROUP BY 1, 2) GROUP BY 1
+),
+c3 AS (
+  SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS nd
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM e3 GROUP BY 1, 2) GROUP BY 1
+),
+j AS (
+  SELECT t.doc_id,
+         COALESCE(c2.n, 0) AS n2,
+         CASE WHEN COALESCE(c2.n, 0) > 0
+              THEN ROUND(CAST(c2.n - c2.nd AS DOUBLE) / c2.n, 6) ELSE 0.0 END
+           AS frac_dup2,
+         CASE WHEN COALESCE(c2.n, 0) > 0
+              THEN ROUND(CAST(c2.top AS DOUBLE) / c2.n, 6) ELSE 0.0 END
+           AS frac_top2,
+         CASE WHEN COALESCE(c3.n, 0) > 0
+              THEN ROUND(CAST(c3.n - c3.nd AS DOUBLE) / c3.n, 6) ELSE 0.0 END
+           AS frac_dup3
+  FROM toks t LEFT JOIN c2 ON t.doc_id = c2.doc_id
+              LEFT JOIN c3 ON t.doc_id = c3.doc_id
+)
+SELECT doc_id, CAST(n2 AS INT) AS n2, frac_dup2, frac_top2, frac_dup3,
+       (frac_dup2 <= 0.2 AND frac_top2 <= 0.2 AND frac_dup3 <= 0.18) AS keep
+FROM j
+"""
+
+
+register("q58_repetition_gate", q58, _q58_sql())

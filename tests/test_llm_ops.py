@@ -344,3 +344,60 @@ def test_jaccard_prefix_variant_matches_default(spark):
         assert got == want, f"threshold {t}: {got} != {want}"
     # sanity: the corpus actually produces pairs at the loosest threshold
     assert len(sorted(map(tuple, jaccard_pairs(docs, "text", "doc_id", 0.3).collect()))) >= 2
+
+
+def test_repetition_gate_matches_duckdb_oracle(spark, sf_dir):
+    """q58 registers past the driver's 50-record correctness window, so
+    its cross-engine proof lives here: run the exact registered oracle
+    in-process and compare the full relation."""
+    import duckdb
+
+    from franzoxide_spark.queries.llm import _q58_sql, q58
+
+    got = {
+        r.doc_id: (r.n2, r.frac_dup2, r.frac_top2, r.frac_dup3, r.keep)
+        for r in q58(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {
+        int(r[0]): (int(r[1]), float(r[2]), float(r[3]), float(r[4]), bool(r[5]))
+        for r in con.execute(_q58_sql()).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+def test_ngram_rep_stats_known_values(spark):
+    """Hand-computed repetition stats: a doc that is one phrase repeated
+    (dup + top fractions near 1), a diverse doc (0), and a short doc
+    (no grams -> zeros via the n=0 guard)."""
+    from franzoxide_spark.functions.text import ngram_rep_stats
+    from franzoxide_spark.functions.text import tokens as toks
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> n=5, nd=2, top=3
+            (2, "one two three four"),  # n=3, nd=3, top=1
+            (3, "solo"),               # n=0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.s.n, r.s.n_distinct, r.s.top)
+        for r in df.withColumn("__toks", toks("text"))
+        .select("doc_id", ngram_rep_stats("__toks", 2).alias("s"))
+        .collect()
+    }
+    assert rows == {1: (5, 2, 3), 2: (3, 3, 1), 3: (0, 0, 0)}
+
+
+def test_repetition_gate_plan_is_shuffle_free(spark, sf_dir):
+    """The whole gate must stay map-side: no Exchange anywhere in the
+    physical plan (the 100 TB property the operator exists for)."""
+    from franzoxide_spark.queries.llm import q58
+
+    plan = q58(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
