@@ -181,3 +181,61 @@ def sql_split_assign(id_expr: str, weights=(90, 5, 5), names=("train", "val", "t
         hi += w
         parts.append(f"WHEN {bucket} < {hi} THEN '{name}'")
     return "CASE " + " ".join(parts) + " END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "sample",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows within each stratum
+    by the seeded cross-engine hash of their id (ties impossible — the
+    id breaks them) and keep the first ``k``.
+
+    This is the reproducible counterpart of reservoir sampling: the same
+    (seed, id) always lands at the same rank, so re-running on a grown
+    corpus only ever APPENDS to a stratum's sample (documents already
+    chosen stay chosen until k pushes them out), and two engines agree
+    exactly — which is what makes held-out subsets auditable.
+
+    Scale shape: one shuffle on the stratum key (the window partition);
+    each stratum sorts independently. For a stratum too hot to sort in
+    one task, pre-filter with an approximate hash-threshold first (keep
+    rows with hash < k/stratum_count quantile) and rank only the
+    survivors — same result, bounded task input.
+    """
+    from pyspark.sql import Window
+
+    h = hash60(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def sql_stratified_sample(
+    table: str,
+    stratum_expr: str,
+    id_expr: str,
+    k: int,
+    seed: str = "sample",
+    rank_col: str = "sample_rank",
+) -> str:
+    """DuckDB mirror of ``stratified_sample`` (same seeded hash, same
+    ordering, same rank filter)."""
+    from franzoxide_spark.functions.text import sql_hash60
+
+    seeded = "'" + seed + ":' || CAST(" + id_expr + " AS VARCHAR)"
+    return f"""
+SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {stratum_expr}
+    ORDER BY {sql_hash60(seeded)} ASC, {id_expr} ASC
+  ) AS {rank_col}
+  FROM {table}
+) WHERE {rank_col} <= {k}
+"""

@@ -925,3 +925,30 @@ FROM j
 
 
 register("q58_repetition_gate", q58, _q58_sql())
+
+
+# --------------------------------------------------------------------------
+# Q59 — deterministic stratified sample (k docs per lang)
+# --------------------------------------------------------------------------
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 documents per language, chosen by seeded-hash rank
+    (operators/curation.py:stratified_sample) — reproducible across
+    runs, engines, and corpus growth. Registered past the driver's
+    50-record window; DuckDB parity proven in tests/test_curation.py."""
+    from franzoxide_spark.operators.curation import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", k=25).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+def _q59_sql() -> str:
+    from franzoxide_spark.operators.curation import sql_stratified_sample
+
+    inner = sql_stratified_sample("documents", "lang", "doc_id", k=25)
+    # ROW_NUMBER is BIGINT in DuckDB but int in Spark — align the schema
+    return f"SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank FROM ({inner})"
+
+
+register("q59_stratified_sample", q59, _q59_sql())

@@ -179,3 +179,43 @@ class TestSplitAssign:
             split_assign(df, weights=(80, 10), names=("a", "b"))
         with pytest.raises(ValueError, match="align"):
             split_assign(df, weights=(90, 5, 5), names=("a", "b"))
+
+
+def test_stratified_sample_matches_duckdb_oracle(spark, sf_dir):
+    """q59 registers past the driver's 50-record correctness window, so
+    its cross-engine proof lives here: exact relation match against the
+    registered DuckDB oracle."""
+    import duckdb
+
+    from franzoxide_spark.queries.llm import _q59_sql, q59
+
+    got = sorted(map(tuple, q59(spark, sf_dir).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (int(r[0]), str(r[1]), int(r[2]))
+        for r in con.execute(_q59_sql()).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    """Same result under different input partitionings (the rank depends
+    only on (seed, id), never on physical layout), and never more than k
+    rows per stratum."""
+    from franzoxide_spark.operators.curation import stratified_sample
+    from franzoxide_spark.tables import table as t
+
+    docs = t(spark, sf_dir, "documents")
+    a = stratified_sample(docs, "lang", "doc_id", k=7)
+    b = stratified_sample(docs.repartition(13, "doc_id"), "lang", "doc_id", k=7)
+    rows_a = sorted((r.lang, r.doc_id, r.sample_rank) for r in a.collect())
+    rows_b = sorted((r.lang, r.doc_id, r.sample_rank) for r in b.collect())
+    assert rows_a == rows_b
+    per = {}
+    for lang, _, rank in rows_a:
+        per[lang] = max(per.get(lang, 0), rank)
+    assert per and all(v <= 7 for v in per.values())
