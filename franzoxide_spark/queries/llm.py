@@ -709,7 +709,7 @@ register("q31_text_stats_median", q31, Q31_SQL)
 register("q33_minhash_lsh_neardup", q33, Q33_SQL)
 register("q34_simhash_neardup", q34, Q34_SQL)
 register("q35_ngram_jaccard_pairs", q35, Q35_SQL)
-register("q35b_ngram_jaccard_prefix", q35b, Q35_SQL)
+# q35b registers at the tail (see the twin-ordering note above register(q58))
 register("q57_neardup_clusters", q57, _q57_sql())
 register("q36_embedding_neardup_blocked", q36, Q36_SQL)
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,7 +838,8 @@ register("q39_quality_score", q39, Q39_SQL)
 register("q40_token_counting", q40, Q40_SQL)
 register("q41_rolling_fingerprint", q41, Q41_SQL)
 register("q42_multimodal_byte_stats", q42, Q42_SQL)
-register("q43_asof_join", q43, Q43_SQL)
+# q43 (window path) registers at the tail (see the twin-ordering note above
+# register(q58)); the merge_asof scale path is the one the window must keep.
 register("q43b_asof_merge_scale_path", q43b, Q43_SQL)
 
 
@@ -924,6 +925,13 @@ FROM j
 """
 
 
+# Twin-ordering: the driver records at most 50 CORRECTNESS rows in
+# registration order (queries/__init__.py:load_all). With 52 oracle-checked
+# entries, two must sit past the window — the two that carry an in-repo
+# equivalence test against an in-window twin lose least: q35b is locked to
+# q35 (tests/test_llm_ops.py prefix-filter equivalence) and q43 (window
+# path) is locked to q43b (test_asof_pandas_matches_window_path). They
+# register after q58/q59 so every UNIQUE operator stays driver-verified.
 register("q58_repetition_gate", q58, _q58_sql())
 
 
@@ -933,8 +941,8 @@ register("q58_repetition_gate", q58, _q58_sql())
 def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     """25 documents per language, chosen by seeded-hash rank
     (operators/curation.py:stratified_sample) — reproducible across
-    runs, engines, and corpus growth. Registered past the driver's
-    50-record window; DuckDB parity proven in tests/test_curation.py."""
+    runs, engines, and corpus growth. DuckDB parity also proven in
+    tests/test_curation.py."""
     from franzoxide_spark.operators.curation import stratified_sample
 
     docs = table(spark, sf_dir, "documents")
@@ -952,3 +960,7 @@ def _q59_sql() -> str:
 
 
 register("q59_stratified_sample", q59, _q59_sql())
+
+# Equivalence-locked twins, past the 50-record window by design (note above).
+register("q35b_ngram_jaccard_prefix", q35b, Q35_SQL)
+register("q43_asof_join", q43, Q43_SQL)
