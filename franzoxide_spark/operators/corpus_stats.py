@@ -1,0 +1,309 @@
+"""Corpus-statistics scoring operators: TF-IDF, char-n-gram LM quality,
+and DSIR hashed importance weights.
+
+These are the "train a tiny model on the corpus, then score the corpus
+with it" family a training-data pipeline runs before mixing/filtering:
+
+- ``tfidf_top_terms``      — per-document top-k distinguishing terms.
+- ``char_trigram_lm``      — CCNet-style quality proxy: a character
+                             trigram unigram-LM trained on the corpus
+                             itself; per-doc mean negative log-likelihood
+                             flags degenerate/boilerplate text (CCNet
+                             trains KenLM; the trigram model keeps the
+                             same two-pass shape with a vocabulary that
+                             is BOUNDED BY THE CHARSET, not the corpus).
+- ``dsir_logratio``        — Data Selection with Importance Resampling
+                             (Xie et al., 2023): hashed n-gram bucket
+                             log-likelihood ratios between a target slice
+                             and the raw corpus; per-doc mean is the
+                             importance log-weight.
+
+Scale notes (the whole point of these shapes at 100 TB):
+
+- The trigram LM table is ≤ |charset|³ rows no matter how big the corpus
+  is — the train pass is a map-side-combined groupBy over a bounded key
+  space, and the score pass joins it BROADCAST, so the corpus itself is
+  scanned twice and never shuffled.
+- DSIR's state is exactly ``n_buckets`` rows by construction (that is the
+  paper's point — hashing bounds the feature space), so both distribution
+  builds collapse map-side and the scoring join is a broadcast; the
+  corpus never shuffles here either.
+- TF-IDF is the one member with corpus-sized shuffles (doc-term and
+  term): both aggregations partial-aggregate map-side, and the stopword
+  skew on the term shuffle is the standard AQE-skew-join case. No
+  all-pairs blowup anywhere.
+
+Reference parity: the reference engine (valdo404/franzoxide, a Rust
+Kafka→S3 connector, src/s3.rs + src/kafka.rs) has no analytics surface —
+this family extends the driver-mandated LLM-pipeline tier (SURVEY.md
+§2.3), not a reference operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from franzoxide_spark.functions.text import (
+    _grams_expr,
+    hash60,
+    sql_hash60,
+    sql_ngrams_with_dups,
+    sql_tokens,
+    tokens,
+)
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms
+# --------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF.
+
+    ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (sklearn's smooth-idf form).
+    Plan shape: one shuffle to (doc, term) with map-side combine, one
+    term-partition window for df (second shuffle, AQE handles stopword
+    skew), one doc-partition window for the top-k (third). The corpus
+    document count enters as a broadcast 1-row cross join so the whole
+    thing stays a single lazy plan. Scores are rounded to 6 decimals
+    BEFORE ranking so the (score desc, term asc) order is identical in
+    any engine.
+    """
+    toks = docs.select(id_col, tokens(text_col).alias("__toks"))
+    terms = toks.select(id_col, F.explode("__toks").alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n") + 1).cast("double")
+                        / (F.col("df") + 1).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w_doc = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "rk", "tfidf")
+    )
+
+
+def sql_tfidf_top_terms(
+    table: str, id_col: str, text_col: str, k: int = 3
+) -> str:
+    return f"""
+WITH t AS (
+  SELECT {id_col}, unnest({sql_tokens(text_col)}) AS term FROM {table}
+),
+tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM t GROUP BY {id_col}, term),
+n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+s AS (
+  SELECT {id_col}, term,
+         ROUND(tf * (ln(CAST(n_docs + 1 AS DOUBLE)
+                        / CAST(COUNT(*) OVER (PARTITION BY term) + 1 AS DOUBLE))
+                     + 1.0), 6) AS tfidf
+  FROM tf, n
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}
+                               ORDER BY tfidf DESC, term ASC) AS rk
+  FROM s
+)
+SELECT {id_col}, term, CAST(rk AS INT) AS rk, tfidf FROM r WHERE rk <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# char-trigram LM quality score
+# --------------------------------------------------------------------------
+
+
+def _char_trigrams_expr(text_col: str) -> str:
+    """All character trigrams of ``text_col`` (duplicates kept). Spark's
+    ``sequence(1, 0)`` DESCENDS, so length<3 short-circuits to empty."""
+    return (
+        f"case when length({text_col}) < 3"
+        " then cast(array() as array<string>)"
+        f" else transform(sequence(1, length({text_col}) - 2),"
+        f" i -> substring({text_col}, i, 3)) end"
+    )
+
+
+def char_trigram_lm(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under a char-trigram
+    unigram LM trained on the corpus itself (two passes, no corpus-sized
+    shuffle — see module docstring). Higher ``nll`` = rarer character
+    patterns = lower-quality/out-of-distribution text, the CCNet
+    perplexity-bucket signal.
+
+    Documents shorter than 3 characters have no trigrams and drop out —
+    mirrored exactly by the SQL oracle's inner join. Per-trigram log
+    probs are rounded to 6 decimals before the per-doc mean (absorbs
+    cross-engine libm ULP drift); the mean is rounded to 4.
+    """
+    tri = docs.select(
+        id_col, F.explode(F.expr(_char_trigrams_expr(text_col))).alias("tri")
+    )
+    lm = tri.groupBy("tri").agg(F.count("*").alias("cnt"))
+    # total trigram occurrences: single-partition window over the LM table
+    # is fine — the table is charset-bounded, not corpus-bounded.
+    lm = lm.withColumn("__tot", F.sum("cnt").over(Window.partitionBy()))
+    lm = lm.select(
+        "tri",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("__tot").cast("double")), 6
+        ).alias("logp"),
+    )
+    return (
+        tri.join(F.broadcast(lm), "tri")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_tri"),
+            F.round(-F.avg("logp"), 4).alias("nll"),
+        )
+    )
+
+
+def sql_char_trigram_lm(table: str, id_col: str, text_col: str) -> str:
+    tri_list = (
+        f"list_transform(range(1, greatest(len({text_col}) - 1, 1)),"
+        f" i -> substr({text_col}, CAST(i AS INT), 3))"
+    )
+    return f"""
+WITH tri AS (
+  SELECT {id_col}, unnest({tri_list}) AS tri FROM {table}
+),
+lm AS (SELECT tri, COUNT(*) AS cnt FROM tri GROUP BY tri),
+tot AS (SELECT SUM(cnt) AS tot FROM lm),
+lp AS (
+  SELECT tri, ROUND(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS logp
+  FROM lm, tot
+)
+SELECT {id_col}, CAST(COUNT(*) AS INT) AS n_tri, ROUND(-AVG(logp), 4) AS nll
+FROM tri JOIN lp USING (tri)
+GROUP BY {id_col}
+"""
+
+
+# --------------------------------------------------------------------------
+# DSIR hashed importance log-weights
+# --------------------------------------------------------------------------
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance log-weight per document.
+
+    Word bigrams are hashed into ``n_buckets`` buckets (the cross-engine
+    seedless ``hash60``); two Laplace-smoothed unigram distributions over
+    buckets are estimated — the target slice (rows where ``target_pred``,
+    a boolean Column, holds) and the raw corpus — and each document
+    scores the mean log-likelihood ratio of its buckets:
+
+        llr(b) = ln((t_cnt+1)/(t_tot+B)) - ln((r_cnt+1)/(r_tot+B))
+
+    Positive = looks like the target distribution. The bucket table is
+    exactly ``n_buckets`` rows regardless of corpus size, so both
+    distribution builds collapse map-side and the scoring join is
+    broadcast — the hashing is what makes this shape 100 TB-safe.
+
+    Documents with <2 tokens have no bigrams and drop out (mirrored by
+    the oracle's inner join).
+    """
+    toks = docs.select(
+        id_col, target_pred.alias("__is_tgt"), tokens(text_col).alias("__toks")
+    )
+    grams = toks.select(
+        id_col, "__is_tgt", F.explode(F.expr(_grams_expr("__toks", 2))).alias("g")
+    )
+    b = grams.select(
+        id_col, "__is_tgt", F.pmod(hash60(F.col("g")), F.lit(n_buckets)).alias("b")
+    )
+    dist = b.groupBy("b").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("t_cnt"),
+    )
+    w_all = Window.partitionBy()  # n_buckets rows: single partition is fine
+    dist = dist.select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("t_cnt") + 1).cast("double")
+                / (F.sum("t_cnt").over(w_all) + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("r_cnt") + 1).cast("double")
+                / (F.sum("r_cnt").over(w_all) + n_buckets).cast("double")
+            ),
+            6,
+        ).alias("llr"),
+    )
+    return (
+        b.join(F.broadcast(dist), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a doc whose mean llr
+            # rounds to zero from below would otherwise print "-0.000000"
+            # in one engine and "0.000000" in the other)
+            (F.round(F.avg("llr"), 4) + F.lit(0.0)).alias("dsir_logratio"),
+        )
+    )
+
+
+def sql_dsir_logratio(
+    table: str,
+    id_col: str,
+    text_col: str,
+    target_pred_sql: str,
+    n_buckets: int = 1024,
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, ({target_pred_sql}) AS is_tgt,
+         {sql_tokens(text_col)} AS t
+  FROM {table}
+),
+g AS (
+  SELECT {id_col}, is_tgt, unnest({sql_ngrams_with_dups('t', 2)}) AS g
+  FROM toks
+),
+b AS (SELECT {id_col}, is_tgt, {sql_hash60('g')} % {n_buckets} AS b FROM g),
+dist AS (
+  SELECT b, COUNT(*) AS r_cnt,
+         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS t_cnt
+  FROM b GROUP BY b
+),
+llr AS (
+  SELECT b,
+         ROUND(ln(CAST(t_cnt + 1 AS DOUBLE)
+                  / CAST(SUM(t_cnt) OVER () + {n_buckets} AS DOUBLE))
+               - ln(CAST(r_cnt + 1 AS DOUBLE)
+                    / CAST(SUM(r_cnt) OVER () + {n_buckets} AS DOUBLE)),
+               6) AS llr
+  FROM dist
+)
+SELECT {id_col}, CAST(COUNT(*) AS INT) AS n_grams,
+       ROUND(AVG(llr), 4) + 0.0 AS dsir_logratio
+FROM b JOIN llr USING (b)
+GROUP BY {id_col}
+"""

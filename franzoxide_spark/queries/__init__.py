@@ -47,5 +47,6 @@ def load_all() -> None:
         envelope,
         extras,
         llm,
+        corpus,
         rows_only,
     )

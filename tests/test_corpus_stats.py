@@ -1,0 +1,119 @@
+"""Semantic + plan-shape tests for the corpus-statistics scoring family
+(operators/corpus_stats.py, queries q60-q62). Oracle parity for the
+fixture-bound queries runs in test_oracle_queries.py, which parametrizes
+over every registry entry — these tests pin the SEMANTICS (does the score
+order the right things?) and the SCALE SHAPE (broadcast scoring joins,
+no sort-merge) that the oracle cannot see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from franzoxide_spark.operators.corpus_stats import (
+    char_trigram_lm,
+    dsir_logratio,
+    tfidf_top_terms,
+)
+from franzoxide_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF
+# --------------------------------------------------------------------------
+
+
+def test_tfidf_ranks_distinguishing_terms_over_common_ones(spark):
+    # "zebra" appears only in doc 1 (twice); "the" appears in every doc,
+    # so its smoothed idf is exactly 1.0 (ln((3+1)/(3+1)) + 1) while
+    # zebra's is ln(4/2)+1 ≈ 1.69 — zebra must outrank it at equal-ish tf.
+    rows = [
+        (1, "en", "the zebra zebra"),
+        (2, "en", "the cat sat"),
+        (3, "en", "the dog ran"),
+    ]
+    out = tfidf_top_terms(_docs(spark, rows), "doc_id", "text", k=2).collect()
+    top1 = {r.doc_id: r.term for r in out if r.rk == 1}
+    assert top1[1] == "zebra"
+    # ranks are dense 1..k per doc, no duplicates
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
+
+
+def test_tfidf_query_bounds_k(spark, sf_dir):
+    out = QUERIES["q60_tfidf_top_terms"](spark, sf_dir)
+    agg = out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert agg <= 3
+
+
+# --------------------------------------------------------------------------
+# char-trigram LM
+# --------------------------------------------------------------------------
+
+
+def test_trigram_lm_flags_out_of_distribution_text(spark):
+    # Corpus dominated by one repeated pattern; the outlier doc made of
+    # characters the corpus never repeats must get the highest nll.
+    rows = [(i, "en", "the cat sat on the mat " * 5) for i in range(1, 10)]
+    rows.append((99, "en", "zzqqxxjjvvwwkkzzqqxx"))
+    out = {r.doc_id: r.nll for r in char_trigram_lm(_docs(spark, rows), "doc_id", "text").collect()}
+    assert max(out, key=out.get) == 99
+    assert all(v > 0 for v in out.values())  # -ln(p) with p < 1
+
+
+def test_trigram_lm_drops_sub_trigram_docs(spark):
+    rows = [(1, "en", "ab"), (2, "en", "abcdef")]
+    out = char_trigram_lm(_docs(spark, rows), "doc_id", "text").collect()
+    assert [r.doc_id for r in out] == [2]
+    assert out[0].n_tri == 4
+
+
+# --------------------------------------------------------------------------
+# DSIR
+# --------------------------------------------------------------------------
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    en = "the cat sat on the mat and the dog ran to the house"
+    de = "der hund lief zu dem haus und die katze sass auf der matte"
+    rows = [(i, "en", en) for i in range(10)] + [(i + 10, "de", de) for i in range(10)]
+    # held-out docs drawn from each side, not marked target
+    rows += [(100, "xx", en), (101, "xx", de)]
+    out = dsir_logratio(
+        _docs(spark, rows), "doc_id", "text", target_pred=F.col("lang") == "en"
+    )
+    sc = {r.doc_id: r.dsir_logratio for r in out.collect()}
+    assert sc[100] > sc[101]  # english-looking doc scores toward target
+    assert sc[100] > 0 > sc[101]
+
+
+def test_dsir_drops_sub_bigram_docs(spark):
+    rows = [(1, "en", "single"), (2, "en", "two tokens here")]
+    out = dsir_logratio(
+        _docs(spark, rows), "doc_id", "text", target_pred=F.col("lang") == "en"
+    ).collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+# --------------------------------------------------------------------------
+# plan shape: scoring joins must broadcast; corpus must never sort-merge
+# --------------------------------------------------------------------------
+
+
+def test_scoring_joins_broadcast(spark, sf_dir):
+    for name in ("q61_trigram_lm_quality", "q62_dsir_importance"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
