@@ -22,11 +22,12 @@ Scale notes (the whole point of these shapes at 100 TB):
 
 - The trigram LM table is ≤ |charset|³ rows no matter how big the corpus
   is — the train pass is a map-side-combined groupBy over a bounded key
-  space, and the score pass joins it BROADCAST, so the corpus itself is
-  scanned twice and never shuffled.
+  space, and the score pass joins it BROADCAST, so the corpus is read
+  once (the exploded stream is persisted and shared by both passes) and
+  never shuffled.
 - DSIR's state is exactly ``n_buckets`` rows by construction (that is the
-  paper's point — hashing bounds the feature space), so both distribution
-  builds collapse map-side and the scoring join is a broadcast; the
+  paper's point — hashing bounds the feature space), so the distribution
+  build collapses map-side and the scoring join is a broadcast; the
   corpus never shuffles here either.
 - TF-IDF is the one member with corpus-sized shuffles (doc-term and
   term): both aggregations partial-aggregate map-side, and the stopword
@@ -53,6 +54,24 @@ from franzoxide_spark.functions.text import (
     tokens,
 )
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the session's shuffle parallelism when
+    the scan gives fewer partitions.
+
+    Every operator here explodes each document into 100s-1000s of rows
+    (tokens / trigrams / bigrams), so input parallelism — not data size —
+    bounds the whole job: the sf fixtures are single parquet files with
+    one row group, which Spark cannot split, so without this the entire
+    explode+aggregate pipeline runs on ONE core (measured 3-5x slower at
+    sf0.1). On a real multi-file / multi-row-group corpus the scan already
+    yields >= parallelism partitions and this is a no-op; the guarded
+    repartition only ever shuffles the SMALL pre-explode rows."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # TF-IDF top terms
 # --------------------------------------------------------------------------
@@ -72,6 +91,10 @@ def tfidf_top_terms(
     BEFORE ranking so the (score desc, term asc) order is identical in
     any engine.
     """
+    # No _fan_out here: unlike the LM/DSIR scoring scans, every stage
+    # after the explode is itself a shuffle, so input parallelism does
+    # not bound the job and the extra round-robin exchange only costs
+    # (measured 0.97 s vs 1.50 s at sf0.1 with it).
     toks = docs.select(id_col, tokens(text_col).alias("__toks"))
     terms = toks.select(id_col, F.explode("__toks").alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
@@ -145,18 +168,32 @@ def _char_trigrams_expr(text_col: str) -> str:
 
 def char_trigram_lm(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document mean negative log-likelihood under a char-trigram
-    unigram LM trained on the corpus itself (two passes, no corpus-sized
-    shuffle — see module docstring). Higher ``nll`` = rarer character
-    patterns = lower-quality/out-of-distribution text, the CCNet
-    perplexity-bucket signal.
+    unigram LM trained on the corpus itself. Higher ``nll`` = rarer
+    character patterns = lower-quality/out-of-distribution text, the
+    CCNet perplexity-bucket signal.
+
+    Two passes over one persisted trigram stream: (1) train — map-side-
+    combined groupBy over the charset-bounded trigram space (≤ |charset|³
+    rows no matter the corpus size); (2) score — broadcast-join the tiny
+    LM back onto the stream and average per document. No corpus-sized
+    shuffle at any scale: the only wide exchanges are the bounded LM
+    aggregation and the per-doc partial-aggregated mean.
 
     Documents shorter than 3 characters have no trigrams and drop out —
     mirrored exactly by the SQL oracle's inner join. Per-trigram log
     probs are rounded to 6 decimals before the per-doc mean (absorbs
     cross-engine libm ULP drift); the mean is rounded to 4.
     """
-    tri = docs.select(
-        id_col, F.explode(F.expr(_char_trigrams_expr(text_col))).alias("tri")
+    tri = (
+        _fan_out(docs)
+        .select(
+            id_col, F.explode(F.expr(_char_trigrams_expr(text_col))).alias("tri")
+        )
+        # Both passes read the exploded stream; persisting it means the
+        # explode runs once instead of twice (~2x on the measured wall).
+        # At cluster scale this is a deliberate memory-for-scan trade —
+        # the stream is token-sized; spill-safe MEMORY_AND_DISK default.
+        .persist()
     )
     lm = tri.groupBy("tri").agg(F.count("*").alias("cnt"))
     # total trigram occurrences: single-partition window over the LM table
@@ -222,22 +259,26 @@ def dsir_logratio(
         llr(b) = ln((t_cnt+1)/(t_tot+B)) - ln((r_cnt+1)/(r_tot+B))
 
     Positive = looks like the target distribution. The bucket table is
-    exactly ``n_buckets`` rows regardless of corpus size, so both
-    distribution builds collapse map-side and the scoring join is
+    exactly ``n_buckets`` rows regardless of corpus size, so the
+    distribution build collapses map-side and the scoring join is
     broadcast — the hashing is what makes this shape 100 TB-safe.
 
     Documents with <2 tokens have no bigrams and drop out (mirrored by
     the oracle's inner join).
     """
-    toks = docs.select(
+    toks = _fan_out(docs).select(
         id_col, target_pred.alias("__is_tgt"), tokens(text_col).alias("__toks")
     )
     grams = toks.select(
         id_col, "__is_tgt", F.explode(F.expr(_grams_expr("__toks", 2))).alias("g")
     )
+    # Both the distribution build and the scoring join consume the hashed
+    # bucket stream; persist it so the explode + md5 run once (the md5 is
+    # the cross-engine hash contract and the single most expensive
+    # per-gram expression here). Token-sized, spill-safe.
     b = grams.select(
         id_col, "__is_tgt", F.pmod(hash60(F.col("g")), F.lit(n_buckets)).alias("b")
-    )
+    ).persist()
     dist = b.groupBy("b").agg(
         F.count("*").alias("r_cnt"),
         F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("t_cnt"),

@@ -964,3 +964,42 @@ register("q59_stratified_sample", q59, _q59_sql())
 # Equivalence-locked twins, past the 50-record window by design (note above).
 register("q35b_ngram_jaccard_prefix", q35b, Q35_SQL)
 register("q43_asof_join", q43, Q43_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q63 — semantic dedup (SemDeDup, Abbas et al. 2023): embedding-cosine
+#        near-dup pairs clustered to one survivor per semantic cluster
+# --------------------------------------------------------------------------
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q36's blocked embedding-cosine pairs fed to the same distributed
+    min-label-propagation clustering q57 applies to lexical pairs — the
+    SemDeDup decision in embedding space: every semantic cluster keeps
+    its min-id member. Scale shape is the composition of its parts: the
+    pair finder is label-blocked + tile-capped (never all-pairs across
+    blocks), the clustering shuffles only the pair graph (pairs, not
+    corpus), and unpaired vectors are implicitly their own survivor."""
+    from franzoxide_spark.operators.dedup import neardup_clusters
+
+    pairs = q36(spark, sf_dir).select("id_a", "id_b")
+    return neardup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
+
+
+def _q63_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({Q36_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS n, src AS r FROM edges
+  UNION
+  SELECT e.dst AS n, reach.r FROM reach JOIN edges e ON e.src = reach.n
+),
+cc AS (SELECT n AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
+SELECT vec_id, cluster_id, vec_id = cluster_id AS is_survivor FROM cc
+"""
+
+
+register("q63_semantic_dedup", q63, _q63_sql())

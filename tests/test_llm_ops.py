@@ -401,3 +401,30 @@ def test_repetition_gate_plan_is_shuffle_free(spark, sf_dir):
 
     plan = q58(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_semantic_dedup_respects_label_blocking(spark):
+    """q63's composition: identical vectors in the SAME label cluster to
+    one survivor; an identical vector in a DIFFERENT label is never
+    paired (blocking is the scale contract), so it is implicitly its own
+    survivor by absence from the relation."""
+    from franzoxide_spark.operators.dedup import neardup_clusters
+    from franzoxide_spark.operators.similarity import blocked_cosine_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),   # same block, identical -> pairs with 1
+            (3, [1.0, 0.0], 1),   # identical but different block -> unpaired
+            (4, [0.0, 1.0], 0),   # orthogonal -> unpaired
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = blocked_cosine_pairs(
+        emb, "label", "vec_id", "embedding", threshold=0.9, tile_cap=16
+    ).select("id_a", "id_b")
+    out = {
+        r.doc_id: (r.cluster_id, r.is_survivor)
+        for r in neardup_clusters(pairs).collect()
+    }
+    assert out == {1: (1, True), 2: (1, False)}
