@@ -478,74 +478,78 @@ def neardup_clusters(
     O(log n) rounds with the same per-round shuffle shape — the swap is
     local to this function and not needed for near-dup workloads.
 
-    Each iteration persists its labels and unpersists the previous
-    generation: without the pipeline break the lineage doubles per round
-    (each iteration references the last twice: the label join and the
-    convergence check), going exponential by iteration ~10.
+    Each iteration cuts the new label generation over with an EAGER
+    ``localCheckpoint``: persist() alone short-circuits execution but
+    not PLANNING — each iteration references the last twice (the label
+    join and the convergence check), so the logical tree doubles per
+    round and Catalyst's tree traversal goes exponential by iteration
+    ~10-15 (observed: a 20+-diameter graph pinned the driver for
+    minutes and then overflowed the stack in generateTreeString).
+    localCheckpoint truncates the lineage so every iteration plans
+    against a leaf, at the cost of losing recompute-on-executor-loss —
+    the right trade for an iterative driver loop (on a cluster with
+    dynamic executors, swap for checkpoint() on reliable storage).
 
     Returns (doc id, cluster_id, is_survivor) for every node that
     appears in >= 1 pair; unpaired documents are trivially their own
     survivor and are left out of the relation (callers anti-join the
     non-survivors against the corpus, so absent == kept). The returned
-    frame is the converged label generation and is still persisted —
-    free re-reads for the caller's downstream joins; call
-    ``.unpersist()`` on it when done if executor storage matters.
+    frame projects the converged checkpointed generation — re-reads in
+    the caller's downstream joins are free; the checkpoint blocks are
+    released when the frame is garbage-collected.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist()
+        # eager cut: edges are re-read every iteration; checkpointing also
+        # keeps the (possibly expensive) pair-finder plan out of every
+        # iteration's optimizer pass
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        for _ in range(max_iter):
-            nbr_min = (
-                edges.join(labels, edges.dst == labels.id)
-                .groupBy("src")
-                .agg(F.min("comp").alias("nbr_comp"))
-            )
-            new_labels = (
-                labels.join(nbr_min, labels.id == nbr_min.src, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                    ).alias("comp"),
-                )
-                .persist()
-            )
-            # full count, NOT limit(1): the count is also what materializes
-            # new_labels' cache before the previous generation unpersists —
-            # a short-circuiting check could leave partitions uncached and
-            # re-derive them through the unpersisted parent next iteration
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            labels.unpersist()
-            raise RuntimeError(
-                f"neardup_clusters did not converge in {max_iter} iterations"
-            )
-        return labels.select(
-            F.col("id").alias("doc_id"),
-            F.col("comp").alias("cluster_id"),
-            (F.col("id") == F.col("comp")).alias("is_survivor"),
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
         )
-    finally:
-        edges.unpersist()
+        # eager localCheckpoint materializes new_labels NOW and replaces
+        # its lineage with the checkpointed leaf — the convergence check
+        # and the next iteration both plan against a constant-depth tree
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} iterations"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("is_survivor"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -52,6 +52,68 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Q64 — temperature-based domain mixture weights (mT5/XLM-R style):
+#        w(d) ∝ tokens(d)^alpha, sampling rate capped at max_epochs.
+#        The data-mixing planner a multilingual/multi-source training run
+#        executes before sampling; one map-side-combined aggregation over
+#        a domain-count-bounded key space, so the corpus never shuffles
+#        more than its partial counts at any scale.
+# --------------------------------------------------------------------------
+_Q64_ALPHA = 0.5
+_Q64_TARGET_TOKENS = 1_000_000
+_Q64_MAX_EPOCHS = 4.0
+
+
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    dom = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("tokens"),
+    )
+    w_all = Window.partitionBy()  # ≤ |langs|x|sources| rows: single partition fine
+    pw = F.pow(F.col("tokens").cast("double"), F.lit(_Q64_ALPHA))
+    weight = F.round(pw / F.sum(pw).over(w_all), 6)
+    rate = F.round(
+        F.least(
+            F.lit(_Q64_TARGET_TOKENS) * weight / F.col("tokens").cast("double"),
+            F.lit(_Q64_MAX_EPOCHS),
+        ),
+        6,
+    )
+    return dom.select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("int").alias("n_docs"),
+        "tokens",
+        weight.alias("weight"),
+        rate.alias("sampling_rate"),
+    )
+
+
+_Q64_SQL = f"""
+WITH dom AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS tokens
+  FROM documents GROUP BY lang, source
+),
+w AS (
+  SELECT *, pow(CAST(tokens AS DOUBLE), {_Q64_ALPHA})
+            / SUM(pow(CAST(tokens AS DOUBLE), {_Q64_ALPHA})) OVER () AS raw_w
+  FROM dom
+)
+SELECT lang, source, CAST(n_docs AS INT) AS n_docs,
+       CAST(tokens AS BIGINT) AS tokens,
+       ROUND(raw_w, 6) AS weight,
+       ROUND(LEAST({_Q64_TARGET_TOKENS} * ROUND(raw_w, 6)
+                   / CAST(tokens AS DOUBLE), {_Q64_MAX_EPOCHS}), 6)
+         AS sampling_rate
+FROM w
+"""
+
+
 register("q60_tfidf_top_terms", q60, sql_tfidf_top_terms("documents", "doc_id", "text", k=3))
 register("q61_trigram_lm_quality", q61, sql_char_trigram_lm("documents", "doc_id", "text"))
 register(
@@ -59,3 +121,4 @@ register(
     q62,
     sql_dsir_logratio("documents", "doc_id", "text", "lang = 'en'", n_buckets=1024),
 )
+register("q64_mixture_weights", q64, _Q64_SQL)

@@ -970,23 +970,46 @@ register("q43_asof_join", q43, Q43_SQL)
 # Q63 — semantic dedup (SemDeDup, Abbas et al. 2023): embedding-cosine
 #        near-dup pairs clustered to one survivor per semantic cluster
 # --------------------------------------------------------------------------
-def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q36's blocked embedding-cosine pairs fed to the same distributed
-    min-label-propagation clustering q57 applies to lexical pairs — the
-    SemDeDup decision in embedding space: every semantic cluster keeps
-    its min-id member. Scale shape is the composition of its parts: the
-    pair finder is label-blocked + tile-capped (never all-pairs across
-    blocks), the clustering shuffles only the pair graph (pairs, not
-    corpus), and unpaired vectors are implicitly their own survivor."""
-    from franzoxide_spark.operators.dedup import neardup_clusters
+_Q63_THRESHOLD = 0.4  # SemDeDup prunes near-copies: a high-similarity bar.
+# q36's 0.3 is a neighborhood-analysis setting — reusing it here made the
+# pair graph dense at sf0.1 (1449 pairs / 2000 vecs, long chains); 0.4
+# keeps real cluster structure on the fixtures (86 pairs, components of
+# size 2-4) while staying a duplicate decision, and the clustering loop
+# is now localCheckpoint-hardened against dense graphs regardless.
 
-    pairs = q36(spark, sf_dir).select("id_a", "id_b")
+
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked embedding-cosine pairs (q36's plan shape, at a SemDeDup
+    duplicate threshold) fed to the same distributed min-label-propagation
+    clustering q57 applies to lexical pairs — the SemDeDup decision in
+    embedding space: every semantic cluster keeps its min-id member.
+    Scale shape is the composition of its parts: the pair finder is
+    label-blocked + tile-capped (never all-pairs across blocks), the
+    clustering shuffles only the pair graph (pairs, not corpus), and
+    unpaired vectors are implicitly their own survivor."""
+    from franzoxide_spark.operators.dedup import neardup_clusters
+    from franzoxide_spark.operators.similarity import blocked_cosine_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs(
+        emb, "label", "vec_id", "embedding", threshold=_Q63_THRESHOLD, tile_cap=4096
+    ).select("id_a", "id_b")
     return neardup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
+
+
+_Q63_PAIRS_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6)
+      >= {_Q63_THRESHOLD}
+"""
 
 
 def _q63_sql() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({Q36_SQL}),
+WITH RECURSIVE pairs AS ({_Q63_PAIRS_SQL}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION

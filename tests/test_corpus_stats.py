@@ -117,3 +117,19 @@ def test_scoring_joins_broadcast(spark, sf_dir):
         )
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# mixture weights
+# --------------------------------------------------------------------------
+
+
+def test_mixture_weights_normalize_and_cap(spark, sf_dir):
+    rows = QUERIES["q64_mixture_weights"](spark, sf_dir).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert all(0 < r.sampling_rate <= 4.0 for r in rows)
+    # temperature alpha<1 flattens: the biggest domain's weight share must
+    # be smaller than its raw token share
+    total = sum(r.tokens for r in rows)
+    big = max(rows, key=lambda r: r.tokens)
+    assert big.weight < big.tokens / total
