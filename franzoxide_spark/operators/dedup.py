@@ -454,18 +454,69 @@ def jaccard_pairs_prefix(
 # --------------------------------------------------------------------------
 
 
+def _union_find_clusters(spark, id_type, edge_rows) -> DataFrame:
+    """Driver-side path-compressed union-find over a collected pair list;
+    union-by-min keeps every root the minimum id of its component, so
+    ``cluster_id`` falls out of ``find`` directly. Exactly the relation
+    the distributed min-label propagation converges to."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n), n == find(n)) for n in parent]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("cluster_id", id_type, False),
+            T.StructField("is_survivor", T.BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def neardup_clusters(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
+    driver_cutoff: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the step
     that turns any pair finder (MinHash q33 / SimHash q34 / Jaccard q35 /
     cosine q36) into an actionable dedup decision: every document in a
     component keeps exactly one survivor, the component's min id.
 
-    Algorithm: min-label propagation. Each node starts labeled with its
+    Adaptive execution: the pair graph is the OUTPUT of a massive
+    reduction (candidate join + verify), typically millions of times
+    smaller than the corpus. When it fits comfortably on the driver
+    (≤ ``driver_cutoff`` pairs, probed with a single ``limit(n+1)``
+    collect — no extra count job), a path-compressed union-find computes
+    the exact same relation in microseconds instead of paying a
+    multi-job Spark loop whose per-iteration scheduling floor dominates
+    small graphs. Larger graphs take the distributed min-label
+    propagation below, which shuffles only the pair graph — never the
+    corpus — at any scale. ``driver_cutoff=0`` forces the distributed
+    path (used by tests to pin both implementations to one another).
+
+    Algorithm (distributed path): min-label propagation. Each node starts labeled with its
     own id; every iteration each node takes the min of its own label and
     its neighbors' labels (one shuffle on node id per iteration, fully
     distributed — the driver only checks the converged-yet flag).
@@ -498,6 +549,12 @@ def neardup_clusters(
     the caller's downstream joins are free; the checkpoint blocks are
     released when the frame is garbage-collected.
     """
+    if driver_cutoff:
+        probe = pairs.select(a_col, b_col).limit(driver_cutoff + 1).collect()
+        if len(probe) <= driver_cutoff:
+            return _union_find_clusters(
+                pairs.sparkSession, pairs.schema[a_col].dataType, probe
+            )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

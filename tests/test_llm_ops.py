@@ -428,3 +428,26 @@ def test_semantic_dedup_respects_label_blocking(spark):
         for r in neardup_clusters(pairs).collect()
     }
     assert out == {1: (1, True), 2: (1, False)}
+
+
+def test_neardup_clusters_driver_and_distributed_paths_agree(spark):
+    """The union-find fast path (small collected graphs) and the
+    distributed min-label propagation must produce the identical
+    relation — including on a chain, where min-labels need several
+    propagation rounds."""
+    from franzoxide_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 9), (9, 4), (4, 7), (11, 12), (30, 31), (31, 5)],
+        "id_a long, id_b long",
+    )
+    fast = {(r.doc_id, r.cluster_id, r.is_survivor)
+            for r in neardup_clusters(pairs).collect()}
+    dist = {(r.doc_id, r.cluster_id, r.is_survivor)
+            for r in neardup_clusters(pairs, driver_cutoff=0).collect()}
+    assert fast == dist
+    assert fast == {
+        (2, 2, True), (9, 2, False), (4, 2, False), (7, 2, False),
+        (11, 11, True), (12, 11, False),
+        (5, 5, True), (30, 5, False), (31, 5, False),
+    }
