@@ -122,3 +122,30 @@ register(
     sql_dsir_logratio("documents", "doc_id", "text", "lang = 'en'", n_buckets=1024),
 )
 register("q64_mixture_weights", q64, _Q64_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q65 — overlapping token-window chunking (context-window preparation
+#        between curation and packing; operators/chunking.py — one
+#        codegen'd map-only projection, no UDF, no shuffle)
+# --------------------------------------------------------------------------
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.chunking import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", window=64, overlap=8).select(
+        "doc_id", "chunk_idx", "chunk_text", "chunk_tokens"
+    )
+
+
+def _q65_sql() -> str:
+    from franzoxide_spark.operators.chunking import sql_chunk_documents
+
+    inner = sql_chunk_documents("documents", "doc_id", "text", window=64, overlap=8)
+    return (
+        "SELECT doc_id, chunk_idx, chunk_text, "
+        f"CAST(chunk_tokens AS INT) AS chunk_tokens FROM ({inner})"
+    )
+
+
+register("q65_chunk_documents", q65, _q65_sql())
