@@ -149,3 +149,42 @@ def _q65_sql() -> str:
 
 
 register("q65_chunk_documents", q65, _q65_sql())
+
+
+# --------------------------------------------------------------------------
+# Q66 — skew-salted join (operators/skew.py): results must equal the
+#        plain join, so the PLAIN join is the oracle; what the salting
+#        changes is only the shuffle distribution (hot user_id rows
+#        spread over `salt` reducers). Exact aggregates (count/min/max)
+#        keep the comparison FP-accumulation-free.
+# --------------------------------------------------------------------------
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey as user_id", "c_mktsegment"
+    )
+    return (
+        salted_join(ev, c, "user_id", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+_Q66_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(MAX(value), 6) AS max_value
+FROM (SELECT event_id, user_id, value FROM events) e
+JOIN (SELECT c_custkey AS user_id, c_mktsegment FROM customer) c
+  USING (user_id)
+GROUP BY c_mktsegment
+"""
+
+
+register("q66_skew_salted_join", q66, _Q66_SQL)

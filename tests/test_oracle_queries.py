@@ -21,3 +21,14 @@ def test_query_matches_oracle(name, spark, sf_dir):
         assert ok, f"{name}: {diag}"
     else:
         assert df.count() >= 0  # rows-only smoke (matches driver's weak check)
+
+
+def test_first_50_registry_entries_are_oracle_checked():
+    """The driver records at most 50 CORRECTNESS rows in registration
+    order (r01 silently cut the last 4). Ordering policy
+    (queries/__init__.py:load_all): the first 50 entries must all be
+    oracle-checked, so a new registration in the wrong module can never
+    silently push a unique operator out of the verified window."""
+    names = list(QUERIES)
+    missing = [n for n in names[:50] if n not in ORACLES]
+    assert not missing, f"non-oracle entries inside the 50-window: {missing}"
