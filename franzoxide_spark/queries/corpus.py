@@ -188,3 +188,48 @@ GROUP BY c_mktsegment
 
 
 register("q66_skew_salted_join", q66, _Q66_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q67 — cross-document duplicated k-gram coverage (Lee et al. 2022 shape):
+#        per-doc fraction of k-gram occurrences shared with ≥1 other doc.
+#        operators/span_dedup.py — gram stream shuffles once on gram hash
+#        with map-side combine; no all-pairs joins.
+# --------------------------------------------------------------------------
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.span_dedup import crossdoc_span_coverage
+
+    docs = table(spark, sf_dir, "documents")
+    return crossdoc_span_coverage(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+def _q67_sql() -> str:
+    from franzoxide_spark.operators.span_dedup import sql_crossdoc_span_coverage
+
+    return sql_crossdoc_span_coverage("documents", "doc_id", "text", k=3, threshold=0.5)
+
+
+register("q67_crossdoc_span_coverage", q67, _q67_sql())
+
+
+# --------------------------------------------------------------------------
+# Q68 — hashed bag-of-words linear quality classifier (fastText-shaped
+#        serving path): hashed unigram features ⋈ broadcast weight vector
+#        → per-doc integer score → one sigmoid. Weights are a
+#        deterministic hash-derived stand-in; a trained vector is the
+#        same broadcast table and the plan does not change.
+# --------------------------------------------------------------------------
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.span_dedup import hashed_linear_score
+
+    docs = table(spark, sf_dir, "documents")
+    return hashed_linear_score(spark, docs, "doc_id", "text", n_buckets=4096)
+
+
+def _q68_sql() -> str:
+    from franzoxide_spark.operators.span_dedup import sql_hashed_linear_score
+
+    return sql_hashed_linear_score("documents", "doc_id", "text", n_buckets=4096)
+
+
+register("q68_hashed_linear_score", q68, _q68_sql())
