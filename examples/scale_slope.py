@@ -61,6 +61,13 @@ SLOPE_QUERIES = (
     # keep shingle space disjoint across replicas, so the eval overlap
     # structure grows by sharding exactly as a real corpus would
     "q54_curation_pipeline",
+    # cross-doc span coverage: replica token suffixes keep gram space
+    # disjoint, so each replica's duplicated-gram structure is exactly
+    # sf0.1's — growth adds shards, the honest corpus-growth mode
+    "q67_crossdoc_span_coverage",
+    # hashed linear classifier: feature hashing is map-side; slope should
+    # be flat-to-linear (broadcast weight table is constant-size)
+    "q68_hashed_linear_score",
 )
 
 

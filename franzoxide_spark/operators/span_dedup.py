@@ -41,6 +41,18 @@ from pyspark.sql import functions as F
 
 from franzoxide_spark.functions.text import hash60, sql_hash60
 
+
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Repartition to the session's core count ONLY when the scan yields
+    fewer partitions — the local fixtures are single-file parquet (one
+    task), which serializes CPU-bound interpreted expressions. With
+    normally-split input (every at-scale layout) this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # --------------------------------------------------------------------------
 # k-gram occurrence stream (NOT distinct — q35's `shingles` dedups per doc,
 # coverage needs multiplicity: a doc that repeats a shared gram 5 times has
@@ -82,32 +94,49 @@ def crossdoc_span_coverage(
     ``dup_fraction < threshold``. Documents shorter than k tokens have
     zero grams and keep=true.
 
-    Plan shape: gram stream → (hash, doc) partial-aggregated pairs (one
-    shuffle) → doc-frequency filter (hash-co-partitioned, AQE reuses the
-    partitioning) → per-doc sums. The join back to per-doc totals is on
-    the id, against an aggregate bounded by document count.
+    Plan shape: gram stream → (gram, doc) partial-aggregated pairs (one
+    shuffle) → doc-frequency filter (gram-co-partitioned; the identical
+    pairs subtree on both sides of the coverage join is a single
+    ReusedExchange) → per-doc sums. The join back to per-doc totals is
+    on the id, against an aggregate bounded by document count.
+
+    Grouping keys are the RAW gram strings: exact (collision-free) and
+    what the DuckDB oracle can mirror bit-for-bit. At 100 TB an engine
+    would key the shuffle on xxhash64(gram) instead — ~8 bytes vs the
+    gram text — trading a vanishing overcount probability for shuffle
+    width; that is a one-line change here and deliberately NOT the
+    oracle-checked default.
+
+    The gram transform is an interpreted higher-order function (Catalyst
+    does not codegen ``transform``/``slice``), i.e. CPU-bound map work —
+    so a scan that under-parallelizes (one small parquet file → one
+    task) serializes it. ``_spread_if_narrow`` repartitions only in that
+    case; with real input splits (any 100 TB layout) it is a no-op and
+    the operator adds no pre-shuffle.
     """
-    toks = docs.select(
+    toks = _spread_if_narrow(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.split(F.col(text_col), " ").alias("__t"),
-    ).select(
-        id_col,
-        _gram_occurrences("__t", k).alias("__grams"),
     )
-    totals = toks.select(id_col, F.size("__grams").alias("n_grams"))
+    # n_grams is arithmetic on token count — building the gram array just
+    # to size() it would run the interpreted transform a second time
+    totals = toks.select(
+        id_col,
+        F.greatest(F.size("__t") - (k - 1), F.lit(0)).alias("n_grams"),
+    )
     grams = toks.select(
-        id_col, F.explode("__grams").alias("__g")
-    ).select(id_col, hash60(F.col("__g")).alias("__h"))
-    # (hash, doc) with occurrence multiplicity; map-side combine applies
-    pairs = grams.groupBy("__h", id_col).agg(F.count("*").alias("__occ"))
-    dup_h = (
-        pairs.groupBy("__h")
+        id_col, F.explode(_gram_occurrences("__t", k)).alias("__g")
+    )
+    # (gram, doc) with occurrence multiplicity; map-side combine applies
+    pairs = grams.groupBy("__g", id_col).agg(F.count("*").alias("__occ"))
+    dup_g = (
+        pairs.groupBy("__g")
         .agg(F.count("*").alias("__df"))
         .filter(F.col("__df") > 1)
-        .select("__h")
+        .select("__g")
     )
     dup_per_doc = (
-        pairs.join(dup_h, "__h")
+        pairs.join(dup_g, "__g")
         .groupBy(id_col)
         .agg(F.sum("__occ").alias("dup_grams"))
     )
@@ -140,14 +169,15 @@ WITH toks AS (
   SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}
 ),
 g AS (
-  SELECT {id_col}, {sql_hash60("gram")} AS h
-  FROM toks, UNNEST({grams}) AS u(gram)
+  SELECT {id_col}, UNNEST({grams}) AS gram FROM toks
 ),
-pairs AS (SELECT h, {id_col}, COUNT(*) AS occ FROM g GROUP BY h, {id_col}),
-dup AS (SELECT h FROM pairs GROUP BY h HAVING COUNT(*) > 1),
+pairs AS (
+  SELECT gram, {id_col}, COUNT(*) AS occ FROM g GROUP BY gram, {id_col}
+),
+dup AS (SELECT gram FROM pairs GROUP BY gram HAVING COUNT(*) > 1),
 per_doc AS (
   SELECT {id_col}, SUM(occ) AS dup_grams
-  FROM pairs JOIN dup USING (h) GROUP BY {id_col}
+  FROM pairs JOIN dup USING (gram) GROUP BY {id_col}
 ),
 tot AS (
   SELECT {id_col}, GREATEST(len(t) - {k - 1}, 0) AS n_grams FROM toks
