@@ -348,3 +348,78 @@ SELECT {id_col}, CAST(COUNT(*) AS INT) AS n_grams,
 FROM b JOIN llr USING (b)
 GROUP BY {id_col}
 """
+
+
+# --------------------------------------------------------------------------
+# out-of-vocabulary rate against the corpus's own top-V unigram vocabulary
+# --------------------------------------------------------------------------
+
+
+def oov_rate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document OOV fraction vs the corpus's top-``vocab_size`` words.
+
+    The tokenizer-coverage health check a training pipeline runs before
+    committing to a vocabulary: high OOV rate flags documents a fixed
+    vocab would shred into unknowns. Vocabulary = the ``vocab_size`` most
+    frequent words with a deterministic (count DESC, word ASC) tie-break,
+    so the result is reproducible across engines and runs.
+
+    Scale shape: the word-count table is bounded by distinct words (far
+    below corpus size); its top-V is ``orderBy().limit()``, which Spark
+    executes as TakeOrderedAndProject (per-partition top-V, driver merge
+    of V-row heaps — never a global sort). The vocab then broadcasts, so
+    the corpus-sized token stream shuffles exactly once, on the id, with
+    map-side combine.
+    """
+    toks = _fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    )
+    counts = toks.groupBy("__w").agg(F.count("*").alias("__c"))
+    vocab = (
+        counts.orderBy(F.desc("__c"), F.asc("__w"))
+        .limit(vocab_size)
+        .select("__w", F.lit(1).alias("__in"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_oov").cast("int").alias("n_oov"),
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+        ).alias("oov_rate"),
+    )
+
+
+def sql_oov_rate(
+    table: str, id_col: str, text_col: str, vocab_size: int = 1000
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, UNNEST({sql_tokens(text_col)}) AS w FROM {table}
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+vocab AS (SELECT w FROM cnt ORDER BY c DESC, w ASC LIMIT {vocab_size}),
+per AS (
+  SELECT t.{id_col}, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+  GROUP BY t.{id_col}
+)
+SELECT {id_col}, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_oov AS INT) AS n_oov,
+       ROUND(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+FROM per
+"""

@@ -139,6 +139,52 @@ def decontaminate_stream(
     return with_hashes.filter(_clean(F.col("__hs"))).drop("__hs")
 
 
+def compression_ratio_gate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lo: float = 0.25,
+    hi: float = 0.95,
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio + keep band — the corpus-filter
+    signal that catches both templated/repetitive text (ratio near 0: the
+    deflate dictionary eats it) and encoding noise / binary spills (ratio
+    near 1: incompressible), used alongside the Gopher-style rules (q58).
+
+    Output: (id, n_bytes, z_bytes, ratio, keep) with keep = lo <= ratio
+    <= hi. The deflate pass is genuinely inexpressible in JVM builtins,
+    so this is a justified Python step: one Arrow-batched pandas UDF,
+    map-side only — no shuffle, no state, linear in corpus bytes, and
+    embarrassingly parallel at any scale. Ratio is deterministic for a
+    fixed zlib level (RFC 1950 stream, stdlib zlib), pinned by a direct
+    zlib parity test in tests/test_curation.py; no DuckDB oracle exists
+    for deflate, so the registry entry is rows-only.
+    """
+    import zlib
+
+    @F.pandas_udf("long")
+    def _z_bytes(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: len(zlib.compress(t.encode("utf-8"), level)))
+
+    n_bytes = F.octet_length(F.col(text_col))
+    out = docs.select(
+        F.col(id_col),
+        n_bytes.alias("n_bytes"),
+        _z_bytes(F.col(text_col)).alias("z_bytes"),
+    )
+    ratio = F.round(
+        F.col("z_bytes").cast("double") / F.greatest(F.col("n_bytes"), F.lit(1)), 6
+    )
+    return out.select(
+        id_col,
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("z_bytes").cast("int").alias("z_bytes"),
+        ratio.alias("ratio"),
+        ((ratio >= lo) & (ratio <= hi)).alias("keep"),
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -40,17 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from franzoxide_spark.functions.text import hash60, sql_hash60
-
-
-def _spread_if_narrow(df: DataFrame) -> DataFrame:
-    """Repartition to the session's core count ONLY when the scan yields
-    fewer partitions — the local fixtures are single-file parquet (one
-    task), which serializes CPU-bound interpreted expressions. With
-    normally-split input (every at-scale layout) this is a no-op."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+from franzoxide_spark.operators.corpus_stats import _fan_out
 
 
 # --------------------------------------------------------------------------
@@ -110,11 +100,11 @@ def crossdoc_span_coverage(
     The gram transform is an interpreted higher-order function (Catalyst
     does not codegen ``transform``/``slice``), i.e. CPU-bound map work —
     so a scan that under-parallelizes (one small parquet file → one
-    task) serializes it. ``_spread_if_narrow`` repartitions only in that
-    case; with real input splits (any 100 TB layout) it is a no-op and
-    the operator adds no pre-shuffle.
+    task) serializes it. ``_fan_out`` (operators/corpus_stats.py)
+    repartitions only in that case; with real input splits (any 100 TB
+    layout) it is a no-op and the operator adds no pre-shuffle.
     """
-    toks = _spread_if_narrow(docs.select(id_col, text_col)).select(
+    toks = _fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.split(F.col(text_col), " ").alias("__t"),
     )

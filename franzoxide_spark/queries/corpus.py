@@ -233,3 +233,26 @@ def _q68_sql() -> str:
 
 
 register("q68_hashed_linear_score", q68, _q68_sql())
+
+
+# --------------------------------------------------------------------------
+# Q70 — out-of-vocabulary rate vs the corpus's own top-V vocabulary
+#        (operators/corpus_stats.py:oov_rate): vocab via
+#        TakeOrderedAndProject (never a global sort), broadcast to the
+#        token stream; vocab_size=16 so the tiny fixture vocabulary
+#        actually produces nonzero OOV rates.
+# --------------------------------------------------------------------------
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.corpus_stats import oov_rate
+
+    docs = table(spark, sf_dir, "documents")
+    return oov_rate(docs, "doc_id", "text", vocab_size=16)
+
+
+def _q70_sql() -> str:
+    from franzoxide_spark.operators.corpus_stats import sql_oov_rate
+
+    return sql_oov_rate("documents", "doc_id", "text", vocab_size=16)
+
+
+register("q70_oov_rate", q70, _q70_sql())

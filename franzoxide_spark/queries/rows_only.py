@@ -62,7 +62,20 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_stream(pool, hashes).select("doc_id")
 
 
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate (operators/curation.py:
+    compression_ratio_gate): per-doc zlib deflate ratio + keep band.
+    Deflate has no DuckDB-SQL counterpart, so this is rows-only; the
+    binding check is the direct-zlib parity test in
+    tests/test_curation.py."""
+    from franzoxide_spark.operators.curation import compression_ratio_gate
+
+    docs = table(spark, sf_dir, "documents")
+    return compression_ratio_gate(docs, "doc_id", "text")
+
+
 register("q10b_approx_count_distinct", q10b, None)
 register("q53_ivf_ann_topk", q53, None)
 register("q55_sequence_packing", q55, None)
 register("q56_stream_decontaminate", q56, None)
+register("q69_compression_ratio_gate", q69, None)

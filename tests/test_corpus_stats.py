@@ -133,3 +133,57 @@ def test_mixture_weights_normalize_and_cap(spark, sf_dir):
     total = sum(r.tokens for r in rows)
     big = max(rows, key=lambda r: r.tokens)
     assert big.weight < big.tokens / total
+
+
+# --------------------------------------------------------------------------
+# OOV rate (q70)
+# --------------------------------------------------------------------------
+
+
+def test_oov_rate_counts_tokens_outside_topv_vocab(spark):
+    from franzoxide_spark.operators.corpus_stats import oov_rate
+
+    # corpus counts: the=4, cat=3, dog=2, rare=1, odd=1 -> vocab_size=2
+    # keeps {the, cat}; everything else is OOV
+    rows = [
+        (1, None, "the cat the cat"),
+        (2, None, "the dog cat dog"),
+        (3, None, "the rare odd"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in oov_rate(docs, "doc_id", "text", vocab_size=2).collect()
+    }
+    assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
+    assert out[2]["n_oov"] == 2 and out[2]["oov_rate"] == 0.5
+    assert out[3]["n_oov"] == 2 and out[3]["oov_rate"] == round(2 / 3, 6)
+
+
+def test_oov_rate_tie_break_is_deterministic(spark):
+    from franzoxide_spark.operators.corpus_stats import oov_rate
+
+    # "aaa" and "bbb" both appear once; vocab_size=1 must pick "aaa"
+    # (count DESC, word ASC), never "bbb"
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb")], "doc_id long, text string"
+    )
+    out = oov_rate(docs, "doc_id", "text", vocab_size=1).collect()[0]
+    assert out["n_oov"] == 1  # bbb
+
+
+def test_oov_rate_vocab_is_broadcast_not_sorted_globally(spark):
+    from franzoxide_spark.operators.corpus_stats import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    plan = (
+        oov_rate(docs, "doc_id", "text", vocab_size=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # top-V, not a global Sort
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

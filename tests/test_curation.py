@@ -219,3 +219,52 @@ def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
     for lang, _, rank in rows_a:
         per[lang] = max(per.get(lang, 0), rank)
     assert per and all(v <= 7 for v in per.values())
+
+
+# --------------------------------------------------------------------------
+# compression-ratio gate (q69)
+# --------------------------------------------------------------------------
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    import zlib
+
+    from franzoxide_spark.operators.curation import compression_ratio_gate
+
+    rows = [
+        (1, "a a a a a a a a a a a a a a a a a a a a"),  # repetitive
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio_gate(docs).collect()}
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        assert out[doc_id]["n_bytes"] == len(raw)
+        assert out[doc_id]["z_bytes"] == z
+        assert out[doc_id]["ratio"] == round(z / max(len(raw), 1), 6)
+
+
+def test_compression_ratio_gate_flags_repetitive_text(spark):
+    from franzoxide_spark.operators.curation import compression_ratio_gate
+
+    varied = " ".join(f"tok{i * 7919 % 5077}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, "spam " * 400), (2, varied)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in compression_ratio_gate(docs).collect()}
+    # 2000 bytes of "spam " deflates to almost nothing -> below the band
+    assert out[1]["ratio"] < 0.25 and out[1]["keep"] is False
+    # ~450 bytes of non-repeating tokens sits inside [0.25, 0.95]
+    assert out[2]["keep"] is True
+
+
+def test_compression_ratio_plan_is_map_only(spark):
+    from franzoxide_spark.operators.curation import compression_ratio_gate
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        compression_ratio_gate(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # no shuffle: one Arrow-batched map pass
