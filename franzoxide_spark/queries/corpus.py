@@ -256,3 +256,69 @@ def _q70_sql() -> str:
 
 
 register("q70_oov_rate", q70, _q70_sql())
+
+
+# --------------------------------------------------------------------------
+# Q71 — ordered funnel analysis over events (operators/funnel.py):
+#        view → click → purchase, each stage's first timestamp strictly
+#        after the previous stage's. One shuffle on user_id, chained
+#        whole-partition window mins, no joins. Timestamps stringified
+#        for the cross-engine compare (the windows-family idiom).
+# --------------------------------------------------------------------------
+_FUNNEL_STAGES = ("view", "click", "purchase")
+_TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.funnel import funnel
+
+    ev = table(spark, sf_dir, "events")
+    out = funnel(ev, "user_id", "event_type", "ts", _FUNNEL_STAGES)
+    return out.select(
+        "user_id",
+        *[
+            F.date_format(f"stage{i}_ts", _TS_FMT_US).alias(f"stage{i}_s")
+            for i in range(1, len(_FUNNEL_STAGES) + 1)
+        ],
+        "stage_reached",
+    )
+
+
+def _q71_sql() -> str:
+    from franzoxide_spark.operators.funnel import sql_funnel
+
+    inner = sql_funnel("events", "user_id", "event_type", "ts", _FUNNEL_STAGES)
+    fmt = ", ".join(
+        f"strftime(stage{i}_ts, '%Y-%m-%d %H:%M:%S.%f') AS stage{i}_s"
+        for i in range(1, len(_FUNNEL_STAGES) + 1)
+    )
+    return f"SELECT user_id, {fmt}, stage_reached FROM ({inner})"
+
+
+register("q71_funnel_stages", q71, _q71_sql())
+
+
+# --------------------------------------------------------------------------
+# Q72 — count-min-sketch heavy hitters over the word stream
+#        (operators/sketch.py): the sketch kept RELATIONAL (d×w rows,
+#        corpus-size-invariant) so both build and probe are plain
+#        aggregations/joins and DuckDB can mirror them — unlike Spark's
+#        binary count_min_sketch blob, which nothing in SQL can probe.
+# --------------------------------------------------------------------------
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.sketch import cms_heavy_hitters
+
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    return cms_heavy_hitters(words, "word", k=10, depth=4, width=256)
+
+
+def _q72_sql() -> str:
+    from franzoxide_spark.operators.sketch import sql_cms_heavy_hitters
+
+    stream = "(SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)"
+    return sql_cms_heavy_hitters(stream, "word", k=10, depth=4, width=256)
+
+
+register("q72_cms_heavy_hitters", q72, _q72_sql())
