@@ -322,3 +322,126 @@ def _q72_sql() -> str:
 
 
 register("q72_cms_heavy_hitters", q72, _q72_sql())
+
+
+# --------------------------------------------------------------------------
+# Q73 — weekly retention cohorts: users bucketed by the week of their
+#        first event; for each (cohort_week, week_offset) the distinct
+#        users active then. Cohort assignment is a whole-partition window
+#        min (same single user-key shuffle as q71 — no self-join), the
+#        final agg is map-side-combined over a (weeks × offsets)-bounded
+#        key space.
+# --------------------------------------------------------------------------
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    wk = F.date_trunc("week", F.col("ts"))
+    with_cohort = ev.select(
+        "user_id",
+        wk.alias("__wk"),
+        F.min(wk).over(w).alias("__cohort"),
+    )
+    return (
+        with_cohort.groupBy("__cohort", "__wk")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                (F.col("__wk").cast("long") - F.col("__cohort").cast("long"))
+                / (7 * 86400)
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
+_Q73_SQL = """
+WITH e AS (
+  SELECT user_id, date_trunc('week', ts) AS wk,
+         MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort
+  FROM events
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(FLOOR(date_diff('day', cohort, wk) / 7.0) AS INT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM e GROUP BY cohort, wk
+"""
+
+
+register("q73_retention_cohorts", q73, _Q73_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q74 — sessionized event sequences: 30-minute-gap sessions per user
+#        (lag + cumulative gap count over one user-key shuffle — the
+#        sessionization q27 does with session_window, here kept explicit
+#        so the session id can key a training-sequence string), then the
+#        ordered event-type path per session. The behavioral-sequence
+#        builder of a user-action LM pipeline.
+# --------------------------------------------------------------------------
+_Q74_GAP_MIN = 30
+
+
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    marked = ev.withColumn(
+        "__new", F.when(gap.isNull() | (gap > _Q74_GAP_MIN * 60), 1).otherwise(0)
+    )
+    sess = marked.withColumn("session_idx", F.sum("__new").over(wo))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("int").alias("session_idx"),
+            F.col("n_events").cast("int").alias("n_events"),
+            "path",
+        )
+    )
+
+
+_Q74_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL '{_Q74_GAP_MIN} minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS session_idx
+  FROM o
+)
+SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+       CAST(COUNT(*) AS INT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+register("q74_session_sequences", q74, _Q74_SQL)
