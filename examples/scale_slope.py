@@ -68,6 +68,12 @@ SLOPE_QUERIES = (
     # hashed linear classifier: feature hashing is map-side; slope should
     # be flat-to-linear (broadcast weight table is constant-size)
     "q68_hashed_linear_score",
+    # events family (replicas = disjoint user populations): all three are
+    # one user-key shuffle + windows/aggs, so the slope should be linear
+    # in events with no pair/join blowup
+    "q71_funnel_stages",
+    "q73_retention_cohorts",
+    "q74_session_sequences",
 )
 
 
@@ -103,6 +109,22 @@ def build_scaled(spark, src: str, out: str, r: int) -> None:
             (F.col("label") + (F.col("__rep") * 100).cast("int")).alias("label"),
         )
         .write.parquet(os.path.join(out, "embeddings.parquet"))
+    )
+    # events: replicas are disjoint user populations (user_id shifted), so
+    # per-user funnel / session / cohort structure is exactly sf0.1's and
+    # growth adds users — how an event stream actually grows
+    ev = table(spark, src, "events")
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("__rep") * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("__rep") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.parquet(os.path.join(out, "events.parquet"))
     )
 
 
