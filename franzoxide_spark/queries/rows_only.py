@@ -78,4 +78,31 @@ register("q10b_approx_count_distinct", q10b, None)
 register("q53_ivf_ann_topk", q53, None)
 register("q55_sequence_packing", q55, None)
 register("q56_stream_decontaminate", q56, None)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize + frame-sample plumbing (operators/multimodal.py):
+    fake media -> stride-resize to 32x32 -> fixed-size frame sampling,
+    per-frame byte stats. Both steps are Arrow-batched mapInPandas with
+    the real decode stubbed (no media libs in this container); rows-only
+    because deflate-style byte plumbing has no DuckDB counterpart. The
+    binding checks (schema, determinism, fan-out cap, stub raise) run in
+    tests/test_llm_ops.py."""
+    from franzoxide_spark.operators.multimodal import (
+        media_frame_from_documents,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    media = media_frame_from_documents(docs)
+    resized = resize_media(media, width=32, height=32, fake=True)
+    frames = sample_frames(
+        resized, frame_bytes=64, every_n=2, max_frames=4, fake=True
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.length("frame")).alias("frame_bytes"),
+    )
+
+
 register("q69_compression_ratio_gate", q69, None)
+register("q75_multimodal_frames", q75, None)

@@ -451,3 +451,52 @@ def test_neardup_clusters_driver_and_distributed_paths_agree(spark):
         (11, 11, True), (12, 11, False),
         (5, 5, True), (30, 5, False), (31, 5, False),
     }
+
+
+def test_multimodal_resize_stub_raises_and_fake_hits_target_size(spark, sf_dir):
+    from franzoxide_spark.operators.multimodal import (
+        media_frame_from_documents,
+        resize_media,
+    )
+    from franzoxide_spark.tables import table as _table
+
+    media = media_frame_from_documents(_table(spark, sf_dir, "documents")).limit(5)
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_media(media, 8, 8, fake=False).collect()
+    rows = resize_media(media, 8, 8, fake=True).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["media"]) == 64  # exactly width*height bytes
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
+    # deterministic: same input -> same bytes
+    again = resize_media(media, 8, 8, fake=True).collect()
+    assert {r["doc_id"]: bytes(r["media"]) for r in rows} == {
+        r["doc_id"]: bytes(r["media"]) for r in again
+    }
+
+
+def test_multimodal_frame_sampling_caps_and_indexes(spark):
+    from franzoxide_spark.operators.multimodal import sample_frames
+
+    # 1000-byte media, 100-byte frames -> 10 stream frames; every 3rd
+    # sampled, capped at 3 -> indices 0, 3, 6
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x" * 1000), {"width": 1, "height": 1, "format": "f"})],
+        "doc_id long, media binary, meta struct<width:int,height:int,format:string>",
+    )
+    rows = sample_frames(
+        media, frame_bytes=100, every_n=3, max_frames=3, fake=True
+    ).collect()
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 3, 6]
+    assert all(len(r["frame"]) == 100 for r in rows)
+
+
+def test_multimodal_frame_sampling_stub_raises(spark):
+    from franzoxide_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abc"), {"width": 1, "height": 1, "format": "f"})],
+        "doc_id long, media binary, meta struct<width:int,height:int,format:string>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|frame"):
+        sample_frames(media, fake=False).collect()
