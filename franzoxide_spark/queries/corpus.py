@@ -445,3 +445,79 @@ FROM s GROUP BY user_id, session_idx
 
 
 register("q74_session_sequences", q74, _Q74_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q76 — mixture sampling EXECUTION: materialize q64's temperature-sampling
+#        plan. Each doc replicates floor(rate) times plus one more with
+#        probability frac(rate), decided by the deterministic seeded hash
+#        (replay-safe, engine-agnostic — the property that makes the
+#        sampled corpus reproducible across engines and restarts). Rates
+#        are a (lang,source)-bounded broadcast; replication is a map-side
+#        explode of a sequence — the corpus never shuffles. Output is the
+#        per-domain audit: realized vs planned sampled token counts.
+# --------------------------------------------------------------------------
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.text import hash60
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    rates = q64(spark, sf_dir).select("lang", "source", "tokens", "sampling_rate")
+    u = (
+        F.pmod(hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), F.lit(1_000_000))
+        / 1_000_000.0
+    )
+    copies = (
+        F.floor("sampling_rate")
+        + F.when(u < F.col("sampling_rate") - F.floor("sampling_rate"), 1).otherwise(0)
+    ).cast("int")
+    sampled = (
+        docs.join(F.broadcast(rates), ["lang", "source"])
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .select(
+            "lang", "source", "n_tok", "tokens", "sampling_rate",
+            F.explode(F.expr("sequence(1, __copies)")).alias("__epoch"),
+        )
+    )
+    return sampled.groupBy("lang", "source").agg(
+        F.count("*").cast("int").alias("n_sampled_docs"),
+        F.sum("n_tok").alias("sampled_tokens"),
+        F.round(F.first("sampling_rate") * F.first("tokens"), 2).alias(
+            "planned_tokens"
+        ),
+    )
+
+
+def _q76_sql() -> str:
+    from franzoxide_spark.functions.text import sql_hash60
+
+    h = sql_hash60("'mix:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH rates AS ({_Q64_SQL.strip()}),
+d AS (
+  SELECT doc_id, lang, source, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+j AS (
+  SELECT d.*, r.tokens, r.sampling_rate,
+         CAST(FLOOR(r.sampling_rate)
+              + CASE WHEN ({h} % 1000000) / 1000000.0
+                          < r.sampling_rate - FLOOR(r.sampling_rate)
+                     THEN 1 ELSE 0 END AS INT) AS copies
+  FROM d JOIN rates r USING (lang, source)
+),
+s AS (
+  SELECT lang, source, n_tok, tokens, sampling_rate
+  FROM j, UNNEST(range(1, copies + 1)) AS e(i)
+  WHERE copies > 0
+)
+SELECT lang, source, CAST(COUNT(*) AS INT) AS n_sampled_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sampled_tokens,
+       ROUND(FIRST(sampling_rate) * FIRST(tokens), 2) AS planned_tokens
+FROM s GROUP BY lang, source
+"""
+
+
+register("q76_mixture_sampling", q76, _q76_sql())
