@@ -273,3 +273,93 @@ def test_protowire_ack_and_control_round_trip(ids, success, msg):
         error_message=msg,
     )
     assert pw.StatusResponse.decode(stat.encode()) == stat
+
+
+# --------------------------------------------------------------------------
+# round-6 operators: span coverage, CMS, funnel — invariants over
+# generated corpora (one Spark job per example batch)
+# --------------------------------------------------------------------------
+word = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+doc_text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+@SET
+@given(st.lists(doc_text, min_size=2, max_size=8))
+def test_span_coverage_invariants(spark, texts):
+    from franzoxide_spark.operators.span_dedup import crossdoc_span_coverage
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = crossdoc_span_coverage(docs, "doc_id", "text", k=3).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        toks = len(texts[r["doc_id"]].split(" ")) if texts[r["doc_id"]] else 1
+        assert r["n_grams"] == max(toks - 2, 0)
+        assert 0 <= r["dup_grams"] <= r["n_grams"]
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+    # two identical docs with >= k tokens must both be fully duplicated
+    dup_ids = [
+        i for i, t in enumerate(texts)
+        if len(t.split(" ")) >= 3 and texts.count(t) > 1
+    ]
+    by_id = {r["doc_id"]: r for r in out}
+    for i in dup_ids:
+        assert by_id[i]["dup_fraction"] == 1.0
+
+
+@SET
+@given(
+    st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=1, max_size=60),
+    st.integers(2, 8),
+)
+def test_cms_estimate_bounds(spark, items, width):
+    from franzoxide_spark.operators.sketch import cms_heavy_hitters
+
+    df = spark.createDataFrame([(i,) for i in items], "word string")
+    out = cms_heavy_hitters(df, "word", k=10, depth=3, width=width).collect()
+    # never undercounts; never exceeds the stream length
+    for r in out:
+        assert r["exact_cnt"] <= r["cms_est"] <= len(items)
+        assert r["overestimate"]
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(0, 59),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_stage_timestamps_strictly_increase(spark, events):
+    import datetime
+
+    from franzoxide_spark.operators.funnel import funnel
+
+    df = spark.createDataFrame(
+        [
+            (u, t, datetime.datetime(2024, 1, 1, 0, 0, s))
+            for u, t, s in events
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = funnel(
+        df, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    ).collect()
+    for r in out:
+        stamps = [r["stage1_ts"], r["stage2_ts"], r["stage3_ts"]]
+        # once a stage is null, every later stage is null
+        seen_null = False
+        for s in stamps:
+            if seen_null:
+                assert s is None
+            seen_null = seen_null or s is None
+        # non-null stage times strictly increase
+        present = [s for s in stamps if s is not None]
+        assert all(a < b for a, b in zip(present, present[1:]))
+        assert r["stage_reached"] == len(present)
