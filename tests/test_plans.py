@@ -130,3 +130,32 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q73_q74_events_family_is_single_user_shuffle_no_joins(spark, sf_dir):
+    # funnel/cohort/session: everything after the one user-key exchange is
+    # co-partitioned windows + aggregation; a join or second data shuffle
+    # would break the measured 2.1-2.6x slope at 10x events
+    for name in ("q73_retention_cohorts", "q74_session_sequences"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, name
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 2, f"{name}: {n_exchanges} exchanges"
+
+
+def test_q76_mixture_sampling_never_shuffles_the_corpus(spark, sf_dir):
+    # rates join must broadcast (the (lang,source) table is bounded);
+    # the only hash exchanges allowed are the tiny rate-table build and
+    # the bounded-key final aggregate — none keyed on doc_id
+    plan = _plan(spark, sf_dir, "q76_mixture_sampling")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "doc_id" not in ln, ln
+
+
+def test_q70_oov_vocab_is_topv_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q70_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
