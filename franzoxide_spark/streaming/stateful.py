@@ -228,3 +228,116 @@ def running_counts_tws(events: DataFrame, key_col: str, value_col: str) -> DataF
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --------------------------------------------------------------------------
+# streaming incremental near-dup: LSH band buckets as state keys
+# --------------------------------------------------------------------------
+
+NEARDUP_OUTPUT_SCHEMA = "id_a long, id_b long, jaccard double"
+NEARDUP_STATE_SCHEMA = "ids array<long>, shs array<array<long>>"
+
+
+def make_neardup_update(threshold: float):
+    """applyInPandasWithState update fn for one LSH band bucket: state is
+    the (doc_id, shingle-hash set) of every doc that ever hashed into this
+    bucket; each arriving doc is exact-Jaccard-verified against the
+    bucket's residents, then joins them. Pairs therefore emit when the
+    LATER doc arrives — the incremental contract a streaming ingest needs
+    (new docs checked against the whole history, never a recheck of the
+    past)."""
+
+    def _update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            ids, shs = list(state.get[0]), [set(x) for x in state.get[1]]
+        else:
+            ids, shs = [], []
+        known = set(ids)
+        out: list[tuple[int, int, float]] = []
+        for pdf in pdf_iter:
+            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+                doc_id = int(doc_id)
+                if doc_id in known:  # replayed doc: already a resident
+                    continue
+                sh_set = set(int(x) for x in sh)
+                for pid, psh in zip(ids, shs):
+                    union = len(sh_set | psh)
+                    if not union:
+                        continue
+                    j = round(len(sh_set & psh) / union, 6)
+                    if j >= threshold:
+                        a, b = sorted((pid, doc_id))
+                        out.append((a, b, j))
+                ids.append(doc_id)
+                shs.append(sh_set)
+                known.add(doc_id)
+        state.update((ids, [sorted(s) for s in shs]))
+        yield pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+    return _update
+
+
+def streaming_neardup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: the incremental
+    counterpart of operators/dedup.py:minhash_near_duplicates. Signatures
+    and banding are the SAME JVM expressions as the batch path (so the
+    candidate space is identical); the per-bucket state then holds every
+    resident's 60-bit shingle-hash set and each arriving doc verifies
+    exact Jaccard against them in one Arrow batch.
+
+    Emission contract: a qualifying pair emits when its later doc
+    arrives, once per shared band bucket — consumers dedupe on
+    (id_a, id_b) downstream (streaming dropDuplicates or the sink's
+    merge). Verification is on 60-bit shingle hashes rather than the
+    batch path's shingle strings — identical up to md5-collision odds
+    (~n²/2⁶⁰), the standard trade for compact state.
+
+    State is bounded by bucket residency (near-dup cluster density per
+    band), not stream length in the adversarial-free case; production
+    deployments add TTL via the transformWithState API (see
+    running_counts_tws) to expire cold buckets.
+    """
+    from franzoxide_spark.operators.dedup import (
+        _with_tokens,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        _with_tokens(docs, text_col), text_col, id_col, num_hashes, shingle_k
+    ).withColumn(
+        "sh60",
+        F.expr(
+            "transform(shingle_set, s ->"
+            " cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+        ),
+    )
+    banded = sig.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("sh60").alias("sh"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> concat_ws(':', b, concat_ws(',',"
+                f" slice(sig, b * {rows} + 1, {rows}))))"
+            )
+        ).alias("bucket"),
+    )
+    return banded.groupBy("bucket").applyInPandasWithState(
+        make_neardup_update(threshold),
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -968,3 +968,103 @@ def test_transform_with_state_running_counts(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+# --------------------------------------------------------------------------
+# streaming incremental near-dup (streaming/stateful.py:streaming_neardup)
+# --------------------------------------------------------------------------
+
+
+def test_streaming_neardup_matches_batch_pairs(spark, sf_dir, tmp_path):
+    """Two micro-batches through the stateful LSH op must surface exactly
+    the batch operator's verified pair set (same signatures, same bands,
+    same threshold) — including pairs whose two docs arrived in DIFFERENT
+    batches, which is the incremental behavior under test."""
+    from franzoxide_spark.operators.dedup import minhash_near_duplicates
+    from franzoxide_spark.streaming.stateful import streaming_neardup
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # split so near-dup pairs straddle the batch boundary
+    in_dir = str(tmp_path / "in")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(in_dir + "/b0")
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(in_dir + "/b1")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(glob.glob(in_dir + "/b*/**/*.parquet", recursive=True)):
+        os.link(f, os.path.join(flat, f"part{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+    )
+    out = streaming_neardup(stream, "doc_id", "text", threshold=0.8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.sql("select * from neardup_stream").collect()
+    }
+    expected = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_duplicates(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture should contain at least one near-dup pair"
+
+
+def test_streaming_neardup_replay_does_not_duplicate_pairs(spark, sf_dir, tmp_path):
+    """A doc replayed in a later batch (same doc_id) must not re-pair:
+    the bucket state remembers residents, so at-least-once upstream
+    delivery cannot double-emit."""
+    from franzoxide_spark.streaming.stateful import streaming_neardup
+
+    rows = [(1, "a b c d e f"), (2, "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    df.coalesce(1).write.parquet(str(tmp_path / "w0"))
+    df.coalesce(1).write.parquet(str(tmp_path / "w1"))  # full replay
+    for i, f in enumerate(
+        glob.glob(str(tmp_path / "w*") + "/*.parquet")
+    ):
+        os.link(f, os.path.join(flat, f"part{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+    )
+    out = streaming_neardup(stream, "doc_id", "text", threshold=0.8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_replay")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows_out = spark.sql("select * from neardup_replay").collect()
+    # identical docs -> jaccard 1.0, found once per shared band bucket on
+    # first arrival (4 bands, identical sigs -> up to 4 rows for the one
+    # pair) but NEVER again on replay
+    pairs = {(r["id_a"], r["id_b"]) for r in rows_out}
+    assert pairs == {(1, 2)}
+    assert all(r["jaccard"] == 1.0 for r in rows_out)
+    assert len(rows_out) <= 4
