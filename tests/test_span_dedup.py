@@ -130,3 +130,24 @@ def test_linear_score_broadcasts_weight_table(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round6_operators_handle_empty_input(spark):
+    """An empty corpus/stream must yield an empty result, not a crash —
+    the degenerate case every scheduled pipeline eventually feeds."""
+    from franzoxide_spark.operators.corpus_stats import oov_rate
+    from franzoxide_spark.operators.curation import compression_ratio_gate
+    from franzoxide_spark.operators.funnel import funnel
+    from franzoxide_spark.operators.sketch import cms_heavy_hitters
+    from franzoxide_spark.operators.span_dedup import hashed_linear_score
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert crossdoc_span_coverage(empty_docs, "doc_id", "text").count() == 0
+    assert hashed_linear_score(spark, empty_docs, "doc_id", "text", 64).count() == 0
+    assert oov_rate(empty_docs, "doc_id", "text", 5).count() == 0
+    assert compression_ratio_gate(empty_docs).count() == 0
+    assert cms_heavy_hitters(empty_docs.selectExpr("text as word"), "word").count() == 0
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp"
+    )
+    assert funnel(empty_ev, "user_id", "event_type", "ts", ["view"]).count() == 0
