@@ -40,3 +40,69 @@ def cosine_rounded(a: str, b: str, digits: int = 6) -> Column:
 def sql_cosine_rounded(a: str, b: str, digits: int = 6) -> str:
     return (f"ROUND(list_cosine_similarity(CAST({a} AS DOUBLE[]),"
             f" CAST({b} AS DOUBLE[])), {digits})")
+
+
+# --------------------------------------------------------------------------
+# scalar int8 quantization (the memory-bandwidth lever for ANN at scale:
+# 4 bytes/dim -> 1 byte/dim; IVF/LSH shortlists scan quantized codes and
+# only the final rerank touches full-precision vectors)
+# --------------------------------------------------------------------------
+
+
+def quantize_int8(vec: str) -> Column:
+    """Per-vector max-abs scalar quantization: q_i = round(v_i / s * 127)
+    with s = max(|v|). Symmetric, zero maps to zero, codes in [-127, 127].
+    All expression-level (transform + aggregate) — map-side, codegen-free
+    but embarrassingly parallel, no shuffle."""
+    return F.expr(
+        f"""transform({vec}, x -> cast(round(
+              cast(x as double) / greatest(
+                aggregate({vec}, cast(0.0 as double),
+                          (m, y) -> greatest(m, abs(cast(y as double)))),
+                cast(1e-30 as double)) * 127) as int))"""
+    )
+
+
+def dequant_mse(vec: str, digits: int = 6) -> Column:
+    """Round-trip reconstruction MSE of :func:`quantize_int8`, computed
+    without materializing the codes twice: mean((v - q*s/127)^2)."""
+    scale = (
+        f"greatest(aggregate({vec}, cast(0.0 as double),"
+        f" (m, y) -> greatest(m, abs(cast(y as double)))), cast(1e-30 as double))"
+    )
+    return F.round(
+        F.expr(
+            f"""aggregate({vec}, cast(0.0 as double),
+                  (acc, x) -> acc + pow(cast(x as double)
+                      - round(cast(x as double) / ({scale}) * 127)
+                        * ({scale}) / 127, 2))
+                / greatest(size({vec}), 1)"""
+        ),
+        digits,
+    )
+
+
+def sql_quant_audit(vec: str, digits: int = 6) -> dict[str, str]:
+    """DuckDB mirrors of the quantization audit columns (same arithmetic,
+    same rounding) keyed by output column name."""
+    scale = (
+        f"GREATEST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform({vec}, y -> ABS(CAST(y AS DOUBLE)))),"
+        f" (m, y) -> GREATEST(m, y)), CAST(1e-30 AS DOUBLE))"
+    )
+    mse = (
+        f"ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform({vec}, x -> POW(CAST(x AS DOUBLE)"
+        f" - ROUND(CAST(x AS DOUBLE) / ({scale}) * 127)"
+        f" * ({scale}) / 127, 2))), (acc, x) -> acc + x)"
+        f" / GREATEST(len({vec}), 1), {digits})"
+    )
+    return {
+        "scale": f"ROUND({scale}, {digits})",
+        "mse": mse,
+        "max_code": (
+            f"CAST(list_reduce(list_prepend(CAST(0 AS INT),"
+            f" list_transform({vec}, x -> CAST(ABS(ROUND(CAST(x AS DOUBLE)"
+            f" / ({scale}) * 127)) AS INT))), (m, x) -> GREATEST(m, x)) AS INT)"
+        ),
+    }

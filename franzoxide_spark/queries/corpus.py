@@ -521,3 +521,44 @@ FROM s GROUP BY lang, source
 
 
 register("q76_mixture_sampling", q76, _q76_sql())
+
+
+# --------------------------------------------------------------------------
+# Q77 — scalar int8 embedding quantization audit (functions/vectors.py):
+#        per-vector max-abs scale, round-trip reconstruction MSE, max
+#        |code|. The 4x memory-bandwidth lever for ANN at scale (IVF/LSH
+#        shortlists scan codes; only the rerank touches full precision).
+#        Entirely map-side expressions — no shuffle, no UDF; both engines
+#        fold the list in element order, so the FP accumulation sequence
+#        is identical and the 6-dp compare is deterministic.
+# --------------------------------------------------------------------------
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.vectors import dequant_mse, quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    scale = F.expr(
+        "greatest(aggregate(embedding, cast(0.0 as double),"
+        " (m, y) -> greatest(m, abs(cast(y as double)))), cast(1e-30 as double))"
+    )
+    codes = quantize_int8("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(scale, 6).alias("scale"),
+        dequant_mse("embedding").alias("mse"),
+        F.array_max(F.transform(codes, lambda c: F.abs(c))).alias("max_code"),
+    )
+
+
+def _q77_sql() -> str:
+    from franzoxide_spark.functions.vectors import sql_quant_audit
+
+    a = sql_quant_audit("embedding")
+    return f"""
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       {a['scale']} AS scale, {a['mse']} AS mse, {a['max_code']} AS max_code
+FROM embeddings
+"""
+
+
+register("q77_embedding_quantization", q77, _q77_sql())
