@@ -562,3 +562,27 @@ FROM embeddings
 
 
 register("q77_embedding_quantization", q77, _q77_sql())
+
+
+# --------------------------------------------------------------------------
+# Q78 — numeric table profile (operators/profile.py): the data-quality
+#        snapshot before trusting a new data drop. One aggregation job
+#        for all columns, exact-decimal means (no FP-accumulation flap),
+#        map-side unpivot of the 1-row aggregate.
+# --------------------------------------------------------------------------
+_Q78_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.profile import profile_numeric
+
+    return profile_numeric(table(spark, sf_dir, "lineitem"), _Q78_COLS)
+
+
+def _q78_sql() -> str:
+    from franzoxide_spark.operators.profile import sql_profile_numeric
+
+    return sql_profile_numeric("lineitem", _Q78_COLS)
+
+
+register("q78_table_profile", q78, _q78_sql())
