@@ -1,0 +1,100 @@
+"""Time-series regularization: gap filling + forward fill.
+
+Tier-C analytics (SURVEY.md §2.3) the reference connector has no
+counterpart for: downstream consumers of an event stream (dashboards,
+feature pipelines, anomaly detectors) want a REGULAR series per key —
+every bucket present, missing buckets carrying the last observed value.
+Spark has no native gap-fill; the composition below is the idiomatic
+one: per-key bounds → ``sequence()`` explode generates the missing
+buckets → left join the observed aggregates → ``last(ignorenulls)``
+window forward-fills.
+
+Scale shape: aggregation and join are both keyed on (key, bucket) —
+co-partitioned, partial-aggregated; the bounds table is one row per key;
+the generated series is bounded by each key's time span over the bucket
+width (a key spanning years at minute buckets fans out accordingly —
+pick the bucket for the retention window, same rule as any rollup). The
+forward-fill window sorts only within a key's own buckets. Observed
+sums go through the exact-decimal path so the cross-engine compare is
+accumulation-order-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from franzoxide_spark.functions.numeric import dec, sql_dec
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key hourly series from the key's first to last bucket:
+    (key, bucket_s, n_events, value_sum, value_ffill) where missing hours
+    have n_events = 0, a null value_sum, and value_ffill carrying the
+    last observed hourly sum forward."""
+    hourly = events.groupBy(
+        F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("__h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(dec(F.col(value_col))).cast("double"), 6).alias(
+            "value_sum"
+        ),
+    )
+    bounds = hourly.groupBy(key_col).agg(
+        F.min("__h").alias("__lo"), F.max("__h").alias("__hi")
+    )
+    full = bounds.select(
+        key_col,
+        F.explode(
+            F.expr("sequence(__lo, __hi, interval 1 hour)")
+        ).alias("__h"),
+    )
+    joined = full.join(hourly, [key_col, "__h"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        F.date_format("__h", _TS_FMT).alias("bucket_s"),
+        F.coalesce("n_events", F.lit(0)).cast("int").alias("n_events"),
+        "value_sum",
+        F.last("value_sum", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+def sql_gap_fill_hourly(
+    table: str, key_col: str, ts_col: str, value_col: str
+) -> str:
+    return f"""
+WITH hourly AS (
+  SELECT {key_col}, date_trunc('hour', {ts_col}) AS h,
+         COUNT(*) AS n_events,
+         ROUND(CAST(SUM({sql_dec(value_col)}) AS DOUBLE), 6) AS value_sum
+  FROM {table} GROUP BY {key_col}, date_trunc('hour', {ts_col})
+),
+bounds AS (
+  SELECT {key_col}, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY {key_col}
+),
+series AS (
+  SELECT {key_col}, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT f.{key_col},
+       strftime(f.h, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+       CAST(COALESCE(n_events, 0) AS INT) AS n_events,
+       value_sum,
+       last_value(value_sum IGNORE NULLS) OVER (
+         PARTITION BY f.{key_col} ORDER BY f.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_ffill
+FROM series f LEFT JOIN hourly o ON f.{key_col} = o.{key_col} AND f.h = o.h
+"""

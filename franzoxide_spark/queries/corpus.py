@@ -586,3 +586,25 @@ def _q78_sql() -> str:
 
 
 register("q78_table_profile", q78, _q78_sql())
+
+
+# --------------------------------------------------------------------------
+# Q79 — hourly gap fill + forward fill over events (operators/
+#        timeseries.py): regularize each user's series so every hour
+#        between their first and last event exists, carrying the last
+#        observed hourly value-sum through the gaps.
+# --------------------------------------------------------------------------
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.timeseries import gap_fill_hourly
+
+    ev = table(spark, sf_dir, "events")
+    return gap_fill_hourly(ev, "user_id", "ts", "value")
+
+
+def _q79_sql() -> str:
+    from franzoxide_spark.operators.timeseries import sql_gap_fill_hourly
+
+    return sql_gap_fill_hourly("events", "user_id", "ts", "value")
+
+
+register("q79_gap_fill_ffill", q79, _q79_sql())
