@@ -1,0 +1,154 @@
+"""Robust statistics over event streams: MAD outlier gates and
+group-wise closed-form OLS trends.
+
+Tier-C analytics (SURVEY.md §2.3): the two screens a monitoring /
+feature pipeline runs over a metric stream — "which points are
+anomalous" (median/MAD, robust to the outliers it hunts) and "which
+series are drifting" (per-group linear trend). Both stay declarative:
+
+* ``mad_outliers`` — two exact-percentile aggregations (the q49 path)
+  with a broadcast join of the per-group medians between them; the
+  group key space bounds every intermediate, the stream shuffles twice
+  on the group key with partial aggregation.
+* ``groupwise_ols`` — one aggregation computing the five classical sums
+  (n, Σx, Σy, Σxy, Σx²) EXACTLY: x is integer seconds from a fixed
+  epoch (bounded magnitude, deterministic), y goes through the
+  exact-decimal path — so slope/intercept are a handful of double ops
+  on identical operands in both engines and the 6-dp compare holds.
+  One map-side-combined shuffle on the group key, nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from franzoxide_spark.functions.numeric import dec, sql_dec
+
+# MAD consistency constant for normal data (sigma ~= 1.4826 * MAD)
+MAD_K = 1.4826
+
+
+def mad_outliers(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Per-key robust outlier screen: (key, n, median, mad, n_outliers)
+    flagging points with |x - median| > n_sigmas * 1.4826 * MAD."""
+    med = events.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_med = events.join(F.broadcast(med), key_col)
+    stats = with_med.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.first("__med").alias("__m"),
+        F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad"),
+    )
+    dev = F.abs(F.col(value_col) - F.col("__m"))
+    return (
+        with_med.join(F.broadcast(stats.drop("n")), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("__m"), 6).alias("median"),
+            F.round(F.first("__mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    dev > F.lit(n_sigmas * MAD_K) * F.col("__mad"), 1
+                ).otherwise(0)
+            ).cast("int").alias("n_outliers"),
+        )
+    )
+
+
+def sql_mad_outliers(
+    table: str, key_col: str, value_col: str, n_sigmas: float = 3.0
+) -> str:
+    return f"""
+WITH med AS (
+  SELECT {key_col}, quantile_cont({value_col}, 0.5) AS m
+  FROM {table} GROUP BY {key_col}
+),
+j AS (
+  SELECT t.{key_col}, t.{value_col} AS v, med.m
+  FROM {table} t JOIN med USING ({key_col})
+),
+stats AS (
+  SELECT {key_col}, COUNT(*) AS n, FIRST(m) AS m,
+         quantile_cont(ABS(v - m), 0.5) AS mad
+  FROM j GROUP BY {key_col}
+)
+SELECT s.{key_col}, CAST(s.n AS BIGINT) AS n,
+       ROUND(s.m, 6) AS median, ROUND(s.mad, 6) AS mad,
+       CAST(SUM(CASE WHEN ABS(j.v - s.m) > {n_sigmas * MAD_K} * s.mad
+                     THEN 1 ELSE 0 END) AS INT) AS n_outliers
+FROM j JOIN stats s USING ({key_col})
+GROUP BY s.{key_col}, s.n, s.m, s.mad
+"""
+
+
+_EPOCH = "2024-01-01 00:00:00"
+
+
+def groupwise_ols(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key linear trend of value over time: (key, n, slope_per_day,
+    intercept) from the closed-form normal equations on exact sums."""
+    x = (
+        F.col(ts_col).cast("long")
+        - F.to_timestamp(F.lit(_EPOCH)).cast("long")
+    )
+    y = dec(F.col(value_col))
+    agg = events.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx").cast("double")) / n
+    return agg.select(
+        key_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope * 86400.0, 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def sql_groupwise_ols(
+    table: str, key_col: str, ts_col: str, value_col: str
+) -> str:
+    # date_diff keeps x an exact BIGINT (DuckDB's epoch() returns DOUBLE,
+    # which would push Σxy into FP accumulation and flip the 6-dp round)
+    x = f"date_diff('second', TIMESTAMP '{_EPOCH}', {ts_col})"
+    y = sql_dec(value_col)
+    return f"""
+WITH agg AS (
+  SELECT {key_col}, COUNT(*) AS n,
+         SUM({x}) AS sx,
+         CAST(SUM({y}) AS DOUBLE) AS sy,
+         CAST(SUM({x} * {y}) AS DOUBLE) AS sxy,
+         SUM({x} * {x}) AS sxx
+  FROM {table} GROUP BY {key_col}
+)
+SELECT {key_col}, CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 86400.0, 6)
+         AS slope_per_day,
+       ROUND((sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+         AS intercept
+FROM agg
+"""

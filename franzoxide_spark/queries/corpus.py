@@ -608,3 +608,46 @@ def _q79_sql() -> str:
 
 
 register("q79_gap_fill_ffill", q79, _q79_sql())
+
+
+# --------------------------------------------------------------------------
+# Q80 — MAD outlier screen per event type (operators/stats.py): robust
+#        median/MAD anomaly counting; group key space bounds every
+#        intermediate, stream shuffles on the key with partial aggs.
+# --------------------------------------------------------------------------
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.stats import mad_outliers
+
+    return mad_outliers(
+        table(spark, sf_dir, "events"), "event_type", "value", n_sigmas=3.0
+    )
+
+
+def _q80_sql() -> str:
+    from franzoxide_spark.operators.stats import sql_mad_outliers
+
+    return sql_mad_outliers("events", "event_type", "value", n_sigmas=3.0)
+
+
+register("q80_mad_outliers", q80, _q80_sql())
+
+
+# --------------------------------------------------------------------------
+# Q81 — group-wise OLS trend (operators/stats.py): per-event-type linear
+#        drift of value over time from exact integer/decimal sums — one
+#        map-side-combined shuffle, slope/intercept are a handful of
+#        double ops on identical operands in both engines.
+# --------------------------------------------------------------------------
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.stats import groupwise_ols
+
+    return groupwise_ols(table(spark, sf_dir, "events"), "event_type", "ts", "value")
+
+
+def _q81_sql() -> str:
+    from franzoxide_spark.operators.stats import sql_groupwise_ols
+
+    return sql_groupwise_ols("events", "event_type", "ts", "value")
+
+
+register("q81_groupwise_ols", q81, _q81_sql())

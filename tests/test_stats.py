@@ -1,0 +1,41 @@
+"""Semantic tests for operators/stats.py (q80, q81). Oracle parity runs
+in test_oracle_queries.py; these pin recovery of known ground truth —
+an injected outlier and a constructed linear trend."""
+
+from __future__ import annotations
+
+import datetime
+
+from franzoxide_spark.operators.stats import groupwise_ols, mad_outliers
+
+
+def test_mad_flags_injected_outlier_and_resists_it(spark):
+    # 11 well-behaved points around 10 plus one wild point: the outlier
+    # must be counted, and (robustness) the median/MAD must stay those of
+    # the clean cluster — unlike mean/stddev, which the outlier drags.
+    # devs from the median (10.0): five 0s, then .1,.1,.2,.2,.3,.3 and the
+    # outlier's 490 -> MAD = 0.1, threshold 3*1.4826*0.1 ~= 0.44: only the
+    # wild point exceeds it
+    vals = [10.0] * 5 + [9.9, 10.1, 9.8, 10.2, 9.7, 10.3] + [500.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "event_type string, value double"
+    )
+    out = mad_outliers(df, "event_type", "value", n_sigmas=3.0).collect()[0]
+    assert out["n"] == 12
+    assert out["n_outliers"] == 1
+    assert 9.0 <= out["median"] <= 11.0
+    assert out["mad"] <= 1.0
+
+
+def test_ols_recovers_constructed_slope(spark):
+    # value = 100 + 2 per hour => slope_per_day = 48
+    base = datetime.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        ("a", base + datetime.timedelta(hours=h), 100.0 + 2.0 * h)
+        for h in range(24)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = groupwise_ols(df, "event_type", "ts", "value").collect()[0]
+    assert abs(out["slope_per_day"] - 48.0) < 1e-6
+    # intercept is at the fixed 2024-01-01 epoch, one day before base
+    assert abs(out["intercept"] - (100.0 - 48.0)) < 1e-6
