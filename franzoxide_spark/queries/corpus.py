@@ -534,8 +534,12 @@ register("q76_mixture_sampling", q76, _q76_sql())
 # --------------------------------------------------------------------------
 def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.functions.vectors import dequant_mse, quantize_int8
+    from franzoxide_spark.operators.corpus_stats import _fan_out
 
-    emb = table(spark, sf_dir, "embeddings")
+    # the quantization expressions are interpreted HOFs (CPU-bound
+    # map work): spread a single-file scan across cores — no-op with
+    # real input splits
+    emb = _fan_out(table(spark, sf_dir, "embeddings"))
     scale = F.expr(
         "greatest(aggregate(embedding, cast(0.0 as double),"
         " (m, y) -> greatest(m, abs(cast(y as double)))), cast(1e-30 as double))"
