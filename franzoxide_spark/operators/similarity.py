@@ -436,3 +436,105 @@ def lsh_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# kNN label propagation (semi-supervised labeling / quality-classifier
+# bootstrap): predict a label for each unlabeled vector by majority vote
+# over its k nearest labeled neighbors
+# --------------------------------------------------------------------------
+
+
+def knn_label_propagation(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Majority-vote kNN classification of ``unlabeled`` against the
+    ``labeled`` pool — the standard bootstrap for corpus quality/domain
+    labels when only a seed set is hand-annotated (propagate the seed's
+    labels through embedding space, then train on the propagated set).
+
+    Deterministic end to end: cosine rounded to 6 decimals, neighbor
+    ties broken by id asc, vote ties by (count desc, label asc).
+    Returns ``query_id, pred_label, votes int, top_cos`` where ``votes``
+    is the winning label's count among the k neighbors and ``top_cos``
+    the best cosine to any of its voters (a usable confidence pair).
+
+    Scale shape: identical to :func:`topk_cosine_exact` — the unlabeled
+    set (seed-labeling targets are the small side in practice; here the
+    query side) broadcasts, the labeled corpus streams map-side through
+    codegen'd dot products and never shuffles; the only exchanges are
+    the per-query top-k window and the (query x <=k)-sized vote
+    aggregate. For web-scale pools swap the candidate generator for
+    ``lsh_ann_topk``/``ivf_ann_topk`` — the vote stage is unchanged.
+    """
+    q = unlabeled.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = labeled.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col(label_col).alias("nlabel"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cos", cosine_rounded("qv", "nv"))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    topk = scored.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= k
+    )
+    votes = topk.groupBy("query_id", "nlabel").agg(
+        F.count("*").cast("int").alias("votes"),
+        F.max("cos").alias("top_cos"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), "nlabel")
+    return (
+        votes.withColumn("__vr", F.row_number().over(wv))
+        .filter(F.col("__vr") == 1)
+        .select("query_id", F.col("nlabel").alias("pred_label"), "votes", "top_cos")
+    )
+
+
+def sql_knn_label_propagation(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_pred: str,
+    k: int = 5,
+) -> str:
+    """DuckDB mirror: ``query_pred`` selects the unlabeled side (its
+    complement is the labeled pool), e.g. ``vec_id % 10 = 0``."""
+    return f"""
+WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qv
+           FROM {table} WHERE {query_pred}),
+     c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS nv,
+                  {label_col} AS nlabel
+           FROM {table} WHERE NOT ({query_pred})),
+scored AS (
+  SELECT query_id, neighbor_id, nlabel,
+         ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                      CAST(nv AS DOUBLE[])), 6) AS cos
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= {k}
+),
+votes AS (
+  SELECT query_id, nlabel, CAST(COUNT(*) AS INT) AS votes,
+         MAX(cos) AS top_cos
+  FROM topk GROUP BY query_id, nlabel
+)
+SELECT query_id, nlabel AS pred_label, votes, top_cos
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, nlabel) AS vr
+      FROM votes)
+WHERE vr = 1
+"""

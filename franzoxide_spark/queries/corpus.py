@@ -655,3 +655,56 @@ def _q81_sql() -> str:
 
 
 register("q81_groupwise_ols", q81, _q81_sql())
+
+
+# --------------------------------------------------------------------------
+# Q82 — C4-style duplicated-span REMOVAL (operators/rewrite.py): rewrite
+#        every document with corpus-widely duplicated 16-token blocks cut
+#        out (first occurrence survives) — the rewrite third mode of the
+#        dedup family (q29 drops docs, q67 measures spans, q82 edits).
+# --------------------------------------------------------------------------
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.rewrite import block_dedup_rewrite
+
+    return block_dedup_rewrite(table(spark, sf_dir, "documents"), block=16)
+
+
+def _q82_sql() -> str:
+    from franzoxide_spark.operators.rewrite import sql_block_dedup_rewrite
+
+    return sql_block_dedup_rewrite("documents", block=16)
+
+
+register("q82_block_dedup_rewrite", q82, _q82_sql())
+
+
+# --------------------------------------------------------------------------
+# Q83 — kNN label propagation (operators/similarity.py): majority-vote
+#        classification of a held-out tenth of the embedding table
+#        against the labeled rest — the seed-label bootstrap used to
+#        train corpus quality/domain classifiers from a small annotated
+#        set. Broadcast query side; labeled pool never shuffles.
+# --------------------------------------------------------------------------
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.similarity import knn_label_propagation
+
+    emb = table(spark, sf_dir, "embeddings")
+    return knn_label_propagation(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        "vec_id",
+        "embedding",
+        "label",
+        k=5,
+    )
+
+
+def _q83_sql() -> str:
+    from franzoxide_spark.operators.similarity import sql_knn_label_propagation
+
+    return sql_knn_label_propagation(
+        "embeddings", "vec_id", "embedding", "label", "vec_id % 10 = 0", k=5
+    )
+
+
+register("q83_knn_label_propagation", q83, _q83_sql())

@@ -159,3 +159,28 @@ def test_q70_oov_vocab_is_topv_not_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q70_oov_rate")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q82_rewrite_dedup_two_bounded_shuffles_no_joins_on_blocks(spark, sf_dir):
+    # block-dedup rewrite: the only wide exchanges are the hash-keyed
+    # first-occurrence window and the doc-keyed reassembly; the final
+    # left join back to the per-doc block counts must be broadcast or
+    # doc-keyed — never an all-pairs/block-payload join
+    plan = _plan(spark, sf_dir, "q82_block_dedup_rewrite")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, f"{n_exchanges} exchanges:\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q83_knn_corpus_never_shuffles_before_scoring(spark, sf_dir):
+    # the labeled pool streams through a broadcast join on the (tiny)
+    # query side — scoring must be a BroadcastNestedLoopJoin/Broadcast
+    # join with NO hash exchange of the pool before it; only the
+    # per-query top-k window and vote aggregate may exchange
+    plan = _plan(spark, sf_dir, "q83_knn_label_propagation")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "query_id" in ln, ln
