@@ -538,3 +538,103 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM votes)
 WHERE vr = 1
 """
+
+
+# --------------------------------------------------------------------------
+# triplet hard-negative mining: for each anchor, its hardest positive and
+# hardest negative — the training-pair construction step for contrastive
+# embedding fine-tuning
+# --------------------------------------------------------------------------
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """For every anchor vector: the most-similar SAME-label neighbor (the
+    positive) and the most-similar DIFFERENT-label neighbor (the hard
+    negative — the pair contrastive losses learn the most from).
+    Returns ``anchor_id, pos_id, pos_cos, neg_id, neg_cos`` (anchors
+    with no same-label or no cross-label neighbor in the pool drop out).
+
+    Deterministic: cosine rounded to 6 decimals, ties by neighbor id.
+
+    Scale shape: one scored stream (anchors broadcast, pool never
+    shuffles — same as :func:`topk_cosine_exact`), then ONE window
+    partitioned by (anchor, same-label?) picks both winners in a single
+    exchange; the positive/negative split is a pivot of that 2-row-per-
+    anchor result, not a second scan. Swap the candidate generator for
+    the ANN paths at web scale; mining semantics are unchanged.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("alabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col(label_col).alias("nlabel"),
+    )
+    scored = (
+        c.join(F.broadcast(a), F.col("anchor_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_rounded("qv", "nv"))
+        .withColumn("same", (F.col("alabel") == F.col("nlabel")).cast("int"))
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    best = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("anchor_id", "same", "neighbor_id", "cos")
+    )
+    return (
+        best.groupBy("anchor_id")
+        .agg(
+            F.max(F.when(F.col("same") == 1, F.col("neighbor_id"))).alias("pos_id"),
+            F.max(F.when(F.col("same") == 1, F.col("cos"))).alias("pos_cos"),
+            F.max(F.when(F.col("same") == 0, F.col("neighbor_id"))).alias("neg_id"),
+            F.max(F.when(F.col("same") == 0, F.col("cos"))).alias("neg_cos"),
+        )
+        .filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
+    )
+
+
+def sql_hard_negative_mining(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    anchor_pred: str,
+) -> str:
+    """DuckDB mirror; ``anchor_pred`` selects the anchor rows."""
+    return f"""
+WITH a AS (SELECT {id_col} AS anchor_id, {vec_col} AS qv, {label_col} AS alabel
+           FROM {table} WHERE {anchor_pred}),
+     c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS nv, {label_col} AS nlabel
+           FROM {table}),
+scored AS (
+  SELECT anchor_id, neighbor_id,
+         ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                      CAST(nv AS DOUBLE[])), 6) AS cos,
+         CASE WHEN alabel = nlabel THEN 1 ELSE 0 END AS same
+  FROM a CROSS JOIN c WHERE anchor_id <> neighbor_id
+),
+best AS (
+  SELECT anchor_id, same, neighbor_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, same
+                                 ORDER BY cos DESC, neighbor_id) AS r
+    FROM scored) WHERE r = 1
+)
+SELECT anchor_id,
+       MAX(CASE WHEN same = 1 THEN neighbor_id END) AS pos_id,
+       MAX(CASE WHEN same = 1 THEN cos END) AS pos_cos,
+       MAX(CASE WHEN same = 0 THEN neighbor_id END) AS neg_id,
+       MAX(CASE WHEN same = 0 THEN cos END) AS neg_cos
+FROM best GROUP BY anchor_id
+HAVING pos_id IS NOT NULL AND neg_id IS NOT NULL
+"""

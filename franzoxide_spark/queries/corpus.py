@@ -708,3 +708,52 @@ def _q83_sql() -> str:
 
 
 register("q83_knn_label_propagation", q83, _q83_sql())
+
+
+# --------------------------------------------------------------------------
+# Q84 — deterministic training-order shuffle (operators/ordering.py):
+#        reproducible shard-major permutation, no global sort — the one
+#        wide exchange is the shard hash; every window partition is
+#        bounded by corpus/n_shards.
+# --------------------------------------------------------------------------
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.ordering import deterministic_shuffle
+
+    return deterministic_shuffle(
+        table(spark, sf_dir, "documents"), "doc_id", seed=42, n_shards=8
+    )
+
+
+def _q84_sql() -> str:
+    from franzoxide_spark.operators.ordering import sql_deterministic_shuffle
+
+    return sql_deterministic_shuffle("documents", "doc_id", seed=42, n_shards=8)
+
+
+register("q84_deterministic_shuffle", q84, _q84_sql())
+
+
+# --------------------------------------------------------------------------
+# Q85 — triplet hard-negative mining (operators/similarity.py): per
+#        anchor, the hardest same-label positive and cross-label
+#        negative — contrastive-pair construction for embedding
+#        fine-tuning. Anchors broadcast; pool never shuffles.
+# --------------------------------------------------------------------------
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.similarity import hard_negative_mining
+
+    emb = table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding", "label"
+    )
+
+
+def _q85_sql() -> str:
+    from franzoxide_spark.operators.similarity import sql_hard_negative_mining
+
+    return sql_hard_negative_mining(
+        "embeddings", "vec_id", "embedding", "label", "vec_id < 50"
+    )
+
+
+register("q85_hard_negative_mining", q85, _q85_sql())
