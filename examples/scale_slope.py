@@ -74,6 +74,18 @@ SLOPE_QUERIES = (
     "q71_funnel_stages",
     "q73_retention_cohorts",
     "q74_session_sequences",
+    # block-dedup rewrite: replica token suffixes keep block space
+    # disjoint, so per-replica duplication structure is exactly sf0.1's;
+    # expected ~linear (one hash-window shuffle + one doc reassembly)
+    "q82_block_dedup_rewrite",
+    # kNN label propagation: pool AND query side both grow 10x, so the
+    # scored stream grows 100x in principle — but the broadcast query
+    # side is what bounds it; measured here to document where the
+    # exact path stops and the ANN candidate generator must take over
+    "q83_knn_label_propagation",
+    # deterministic shuffle: map + one shard exchange; expected ~linear
+    # with a flat floor
+    "q84_deterministic_shuffle",
 )
 
 

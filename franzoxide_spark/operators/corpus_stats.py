@@ -423,3 +423,131 @@ SELECT {id_col}, CAST(n_tokens AS INT) AS n_tokens,
        ROUND(n_oov * 1.0 / n_tokens, 6) AS oov_rate
 FROM per
 """
+
+
+# --------------------------------------------------------------------------
+# bigram PMI phrase mining
+# --------------------------------------------------------------------------
+
+
+def bigram_pmi_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` token bigrams by pointwise mutual information — the
+    word2vec-style phrase-detection pass that decides which adjacent
+    token pairs ("new york", "machine learning") deserve a fused vocab
+    entry before tokenizer training.
+
+    PMI = ln(c_xy * N^2 / (M * c_x * c_y)) with c_xy the bigram count,
+    c_x/c_y unigram counts, N total tokens, M total bigrams; pairs below
+    ``min_count`` are noise and dropped before ranking (standard
+    practice, and what keeps the ranked table bounded). Rounded to 6
+    decimals before the (pmi desc, x, y) ranking so both engines cut
+    identically; ranks are dense in registration order (row_number).
+
+    Scale shape: two corpus-sized token aggregations (unigrams, bigrams)
+    with map-side combine; the unigram table is vocabulary-bounded and
+    broadcasts into the bigram stream twice (left word, right word); the
+    final top-k is a TakeOrdered, never a global sort. No all-pairs
+    work: only ADJACENT pairs are ever materialized.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    toks = docs.select(tokens(text_col).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("w_cnt"))
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "case when size(t) < 2 then"
+                    " cast(array() as array<struct<x:string,y:string>>)"
+                    " else transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] as x, t[i] as y)) end"
+                )
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("xy_cnt"))
+        .filter(F.col("xy_cnt") >= min_count)
+    )
+    totals = toks.agg(
+        F.sum(F.size("t")).alias("n_tok"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("n_big"),
+    )
+    scored = (
+        bg.join(F.broadcast(uni.withColumnRenamed("w", "x")
+                            .withColumnRenamed("w_cnt", "x_cnt")), "x")
+        .join(F.broadcast(uni.withColumnRenamed("w", "y")
+                          .withColumnRenamed("w_cnt", "y_cnt")), "y")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.expr(
+                    "ln((xy_cnt * cast(n_tok as double) * n_tok)"
+                    " / (cast(n_big as double) * x_cnt * y_cnt))"
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), "x", "y")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("x", "y", F.col("xy_cnt").cast("int").alias("xy_cnt"),
+                "pmi", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def sql_bigram_pmi_topk(
+    table: str = "documents",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+WITH t AS (SELECT {toks} AS t FROM {table}),
+uni AS (
+  SELECT unnest(t) AS w FROM t
+),
+ucnt AS (SELECT w, COUNT(*) AS w_cnt FROM uni GROUP BY w),
+bg AS (
+  SELECT t[CAST(i AS INT)] AS x, t[CAST(i AS INT) + 1] AS y
+  FROM t, LATERAL unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+bcnt AS (
+  SELECT x, y, COUNT(*) AS xy_cnt FROM bg GROUP BY x, y
+  HAVING COUNT(*) >= {min_count}
+),
+tot AS (
+  SELECT SUM(len(t)) AS n_tok,
+         SUM(greatest(len(t) - 1, 0)) AS n_big
+  FROM t
+),
+scored AS (
+  SELECT x, y, xy_cnt,
+         ROUND(ln((xy_cnt * CAST(n_tok AS DOUBLE) * n_tok)
+                  / (CAST(n_big AS DOUBLE) * ux.w_cnt * uy.w_cnt)), 6) AS pmi
+  FROM bcnt
+  JOIN ucnt ux ON bcnt.x = ux.w
+  JOIN ucnt uy ON bcnt.y = uy.w
+  CROSS JOIN tot
+)
+SELECT x, y, CAST(xy_cnt AS INT) AS xy_cnt, pmi, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, x, y) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
+"""

@@ -1,0 +1,140 @@
+"""Corpus distribution drift: per-source Jensen-Shannon divergence.
+
+The data-quality gate that compares WHERE the corpus came from: each
+source's unigram distribution against the whole corpus's, as a JS
+divergence in [0, ln 2]. High-JS sources are out-of-distribution slices
+(a crawler gone wrong, a new dump with different boilerplate, a domain
+that needs its own mixture weight) — the signal pipelines monitor
+between snapshot ingests before retraining mixture weights (q64/q76).
+
+Distributions are restricted to the corpus-wide top-``v`` vocabulary and
+renormalized inside it (documented truncation — the tail would make the
+state unbounded; with a shared vocab both sides truncate identically so
+the comparison stays apples-to-apples).
+
+Scale shape: ONE corpus-sized token aggregation per side (global term
+counts, then per-(source, term) counts — both hash-partitioned with
+map-side combine); the vocabulary is a broadcast top-``v`` list
+(TakeOrdered, never a global sort) and everything after it lives on the
+``n_sources x v`` grid, which is bounded no matter the corpus size.
+The absent-term grid (a source missing a vocab term still pays the
+corpus side of the divergence) is built by cross-joining the bounded
+source list with the bounded vocab — a bounded-by-construction cross
+join, not an all-pairs hazard.
+
+FP determinism follows q61's proven recipe: integer counts end-to-end,
+per-term contributions rounded to 6 decimals, the final per-source sum
+rounded to 4 — identical cut decisions in Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_tokens, tokens
+
+
+def source_js_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    v: int = 500,
+) -> DataFrame:
+    """Per-source JS divergence vs the corpus over the top-``v`` vocab.
+
+    Returns ``source, n_terms int, js double`` where ``n_terms`` is how
+    many vocab terms the source actually uses and ``js`` the divergence
+    (0 = identical distribution, ln 2 ~ 0.693 = disjoint).
+    """
+    if v <= 0:
+        raise ValueError(f"v must be positive, got {v}")
+
+    term = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    # corpus-wide counts -> top-v vocab (ties by term, deterministic)
+    corpus = term.groupBy("term").agg(F.count("*").alias("c_cnt"))
+    vocab = corpus.orderBy(F.desc("c_cnt"), "term").limit(v)
+    # per-(source, term) counts over the vocab only
+    sc = (
+        term.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("s_cnt"))
+    )
+    # bounded grid: every source x every vocab term (absent -> s_cnt 0)
+    sources = sc.select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(sc, ["source", "term"], "left")
+        .withColumn("s_cnt", F.coalesce("s_cnt", F.lit(0)))
+    )
+    tot = grid.groupBy("source").agg(
+        F.sum("s_cnt").alias("s_tot"),
+        F.sum("c_cnt").alias("c_tot"),  # same for every source: vocab mass
+    )
+    p = "(s_cnt / cast(s_tot as double))"
+    q = "(c_cnt / cast(c_tot as double))"
+    m = f"(({p} + {q}) / 2)"
+    contrib = (
+        f"round(0.5 * (case when s_cnt = 0 then 0.0"
+        f" else {p} * ln({p} / {m}) end)"
+        f" + 0.5 * ({q} * ln({q} / {m})), 6)"
+    )
+    return (
+        grid.join(F.broadcast(tot), "source")
+        .withColumn("__contrib", F.expr(contrib))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("s_cnt") > 0, 1).otherwise(0))
+            .cast("int")
+            .alias("n_terms"),
+            F.round(F.sum("__contrib"), 4).alias("js"),
+        )
+    )
+
+
+def sql_source_js_divergence(
+    table: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+    v: int = 500,
+) -> str:
+    """DuckDB mirror — same vocab cut, grid, rounding ladder."""
+    toks = sql_tokens(text_col)
+    p = "(s_cnt / CAST(s_tot AS DOUBLE))"
+    q = "(c_cnt / CAST(c_tot AS DOUBLE))"
+    m = f"(({p} + {q}) / 2)"
+    return f"""
+WITH term AS (
+  SELECT {source_col} AS source, unnest({toks}) AS term FROM {table}
+),
+corpus AS (SELECT term, COUNT(*) AS c_cnt FROM term GROUP BY term),
+vocab AS (SELECT term, c_cnt FROM corpus ORDER BY c_cnt DESC, term LIMIT {v}),
+sc AS (
+  SELECT source, term.term AS term, COUNT(*) AS s_cnt
+  FROM term JOIN vocab USING (term) GROUP BY source, term.term
+),
+grid AS (
+  SELECT s.source, vb.term, vb.c_cnt, COALESCE(sc.s_cnt, 0) AS s_cnt
+  FROM (SELECT DISTINCT source FROM sc) s
+  CROSS JOIN vocab vb
+  LEFT JOIN sc ON sc.source = s.source AND sc.term = vb.term
+),
+tot AS (
+  SELECT source, SUM(s_cnt) AS s_tot, SUM(c_cnt) AS c_tot
+  FROM grid GROUP BY source
+),
+c AS (
+  SELECT grid.source,
+         CASE WHEN s_cnt > 0 THEN 1 ELSE 0 END AS present,
+         ROUND(0.5 * (CASE WHEN s_cnt = 0 THEN 0.0
+                           ELSE {p} * ln({p} / {m}) END)
+               + 0.5 * ({q} * ln({q} / {m})), 6) AS contrib
+  FROM grid JOIN tot ON grid.source = tot.source
+)
+SELECT source, CAST(SUM(present) AS INT) AS n_terms,
+       ROUND(SUM(contrib), 4) AS js
+FROM c GROUP BY source
+"""

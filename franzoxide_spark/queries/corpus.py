@@ -757,3 +757,50 @@ def _q85_sql() -> str:
 
 
 register("q85_hard_negative_mining", q85, _q85_sql())
+
+
+# --------------------------------------------------------------------------
+# Q86 — per-source distribution drift (operators/drift.py): JS divergence
+#        of every source's unigram distribution vs the corpus over a
+#        broadcast top-V vocab — the between-snapshot drift monitor that
+#        feeds mixture reweighting (q64/q76). Bounded grid after one
+#        token aggregation per side.
+# --------------------------------------------------------------------------
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.drift import source_js_divergence
+
+    return source_js_divergence(
+        table(spark, sf_dir, "documents"), "source", "text", v=500
+    )
+
+
+def _q86_sql() -> str:
+    from franzoxide_spark.operators.drift import sql_source_js_divergence
+
+    return sql_source_js_divergence("documents", "source", "text", v=500)
+
+
+register("q86_source_js_divergence", q86, _q86_sql())
+
+
+# --------------------------------------------------------------------------
+# Q87 — bigram PMI phrase mining (operators/corpus_stats.py): top-50
+#        adjacent token pairs by pointwise mutual information (min
+#        count 5) — the phrase-vocab pass before tokenizer training.
+#        Unigram table broadcasts; only adjacent pairs materialize.
+# --------------------------------------------------------------------------
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.corpus_stats import bigram_pmi_topk
+
+    return bigram_pmi_topk(
+        table(spark, sf_dir, "documents"), "text", min_count=5, k=50
+    )
+
+
+def _q87_sql() -> str:
+    from franzoxide_spark.operators.corpus_stats import sql_bigram_pmi_topk
+
+    return sql_bigram_pmi_topk("documents", "text", min_count=5, k=50)
+
+
+register("q87_bigram_pmi", q87, _q87_sql())
