@@ -439,6 +439,106 @@ def lsh_ann_topk(
 
 
 # --------------------------------------------------------------------------
+# GEMM candidate stream: partition-local brute-force top-k against a small
+# driver-collected query set, as one Arrow-batched matrix multiply
+# --------------------------------------------------------------------------
+
+
+def _gemm_topk_candidates(
+    pool: DataFrame,
+    queries: DataFrame,
+    k: int,
+    with_label: bool = False,
+    split_on_label_match: bool = False,
+) -> DataFrame:
+    """Per Arrow batch of ``pool``: every query's top-``k`` neighbors by
+    rounded cosine, via one numpy GEMM (normalized rows x normalized
+    queries^T). The global top-k over this stream equals the global
+    top-k over the full scored cross product, because a global winner is
+    a batch-local winner in its own batch; rounded ties at the k-th
+    value are INCLUDED (``>= kth``) so the downstream (cos desc, id asc)
+    window makes exactly the tie decisions the expression path would.
+
+    ``queries`` (``query_id, qv`` [, ``alabel``]) is collected to the
+    driver and closed over — the same small-side constraint as
+    ``F.broadcast``, and the same justified tiny-collect as the
+    curation eval set (curation.py). The pool streams map-side and
+    never shuffles. BLAS does in one fused pass what interpreted
+    higher-order ``aggregate``/``zip_with`` lambdas do per pair — a
+    measured ~5x on the q83 shape — and np.round(…, 6) is the same
+    oracle contract q36's blocked matmul already relies on.
+
+    ``split_on_label_match=True`` (requires ``with_label`` and an
+    ``alabel`` query column) emits top-``k`` separately within the
+    same-label and different-label pool subsets per query — the
+    candidate guarantee hard-negative mining needs.
+    """
+    q_rows = queries.collect()
+    schema = "query_id long, neighbor_id long, cos double"
+    if with_label:
+        schema += ", nlabel int"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        if not q_rows:
+            return
+        qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        alabels = (
+            np.array([r["alabel"] for r in q_rows], dtype=np.int64)
+            if split_on_label_match
+            else None
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nid = pdf["neighbor_id"].to_numpy()
+            nv = np.array(pdf["nv"].tolist(), dtype=np.float64)
+            nv = nv / np.linalg.norm(nv, axis=1, keepdims=True)
+            cos = np.round(nv @ qm.T, 6)  # n_pool x n_query
+            nlab = pdf["nlabel"].to_numpy() if with_label else None
+            out_q, out_n, out_c, out_l = [], [], [], []
+
+            def take(j, mask):
+                s = np.where(mask, cos[:, j], -np.inf)
+                n_valid = int(mask.sum())
+                if n_valid == 0:
+                    return
+                kth = (
+                    np.partition(s, -k)[-k] if n_valid > k else s[mask].min()
+                )
+                sel = np.nonzero(s >= kth)[0]
+                out_q.append(np.full(len(sel), qids[j]))
+                out_n.append(nid[sel])
+                out_c.append(cos[sel, j])
+                if with_label:
+                    out_l.append(nlab[sel])
+
+            for j in range(len(qids)):
+                not_self = nid != qids[j]
+                if split_on_label_match:
+                    take(j, not_self & (nlab == alabels[j]))
+                    take(j, not_self & (nlab != alabels[j]))
+                else:
+                    take(j, not_self)
+            if not out_q:
+                continue
+            res = {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cos": np.concatenate(out_c),
+            }
+            if with_label:
+                res["nlabel"] = np.concatenate(out_l).astype("int32")
+            yield pd.DataFrame(res)
+
+    return pool.mapInPandas(gen, schema)
+
+
+# --------------------------------------------------------------------------
 # kNN label propagation (semi-supervised labeling / quality-classifier
 # bootstrap): predict a label for each unlabeled vector by majority vote
 # over its k nearest labeled neighbors
@@ -464,11 +564,12 @@ def knn_label_propagation(
     is the winning label's count among the k neighbors and ``top_cos``
     the best cosine to any of its voters (a usable confidence pair).
 
-    Scale shape: identical to :func:`topk_cosine_exact` — the unlabeled
-    set (seed-labeling targets are the small side in practice; here the
-    query side) broadcasts, the labeled corpus streams map-side through
-    codegen'd dot products and never shuffles; the only exchanges are
-    the per-query top-k window and the (query x <=k)-sized vote
+    Scale shape: the query set stays small (seed-labeling targets are
+    bounded by design) and ships to every pool task; the labeled corpus
+    streams through ONE Arrow-batched GEMM (:func:`_gemm_topk_candidates`
+    — batch-local top-k, provably a superset of the global top-k) and
+    never shuffles; the only exchanges are the candidate-merge window
+    (~tasks x queries x k rows) and the (query x <=k)-sized vote
     aggregate. For web-scale pools swap the candidate generator for
     ``lsh_ann_topk``/``ivf_ann_topk`` — the vote stage is unchanged.
     """
@@ -480,11 +581,9 @@ def knn_label_propagation(
         F.col(vec_col).alias("nv"),
         F.col(label_col).alias("nlabel"),
     )
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).withColumn("cos", cosine_rounded("qv", "nv"))
+    cand = _gemm_topk_candidates(c, q, k, with_label=True)
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    topk = scored.withColumn("rnk", F.row_number().over(wk)).filter(
+    topk = cand.withColumn("rnk", F.row_number().over(wk)).filter(
         F.col("rnk") <= k
     )
     votes = topk.groupBy("query_id", "nlabel").agg(
@@ -562,15 +661,18 @@ def hard_negative_mining(
 
     Deterministic: cosine rounded to 6 decimals, ties by neighbor id.
 
-    Scale shape: one scored stream (anchors broadcast, pool never
-    shuffles — same as :func:`topk_cosine_exact`), then ONE window
-    partitioned by (anchor, same-label?) picks both winners in a single
-    exchange; the positive/negative split is a pivot of that 2-row-per-
-    anchor result, not a second scan. Swap the candidate generator for
-    the ANN paths at web scale; mining semantics are unchanged.
+    Scale shape: the anchor set ships to every pool task and the pool
+    streams through ONE Arrow-batched GEMM
+    (:func:`_gemm_topk_candidates` with the label split, so each batch
+    is guaranteed to surface its best same-label AND best cross-label
+    row); then ONE window partitioned by (anchor, same-label?) merges
+    batch winners in a single small exchange, and the positive/negative
+    split is a pivot of that 2-row-per-anchor result, not a second
+    scan. Swap the candidate generator for the ANN paths at web scale;
+    mining semantics are unchanged.
     """
     a = anchors.select(
-        F.col(id_col).alias("anchor_id"),
+        F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col(label_col).alias("alabel"),
     )
@@ -579,9 +681,13 @@ def hard_negative_mining(
         F.col(vec_col).alias("nv"),
         F.col(label_col).alias("nlabel"),
     )
+    alab = a.select(F.col("query_id").alias("anchor_id"), "alabel")
     scored = (
-        c.join(F.broadcast(a), F.col("anchor_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_rounded("qv", "nv"))
+        _gemm_topk_candidates(
+            c, a, k=1, with_label=True, split_on_label_match=True
+        )
+        .withColumnRenamed("query_id", "anchor_id")
+        .join(F.broadcast(alab), "anchor_id")
         .withColumn("same", (F.col("alabel") == F.col("nlabel")).cast("int"))
     )
     w = Window.partitionBy("anchor_id", "same").orderBy(

@@ -180,8 +180,11 @@ def test_q83_knn_corpus_never_shuffles_before_scoring(spark, sf_dir):
     # query side — scoring must be a BroadcastNestedLoopJoin/Broadcast
     # join with NO hash exchange of the pool before it; only the
     # per-query top-k window and vote aggregate may exchange
+    # the pool streams through the Arrow GEMM scorer with no exchange
+    # before it; only the candidate-merge window and vote aggregate
+    # (both keyed on query_id) may shuffle
     plan = _plan(spark, sf_dir, "q83_knn_label_propagation")
-    assert "Broadcast" in plan
+    assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
     exchange_lines = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
     assert exchange_lines, plan
@@ -204,7 +207,10 @@ def test_q84_shuffle_is_shard_exchange_not_global_sort(spark, sf_dir):
 def test_q85_mining_pool_streams_single_window_exchange(spark, sf_dir):
     # anchors broadcast; the pool is scored map-side and the only wide
     # exchanges are keyed on the anchor (window + final pivot agg)
+    # pool scored via the Arrow GEMM scorer; the anchor-label join is
+    # broadcast and every exchange is keyed on the anchor
     plan = _plan(spark, sf_dir, "q85_hard_negative_mining")
+    assert "MapInPandas" in plan
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
     exchange_lines = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
