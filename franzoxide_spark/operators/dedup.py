@@ -630,3 +630,56 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# --------------------------------------------------------------------------
+# edit-distance near-dup (character level): SimHash-blocked candidates
+# verified by relative Levenshtein distance
+# --------------------------------------------------------------------------
+
+
+def edit_distance_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_rel_edit: float = 0.02,
+) -> DataFrame:
+    """Character-level fuzzy dedup: the token-based family (MinHash /
+    Jaccard / SimHash) measures SET overlap and is blind to WHERE edits
+    sit; this verifies candidates with an exact edit distance, the
+    signal for OCR noise, typo farms, and template fills where a few
+    characters differ in otherwise identical prose.
+
+    Semantics (mirrored exactly by the SQL oracle): candidate pairs are
+    SimHash hamming <= ``max_hamming`` (the q34 relation — banded
+    pigeonhole join, never all-pairs), kept iff
+    ``levenshtein(a, b) / greatest(len(a), len(b)) <= max_rel_edit``.
+    Returns ``id_a, id_b, hamming int, edit_dist int, rel_edit``
+    (rounded to 6; integer Levenshtein over identical texts is
+    engine-exact, so the only FP op is one division).
+
+    Scale shape: candidate generation is q34's (map-side signatures,
+    band-bucket self-join); texts join back onto the candidate pairs by
+    id — two hash joins keyed on the id, so document payloads are never
+    carried through the band join and the O(len^2) Levenshtein runs
+    once per CANDIDATE, a set bounded by signature collisions, not
+    corpus^2.
+    """
+    pairs = simhash_near_duplicates(df, text_col, id_col, max_hamming)
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    lev = F.levenshtein("__ta", "__tb")
+    rel = F.round(
+        lev.cast("double")
+        / F.greatest(F.length("__ta"), F.length("__tb")).cast("double"),
+        6,
+    )
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("edit_dist", lev.cast("int"))
+        .withColumn("rel_edit", rel)
+        .filter(F.col("rel_edit") <= max_rel_edit)
+        .select("id_a", "id_b", "hamming", "edit_dist", "rel_edit")
+    )

@@ -804,3 +804,39 @@ def _q87_sql() -> str:
 
 
 register("q87_bigram_pmi", q87, _q87_sql())
+
+
+# --------------------------------------------------------------------------
+# Q88 — edit-distance near-dup (operators/dedup.py): SimHash-blocked
+#        candidates verified by relative Levenshtein — the character-
+#        level fuzzy axis the token-set dedup family can't see (OCR
+#        noise, typo farms, template fills). Oracle = the q34 relation
+#        with the same exact edit-distance gate.
+# --------------------------------------------------------------------------
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.dedup import edit_distance_near_duplicates
+
+    return edit_distance_near_duplicates(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        max_hamming=3, max_rel_edit=0.02,
+    )
+
+
+def _q88_sql() -> str:
+    from franzoxide_spark.queries.llm import Q34_SQL
+
+    return f"""
+WITH pairs AS ({Q34_SQL})
+SELECT id_a, id_b, hamming,
+       CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+       ROUND(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / greatest(len(da.text), len(db.text)), 6) AS rel_edit
+FROM pairs
+JOIN documents da ON pairs.id_a = da.doc_id
+JOIN documents db ON pairs.id_b = db.doc_id
+WHERE ROUND(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+            / greatest(len(da.text), len(db.text)), 6) <= 0.02
+"""
+
+
+register("q88_edit_distance_neardup", q88, _q88_sql())
