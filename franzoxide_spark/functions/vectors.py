@@ -49,33 +49,44 @@ def sql_cosine_rounded(a: str, b: str, digits: int = 6) -> str:
 # --------------------------------------------------------------------------
 
 
-def quantize_int8(vec: str) -> Column:
-    """Per-vector max-abs scalar quantization: q_i = round(v_i / s * 127)
-    with s = max(|v|). Symmetric, zero maps to zero, codes in [-127, 127].
-    All expression-level (transform + aggregate) — map-side, codegen-free
-    but embarrassingly parallel, no shuffle."""
-    return F.expr(
-        f"""transform({vec}, x -> cast(round(
-              cast(x as double) / greatest(
-                aggregate({vec}, cast(0.0 as double),
-                          (m, y) -> greatest(m, abs(cast(y as double)))),
-                cast(1e-30 as double)) * 127) as int))"""
-    )
-
-
-def dequant_mse(vec: str, digits: int = 6) -> Column:
-    """Round-trip reconstruction MSE of :func:`quantize_int8`, computed
-    without materializing the codes twice: mean((v - q*s/127)^2)."""
-    scale = (
+def maxabs_scale(vec: str) -> str:
+    """SQL expression for the per-vector max-abs quantization scale
+    s = max(max(|v|), 1e-30). Interpreted HOFs don't get common-subexpression
+    elimination, so callers that need the scale in more than one place
+    should project it ONCE (``withColumn``) and pass the column name to
+    :func:`quantize_int8` / :func:`dequant_mse` via ``scale=`` — inlining
+    it re-runs this O(dim) fold per *element*, turning the audit O(dim^2)."""
+    return (
         f"greatest(aggregate({vec}, cast(0.0 as double),"
         f" (m, y) -> greatest(m, abs(cast(y as double)))), cast(1e-30 as double))"
     )
+
+
+def quantize_int8(vec: str, scale: str | None = None) -> Column:
+    """Per-vector max-abs scalar quantization: q_i = round(v_i / s * 127)
+    with s = max(|v|). Symmetric, zero maps to zero, codes in [-127, 127].
+    All expression-level (transform + aggregate) — map-side, codegen-free
+    but embarrassingly parallel, no shuffle. Pass ``scale`` (a column name
+    or SQL expression for the precomputed scale) to avoid re-deriving s
+    inside the per-element lambda."""
+    s = scale if scale is not None else maxabs_scale(vec)
+    return F.expr(
+        f"transform({vec}, x -> cast(round(cast(x as double) / ({s}) * 127) as int))"
+    )
+
+
+def dequant_mse(vec: str, digits: int = 6, scale: str | None = None) -> Column:
+    """Round-trip reconstruction MSE of :func:`quantize_int8`, computed
+    without materializing the codes twice: mean((v - q*s/127)^2). Like
+    :func:`quantize_int8`, pass a precomputed ``scale`` to keep the fold
+    O(dim) instead of O(dim^2)."""
+    s = scale if scale is not None else maxabs_scale(vec)
     return F.round(
         F.expr(
             f"""aggregate({vec}, cast(0.0 as double),
                   (acc, x) -> acc + pow(cast(x as double)
-                      - round(cast(x as double) / ({scale}) * 127)
-                        * ({scale}) / 127, 2))
+                      - round(cast(x as double) / ({s}) * 127)
+                        * ({s}) / 127, 2))
                 / greatest(size({vec}), 1)"""
         ),
         digits,

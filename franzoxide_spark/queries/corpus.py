@@ -533,23 +533,27 @@ register("q76_mixture_sampling", q76, _q76_sql())
 #        is identical and the 6-dp compare is deterministic.
 # --------------------------------------------------------------------------
 def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from franzoxide_spark.functions.vectors import dequant_mse, quantize_int8
+    from franzoxide_spark.functions.vectors import (
+        dequant_mse,
+        maxabs_scale,
+        quantize_int8,
+    )
     from franzoxide_spark.operators.corpus_stats import _fan_out
 
     # the quantization expressions are interpreted HOFs (CPU-bound
     # map work): spread a single-file scan across cores — no-op with
-    # real input splits
-    emb = _fan_out(table(spark, sf_dir, "embeddings"))
-    scale = F.expr(
-        "greatest(aggregate(embedding, cast(0.0 as double),"
-        " (m, y) -> greatest(m, abs(cast(y as double)))), cast(1e-30 as double))"
+    # real input splits. Project the scale ONCE per row; inlining it in
+    # the mse/max_code lambdas re-runs the O(dim) fold per element
+    # (O(dim^2) per vector, ~3x wall at dim=64).
+    emb = _fan_out(table(spark, sf_dir, "embeddings")).withColumn(
+        "_s", F.expr(maxabs_scale("embedding"))
     )
-    codes = quantize_int8("embedding")
+    codes = quantize_int8("embedding", scale="_s")
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(scale, 6).alias("scale"),
-        dequant_mse("embedding").alias("mse"),
+        F.round("_s", 6).alias("scale"),
+        dequant_mse("embedding", scale="_s").alias("mse"),
         F.array_max(F.transform(codes, lambda c: F.abs(c))).alias("max_code"),
     )
 
