@@ -8,11 +8,16 @@ the exact-decimal path (functions/numeric.py) so the cross-engine 6-dp
 compare cannot flap on accumulation order.
 
 Scale note: multiple exact COUNT(DISTINCT) in one aggregate triggers
-Spark's Expand strategy (input × #distinct-aggs before the shuffle) —
-fine for a profile run, but at 100 TB swap ``exact_distinct=False`` to
-``approx_count_distinct`` (HLL, one pass, no expand) when ±2% NDV is
-acceptable; the rest of the profile is plain partial aggregation either
-way.
+Spark's Expand strategy (input × (#distinct-aggs + 1) before the
+shuffle), and Expand replays EVERY aggregate — including the exact-
+decimal sums — over the multiplied input (measured 15.6 s vs 2×2.5 s
+split at sf0.1). So the profile runs as two jobs: one plain partial
+aggregation for counts/min/max/means (whole-stage codegen, no Expand)
+and one for the NDVs (Expand over just the profiled columns), crossed
+as 1-row × 1-row at the end. At 100 TB swap ``exact_distinct=False``
+to ``approx_count_distinct`` (HLL, one pass, no Expand at all) when
+±2% NDV is acceptable — that also collapses the profile back to a
+single job.
 """
 
 from __future__ import annotations
@@ -32,19 +37,19 @@ def profile_numeric(
     min_val, max_val, mean_val) — min/max/mean rounded to 6 dp."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        nd = (
-            F.countDistinct(c) if exact_distinct else F.approx_count_distinct(c)
-        )
         aggs += [
             F.count(c).alias(f"__cnt_{c}"),
-            nd.alias(f"__nd_{c}"),
             F.round(F.min(c).cast("double"), 6).alias(f"__min_{c}"),
             F.round(F.max(c).cast("double"), 6).alias(f"__max_{c}"),
             F.round(
                 F.sum(dec(F.col(c))).cast("double") / F.count(c), 6
             ).alias(f"__mean_{c}"),
         ]
-    one = df.agg(*aggs)
+    base = df.agg(*aggs)
+    nd = F.countDistinct if exact_distinct else F.approx_count_distinct
+    nds = df.agg(*[nd(c).alias(f"__nd_{c}") for c in cols])
+    # 1 row × 1 row — the "cross join" is two scalar subquery results
+    one = base.crossJoin(nds)
     rows = F.array(
         *[
             F.struct(
