@@ -98,3 +98,83 @@ SELECT f.{key_col},
        ) AS value_ffill
 FROM series f LEFT JOIN hourly o ON f.{key_col} = o.{key_col} AND f.h = o.h
 """
+
+
+# --------------------------------------------------------------------------
+# rolling time-range features (trailing-window aggregates per key)
+# --------------------------------------------------------------------------
+
+
+def rolling_time_features(
+    events: DataFrame,
+    id_col: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-event trailing-window features: for every event, the count and
+    exact value sum over the key's trailing 7 days and trailing hour
+    (RANGE frames — inclusive [t-w, t], tie rows with equal timestamps
+    all share one frame, so the result is deterministic under duplicate
+    timestamps), plus seconds since the key's previous event.
+
+    This is the feature-store shape (``user_7d_event_count`` etc.) that
+    a point-in-time-correct training pipeline derives from an event log.
+
+    Scale shape: ONE shuffle on the key (verified: 1 Exchange in the
+    executed plan); both RANGE frames share one (key, epoch) sort and
+    the tie-broken lag frame adds only a partition-local re-sort, no
+    second shuffle. Sums go through the exact-decimal
+    path (functions/numeric.py) so trailing sums cannot flap on
+    accumulation order. The lag frame breaks timestamp ties on the event
+    id for a total order both engines agree on.
+    """
+    ep = F.col(ts_col).cast("long")
+    base = events.select(
+        id_col,
+        key_col,
+        ep.alias("__ep"),
+        dec(F.col(value_col)).alias("__v"),
+    )
+    w7 = Window.partitionBy(key_col).orderBy("__ep").rangeBetween(-604800, 0)
+    w1 = Window.partitionBy(key_col).orderBy("__ep").rangeBetween(-3600, 0)
+    wl = Window.partitionBy(key_col).orderBy("__ep", id_col)
+    return base.select(
+        id_col,
+        key_col,
+        F.col("__ep").alias("epoch_s"),
+        F.count("*").over(w7).cast("int").alias("n_7d"),
+        F.round(F.sum("__v").over(w7).cast("double"), 6).alias("sum_7d"),
+        F.count("*").over(w1).cast("int").alias("n_1h"),
+        F.round(F.sum("__v").over(w1).cast("double"), 6).alias("sum_1h"),
+        (F.col("__ep") - F.lag("__ep").over(wl)).cast("int").alias("gap_s"),
+    )
+
+
+def sql_rolling_time_features(
+    table: str, id_col: str, key_col: str, ts_col: str, value_col: str
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {key_col},
+         -- FLOOR before the cast: duckdb's epoch() keeps fractional
+         -- seconds and CAST(double AS BIGINT) rounds-to-nearest, while
+         -- Spark's timestamp->long cast truncates
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS epoch_s,
+         {sql_dec(value_col)} AS v
+  FROM {table}
+)
+SELECT {id_col}, {key_col}, epoch_s,
+       CAST(COUNT(*) OVER w7 AS INT) AS n_7d,
+       ROUND(CAST(SUM(v) OVER w7 AS DOUBLE), 6) AS sum_7d,
+       CAST(COUNT(*) OVER w1 AS INT) AS n_1h,
+       ROUND(CAST(SUM(v) OVER w1 AS DOUBLE), 6) AS sum_1h,
+       CAST(epoch_s - LAG(epoch_s) OVER wl AS INT) AS gap_s
+FROM base
+WINDOW
+  w7 AS (PARTITION BY {key_col} ORDER BY epoch_s
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW),
+  w1 AS (PARTITION BY {key_col} ORDER BY epoch_s
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+  wl AS (PARTITION BY {key_col} ORDER BY epoch_s, {id_col})
+"""

@@ -844,3 +844,25 @@ WHERE ROUND(CAST(levenshtein(da.text, db.text) AS DOUBLE)
 
 
 register("q88_edit_distance_neardup", q88, _q88_sql())
+
+
+# --------------------------------------------------------------------------
+# Q89 — rolling time-range features (operators/timeseries.py): per-event
+#        trailing 7-day / 1-hour counts and exact sums plus inter-event
+#        gap — the point-in-time feature-store derivation from an event
+#        log. One shuffle on the key; all frames share one sort.
+# --------------------------------------------------------------------------
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.timeseries import rolling_time_features
+
+    ev = table(spark, sf_dir, "events")
+    return rolling_time_features(ev, "event_id", "user_id", "ts", "value")
+
+
+def _q89_sql() -> str:
+    from franzoxide_spark.operators.timeseries import sql_rolling_time_features
+
+    return sql_rolling_time_features("events", "event_id", "user_id", "ts", "value")
+
+
+register("q89_rolling_time_features", q89, _q89_sql())

@@ -49,3 +49,75 @@ def test_gap_fill_keys_do_not_bleed_into_each_other(spark):
         (r for r in out if r["user_id"] == 1), key=lambda r: r["bucket_s"]
     )
     assert [r["value_ffill"] for r in u1] == [9.0, 9.0, 1.0]
+
+
+def _ev_id(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, u, datetime.datetime(2024, 1, 1, h, m, s), v)
+            for i, (u, h, m, s, v) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+
+
+def test_rolling_features_trailing_frames_and_gap(spark):
+    from franzoxide_spark.operators.timeseries import rolling_time_features
+
+    # user 0: events at 00:00:00, 00:30:00, 01:30:01 — the third is just
+    # outside the first's 1h frame but inside the second's; user 1 isolates
+    ev = _ev_id(
+        spark,
+        [
+            (0, 0, 0, 0, 1.0),
+            (0, 0, 30, 0, 2.0),
+            (0, 1, 30, 1, 4.0),
+            (1, 5, 0, 0, 8.0),
+        ],
+    )
+    out = {
+        r["event_id"]: r
+        for r in rolling_time_features(
+            ev, "event_id", "user_id", "ts", "value"
+        ).collect()
+    }
+    assert out[0]["n_1h"] == 1 and out[0]["sum_1h"] == 1.0
+    assert out[0]["gap_s"] is None
+    assert out[1]["n_1h"] == 2 and out[1]["sum_1h"] == 3.0
+    assert out[1]["gap_s"] == 1800
+    # 01:30:01 - 3600s = 00:30:01 > 00:30:00 -> first event ages out of
+    # the 1h frame, second stays (frame is inclusive [t-w, t])
+    assert out[2]["n_1h"] == 1 and out[2]["sum_1h"] == 4.0
+    assert out[2]["n_7d"] == 3 and out[2]["sum_7d"] == 7.0
+    assert out[3]["n_1h"] == 1 and out[3]["gap_s"] is None
+
+
+def test_rolling_features_duplicate_timestamps_share_frame(spark):
+    from franzoxide_spark.operators.timeseries import rolling_time_features
+
+    ev = _ev_id(spark, [(0, 0, 0, 0, 1.0), (0, 0, 0, 0, 2.0)])
+    rows = sorted(
+        rolling_time_features(
+            ev, "event_id", "user_id", "ts", "value"
+        ).collect(),
+        key=lambda r: r["event_id"],
+    )
+    # RANGE frames include ALL timestamp peers for both rows
+    assert [r["n_1h"] for r in rows] == [2, 2]
+    assert [r["sum_1h"] for r in rows] == [3.0, 3.0]
+    # lag breaks the tie on event_id: first has no predecessor, second does
+    assert rows[0]["gap_s"] is None and rows[1]["gap_s"] == 0
+
+
+def test_rolling_features_single_shuffle(spark):
+    from franzoxide_spark.operators.timeseries import rolling_time_features
+
+    ev = _ev_id(spark, [(0, 0, 0, 0, 1.0)])
+    plan = (
+        rolling_time_features(ev, "event_id", "user_id", "ts", "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # all three frames ride one hash-partitioning on the key
+    assert plan.count("Exchange") == 1
