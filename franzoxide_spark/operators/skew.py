@@ -39,3 +39,103 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l.join(r, [key, "__salt"], how).drop("__salt")
+
+
+# --------------------------------------------------------------------------
+# join-key skew diagnosis (the "measure" half; salted_join is the "fix")
+# --------------------------------------------------------------------------
+
+
+def join_skew_report(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew report for a join/groupBy key: total rows, key
+    cardinality, the hottest key's row share, the top-10 keys' combined
+    share, and the Gini coefficient of the per-key count distribution.
+    The numbers that decide between a plain shuffle join, AQE skew
+    splitting, and :func:`salted_join` — and what salt factor to pick.
+
+    Scale shape: the corpus shuffles ONCE into per-key counts (map-side
+    combined). Everything after runs on count-domain aggregates: the
+    Gini rank-sum Σ rank_i·c_i is computed by grouping keys by their
+    COUNT VALUE (keys sharing a count take consecutive ranks, and the
+    rank-sum over such a run depends only on the run's start — never on
+    which key got which rank), so the only window runs over DISTINCT
+    count values — bounded by the hottest key's count in the worst case
+    and tiny in practice, never key cardinality. The top-10 share is a
+    global TakeOrdered (ties at the cutoff have equal counts, so the SUM
+    is deterministic even though the pick isn't). Rank-sums accumulate
+    in DECIMAL(38,0) — exact far past the ~2^53 where bigint·bigint
+    products would silently wobble in double, and past bigint overflow
+    at extreme-scale rank·count products.
+    """
+    counts = df.groupBy(F.col(key).alias("__k")).agg(F.count("*").alias("__c"))
+    grp = counts.groupBy("__c").agg(F.count("*").alias("__n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__c").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.withColumn(
+        "__prior", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    )
+    # keys with count c occupy ranks prior+1 .. prior+n (ascending order);
+    # Σ rank over the run = n*prior + n*(n+1)/2, contribution = c * that
+    s = ranked.agg(
+        F.sum(
+            F.col("__c").cast("decimal(38,0)")
+            * (
+                F.col("__n") * F.col("__prior")
+                + F.expr("__n * (__n + 1) div 2")
+            ).cast("decimal(38,0)")
+        ).alias("__s"),
+        F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__n")).alias("__t"),
+        F.sum("__n").alias("__nk"),
+        F.max("__c").alias("__mx"),
+    )
+    top10 = (
+        counts.orderBy(F.desc("__c"), "__k")
+        .limit(10)
+        .agg(F.sum("__c").alias("__t10"))
+    )
+    t = F.col("__t").cast("double")
+    n = F.col("__nk").cast("double")
+    return s.crossJoin(top10).select(
+        F.col("__t").cast("bigint").alias("n_rows"),
+        F.col("__nk").cast("bigint").alias("n_keys"),
+        F.round(F.col("__mx").cast("double") / t, 6).alias("max_share"),
+        F.round(F.col("__t10").cast("double") / t, 6).alias("top10_share"),
+        F.round(
+            F.lit(2.0) * F.col("__s").cast("double") / (n * t)
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+def sql_join_skew_report(table: str, key: str) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY {key}
+),
+grp AS (SELECT c, COUNT(*) AS n FROM counts GROUP BY c),
+ranked AS (
+  SELECT c, n, COALESCE(SUM(n) OVER (ORDER BY c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM grp
+),
+s AS (
+  SELECT SUM(CAST(c AS HUGEINT)
+             * CAST(n * prior + (n * (n + 1)) // 2 AS HUGEINT)) AS s,
+         SUM(CAST(c AS HUGEINT) * n) AS t,
+         SUM(n) AS nk, MAX(c) AS mx
+  FROM ranked
+),
+top10 AS (
+  SELECT SUM(c) AS t10
+  FROM (SELECT c FROM counts ORDER BY c DESC, k LIMIT 10)
+)
+SELECT CAST(t AS BIGINT) AS n_rows, CAST(nk AS BIGINT) AS n_keys,
+       ROUND(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE), 6) AS max_share,
+       ROUND(CAST(t10 AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top10_share,
+       ROUND(2.0 * CAST(s AS DOUBLE)
+               / (CAST(nk AS DOUBLE) * CAST(t AS DOUBLE))
+             - (CAST(nk AS DOUBLE) + 1.0) / CAST(nk AS DOUBLE), 6) AS gini
+FROM s CROSS JOIN top10
+"""

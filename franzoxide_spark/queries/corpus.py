@@ -866,3 +866,25 @@ def _q89_sql() -> str:
 
 
 register("q89_rolling_time_features", q89, _q89_sql())
+
+
+# --------------------------------------------------------------------------
+# Q90 — join-key skew report (operators/skew.py): the diagnosis that
+#        decides between a plain shuffle join, AQE skew splitting, and
+#        q66's salted join. One corpus shuffle into per-key counts; the
+#        Gini rank-sum groups keys by count value so the only window
+#        runs over distinct counts, never key cardinality.
+# --------------------------------------------------------------------------
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.skew import join_skew_report
+
+    return join_skew_report(table(spark, sf_dir, "events"), "user_id")
+
+
+def _q90_sql() -> str:
+    from franzoxide_spark.operators.skew import sql_join_skew_report
+
+    return sql_join_skew_report("events", "user_id")
+
+
+register("q90_join_skew_report", q90, _q90_sql())

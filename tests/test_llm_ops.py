@@ -500,3 +500,27 @@ def test_multimodal_frame_sampling_stub_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|frame"):
         sample_frames(media, fake=False).collect()
+
+
+def test_join_skew_report_hand_distribution(spark):
+    from franzoxide_spark.operators.skew import join_skew_report
+
+    # counts: a->4, b->2, c->1, d->1  (n=8 rows, 4 keys)
+    df = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 2 + [("c",)] + [("d",)], "k string"
+    )
+    r = join_skew_report(df, "k").collect()[0]
+    assert r["n_rows"] == 8 and r["n_keys"] == 4
+    assert r["max_share"] == 0.5
+    assert r["top10_share"] == 1.0
+    # ascending counts (1,1,2,4): ranks 1..4, S = 1*1+1*2+2*3+4*4 = 25
+    # gini = 2*25/(4*8) - 5/4 = 1.5625 - 1.25 = 0.3125
+    assert r["gini"] == 0.3125
+
+
+def test_join_skew_report_uniform_distribution_zero_gini(spark):
+    from franzoxide_spark.operators.skew import join_skew_report
+
+    df = spark.createDataFrame([(k,) for k in "abcd"], "k string")
+    r = join_skew_report(df, "k").collect()[0]
+    assert r["gini"] == 0.0 and r["max_share"] == 0.25
