@@ -79,3 +79,89 @@ FROM {table}"""
         for c in cols
     ]
     return " UNION ALL ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# pairwise Pearson correlation (exact-decimal co-moments)
+# --------------------------------------------------------------------------
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation for every unordered column pair,
+    one row per pair: (col_x, col_y, corr) with corr rounded to 6 dp.
+
+    Neither engine's built-in ``corr`` is used: their streaming
+    co-moment updates accumulate in different orders, which flaps the
+    low bits. Instead ONE aggregation pass collects EXACT INTEGER sums
+    over the deterministically scaled values s = floor(x·10⁴ + 0.5)
+    (same quantization as functions/numeric.py, but left unscaled —
+    Pearson is scale-invariant, so rescaling would only reintroduce the
+    decimal-width headaches; duckdb overflows DECIMAL(18,4)² products).
+    Sums accumulate in DECIMAL(38,0)/HUGEINT (order-independent), and
+    the textbook n·Σxy − Σx·Σy formula then runs as an identical double
+    expression on both engines. Single scan, map-side partial
+    aggregation, #cols² agg buffers — no shuffle beyond the 1-row
+    final merge.
+    """
+
+    def _sc(c: str) -> F.Column:
+        return F.floor(F.col(c).cast("double") * 10000 + F.lit(0.5)).cast(
+            "decimal(38,0)"
+        )
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(_sc(c)).cast("double").alias(f"__s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(_sc(a) * _sc(b)).cast("double").alias(f"__p_{a}_{b}")
+            )
+    one = df.agg(*aggs)
+    n = F.col("__n").cast("double")
+
+    def _corr(a: str, b: str) -> F.Column:
+        num = n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+        va = n * F.col(f"__p_{a}_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+        vb = n * F.col(f"__p_{b}_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+        return F.round(num / F.sqrt(va * vb), 6)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                _corr(a, b).alias("corr"),
+            )
+            for i, a in enumerate(cols)
+            for b in cols[i + 1 :]
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+def sql_correlation_matrix(table: str, cols: Sequence[str]) -> str:
+    def _sc(c: str) -> str:
+        return f"CAST(FLOOR(CAST({c} AS DOUBLE) * 10000 + 0.5) AS HUGEINT)"
+
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM({_sc(c)}) AS DOUBLE) AS s_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            sums.append(
+                f"CAST(SUM({_sc(a)} * {_sc(b)}) AS DOUBLE) AS p_{a}_{b}"
+            )
+    arms = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            arms.append(
+                f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+       ROUND((CAST(n AS DOUBLE) * p_{a}_{b} - s_{a} * s_{b})
+             / SQRT((CAST(n AS DOUBLE) * p_{a}_{a} - s_{a} * s_{a})
+                    * (CAST(n AS DOUBLE) * p_{b}_{b} - s_{b} * s_{b})), 6)
+         AS corr
+FROM agg"""
+            )
+    union = "\nUNION ALL\n".join(arms)
+    return f"WITH agg AS (SELECT {', '.join(sums)} FROM {table})\n{union}"

@@ -888,3 +888,24 @@ def _q90_sql() -> str:
 
 
 register("q90_join_skew_report", q90, _q90_sql())
+
+
+# --------------------------------------------------------------------------
+# Q91 — pairwise Pearson correlation matrix (operators/profile.py): the
+#        redundancy check over a fact table's numeric columns. One scan,
+#        exact-decimal co-moments; the corr formula itself runs as the
+#        identical double expression on both engines.
+# --------------------------------------------------------------------------
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.profile import correlation_matrix
+
+    return correlation_matrix(table(spark, sf_dir, "lineitem"), _Q78_COLS)
+
+
+def _q91_sql() -> str:
+    from franzoxide_spark.operators.profile import sql_correlation_matrix
+
+    return sql_correlation_matrix("lineitem", _Q78_COLS)
+
+
+register("q91_correlation_matrix", q91, _q91_sql())

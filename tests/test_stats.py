@@ -39,3 +39,19 @@ def test_ols_recovers_constructed_slope(spark):
     assert abs(out["slope_per_day"] - 48.0) < 1e-6
     # intercept is at the fixed 2024-01-01 epoch, one day before base
     assert abs(out["intercept"] - (100.0 - 48.0)) < 1e-6
+
+
+def test_correlation_matrix_known_values(spark):
+    from franzoxide_spark.operators.profile import correlation_matrix
+
+    # y = 2x (corr +1), z = -x (corr -1 with x), w uncorrelated-ish
+    rows = [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(df, ("x", "y", "z")).collect()
+    }
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+    assert len(out) == 3
