@@ -744,3 +744,109 @@ SELECT anchor_id,
 FROM best GROUP BY anchor_id
 HAVING pos_id IS NOT NULL AND neg_id IS NOT NULL
 """
+
+
+# --------------------------------------------------------------------------
+# per-label centroid + distance outliers (embedding-space label audit)
+# --------------------------------------------------------------------------
+
+
+def centroid_outliers(
+    emb: DataFrame, id_col: str, vec_col: str, label_col: str, k: int = 5
+) -> DataFrame:
+    """For each label: the ``k`` vectors farthest from the label's
+    centroid — the mislabeled/contaminated-cluster audit a curation
+    pipeline runs over an embedded, labeled corpus. Output one row per
+    flagged vector: (label, id, dist, rank), rank 1 = farthest.
+
+    Determinism: centroid components are means of DETERMINISTICALLY
+    SCALED integers (floor(v·10⁶ + 0.5), exact bigint sums — a
+    distributed groupBy sums in arbitrary order, so raw double sums
+    would flap across engines AND across Spark runs), rounded to 6 dp
+    before any distance math; distances are then a position-ordered
+    left fold over (v − c)² on both engines, rounded to 6 dp before
+    ranking, with the id breaking rank ties.
+
+    Scale shape: the explode shuffles (label, pos) partial sums
+    (map-side combined — the shuffle is |labels|·dim rows regardless of
+    corpus size); centroids collapse to |labels| rows and BROADCAST
+    back onto the corpus; the final top-k ranks inside each label's
+    partition. The corpus itself shuffles once (the label window); at
+    extreme per-label cardinality swap the window for a per-label
+    TakeOrdered — same one shuffle.
+    """
+    from pyspark.sql import Window
+
+    ex = emb.select(
+        id_col, label_col, F.posexplode(vec_col).alias("__pos", "__v")
+    )
+    sc = F.floor(F.col("__v").cast("double") * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )
+    comp = ex.groupBy(label_col, "__pos").agg(
+        F.round(
+            F.sum(sc).cast("double") / F.count("*").cast("double") / 1000000,
+            6,
+        ).alias("__c")
+    )
+    cent = comp.groupBy(label_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__pos", "__c"))),
+            lambda s: s["__c"],
+        ).alias("__cent")
+    )
+    dist = F.round(
+        F.expr(
+            f"aggregate(zip_with({vec_col}, __cent,"
+            " (x, c) -> pow(cast(x as double) - c, 2)),"
+            " cast(0.0 as double), (a, v) -> a + v)"
+        ),
+        6,
+    )
+    scored = emb.join(F.broadcast(cent), label_col).select(
+        label_col, id_col, dist.alias("dist")
+    )
+    w = Window.partitionBy(label_col).orderBy(F.desc("dist"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(label_col, id_col, "dist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sql_centroid_outliers(
+    table: str, id_col: str, vec_col: str, label_col: str, k: int = 5
+) -> str:
+    return f"""
+WITH ex AS (
+  SELECT {id_col}, {label_col}, i AS pos,
+         CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS s
+  FROM {table}, UNNEST(range(1, len({vec_col}) + 1)) AS t(i)
+),
+comp AS (
+  SELECT {label_col}, pos,
+         ROUND(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000000, 6) AS c
+  FROM ex GROUP BY {label_col}, pos
+),
+cent AS (
+  SELECT {label_col}, list(c ORDER BY pos) AS cent
+  FROM comp GROUP BY {label_col}
+),
+scored AS (
+  SELECT e.{label_col}, e.{id_col},
+         ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(e.{vec_col}) + 1),
+             i -> pow(CAST(e.{vec_col}[i] AS DOUBLE) - cent[i], 2))),
+           (a, v) -> a + v), 6) AS dist
+  FROM {table} e JOIN cent USING ({label_col})
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {label_col}
+              ORDER BY dist DESC, {id_col}) AS rank
+  FROM scored
+)
+SELECT {label_col}, {id_col}, dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -909,3 +909,25 @@ def _q91_sql() -> str:
 
 
 register("q91_correlation_matrix", q91, _q91_sql())
+
+
+# --------------------------------------------------------------------------
+# Q92 — per-label centroid distance outliers (operators/similarity.py):
+#        the mislabeled-vector audit. Exact-integer centroid sums
+#        (shuffle is |labels|*dim partials, corpus shuffles once for
+#        the per-label rank), centroids broadcast back.
+# --------------------------------------------------------------------------
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.similarity import centroid_outliers
+
+    emb = table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, "vec_id", "embedding", "label", k=5)
+
+
+def _q92_sql() -> str:
+    from franzoxide_spark.operators.similarity import sql_centroid_outliers
+
+    return sql_centroid_outliers("embeddings", "vec_id", "embedding", "label", k=5)
+
+
+register("q92_centroid_outliers", q92, _q92_sql())

@@ -524,3 +524,24 @@ def test_join_skew_report_uniform_distribution_zero_gini(spark):
     df = spark.createDataFrame([(k,) for k in "abcd"], "k string")
     r = join_skew_report(df, "k").collect()[0]
     assert r["gini"] == 0.0 and r["max_share"] == 0.25
+
+
+def test_centroid_outliers_flags_farthest_vector(spark):
+    from franzoxide_spark.operators.similarity import centroid_outliers
+
+    # label 0: three near-origin vectors + one far outlier
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.1, 0.0], 0),
+        (3, [0.0, 0.1], 0),
+        (4, [5.0, 5.0], 0),
+        (5, [1.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = centroid_outliers(emb, "vec_id", "embedding", "label", k=1).collect()
+    by_label = {r["label"]: r for r in out}
+    assert by_label[0]["vec_id"] == 4 and by_label[0]["rank"] == 1
+    # a single-vector label: the vector IS the centroid, dist 0
+    assert by_label[1]["vec_id"] == 5 and by_label[1]["dist"] == 0.0
