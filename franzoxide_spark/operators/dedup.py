@@ -683,3 +683,102 @@ def edit_distance_near_duplicates(
         .filter(F.col("rel_edit") <= max_rel_edit)
         .select("id_a", "id_b", "hamming", "edit_dist", "rel_edit")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: a NEW batch against an EXISTING corpus
+# --------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Classify every batch document against the corpus:
+    (id, verdict, best_jaccard) with verdict ``exact_dup`` (identical
+    text exists in the corpus), ``near_dup`` (best LSH-candidate Jaccard
+    ≥ threshold), or ``new``. This is the production ingest shape — a
+    fresh crawl deduped against what's already stored — where the q33
+    SELF-join would wastefully re-pair the corpus against itself.
+
+    Scale shape: the exact leg is a left-semi-shaped join on
+    sha256(text) (hash equality instead of text equality purely to
+    shrink the shuffle key from document width to 32 bytes). The near
+    leg bands both sides' map-side MinHash signatures and equi-joins
+    batch bands against corpus bands — candidates are bounded by bucket
+    collisions exactly as in q33, but only batch×corpus, never
+    corpus×corpus. best_jaccard is the max over verified candidates
+    (null when the batch doc hit no bucket), so re-running with a
+    different threshold needs no recompute of the join.
+    """
+    rows = num_hashes // bands
+    sig_b = minhash_signatures(
+        _with_tokens(batch, text_col), text_col, id_col, num_hashes, shingle_k
+    ).cache()
+    sig_c = minhash_signatures(
+        _with_tokens(corpus, text_col), text_col, id_col, num_hashes, shingle_k
+    ).cache()
+
+    def _band(sig_df: DataFrame, side: str) -> DataFrame:
+        return sig_df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}),"
+                    f" b -> struct(b as band, slice(sig, b * {rows} + 1, {rows}) as bh))"
+                )
+            ).alias("bb"),
+        ).select(f"id_{side}", "bb.band", "bb.bh")
+
+    cand = (
+        _band(sig_b, "b")
+        .join(_band(sig_c, "c"), ["band", "bh"])
+        .select("id_b", "id_c")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c")).cast("double")
+    union = (
+        F.size("sh_b") + F.size("sh_c") - F.size(F.array_intersect("sh_b", "sh_c"))
+    ).cast("double")
+    best = (
+        cand.join(
+            sig_b.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sh_b")),
+            "id_b",
+        )
+        .join(
+            sig_c.select(F.col(id_col).alias("id_c"), F.col("shingle_set").alias("sh_c")),
+            "id_c",
+        )
+        .groupBy("id_b")
+        .agg(F.max(F.round(inter / union, 6)).alias("best_jaccard"))
+    )
+    corpus_hashes = corpus.select(
+        F.sha2(F.col(text_col), 256).alias("__sha")
+    ).distinct()
+    exact = (
+        batch.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("__sha"))
+        .join(corpus_hashes, "__sha", "left_semi")
+        .select(F.col(id_col).alias("id_b"), F.lit(True).alias("__exact"))
+    )
+    verdict = (
+        F.when(F.col("__exact"), F.lit("exact_dup"))
+        .when(F.col("best_jaccard") >= threshold, F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        batch.select(F.col(id_col).alias("id_b"))
+        .join(best, "id_b", "left")
+        .join(exact, "id_b", "left")
+        .withColumn("__exact", F.coalesce("__exact", F.lit(False)))
+        .select(
+            F.col("id_b").alias(id_col),
+            verdict.alias("verdict"),
+            "best_jaccard",
+        )
+    )

@@ -1026,3 +1026,69 @@ SELECT vec_id, cluster_id, vec_id = cluster_id AS is_survivor FROM cc
 
 
 register("q63_semantic_dedup", q63, _q63_sql())
+
+
+# --------------------------------------------------------------------------
+# Q93 — incremental batch-vs-corpus dedup (operators/dedup.py): every
+#        "new batch" document (doc_id % 10 = 0, a stand-in for a fresh
+#        crawl) classified against the remaining 90% corpus as
+#        exact_dup / near_dup / new. The production ingest shape: the
+#        q33 self-join would re-pair the corpus against itself on every
+#        drop; this bands batch×corpus only.
+# --------------------------------------------------------------------------
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.dedup import incremental_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(batch, corpus, "text", "doc_id", threshold=0.8)
+
+
+_Q93_SQL = f"""
+WITH newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+olddocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+nsh AS (SELECT doc_id, {_SHINGLES} AS ss
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM newdocs)),
+osh AS (SELECT doc_id, {_SHINGLES} AS ss
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM olddocs)),
+nsig AS (SELECT doc_id, ss, {_build_minhash_sig_sql()} AS sg FROM nsh),
+osig AS (SELECT doc_id, ss, {_build_minhash_sig_sql()} AS sg FROM osh),
+nbands AS (
+  SELECT doc_id, k AS band, sg[2 * k + 1] AS h1, sg[2 * k + 2] AS h2
+  FROM nsig, (SELECT unnest([0, 1, 2, 3]) AS k)
+),
+obands AS (
+  SELECT doc_id, k AS band, sg[2 * k + 1] AS h1, sg[2 * k + 2] AS h2
+  FROM osig, (SELECT unnest([0, 1, 2, 3]) AS k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_b, b.doc_id AS id_c
+  FROM nbands a JOIN obands b
+    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+),
+best AS (
+  SELECT id_b,
+         MAX(ROUND(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+             / CAST(len(sa.ss) + len(sb.ss)
+                    - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE), 6))
+           AS best_jaccard
+  FROM cand JOIN nsig sa ON sa.doc_id = id_b
+            JOIN osig sb ON sb.doc_id = id_c
+  GROUP BY id_b
+),
+exact AS (
+  SELECT DISTINCT n.doc_id FROM newdocs n JOIN olddocs o ON o.text = n.text
+)
+SELECT n.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN b.best_jaccard >= 0.8 THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       b.best_jaccard
+FROM newdocs n
+LEFT JOIN best b ON b.id_b = n.doc_id
+LEFT JOIN exact e ON e.doc_id = n.doc_id
+"""
+
+
+register("q93_incremental_dedup", q93, _Q93_SQL)

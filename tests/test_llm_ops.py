@@ -545,3 +545,35 @@ def test_centroid_outliers_flags_farthest_vector(spark):
     assert by_label[0]["vec_id"] == 4 and by_label[0]["rank"] == 1
     # a single-vector label: the vector IS the centroid, dist 0
     assert by_label[1]["vec_id"] == 5 and by_label[1]["dist"] == 0.0
+
+
+def test_incremental_dedup_verdicts(spark):
+    from franzoxide_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated corpus content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # identical to corpus doc 1 -> exact_dup
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            # one-token edit of corpus doc 1 -> near_dup (high jaccard)
+            (11, "the quick brown fox jumps over the lazy cat tonight"),
+            # nothing like the corpus -> new
+            (12, "totally novel text with zero overlap whatsoever here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            batch, corpus, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert out[10]["verdict"] == "exact_dup" and out[10]["best_jaccard"] == 1.0
+    assert out[11]["verdict"] == "near_dup" and out[11]["best_jaccard"] >= 0.5
+    assert out[12]["verdict"] == "new"
