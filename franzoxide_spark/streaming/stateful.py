@@ -14,6 +14,7 @@ watermark), a CMS sketch, or per-user session state.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "key string, n_events bigint, total double"
@@ -340,4 +341,91 @@ def streaming_neardup(
         stateStructType=NEARDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming sessionization: gap-closed sessions with event-time timeout
+# --------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = "key string, start_s long, end_s long, n_events bigint"
+SESSION_STATE_SCHEMA = "start_s long, last_s long, n bigint"
+
+
+def make_session_update(gap_s: int):
+    """applyInPandasWithState update fn for gap sessionization: per-key
+    state is the OPEN session (start, last-event, count). New events
+    extend it or close it (gap exceeded inside the batch — the closed
+    session emits immediately); the event-time timeout closes idle
+    sessions once the watermark passes last_event + gap, so every
+    session emits EXACTLY once, in append mode, without waiting for the
+    key's next event (the flaw of purely event-driven closure)."""
+
+    def _update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        cols = ["key", "start_s", "end_s", "n_events"]
+        if state.hasTimedOut:
+            st, lt, n = state.get
+            state.remove()
+            yield pd.DataFrame([(key[0], st, lt, n)], columns=cols)
+            return
+        ev: list[int] = []
+        for pdf in pdf_iter:
+            ev.extend(int(t.timestamp()) for t in pdf["ts"])
+        ev.sort()
+        st, lt, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple] = []
+        for t in ev:
+            if st is None:
+                st, lt, n = t, t, 1
+            elif t - lt <= gap_s:
+                lt, n = t, n + 1
+            else:
+                closed.append((key[0], st, lt, n))
+                st, lt, n = t, t, 1
+        state.update((st, lt, n))
+        # the timeout must sit strictly past the current watermark or
+        # Spark rejects it — clamp for sessions already older than the
+        # watermark (they then time out on the very next batch)
+        state.setTimeoutTimestamp(
+            max((lt + gap_s) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(closed, columns=cols)
+
+    return _update
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming counterpart of q74's batch sessionization: closed
+    sessions (key, start_s, end_s, n_events) emit exactly once — either
+    when a same-key event arrives past the gap, or when the event-time
+    watermark passes the open session's last event + gap (idle close).
+
+    Spark's native ``session_window`` aggregation covers count/sum
+    rollups; this stateful form is the extension point for session
+    payloads the built-in can't express (ordered event paths, per-
+    session dedup sets — the q74 family) while keeping the same
+    exactly-once, watermark-governed emission contract.
+
+    Scale shape: state is ONE open session per active key (three
+    numbers), dropped at timeout — memory is bounded by concurrently
+    active keys, not stream history; the shuffle is the standard per-key
+    state partitioning.
+    """
+    keyed = events.select(
+        F.col(ts_col).alias("ts"), F.col(key_col).cast("string").alias("key")
+    ).withWatermark("ts", watermark)
+    return keyed.groupBy("key").applyInPandasWithState(
+        make_session_update(gap_s),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -1068,3 +1068,68 @@ def test_streaming_neardup_replay_does_not_duplicate_pairs(spark, sf_dir, tmp_pa
     assert pairs == {(1, 2)}
     assert all(r["jaccard"] == 1.0 for r in rows_out)
     assert len(rows_out) <= 4
+
+
+def test_streaming_sessionize_gap_and_timeout_close(spark, tmp_path):
+    """Sessions close two ways: a same-key event past the gap (emits in
+    that batch) and watermark-driven idle timeout (emits without any
+    further same-key event). Each session emits exactly once."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.stateful import streaming_sessionize
+
+    in_dir = str(tmp_path / "sess_in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "ts timestamp, user_id long"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        for f in glob.glob(str(tmp_path / name / "*.parquet")):
+            os.link(f, os.path.join(in_dir, f"{name}.parquet"))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    # user 1: two events 10 min apart (one session), then an event 2h
+    # later -> closes the first session by gap when it arrives
+    write_batch("b1", [(t(10, 0), 1), (t(10, 10), 1)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out = streaming_sessionize(
+        stream, "user_id", "ts", gap_s=1800, watermark="30 minutes"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    write_batch("b2", [(t(12, 0), 1)])  # gap-close of session 1
+    q.processAllAvailable()
+    # advance the watermark far past 12:00+gap via another key, then one
+    # more batch so the pending timeout fires and closes user 1's idle
+    # session without any further user-1 event
+    write_batch("b3", [(t(15, 0), 2)])
+    q.processAllAvailable()
+    write_batch("b4", [(t(15, 1), 2)])
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        (
+            (r["key"], r["start_s"], r["end_s"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        )
+    )
+    e = lambda h, m: int(dt.datetime(2024, 1, 1, h, m).timestamp())
+    assert (
+        "1", e(10, 0), e(10, 10), 2
+    ) in rows, f"gap-closed session missing: {rows}"
+    assert (
+        "1", e(12, 0), e(12, 0), 1
+    ) in rows, f"timeout-closed idle session missing: {rows}"
+    assert len([r for r in rows if r[0] == "1"]) == 2, f"dup emission: {rows}"
