@@ -86,6 +86,18 @@ SLOPE_QUERIES = (
     # deterministic shuffle: map + one shard exchange; expected ~linear
     # with a flat floor
     "q84_deterministic_shuffle",
+    # rolling time-range features: one user-key shuffle, three frames on
+    # one sort; replicas = disjoint user populations -> expected linear
+    "q89_rolling_time_features",
+    # skew report: corpus shuffles once into per-key counts; everything
+    # after is count-domain -> expected linear with a flat tail
+    "q90_join_skew_report",
+    # centroid outliers: (label,pos) partial-sum shuffle grows with the
+    # label count (10x here), corpus scan linear, rank per label
+    "q92_centroid_outliers",
+    # incremental dedup: batch x corpus banding; replicas disjoint in
+    # shingle space so candidates stay per-replica -> expected linear
+    "q93_incremental_dedup",
 )
 
 

@@ -551,3 +551,98 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, x, y) AS rnk
       FROM scored)
 WHERE rnk <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# vocabulary build + document encoding (tokenizer-apply)
+# --------------------------------------------------------------------------
+
+
+def vocab_encode(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+    max_tokens: int = 32,
+) -> DataFrame:
+    """Build a frequency-ranked top-V vocabulary over the corpus, then
+    encode each document's first ``max_tokens`` tokens to ids (OOV → 0):
+    (id, n_tokens, ids array<int>, oov_count) — the tokenizer-apply step
+    between q70's coverage check and an actual training batch. Vocab id
+    1 is the most frequent token; ties rank alphabetically so the
+    mapping is reproducible across runs and engines.
+
+    Scale shape: the vocab is token counts (one map-side-combined
+    shuffle over the token stream) → TakeOrdered top-V (never a global
+    sort) → row_number over V rows; the V-row vocab then BROADCASTS
+    into the encode join, and the only corpus-sized shuffle is the
+    doc-id reassembly of (pos, id) pairs. At 100 TB the reassembly
+    shuffle disappears too: ship the broadcast vocab as a plain dict
+    into an Arrow-batched UDF and emit the id array map-side — the
+    join+regroup form here is the one DuckDB can mirror bit-for-bit.
+    """
+    toks = _fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
+    cnt = (
+        toks.select(F.explode("__t").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.desc("__c"), "__tok")
+        .limit(vocab_size)
+    )
+    from pyspark.sql import Window
+
+    vocab = cnt.withColumn(
+        "__tid",
+        F.row_number().over(Window.orderBy(F.desc("__c"), "__tok")),
+    ).select("__tok", "__tid")
+    ex = toks.select(
+        id_col,
+        F.posexplode(F.slice("__t", 1, max_tokens)).alias("__pos", "__tok"),
+    )
+    enc = ex.join(F.broadcast(vocab), "__tok", "left").select(
+        id_col, "__pos", F.coalesce("__tid", F.lit(0)).alias("__tid")
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__pos", "__tid"))),
+            lambda s: s["__tid"].cast("int"),
+        ).alias("ids"),
+        F.sum(F.when(F.col("__tid") == 0, 1).otherwise(0))
+        .cast("int")
+        .alias("oov_count"),
+    )
+
+
+def sql_vocab_encode(
+    table: str,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+    max_tokens: int = 32,
+) -> str:
+    return f"""
+WITH tk AS (SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}),
+cnt AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok
+),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS tid
+  FROM (SELECT * FROM cnt ORDER BY c DESC, tok LIMIT {vocab_size})
+),
+ex AS (
+  SELECT {id_col}, i AS pos, t[i] AS tok
+  FROM tk, UNNEST(range(1, least(len(t), {max_tokens}) + 1)) AS r(i)
+),
+enc AS (
+  SELECT {id_col}, pos, COALESCE(tid, 0) AS tid
+  FROM ex LEFT JOIN vocab USING (tok)
+)
+SELECT {id_col}, CAST(COUNT(*) AS INT) AS n_tokens,
+       list(CAST(tid AS INT) ORDER BY pos) AS ids,
+       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INT) AS oov_count
+FROM enc GROUP BY {id_col}
+"""

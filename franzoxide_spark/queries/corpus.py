@@ -931,3 +931,25 @@ def _q92_sql() -> str:
 
 
 register("q92_centroid_outliers", q92, _q92_sql())
+
+
+# --------------------------------------------------------------------------
+# Q94 — vocabulary build + document encoding (operators/corpus_stats.py):
+#        the tokenizer-apply step between q70's coverage check and a
+#        training batch. Vocab via TakeOrdered top-V broadcast into the
+#        encode join; the only corpus shuffle is the doc reassembly.
+# --------------------------------------------------------------------------
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.corpus_stats import vocab_encode
+
+    docs = table(spark, sf_dir, "documents")
+    return vocab_encode(docs, "doc_id", "text", vocab_size=1000, max_tokens=32)
+
+
+def _q94_sql() -> str:
+    from franzoxide_spark.operators.corpus_stats import sql_vocab_encode
+
+    return sql_vocab_encode("documents", "doc_id", "text", vocab_size=1000, max_tokens=32)
+
+
+register("q94_vocab_encode", q94, _q94_sql())

@@ -187,3 +187,27 @@ def test_oov_rate_vocab_is_broadcast_not_sorted_globally(spark):
     assert "TakeOrderedAndProject" in plan  # top-V, not a global Sort
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vocab_encode_ranking_and_oov(spark):
+    from franzoxide_spark.operators.corpus_stats import vocab_encode
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),
+            (2, "a b zz"),
+        ],
+        "doc_id long, text string",
+    )
+    # vocab_size=3 -> ids: a=1 (freq 4), b=2 (freq 3), c=3 (freq 1);
+    # zz falls out -> OOV id 0
+    out = {
+        r["doc_id"]: r
+        for r in vocab_encode(
+            docs, "doc_id", "text", vocab_size=3, max_tokens=4
+        ).collect()
+    }
+    assert out[1]["ids"] == [1, 1, 1, 2]  # truncated at max_tokens
+    assert out[1]["n_tokens"] == 4 and out[1]["oov_count"] == 0
+    assert out[2]["ids"] == [1, 2, 0]
+    assert out[2]["oov_count"] == 1
