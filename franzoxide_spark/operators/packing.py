@@ -73,3 +73,88 @@ def pack_sequences(
     return chunked.groupBy("__chunk").applyInPandas(
         pack, schema=out_schema.add("__chunk", "long")
     ).drop("__chunk")
+
+
+# --------------------------------------------------------------------------
+# length-bucketed batch planning + padding-waste audit
+# --------------------------------------------------------------------------
+
+
+def length_batch_plan(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    group_col: str,
+    batch_docs: int = 16,
+) -> DataFrame:
+    """Plan fixed-size training batches of length-sorted documents and
+    audit the padding waste: within each group, documents sort by
+    (token count, id) and chunk into consecutive runs of ``batch_docs``;
+    a batch pads every member to its longest member, so length-sorting
+    minimizes the waste. Output one row per batch: (group, batch_id,
+    n_docs, max_len, sum_len, pad_tokens, efficiency) — the numbers
+    that decide batch size and bucketing granularity before a training
+    run (pad_tokens IS the wasted compute).
+
+    Scale shape: ONE shuffle on the group key; the sort and row_number
+    run inside each group's partition and the batch aggregation reuses
+    the same partitioning (no second exchange). Groups are the
+    parallelism unit — for a single giant group, pre-split it with a
+    hash shard exactly like operators/ordering.py's shard-major
+    permutation (same trade: batches never cross shards).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("__len", id_col)
+    batched = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        F.col(tokens_col).alias("__len"),
+    ).withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_docs).cast("int"),
+    )
+    n = F.count("*")
+    mx = F.max("__len")
+    sm = F.sum("__len")
+    return (
+        batched.groupBy("grp", "batch_id")
+        .agg(
+            n.cast("int").alias("n_docs"),
+            mx.cast("int").alias("max_len"),
+            sm.cast("int").alias("sum_len"),
+            (n * mx - sm).cast("int").alias("pad_tokens"),
+            F.round(
+                sm.cast("double") / (n * mx).cast("double"), 6
+            ).alias("efficiency"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def sql_length_batch_plan(
+    table: str,
+    id_col: str,
+    tokens_expr: str,
+    group_col: str,
+    batch_docs: int = 16,
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp, {id_col}, {tokens_expr} AS len FROM {table}
+),
+batched AS (
+  SELECT grp, {id_col}, len,
+         CAST((ROW_NUMBER() OVER (PARTITION BY grp ORDER BY len, {id_col})
+               - 1) // {batch_docs} AS INT) AS batch_id
+  FROM base
+)
+SELECT grp AS {group_col}, batch_id,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(MAX(len) AS INT) AS max_len,
+       CAST(SUM(len) AS INT) AS sum_len,
+       CAST(COUNT(*) * MAX(len) - SUM(len) AS INT) AS pad_tokens,
+       ROUND(CAST(SUM(len) AS DOUBLE)
+             / CAST(COUNT(*) * MAX(len) AS DOUBLE), 6) AS efficiency
+FROM batched GROUP BY grp, batch_id
+"""

@@ -953,3 +953,30 @@ def _q94_sql() -> str:
 
 
 register("q94_vocab_encode", q94, _q94_sql())
+
+
+# --------------------------------------------------------------------------
+# Q95 — length-bucketed batch planning (operators/packing.py): fixed-size
+#        batches of length-sorted documents per language with the
+#        padding-waste audit (pad_tokens IS the wasted compute). One
+#        group-key shuffle; sort, row_number, and the batch agg all ride
+#        the same partitioning.
+# --------------------------------------------------------------------------
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.packing import length_batch_plan
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return length_batch_plan(docs, "doc_id", "n_tok", "lang", batch_docs=16)
+
+
+def _q95_sql() -> str:
+    from franzoxide_spark.operators.packing import sql_length_batch_plan
+
+    return sql_length_batch_plan(
+        "documents", "doc_id", "len(string_split(text, ' '))", "lang", batch_docs=16
+    )
+
+
+register("q95_length_batch_plan", q95, _q95_sql())

@@ -75,3 +75,35 @@ def test_chunks_bound_bins_and_validation(spark):
         pack_sequences(df, budget=0)
     with pytest.raises(ValueError, match="chunk_size"):
         pack_sequences(df, chunk_size=0)
+
+
+def test_length_batch_plan_sorting_minimizes_padding(spark):
+    from franzoxide_spark.operators.packing import length_batch_plan
+
+    # 4 docs, batch_docs=2: length-sorted batches are (5,6) and (50,60)
+    # -> pad 1 + 10; unsorted arrival order would have paired (5,50)
+    docs = spark.createDataFrame(
+        [(1, 5, "en"), (2, 50, "en"), (3, 6, "en"), (4, 60, "en")],
+        "doc_id long, n_tok int, lang string",
+    )
+    out = {
+        r["batch_id"]: r
+        for r in length_batch_plan(
+            docs, "doc_id", "n_tok", "lang", batch_docs=2
+        ).collect()
+    }
+    assert out[0]["max_len"] == 6 and out[0]["pad_tokens"] == 1
+    assert out[1]["max_len"] == 60 and out[1]["pad_tokens"] == 10
+    assert out[0]["n_docs"] == 2 and len(out) == 2
+
+
+def test_length_batch_plan_tail_batch_and_efficiency(spark):
+    from franzoxide_spark.operators.packing import length_batch_plan
+
+    docs = spark.createDataFrame(
+        [(i, 10, "en") for i in range(5)], "doc_id long, n_tok int, lang string"
+    )
+    rows = length_batch_plan(docs, "doc_id", "n_tok", "lang", batch_docs=2).collect()
+    sizes = sorted(r["n_docs"] for r in rows)
+    assert sizes == [1, 2, 2]  # tail batch holds the remainder
+    assert all(r["efficiency"] == 1.0 for r in rows)  # equal lengths: no padding
