@@ -1092,3 +1092,42 @@ LEFT JOIN exact e ON e.doc_id = n.doc_id
 
 
 register("q93_incremental_dedup", q93, _Q93_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q96 — lang-ID confusion matrix: q38's heuristic prediction aggregated
+#        against the declared label as (lang, pred_lang) cells with
+#        within-label shares — the label-quality audit that decides
+#        whether a source's declared metadata is trustworthy enough to
+#        stratify on. Per-doc scoring is map-side; the grid is bounded
+#        by |langs|² so everything after the partial agg is tiny.
+# --------------------------------------------------------------------------
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    base = q38(spark, sf_dir).select("lang", "pred_lang")
+    cell = base.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("int").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+_Q96_SQL = f"""
+WITH base AS ({Q38_SQL}),
+cell AS (
+  SELECT lang, pred_lang, COUNT(*) AS n FROM base GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, CAST(n AS INT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+FROM cell
+"""
+
+
+register("q96_langid_confusion", q96, _Q96_SQL)
