@@ -165,3 +165,93 @@ FROM agg"""
             )
     union = "\nUNION ALL\n".join(arms)
     return f"WITH agg AS (SELECT {', '.join(sums)} FROM {table})\n{union}"
+
+
+# --------------------------------------------------------------------------
+# fixed-width histogram (equal-width bins between the column's min/max)
+# --------------------------------------------------------------------------
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, bins: int = 20
+) -> DataFrame:
+    """Equal-width histogram of a numeric column: (bin_id, lo, hi, n,
+    share) over ``bins`` buckets spanning [min, max], max-value rows
+    folded into the last bin (the standard closed-top convention).
+    Empty bins are emitted with n=0 so the output is always exactly
+    ``bins`` rows — a histogram with silent holes misreads as skew.
+
+    Scale shape: pass 1 is a 1-row min/max aggregate (broadcast); pass 2
+    computes each row's bin map-side and partial-aggregates counts into
+    a ``bins``-bounded key space. The bin edges are computed once in
+    double from the exact min/max, with the same expression on both
+    engines, so bin boundaries cannot flap.
+    """
+    mm = df.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+        F.count(col).alias("__n"),
+    )
+    with_mm = df.select(F.col(col).cast("double").alias("__x")).crossJoin(
+        F.broadcast(mm)
+    )
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    raw_bin = F.floor((F.col("__x") - F.col("__lo")) / width)
+    bin_id = F.least(raw_bin, F.lit(bins - 1)).cast("int")
+    counts = (
+        with_mm.filter(F.col("__x").isNotNull())
+        .select(bin_id.alias("bin_id"), "__lo", "__hi", "__n")
+        .groupBy("bin_id", "__lo", "__hi", "__n")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = mm.select(
+        F.explode(F.expr(f"sequence(0, {bins - 1})")).alias("bin_id"),
+        "__lo",
+        "__hi",
+        "__n",
+    )
+    w = (F.col("__hi") - F.col("__lo")) / bins
+    return (
+        grid.join(counts, ["bin_id", "__lo", "__hi", "__n"], "left")
+        .select(
+            "bin_id",
+            F.round(F.col("__lo") + F.col("bin_id") * w, 6).alias("lo"),
+            F.round(F.col("__lo") + (F.col("bin_id") + 1) * w, 6).alias("hi"),
+            F.coalesce("n", F.lit(0)).cast("int").alias("n"),
+            F.round(
+                F.coalesce("n", F.lit(0)).cast("double")
+                / F.col("__n").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+def sql_numeric_histogram(table: str, col: str, bins: int = 20) -> str:
+    return f"""
+WITH mm AS (
+  SELECT MIN(CAST({col} AS DOUBLE)) AS lo, MAX(CAST({col} AS DOUBLE)) AS hi,
+         COUNT({col}) AS total
+  FROM {table}
+),
+counts AS (
+  SELECT CAST(LEAST(FLOOR((CAST({col} AS DOUBLE) - lo)
+                          / ((hi - lo) / {bins})), {bins - 1}) AS INT)
+           AS bin_id,
+         COUNT(*) AS n
+  FROM {table}, mm
+  WHERE {col} IS NOT NULL
+  GROUP BY 1
+),
+grid AS (
+  SELECT CAST(i AS INT) AS bin_id, lo, hi, total
+  FROM mm, UNNEST(range(0, {bins})) AS t(i)
+)
+SELECT g.bin_id,
+       ROUND(g.lo + g.bin_id * ((g.hi - g.lo) / {bins}), 6) AS lo,
+       ROUND(g.lo + (g.bin_id + 1) * ((g.hi - g.lo) / {bins}), 6) AS hi,
+       CAST(COALESCE(c.n, 0) AS INT) AS n,
+       ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(g.total AS DOUBLE), 6)
+         AS share
+FROM grid g LEFT JOIN counts c USING (bin_id)
+"""

@@ -980,3 +980,78 @@ def _q95_sql() -> str:
 
 
 register("q95_length_batch_plan", q95, _q95_sql())
+
+
+# --------------------------------------------------------------------------
+# Q97 — fixed-width numeric histogram (operators/profile.py): the shape
+#        view q78's min/max/mean can't give. Two passes: 1-row min/max
+#        broadcast, then map-side binning into a bins-bounded key space;
+#        empty bins emitted so the output is always exactly `bins` rows.
+# --------------------------------------------------------------------------
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.profile import numeric_histogram
+
+    return numeric_histogram(table(spark, sf_dir, "lineitem"), "l_extendedprice", bins=20)
+
+
+def _q97_sql() -> str:
+    from franzoxide_spark.operators.profile import sql_numeric_histogram
+
+    return sql_numeric_histogram("lineitem", "l_extendedprice", bins=20)
+
+
+register("q97_numeric_histogram", q97, _q97_sql())
+
+
+# --------------------------------------------------------------------------
+# Q98 — event-type transition matrix: per-user consecutive (from → to)
+#        event-type pairs with row-normalized probabilities — the
+#        Markov-prior view of the q74 behavioral sequences (what a
+#        next-action model's training data looks like in aggregate).
+#        One user-key shuffle for the lag; the cell grid is bounded by
+#        |event_types|² so everything after the partial agg is tiny.
+#        Timestamp ties break on event_id (same total order as q89).
+# --------------------------------------------------------------------------
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("long"), "event_id"
+    )
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cell = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("from_type")
+    return cell.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("int").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wn).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+_Q98_SQL = """
+WITH ordered AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+           ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS from_type
+  FROM events
+),
+cell AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM ordered WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS INT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM cell
+"""
+
+
+register("q98_event_transitions", q98, _Q98_SQL)

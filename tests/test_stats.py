@@ -55,3 +55,25 @@ def test_correlation_matrix_known_values(spark):
     assert out[("x", "z")] == -1.0
     assert out[("y", "z")] == -1.0
     assert len(out) == 3
+
+
+def test_numeric_histogram_bins_and_closed_top(spark):
+    from franzoxide_spark.operators.profile import numeric_histogram
+
+    # values 0..10, 5 bins of width 2; the max value (10) folds into the
+    # last bin instead of opening bin 5
+    df = spark.createDataFrame([(float(i),) for i in range(11)], "x double")
+    rows = {r["bin_id"]: r for r in numeric_histogram(df, "x", bins=5).collect()}
+    assert len(rows) == 5
+    assert [rows[i]["n"] for i in range(5)] == [2, 2, 2, 2, 3]
+    assert rows[0]["lo"] == 0.0 and rows[4]["hi"] == 10.0
+    # shares are individually rounded to 6 dp before summing
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_numeric_histogram_emits_empty_bins(spark):
+    from franzoxide_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([(0.0,), (10.0,)], "x double")
+    rows = {r["bin_id"]: r["n"] for r in numeric_histogram(df, "x", bins=4).collect()}
+    assert rows == {0: 1, 1: 0, 2: 0, 3: 1}
