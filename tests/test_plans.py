@@ -217,3 +217,59 @@ def test_q85_mining_pool_streams_single_window_exchange(spark, sf_dir):
     assert exchange_lines, plan
     for ln in exchange_lines:
         assert "anchor_id" in ln, ln
+
+
+def test_q89_rolling_features_single_user_exchange(spark, sf_dir):
+    # all three trailing frames ride ONE hash exchange on the key; no
+    # range partitioning (that would be a global sort), no joins
+    plan = _plan(spark, sf_dir, "q89_rolling_time_features")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_q90_skew_report_counts_once_then_count_domain(spark, sf_dir):
+    # the corpus shuffles ONCE into per-key counts; the Gini window runs
+    # over distinct count VALUES (single partition is fine there — the
+    # domain is bounded), and the corpus key never feeds a window
+    plan = _plan(spark, sf_dir, "q90_join_skew_report")
+    corpus_exchanges = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning(user_id" in ln or "hashpartitioning(__k" in ln
+    ]
+    assert len(corpus_exchanges) <= 2, plan  # counts agg + top10 reuse
+    assert "rangepartitioning" not in plan
+
+
+def test_q92_centroids_broadcast_back(spark, sf_dir):
+    # centroids are a |labels|-row aggregate broadcast onto the corpus;
+    # the corpus-side join must not sort-merge
+    plan = _plan(spark, sf_dir, "q92_centroid_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q94_vocab_is_topv_broadcast_into_encode(spark, sf_dir):
+    # vocab = TakeOrdered top-V (never a global sort of the token
+    # counts), then broadcast into the encode join
+    plan = _plan(spark, sf_dir, "q94_vocab_encode")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q95_batch_plan_single_group_exchange(spark, sf_dir):
+    # sort, row_number, and the batch agg all ride the lang exchange
+    plan = _plan(spark, sf_dir, "q95_length_batch_plan")
+    assert plan.count("hashpartitioning(") <= 2, plan  # window + reused agg
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_q97_histogram_minmax_broadcast_no_corpus_shuffle(spark, sf_dir):
+    # pass 1 is a 1-row min/max broadcast; binning is map-side and the
+    # only aggregation key space is the bins grid
+    plan = _plan(spark, sf_dir, "q97_numeric_histogram")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
