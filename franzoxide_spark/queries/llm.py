@@ -1131,3 +1131,110 @@ FROM cell
 
 
 register("q96_langid_confusion", q96, _Q96_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q99 — per-source quantile normalization of quality scores: q39's raw
+#        quality percent-ranked WITHIN each source so one global keep
+#        threshold treats every source fairly (raw classifier scores are
+#        not comparable across sources — the curation-pipeline step
+#        between scoring and gating). Scoring is map-side; the only
+#        shuffle is the source-key window; percent_rank is rank-based so
+#        quality ties normalize identically on both engines.
+# --------------------------------------------------------------------------
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    n_tok = F.size("__toks").cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)
+    ).cast("double")
+    stop_ratio = lang_score("__toks", "en").cast("double") / n_tok
+    punct_ratio = n_punct / F.col("n_chars").cast("double")
+    quality = F.round(
+        0.4 * stop_ratio
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * F.least(n_tok / 100.0, F.lit(1.0)),
+        6,
+    )
+    scored = docs.select("doc_id", "source", quality.alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality")
+    pr = F.round(F.percent_rank().over(w), 6)
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        pr.alias("pct_in_source"),
+        (pr >= 0.2).alias("keep"),
+    )
+
+
+_Q99_SQL = f"""
+WITH st AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+           AS n_punct,
+         CAST({sql_lang_score("string_split(text, ' ')", "en")} AS DOUBLE)
+           AS s_en
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         ROUND(0.4 * (s_en / n_tok)
+               + 0.3 * (1.0 - n_punct / CAST(n_chars AS DOUBLE))
+               + 0.3 * LEAST(n_tok / 100.0, 1.0), 6) AS quality
+  FROM st
+)
+SELECT doc_id, source, quality,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality), 6)
+         AS pct_in_source,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality), 6)
+         >= 0.2 AS keep
+FROM scored
+"""
+
+
+register("q99_score_quantile_norm", q99, _Q99_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q100 — per-source duplication report: docs, distinct texts, duplicate
+#        rate, and the largest clone family per source — "which sources
+#        are copy farms" is the first question a dedup pass answers.
+#        One (source, sha) map-side-combined aggregation, then a
+#        source-bounded rollup; the corpus shuffles once.
+# --------------------------------------------------------------------------
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per_sha = docs.groupBy(
+        "source", F.sha2("text", 256).alias("__sha")
+    ).agg(F.count("*").alias("__copies"))
+    dup_rate = F.lit(1.0) - F.sum(F.lit(1)).cast("double") / F.sum(
+        "__copies"
+    ).cast("double")
+    return per_sha.groupBy("source").agg(
+        F.sum("__copies").cast("int").alias("n_docs"),
+        F.count("*").cast("int").alias("n_distinct_texts"),
+        F.round(dup_rate, 6).alias("dup_rate"),
+        F.max("__copies").cast("int").alias("max_clone_family"),
+    )
+
+
+_Q100_SQL = """
+WITH per_sha AS (
+  SELECT source, sha256(text) AS sha, COUNT(*) AS copies
+  FROM documents GROUP BY source, sha256(text)
+)
+SELECT source,
+       CAST(SUM(copies) AS INT) AS n_docs,
+       CAST(COUNT(*) AS INT) AS n_distinct_texts,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(copies) AS DOUBLE), 6)
+         AS dup_rate,
+       CAST(MAX(copies) AS INT) AS max_clone_family
+FROM per_sha GROUP BY source
+"""
+
+
+register("q100_source_dup_report", q100, _Q100_SQL)
