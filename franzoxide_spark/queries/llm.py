@@ -1238,3 +1238,100 @@ FROM per_sha GROUP BY source
 
 
 register("q100_source_dup_report", q100, _Q100_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q101 — decontamination k-sweep: eval-overlap contamination rate at
+#        shingle sizes k=3/5/8 in one relation — the sensitivity report
+#        that picks q54's decontamination k (small k over-flags common
+#        phrases, large k misses paraphrase overlap). Per k: eval grams
+#        are tiny and BROADCAST into the pool-gram semi-join, the
+#        corpus never shuffles; the grams join on RAW strings so DuckDB
+#        mirrors bit-for-bit (at 100 TB key the join on xxhash64(gram)
+#        — 8 bytes vs gram text, the q67-documented trade).
+# --------------------------------------------------------------------------
+_Q101_KS = (3, 5, 8)
+
+
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.text import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    pool = docs.filter(F.col("doc_id") % 97 != 0)
+    n_pool = pool.agg(F.count("*").alias("n_pool"))
+    parts = []
+    for k in _Q101_KS:
+        e_grams = (
+            eval_docs.withColumn("__toks", tokens("text"))
+            .select(F.explode(shingles("__toks", k)).alias("g"))
+            .distinct()
+        )
+        cont = (
+            pool.withColumn("__toks", tokens("text"))
+            .select("doc_id", F.explode(shingles("__toks", k)).alias("g"))
+            .join(F.broadcast(e_grams), "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        part = (
+            e_grams.agg(F.count("*").alias("n_eval_grams"))
+            .crossJoin(cont.agg(F.count("*").alias("n_contaminated")))
+            .crossJoin(n_pool)
+            .select(
+                F.lit(k).alias("k"),
+                F.col("n_eval_grams").cast("int").alias("n_eval_grams"),
+                F.col("n_contaminated").cast("int").alias("n_contaminated"),
+                F.round(
+                    F.col("n_contaminated").cast("double")
+                    / F.col("n_pool").cast("double"),
+                    6,
+                ).alias("contamination_rate"),
+            )
+        )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _q101_gram_sql(k: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(tk) - {k - 2}, 1)),"
+        f" i -> array_to_string(tk[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _q101_arm_sql(k: int) -> str:
+    g = _q101_gram_sql(k)
+    return f"""
+SELECT {k} AS k,
+       CAST((SELECT COUNT(DISTINCT g) FROM
+              (SELECT unnest({g}) AS g FROM
+                (SELECT string_split(text, ' ') AS tk FROM documents
+                 WHERE doc_id % 97 = 0))) AS INT) AS n_eval_grams,
+       CAST((SELECT COUNT(DISTINCT p.doc_id) FROM
+              (SELECT doc_id, unnest({g}) AS g FROM
+                (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE doc_id % 97 <> 0)) p
+              JOIN (SELECT DISTINCT unnest({g}) AS g FROM
+                (SELECT string_split(text, ' ') AS tk FROM documents
+                 WHERE doc_id % 97 = 0)) e USING (g)) AS INT)
+         AS n_contaminated,
+       ROUND(CAST((SELECT COUNT(DISTINCT p.doc_id) FROM
+              (SELECT doc_id, unnest({g}) AS g FROM
+                (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE doc_id % 97 <> 0)) p
+              JOIN (SELECT DISTINCT unnest({g}) AS g FROM
+                (SELECT string_split(text, ' ') AS tk FROM documents
+                 WHERE doc_id % 97 = 0)) e USING (g)) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 97 <> 0)
+                    AS DOUBLE), 6) AS contamination_rate
+"""
+
+
+_Q101_SQL = " UNION ALL ".join(_q101_arm_sql(k) for k in _Q101_KS)
+
+
+register("q101_decontam_k_sweep", q101, _Q101_SQL)
