@@ -646,3 +646,61 @@ SELECT {id_col}, CAST(COUNT(*) AS INT) AS n_tokens,
        CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INT) AS oov_count
 FROM enc GROUP BY {id_col}
 """
+
+
+def vocab_encode_mapside(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+    max_tokens: int = 32,
+) -> DataFrame:
+    """The 100 TB twin of :func:`vocab_encode` — identical output, zero
+    corpus shuffle. The top-V vocab (bounded, tiny) is collected once and
+    shipped to executors as a plain dict inside an Arrow ``mapInPandas``
+    closure; every document encodes map-side in one pass, so the
+    explode → join → doc-reassembly pipeline (two corpus-wide stages)
+    disappears entirely. This is the shape a production tokenizer-apply
+    runs at scale; the join form stays the oracle-checked default
+    because DuckDB can mirror it relationally. Parity with
+    :func:`vocab_encode` is asserted in tests/test_corpus_stats.py.
+    """
+    cnt = (
+        _fan_out(docs.select(text_col))
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.desc("__c"), "__tok")
+        .limit(vocab_size)
+        .collect()
+    )
+    # rank 1 = most frequent; ties alphabetical — same order as the
+    # TakeOrdered above, so ids match vocab_encode's row_number exactly
+    tok2id = {r["__tok"]: i + 1 for i, r in enumerate(cnt)}
+    out_schema = (
+        f"{id_col} long, n_tokens int, ids array<int>, oov_count int"
+    )
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids_col, n_col, oov_col = [], [], []
+            for text in pdf[text_col]:
+                toks = text.split(" ")[:max_tokens]
+                ids = [tok2id.get(t, 0) for t in toks]
+                ids_col.append(ids)
+                n_col.append(len(ids))
+                oov_col.append(sum(1 for i in ids if i == 0))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_tokens": n_col,
+                    "ids": ids_col,
+                    "oov_count": oov_col,
+                }
+            )
+
+    return _fan_out(docs.select(id_col, text_col)).mapInPandas(
+        _encode, schema=out_schema
+    )

@@ -211,3 +211,38 @@ def test_vocab_encode_ranking_and_oov(spark):
     assert out[1]["n_tokens"] == 4 and out[1]["oov_count"] == 0
     assert out[2]["ids"] == [1, 2, 0]
     assert out[2]["oov_count"] == 1
+
+
+def test_vocab_encode_mapside_matches_join_form(spark, sf_dir):
+    """The zero-shuffle Arrow twin must reproduce the oracle-checked
+    join form exactly — same vocab ranking, same truncation, same OOV."""
+    from franzoxide_spark.operators.corpus_stats import (
+        vocab_encode,
+        vocab_encode_mapside,
+    )
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]: (r["n_tokens"], list(r["ids"]), r["oov_count"])
+        for r in vocab_encode(docs, "doc_id", "text", 200, 16).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens"], list(r["ids"]), r["oov_count"])
+        for r in vocab_encode_mapside(docs, "doc_id", "text", 200, 16).collect()
+    }
+    assert a == b
+
+
+def test_vocab_encode_mapside_plan_has_no_corpus_shuffle(spark, sf_dir):
+    from franzoxide_spark.operators.corpus_stats import vocab_encode_mapside
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    df = vocab_encode_mapside(docs, "doc_id", "text", 50, 8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the encode side is map-only: no key shuffle, no join — the only
+    # Exchange allowed is _fan_out's round-robin split of a single small
+    # input file (a no-op with real input splits)
+    assert "MapInPandas" in plan
+    assert "hashpartitioning" not in plan and "Join" not in plan
