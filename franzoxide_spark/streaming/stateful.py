@@ -429,3 +429,94 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# streaming heavy hitters: sharded SpaceSaving with bounded state
+# --------------------------------------------------------------------------
+
+HH_OUTPUT_SCHEMA = "shard int, item string, count_min bigint, count_max bigint"
+HH_STATE_SCHEMA = "items array<string>, counts array<long>, errs array<long>"
+
+
+def make_spacesaving_update(capacity: int):
+    """applyInPandasWithState update fn for one SpaceSaving shard
+    (Metwally et al. 2005): state is at most ``capacity`` (item, count,
+    err) entries. A tracked item increments; an untracked one evicts the
+    current minimum, inheriting its count as the overestimation bound
+    (err). Guarantees: count_max ≥ true ≥ count_max − err = count_min,
+    and any item with true count > N/capacity is tracked — the same
+    never-undercount contract as q72's CMS, in O(capacity) state."""
+
+    def _update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            items, counts, errs = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+            )
+        else:
+            items, counts, errs = [], [], []
+        idx = {it: i for i, it in enumerate(items)}
+        for pdf in pdf_iter:
+            for it in pdf["item"]:
+                i = idx.get(it)
+                if i is not None:
+                    counts[i] += 1
+                elif len(items) < capacity:
+                    idx[it] = len(items)
+                    items.append(it)
+                    counts.append(1)
+                    errs.append(0)
+                else:
+                    m = min(range(len(counts)), key=counts.__getitem__)
+                    del idx[items[m]]
+                    idx[it] = m
+                    items[m] = it
+                    errs[m] = counts[m]
+                    counts[m] += 1
+        state.update((items, counts, errs))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "item": items,
+                "count_min": [c - e for c, e in zip(counts, errs)],
+                "count_max": counts,
+            }
+        )
+
+    return _update
+
+
+def streaming_heavy_hitters(
+    events: DataFrame, item_col: str, capacity: int = 64, shards: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: items hash into
+    ``shards`` SpaceSaving summaries of ``capacity`` entries each. The
+    hash routing sends EVERY occurrence of an item to the same shard, so
+    per-shard guarantees are global guarantees (a cross-shard merge
+    would need error addition; routing avoids it) — the streaming twin
+    of q72's relational CMS, fulfilling the swap-the-accumulator shape
+    of :func:`running_counts`. Output mode 'update': each shard re-emits
+    its current summary per batch it sees data in; consumers take the
+    latest per (shard, item) and rank by count_max.
+
+    State: shards × capacity entries TOTAL, independent of stream
+    length or item cardinality. More shards = more parallelism AND a
+    finer per-shard error bound (err ≤ N_shard/capacity, and N_shard ≈
+    N/shards under hash balance)."""
+    keyed = events.select(
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        make_spacesaving_update(capacity),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
