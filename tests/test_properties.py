@@ -363,3 +363,85 @@ def test_funnel_stage_timestamps_strictly_increase(spark, events):
         present = [s for s in stamps if s is not None]
         assert all(a < b for a, b in zip(present, present[1:]))
         assert r["stage_reached"] == len(present)
+
+
+# --------------------------------------------------------------------------
+# SpaceSaving: summary invariants for ARBITRARY streams (pure Python —
+# no Spark job per example, so the full hypothesis budget is cheap)
+# --------------------------------------------------------------------------
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=8),
+)
+def test_spacesaving_invariants_hold_for_any_stream(stream, capacity):
+    from collections import Counter
+
+    import pandas as pd
+
+    from franzoxide_spark.streaming.stateful import make_spacesaving_update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+    st_ = FakeState()
+    fn = make_spacesaving_update(capacity)
+    # split the stream into two "micro-batches" to exercise state carry
+    mid = len(stream) // 2
+    for chunk in (stream[:mid], stream[mid:]):
+        out = list(fn(("0",), iter([pd.DataFrame({"item": chunk})]), st_))[0]
+    true = Counter(stream)
+    n = len(stream)
+    assert len(out) <= capacity
+    tracked = set(out["item"])
+    for r in out.itertuples():
+        assert r.count_min <= true[r.item] <= r.count_max
+        assert r.count_max - r.count_min <= n // capacity  # err bound
+    # guarantee: anything strictly above N/capacity must be tracked
+    for item, c in true.items():
+        if c > n // capacity:
+            assert item in tracked, (item, c, n, capacity)
+
+
+# --------------------------------------------------------------------------
+# batch planner: partition + budget invariants on one generated corpus
+# --------------------------------------------------------------------------
+@SET
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de"]), st.integers(1, 500)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: None,  # allow duplicates
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_length_batch_plan_partitions_exactly(spark, rows, batch_docs):
+    from franzoxide_spark.operators.packing import length_batch_plan
+
+    docs = spark.createDataFrame(
+        [(i, lang, n) for i, (lang, n) in enumerate(rows)],
+        "doc_id long, lang string, n_tok int",
+    )
+    out = length_batch_plan(docs, "doc_id", "n_tok", "lang", batch_docs).collect()
+    # every doc in exactly one batch; no batch above the size cap; the
+    # padded total is n_docs * max_len per batch by construction
+    per_lang: dict = {}
+    for r in out:
+        assert 1 <= r["n_docs"] <= batch_docs
+        assert r["pad_tokens"] == r["n_docs"] * r["max_len"] - r["sum_len"]
+        assert 0 < r["efficiency"] <= 1.0
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_docs"]
+    from collections import Counter
+
+    want = Counter(lang for lang, _ in rows)
+    assert per_lang == dict(want)
