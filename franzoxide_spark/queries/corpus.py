@@ -1055,3 +1055,52 @@ FROM cell
 
 
 register("q98_event_transitions", q98, _Q98_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q102 — rolling 7-day active users (WAU): distinct users per trailing
+#        7-day window, exactly. Rolling COUNT(DISTINCT) has no window-
+#        frame form in either engine; the composition is (user, day)
+#        dedup → each active day contributes to the 7 windows ending
+#        d..d+6 (sequence explode, bounded ×7 fanout) → count distinct
+#        per window end. Shuffles: the (user, day) dedup and the final
+#        per-window distinct — both map-side-combined; windows with no
+#        activity in range simply don't emit (the gap-fill is q79's job).
+# --------------------------------------------------------------------------
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("__d")
+    ).distinct()
+    span = ev.agg(F.date_trunc("day", F.max("ts")).alias("__last"))
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(__d, __d + interval 6 days, interval 1 day)")
+        ).alias("__w"),
+    ).crossJoin(F.broadcast(span)).filter(F.col("__w") <= F.col("__last"))
+    return (
+        contrib.groupBy(F.date_format("__w", "yyyy-MM-dd").alias("window_end"))
+        .agg(F.countDistinct("user_id").cast("int").alias("wau"))
+    )
+
+
+_Q102_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+span AS (SELECT date_trunc('day', MAX(ts)) AS last_day FROM events),
+contrib AS (
+  SELECT user_id, w
+  FROM user_days,
+       UNNEST(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS t(w),
+       span
+  WHERE w <= last_day
+)
+SELECT strftime(w, '%Y-%m-%d') AS window_end,
+       CAST(COUNT(DISTINCT user_id) AS INT) AS wau
+FROM contrib GROUP BY w
+"""
+
+
+register("q102_rolling_wau", q102, _Q102_SQL)
