@@ -1335,3 +1335,86 @@ _Q101_SQL = " UNION ALL ".join(_q101_arm_sql(k) for k in _Q101_KS)
 
 
 register("q101_decontam_k_sweep", q101, _Q101_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q103 — PII density per source: the governance report behind q51's
+#        per-doc scrub — emails and phone-shaped numbers counted per
+#        source, normalized per 1k tokens, with the flag rate. Reuses
+#        q51's deterministic injection so both match paths exercise;
+#        counting is map-side regexp_extract_all, the aggregation key
+#        space is |sources|.
+# --------------------------------------------------------------------------
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id"),
+            F.lit("@example.com"),
+        ),
+    ).when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(" call 555-867-5309")),
+    ).otherwise(F.col("text"))
+    n_email = F.size(F.regexp_extract_all(injected, F.lit(_EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all(injected, F.lit(_PHONE_RE), 0))
+    n_tok = F.size(F.split(injected, " "))
+    per_doc = docs.select(
+        "source",
+        n_email.alias("__e"),
+        n_phone.alias("__p"),
+        n_tok.alias("__t"),
+    )
+    hits = F.sum("__e") + F.sum("__p")
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("__e").cast("int").alias("n_emails"),
+        F.sum("__p").cast("int").alias("n_phones"),
+        F.round(
+            hits.cast("double") * 1000.0 / F.sum("__t").cast("double"), 6
+        ).alias("pii_per_1k_tokens"),
+        F.round(
+            F.sum(((F.col("__e") + F.col("__p")) > 0).cast("int")).cast(
+                "double"
+            )
+            / F.count("*").cast("double"),
+            6,
+        ).alias("flag_rate"),
+    )
+
+
+_Q103_SQL = f"""
+WITH inj AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact: user' || doc_id || '@example.com'
+              WHEN doc_id % 11 = 0
+              THEN text || ' call 555-867-5309'
+              ELSE text END AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{_EMAIL_RE}')) AS e,
+         len(regexp_extract_all(t, '{_PHONE_RE}')) AS p,
+         len(string_split(t, ' ')) AS tok
+  FROM inj
+)
+SELECT source, CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(e) AS INT) AS n_emails,
+       CAST(SUM(p) AS INT) AS n_phones,
+       ROUND(CAST(SUM(e) + SUM(p) AS DOUBLE) * 1000.0
+             / CAST(SUM(tok) AS DOUBLE), 6) AS pii_per_1k_tokens,
+       ROUND(CAST(SUM(CASE WHEN e + p > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS flag_rate
+FROM per_doc GROUP BY source
+"""
+
+
+register("q103_pii_density_report", q103, _Q103_SQL)
