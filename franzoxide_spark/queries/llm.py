@@ -861,13 +861,19 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle slots are full), so its cross-engine proof is the in-repo
     DuckDB parity test (tests/test_llm_ops.py) running this exact oracle.
     """
-    from franzoxide_spark.functions.text import ngram_rep_stats
+    from franzoxide_spark.functions.text import (
+        _grams_expr,
+        rep_stats_from_grams,
+    )
 
     docs = table(spark, sf_dir, "documents")
+    # gram arrays projected ONCE per k — see ngram_rep_stats's docstring
     d = (
         docs.withColumn("__toks", tokens("text"))
-        .withColumn("s2", ngram_rep_stats("__toks", 2))
-        .withColumn("s3", ngram_rep_stats("__toks", 3))
+        .withColumn("__g2", F.expr(_grams_expr("__toks", 2)))
+        .withColumn("__g3", F.expr(_grams_expr("__toks", 3)))
+        .withColumn("s2", rep_stats_from_grams("__g2"))
+        .withColumn("s3", rep_stats_from_grams("__g3"))
     )
     frac = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den.cast("double"), 6)
