@@ -710,3 +710,41 @@ register("q18_string_date_functions", q18, Q18_SQL)
 register("q20_math_conditional", q20, Q20_SQL)
 register("q21_array_functions", q21, Q21_SQL)
 register("q22_json_extract_agg", q22, Q22_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q104 — order-independent table checksum: the operational parity tool
+#        for verifying a 100 TB copy/migration/replica without moving
+#        the data — both sides compute (n_rows, checksum) and compare
+#        two numbers. Row fingerprint = 60-bit md5 of the '|'-joined
+#        canonical column rendering (ints/strings/dates only — doubles
+#        would need a format contract); the checksum is the EXACT
+#        decimal sum of fingerprints, so it is order- and partitioning-
+#        independent, fully map-side-combined, one 1-row merge.
+# --------------------------------------------------------------------------
+_Q104_COLS = ("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+
+
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    fp = F.expr(
+        f"cast(conv(substr(md5(concat_ws('|', "
+        + ", ".join(f"cast({c} as string)" for c in _Q104_COLS)
+        + ")), 1, 15), 16, 10) as decimal(38,0))"
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(fp).cast("decimal(38,0)").cast("string").alias("checksum"),
+    )
+
+
+_Q104_SQL = f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST('0x' || substr(md5(
+             {" || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in _Q104_COLS)}
+           ), 1, 15) AS BIGINT)) AS VARCHAR) AS checksum
+FROM lineitem
+"""
+
+
+register("q104_table_checksum", q104, _Q104_SQL)
