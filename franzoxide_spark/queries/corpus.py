@@ -1104,3 +1104,64 @@ FROM contrib GROUP BY w
 
 
 register("q102_rolling_wau", q102, _Q102_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q105 — funnel time-to-convert percentiles: the latency dimension q71's
+#        stage table lacks — per transition (view→click, click→purchase),
+#        converting users' exact interpolated p50/p90 seconds between
+#        first-times. Rides q71's single user-key shuffle; the
+#        percentile groups are |transitions|-bounded (exact `percentile`
+#        buffers per group — swap approx_percentile at extreme user
+#        counts, the q49-documented trade).
+# --------------------------------------------------------------------------
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.funnel import funnel
+
+    ev = table(spark, sf_dir, "events")
+    f = funnel(ev, "user_id", "event_type", "ts", _FUNNEL_STAGES)
+    arms = []
+    for i in range(1, len(_FUNNEL_STAGES)):
+        name = f"{_FUNNEL_STAGES[i - 1]}>{_FUNNEL_STAGES[i]}"
+        diff = (
+            F.col(f"stage{i + 1}_ts").cast("long")
+            - F.col(f"stage{i}_ts").cast("long")
+        )
+        arms.append(
+            f.filter(F.col("stage_reached") >= i + 1)
+            .select(diff.alias("__d"))
+            .agg(
+                F.lit(name).alias("transition"),
+                F.count("*").cast("int").alias("n_converted"),
+                F.round(F.expr("percentile(__d, 0.5)"), 6).alias("p50_s"),
+                F.round(F.expr("percentile(__d, 0.9)"), 6).alias("p90_s"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out
+
+
+def _q105_sql() -> str:
+    from franzoxide_spark.operators.funnel import sql_funnel
+
+    inner = sql_funnel("events", "user_id", "event_type", "ts", _FUNNEL_STAGES)
+    arms = []
+    for i in range(1, len(_FUNNEL_STAGES)):
+        name = f"{_FUNNEL_STAGES[i - 1]}>{_FUNNEL_STAGES[i]}"
+        d = (
+            f"CAST(FLOOR(epoch(stage{i + 1}_ts)) AS BIGINT)"
+            f" - CAST(FLOOR(epoch(stage{i}_ts)) AS BIGINT)"
+        )
+        arms.append(
+            f"""SELECT '{name}' AS transition,
+       CAST(COUNT(*) AS INT) AS n_converted,
+       ROUND(quantile_cont({d}, 0.5), 6) AS p50_s,
+       ROUND(quantile_cont({d}, 0.9), 6) AS p90_s
+FROM ({inner}) WHERE stage_reached >= {i + 1}"""
+        )
+    return " UNION ALL ".join(arms)
+
+
+register("q105_funnel_latency", q105, _q105_sql())
