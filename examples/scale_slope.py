@@ -98,6 +98,15 @@ SLOPE_QUERIES = (
     # incremental dedup: batch x corpus banding; replicas disjoint in
     # shingle space so candidates stay per-replica -> expected linear
     "q93_incremental_dedup",
+    # vocab encode: TakeOrdered vocab + broadcast join + doc reassembly;
+    # token suffixes mean each replica contributes its own vocab slice
+    "q94_vocab_encode",
+    # batch planner: one lang-key shuffle; expected linear
+    "q95_length_batch_plan",
+    # rolling WAU: (user,day) dedup + bounded x7 explode; linear
+    "q102_rolling_wau",
+    # PII density: map-side regexp counts, |sources| agg; linear scan
+    "q103_pii_density_report",
 )
 
 
