@@ -748,3 +748,66 @@ FROM lineitem
 
 
 register("q104_table_checksum", q104, _Q104_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q106 — output layout planner: the small-files-problem calculator for a
+#        partitioned parquet write (the batch face of the A14-A17 object
+#        sink). Per month partition of orders: rows, estimated bytes
+#        (fixed type widths + actual string lengths — the same estimate
+#        a writer's target-file-size knob needs), the file count at a
+#        128 KB target, and a skew flag when one partition holds >4x the
+#        mean. One map-side-combined aggregation over a bounded
+#        partition-key space.
+# --------------------------------------------------------------------------
+_Q106_TARGET = 131072  # bytes/file; sf0.1-sized stand-in for 512 MB
+
+
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    # 8B keys/decimals/date + actual string payloads — a planning
+    # estimate, not parquet-encoded truth; both engines compute the same
+    row_bytes = (
+        F.lit(8 * 4)
+        + F.length("o_orderstatus")
+        + F.length("o_orderpriority")
+    )
+    per_part = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_bytes.cast("long")).alias("est_bytes"),
+    )
+    w = Window.partitionBy()
+    mean_rows = F.avg("n_rows").over(w)
+    return per_part.select(
+        "part",
+        F.col("n_rows").cast("int").alias("n_rows"),
+        F.col("est_bytes").cast("bigint").alias("est_bytes"),
+        F.ceil(F.col("est_bytes") / F.lit(_Q106_TARGET))
+        .cast("int")
+        .alias("n_files"),
+        (F.col("n_rows") > 4 * mean_rows).alias("skewed"),
+    )
+
+
+_Q106_SQL = f"""
+WITH per_part AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+         COUNT(*) AS n_rows,
+         SUM(CAST(32 + LENGTH(o_orderstatus) + LENGTH(o_orderpriority)
+                  AS BIGINT)) AS est_bytes
+  FROM orders GROUP BY 1
+)
+SELECT part, CAST(n_rows AS INT) AS n_rows,
+       CAST(est_bytes AS BIGINT) AS est_bytes,
+       CAST(CEIL(CAST(est_bytes AS DOUBLE) / {_Q106_TARGET}) AS INT)
+         AS n_files,
+       n_rows > 4 * AVG(n_rows) OVER () AS skewed
+FROM per_part
+"""
+
+
+register("q106_output_layout_plan", q106, _Q106_SQL)
