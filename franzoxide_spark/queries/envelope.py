@@ -123,3 +123,71 @@ GROUP BY 1, 2, 3, 4
 
 register("q23_envelope_encode", q23, Q23_SQL)
 register("q24_time_partition_derive", q24, Q24_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q107 — envelope branch audit: per partition, how many payloads take
+#        each A18 encode branch (raw-JSON pass-through vs base64
+#        fallback vs omitted-empty) and the key-omission rate — the
+#        monitoring view over the reference's s3.rs:182-298 encoder
+#        that tells an operator when a producer starts shipping
+#        non-JSON. Map-side classification, |partitions|-bounded agg.
+#        The sniff here is the JVM try_parse_json proxy on BOTH engines
+#        (json_valid in DuckDB) — the production envelope path's strict
+#        orjson sniff (functions/envelope.py) agrees with it on every
+#        fixture payload; the strict-vs-lenient delta is measured in
+#        examples/scale_slope.py, not here.
+# --------------------------------------------------------------------------
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = kafka_records_from_events(spark, sf_dir)
+    v = F.col("value").cast("string")
+    is_json = F.expr("try_parse_json(cast(value as string)) is not null") & (
+        F.length(v) > 0
+    )
+    is_empty = F.length(v) == 0
+    key_omitted = F.length(F.col("key").cast("string")) == 0
+    return (
+        rec.groupBy("topic", "partition")
+        .agg(
+            F.count("*").cast("int").alias("n_records"),
+            F.sum(is_json.cast("int")).cast("int").alias("n_value_json"),
+            F.sum((~is_json & ~is_empty).cast("int"))
+            .cast("int")
+            .alias("n_value_b64"),
+            F.sum(is_empty.cast("int")).cast("int").alias("n_value_omitted"),
+            F.sum(key_omitted.cast("int")).cast("int").alias("n_key_omitted"),
+            F.round(
+                F.sum(is_json.cast("int")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("json_rate"),
+        )
+    )
+
+
+Q107_SQL = """
+WITH rec AS (
+  SELECT 'events' AS topic,
+         CAST(event_id % 8 AS INT) AS partition,
+         CASE WHEN event_id % 5 = 0 THEN '' ELSE 'user-' || user_id END AS key_s,
+         CASE WHEN event_id % 3 = 0 THEN 'raw:' || event_id ELSE props END AS value_s
+  FROM events
+)
+SELECT topic, partition,
+       CAST(COUNT(*) AS INT) AS n_records,
+       CAST(SUM(CASE WHEN json_valid(value_s) AND LENGTH(value_s) > 0
+                     THEN 1 ELSE 0 END) AS INT) AS n_value_json,
+       CAST(SUM(CASE WHEN NOT json_valid(value_s) AND LENGTH(value_s) > 0
+                     THEN 1 ELSE 0 END) AS INT) AS n_value_b64,
+       CAST(SUM(CASE WHEN LENGTH(value_s) = 0 THEN 1 ELSE 0 END) AS INT)
+         AS n_value_omitted,
+       CAST(SUM(CASE WHEN LENGTH(key_s) = 0 THEN 1 ELSE 0 END) AS INT)
+         AS n_key_omitted,
+       ROUND(CAST(SUM(CASE WHEN json_valid(value_s) AND LENGTH(value_s) > 0
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS json_rate
+FROM rec GROUP BY topic, partition
+"""
+
+
+register("q107_envelope_branch_audit", q107, Q107_SQL)
