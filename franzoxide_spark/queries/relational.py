@@ -811,3 +811,45 @@ FROM per_part
 
 
 register("q106_output_layout_plan", q106, _Q106_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q108 — join size estimation from key histograms: |A ⋈ B| computed
+#        EXACTLY as Σ_k cA(k)·cB(k) over the two per-key count tables —
+#        the planner-side cardinality check that costs two partial
+#        aggregations and a count-table join (key-cardinality-sized)
+#        instead of materializing the join itself. The number that
+#        decides whether tonight's fact-to-fact join is feasible at all.
+#        Equality with the real join's COUNT(*) is locked in
+#        tests/test_plans.py.
+# --------------------------------------------------------------------------
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    ca = ev.groupBy(F.col("user_id").alias("__k")).agg(
+        F.count("*").alias("__ca")
+    )
+    cb = c.groupBy(F.col("c_custkey").alias("__k")).agg(
+        F.count("*").alias("__cb")
+    )
+    joined = ca.join(cb, "__k")
+    return joined.agg(
+        F.sum(F.col("__ca") * F.col("__cb")).cast("bigint").alias("join_rows"),
+        F.count("*").cast("int").alias("common_keys"),
+        F.max(F.col("__ca") * F.col("__cb"))
+        .cast("int")
+        .alias("max_key_contribution"),
+    )
+
+
+_Q108_SQL = """
+WITH ca AS (SELECT user_id AS k, COUNT(*) AS ca FROM events GROUP BY user_id),
+cb AS (SELECT c_custkey AS k, COUNT(*) AS cb FROM customer GROUP BY c_custkey)
+SELECT CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+       CAST(COUNT(*) AS INT) AS common_keys,
+       CAST(MAX(ca * cb) AS INT) AS max_key_contribution
+FROM ca JOIN cb USING (k)
+"""
+
+
+register("q108_join_size_estimate", q108, _Q108_SQL)

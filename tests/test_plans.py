@@ -273,3 +273,13 @@ def test_q97_histogram_minmax_broadcast_no_corpus_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_q108_estimate_equals_real_join_count(spark, sf_dir):
+    from franzoxide_spark.tables import table
+
+    est = QUERIES["q108_join_size_estimate"](spark, sf_dir).collect()[0]
+    ev = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    real = ev.join(c, ev.user_id == c.c_custkey).count()
+    assert est["join_rows"] == real
