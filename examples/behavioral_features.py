@@ -42,6 +42,7 @@ from franzoxide_spark.operators.packing import length_batch_plan  # noqa: E402
 from franzoxide_spark.operators.skew import join_skew_report  # noqa: E402
 from franzoxide_spark.operators.timeseries import (  # noqa: E402
     rolling_time_features,
+    with_session_index,
 )
 from franzoxide_spark.queries.corpus import _Q74_GAP_MIN, q74, q98  # noqa: E402
 from franzoxide_spark.session import get_spark  # noqa: E402
@@ -71,15 +72,11 @@ def main() -> None:
     feats = rolling_time_features(ev, "event_id", "user_id", "ts", "value")
 
     # 3. label: the NEXT event type within the same 30-min session —
-    #    the same lag/cumsum sessionization as q74, then a lead()
-    wo = Window.partitionBy("user_id").orderBy(
-        F.col("ts").cast("long"), "event_id"
+    #    q74's sessionization via the SHARED helper (one implementation,
+    #    so the example's labels can't drift from the oracle-checked op)
+    sess = with_session_index(
+        ev, "user_id", "ts", "event_id", gap_s=_Q74_GAP_MIN * 60
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
-    sess = ev.withColumn(
-        "__new",
-        F.when(gap.isNull() | (gap > _Q74_GAP_MIN * 60), 1).otherwise(0),
-    ).withColumn("session_idx", F.sum("__new").over(wo))
     ws = Window.partitionBy("user_id", "session_idx").orderBy(
         F.col("ts").cast("long"), "event_id"
     )

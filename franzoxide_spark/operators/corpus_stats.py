@@ -677,8 +677,11 @@ def vocab_encode_mapside(
     # rank 1 = most frequent; ties alphabetical — same order as the
     # TakeOrdered above, so ids match vocab_encode's row_number exactly
     tok2id = {r["__tok"]: i + 1 for i, r in enumerate(cnt)}
+    # mirror the input id column's actual type — hardcoding long would
+    # break the documented output parity with vocab_encode for string ids
+    id_type = dict(docs.dtypes)[id_col]
     out_schema = (
-        f"{id_col} long, n_tokens int, ids array<int>, oov_count int"
+        f"{id_col} {id_type}, n_tokens int, ids array<int>, oov_count int"
     )
 
     def _encode(batches):

@@ -181,49 +181,48 @@ def numeric_histogram(
     Empty bins are emitted with n=0 so the output is always exactly
     ``bins`` rows — a histogram with silent holes misreads as skew.
 
-    Scale shape: pass 1 is a 1-row min/max aggregate (broadcast); pass 2
-    computes each row's bin map-side and partial-aggregates counts into
-    a ``bins``-bounded key space. The bin edges are computed once in
-    double from the exact min/max, with the same expression on both
-    engines, so bin boundaries cannot flap.
+    Scale shape: EXACTLY two scans — pass 1 is a 1-row min/max aggregate
+    collected to the driver (one row; the tiny-result collect is the
+    same justified pattern as curation.py's eval-set build — leaving it
+    as a DataFrame costs a third full scan, because the broadcast use
+    and the grid use are different exchange shapes and Spark does not
+    reuse the subtree); pass 2 computes each row's bin map-side from
+    the literalized edges and partial-aggregates counts into a
+    ``bins``-bounded key space. Both engines derive the edges with the
+    same double expression from the same exact min/max, so bin
+    boundaries cannot flap.
     """
-    mm = df.agg(
+    row = df.agg(
         F.min(F.col(col).cast("double")).alias("__lo"),
         F.max(F.col(col).cast("double")).alias("__hi"),
         F.count(col).alias("__n"),
-    )
-    with_mm = df.select(F.col(col).cast("double").alias("__x")).crossJoin(
-        F.broadcast(mm)
-    )
-    width = (F.col("__hi") - F.col("__lo")) / bins
-    raw_bin = F.floor((F.col("__x") - F.col("__lo")) / width)
-    bin_id = F.least(raw_bin, F.lit(bins - 1)).cast("int")
+    ).first()
+    lo, hi, total = row["__lo"], row["__hi"], row["__n"]
+    lo_l = F.lit(lo).cast("double")
+    hi_l = F.lit(hi).cast("double")
+    width = (hi_l - lo_l) / bins
+    x = F.col(col).cast("double")
+    bin_id = F.least(
+        F.floor((x - lo_l) / width), F.lit(bins - 1)
+    ).cast("int")
     counts = (
-        with_mm.filter(F.col("__x").isNotNull())
-        .select(bin_id.alias("bin_id"), "__lo", "__hi", "__n")
-        .groupBy("bin_id", "__lo", "__hi", "__n")
+        df.filter(x.isNotNull())
+        .groupBy(bin_id.alias("bin_id"))
         .agg(F.count("*").alias("n"))
     )
-    grid = mm.select(
-        F.explode(F.expr(f"sequence(0, {bins - 1})")).alias("bin_id"),
-        "__lo",
-        "__hi",
-        "__n",
+    grid = df.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin_id")
     )
-    w = (F.col("__hi") - F.col("__lo")) / bins
-    return (
-        grid.join(counts, ["bin_id", "__lo", "__hi", "__n"], "left")
-        .select(
-            "bin_id",
-            F.round(F.col("__lo") + F.col("bin_id") * w, 6).alias("lo"),
-            F.round(F.col("__lo") + (F.col("bin_id") + 1) * w, 6).alias("hi"),
-            F.coalesce("n", F.lit(0)).cast("int").alias("n"),
-            F.round(
-                F.coalesce("n", F.lit(0)).cast("double")
-                / F.col("__n").cast("double"),
-                6,
-            ).alias("share"),
-        )
+    return grid.join(counts, "bin_id", "left").select(
+        "bin_id",
+        F.round(lo_l + F.col("bin_id") * width, 6).alias("lo"),
+        F.round(lo_l + (F.col("bin_id") + 1) * width, 6).alias("hi"),
+        F.coalesce("n", F.lit(0)).cast("int").alias("n"),
+        F.round(
+            F.coalesce("n", F.lit(0)).cast("double")
+            / F.lit(total).cast("double"),
+            6,
+        ).alias("share"),
     )
 
 

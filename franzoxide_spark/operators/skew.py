@@ -77,13 +77,20 @@ def join_skew_report(df: DataFrame, key: str) -> DataFrame:
     )
     # keys with count c occupy ranks prior+1 .. prior+n (ascending order);
     # Σ rank over the run = n*prior + n*(n+1)/2, contribution = c * that
+    # the rank-run factor itself must be decimal BEFORE the products:
+    # with ~4e9 keys sharing one count (every-key-unique is the common
+    # case), __n*(__n+1) overflows bigint silently in Spark (duckdb
+    # raises) — compute n·prior + n(n+1)/2 in decimal(19,0) operands
+    # (products stay well inside 38 digits; n(n+1) is even, so the /2
+    # is exact)
+    run_sum = F.expr(
+        "cast(cast(__n as decimal(19,0)) * cast(__prior as decimal(19,0))"
+        " + cast(__n as decimal(19,0))"
+        "   * cast(__n + 1 as decimal(19,0)) / 2 as decimal(38,0))"
+    )
     s = ranked.agg(
         F.sum(
-            F.col("__c").cast("decimal(38,0)")
-            * (
-                F.col("__n") * F.col("__prior")
-                + F.expr("__n * (__n + 1) div 2")
-            ).cast("decimal(38,0)")
+            F.col("__c").cast("decimal(19,0)") * run_sum
         ).alias("__s"),
         F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__n")).alias("__t"),
         F.sum("__n").alias("__nk"),
@@ -122,7 +129,8 @@ ranked AS (
 ),
 s AS (
   SELECT SUM(CAST(c AS HUGEINT)
-             * CAST(n * prior + (n * (n + 1)) // 2 AS HUGEINT)) AS s,
+             * (CAST(n AS HUGEINT) * prior
+                + (CAST(n AS HUGEINT) * (n + 1)) // 2)) AS s,
          SUM(CAST(c AS HUGEINT) * n) AS t,
          SUM(n) AS nk, MAX(c) AS mx
   FROM ranked

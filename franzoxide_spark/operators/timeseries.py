@@ -178,3 +178,28 @@ WINDOW
          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
   wl AS (PARTITION BY {key_col} ORDER BY epoch_s, {id_col})
 """
+
+
+def with_session_index(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Gap sessionization marker: the input plus a per-key
+    ``session_idx`` (1-based, ordered by (ts, id)) where a new session
+    starts whenever the gap to the key's previous event exceeds
+    ``gap_s``. The single shared implementation behind q74's session
+    sequences and the behavioral-features example — one key shuffle,
+    lag + running sum over the same sort."""
+    wo = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    gap = F.col(ts_col).cast("long") - F.lag(
+        F.col(ts_col).cast("long")
+    ).over(wo)
+    marked = events.withColumn(
+        "__new", F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    )
+    return marked.withColumn("session_idx", F.sum("__new").over(wo)).drop(
+        "__new"
+    )

@@ -387,17 +387,14 @@ _Q74_GAP_MIN = 30
 
 
 def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from franzoxide_spark.operators.timeseries import with_session_index
 
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
-    marked = ev.withColumn(
-        "__new", F.when(gap.isNull() | (gap > _Q74_GAP_MIN * 60), 1).otherwise(0)
+    sess = with_session_index(
+        ev, "user_id", "ts", "event_id", gap_s=_Q74_GAP_MIN * 60
     )
-    sess = marked.withColumn("session_idx", F.sum("__new").over(wo))
     return (
         sess.groupBy("user_id", "session_idx")
         .agg(
@@ -1120,27 +1117,37 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     f = funnel(ev, "user_id", "event_type", "ts", _FUNNEL_STAGES)
-    arms = []
+    # ONE aggregation over ONE funnel execution: per transition the
+    # diff is null for non-converters, and count/percentile ignore
+    # nulls — a union of per-transition arms would re-run the whole
+    # funnel (full corpus scan + user shuffle) once per transition
+    aggs = []
     for i in range(1, len(_FUNNEL_STAGES)):
-        name = f"{_FUNNEL_STAGES[i - 1]}>{_FUNNEL_STAGES[i]}"
-        diff = (
+        diff = F.when(
+            F.col("stage_reached") >= i + 1,
             F.col(f"stage{i + 1}_ts").cast("long")
-            - F.col(f"stage{i}_ts").cast("long")
+            - F.col(f"stage{i}_ts").cast("long"),
         )
-        arms.append(
-            f.filter(F.col("stage_reached") >= i + 1)
-            .select(diff.alias("__d"))
-            .agg(
-                F.lit(name).alias("transition"),
-                F.count("*").cast("int").alias("n_converted"),
-                F.round(F.expr("percentile(__d, 0.5)"), 6).alias("p50_s"),
-                F.round(F.expr("percentile(__d, 0.9)"), 6).alias("p90_s"),
+        aggs += [
+            F.count(diff).cast("int").alias(f"__n_{i}"),
+            F.round(F.percentile(diff, F.lit(0.5)), 6).alias(f"__p50_{i}"),
+            F.round(F.percentile(diff, F.lit(0.9)), 6).alias(f"__p90_{i}"),
+        ]
+    one = f.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(
+                    f"{_FUNNEL_STAGES[i - 1]}>{_FUNNEL_STAGES[i]}"
+                ).alias("transition"),
+                F.col(f"__n_{i}").alias("n_converted"),
+                F.col(f"__p50_{i}").alias("p50_s"),
+                F.col(f"__p90_{i}").alias("p90_s"),
             )
-        )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionAll(a)
-    return out
+            for i in range(1, len(_FUNNEL_STAGES))
+        ]
+    )
+    return one.select(F.explode(rows).alias("t")).select("t.*")
 
 
 def _q105_sql() -> str:
@@ -1151,17 +1158,18 @@ def _q105_sql() -> str:
     for i in range(1, len(_FUNNEL_STAGES)):
         name = f"{_FUNNEL_STAGES[i - 1]}>{_FUNNEL_STAGES[i]}"
         d = (
-            f"CAST(FLOOR(epoch(stage{i + 1}_ts)) AS BIGINT)"
-            f" - CAST(FLOOR(epoch(stage{i}_ts)) AS BIGINT)"
+            f"CASE WHEN stage_reached >= {i + 1} THEN"
+            f" CAST(FLOOR(epoch(stage{i + 1}_ts)) AS BIGINT)"
+            f" - CAST(FLOOR(epoch(stage{i}_ts)) AS BIGINT) END"
         )
         arms.append(
             f"""SELECT '{name}' AS transition,
-       CAST(COUNT(*) AS INT) AS n_converted,
+       CAST(COUNT({d}) AS INT) AS n_converted,
        ROUND(quantile_cont({d}, 0.5), 6) AS p50_s,
        ROUND(quantile_cont({d}, 0.9), 6) AS p90_s
-FROM ({inner}) WHERE stage_reached >= {i + 1}"""
+FROM f"""
         )
-    return " UNION ALL ".join(arms)
+    return f"WITH f AS ({inner})\n" + " UNION ALL ".join(arms)
 
 
 register("q105_funnel_latency", q105, _q105_sql())

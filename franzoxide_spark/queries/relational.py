@@ -833,21 +833,26 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("__cb")
     )
     joined = ca.join(cb, "__k")
+    # products in DECIMAL: a hot key with ~50k rows on each side already
+    # pushes ca*cb past int32, and bigint·bigint wraps silently in Spark
+    # (while duckdb raises) exactly at the pathological scale this
+    # operator exists to detect
+    prod = F.col("__ca").cast("decimal(19,0)") * F.col("__cb").cast(
+        "decimal(19,0)"
+    )
     return joined.agg(
-        F.sum(F.col("__ca") * F.col("__cb")).cast("bigint").alias("join_rows"),
+        F.sum(prod).cast("bigint").alias("join_rows"),
         F.count("*").cast("int").alias("common_keys"),
-        F.max(F.col("__ca") * F.col("__cb"))
-        .cast("int")
-        .alias("max_key_contribution"),
+        F.max(prod).cast("bigint").alias("max_key_contribution"),
     )
 
 
 _Q108_SQL = """
 WITH ca AS (SELECT user_id AS k, COUNT(*) AS ca FROM events GROUP BY user_id),
 cb AS (SELECT c_custkey AS k, COUNT(*) AS cb FROM customer GROUP BY c_custkey)
-SELECT CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+SELECT CAST(SUM(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS join_rows,
        CAST(COUNT(*) AS INT) AS common_keys,
-       CAST(MAX(ca * cb) AS INT) AS max_key_contribution
+       CAST(MAX(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS max_key_contribution
 FROM ca JOIN cb USING (k)
 """
 

@@ -379,6 +379,19 @@ def make_session_update(gap_s: int):
         for t in ev:
             if st is None:
                 st, lt, n = t, t, 1
+            elif t <= lt:
+                # LATE event (within the watermark, behind the open
+                # session's frontier — cross-batch reordering). Never
+                # regress lt: that would let a 1h-late event "extend"
+                # the session backwards (end < start) and pull the
+                # timeout earlier than the real frontier. Fold it into
+                # the open session when it touches [st - gap, lt];
+                # otherwise it belongs to an already-closed span —
+                # emit it as its own singleton session.
+                if t >= st - gap_s:
+                    st, n = min(st, t), n + 1
+                else:
+                    closed.append((key[0], t, t, 1))
             elif t - lt <= gap_s:
                 lt, n = t, n + 1
             else:

@@ -283,3 +283,13 @@ def test_q108_estimate_equals_real_join_count(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     real = ev.join(c, ev.user_id == c.c_custkey).count()
     assert est["join_rows"] == real
+
+
+def test_q105_funnel_executes_once(spark, sf_dir):
+    # all transitions aggregate over ONE funnel execution — a union of
+    # per-transition arms would re-scan and re-shuffle per transition
+    plan = _plan(spark, sf_dir, "q105_funnel_latency")
+    user_exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, plan

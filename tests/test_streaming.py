@@ -1214,3 +1214,55 @@ def test_spacesaving_bounds_state_and_never_undercounts(spark):
     # counts > N/capacity = 4.5 ... a has 4, c has 3; at least the
     # final summary holds 2 entries with count_max >= the evicted mins
     assert set(out["item"]) <= set(true)
+
+
+def test_sessionize_update_fn_late_events_never_regress_frontier(spark):
+    """Cross-batch reordering: a late event must not pull the open
+    session's end backwards (end < start) or shorten its timeout; a
+    late event near the open session folds in, a far-older one closes
+    as a singleton."""
+    import pandas as pd
+
+    from franzoxide_spark.streaming.stateful import make_session_update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        _wm = 0
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+    fn = make_session_update(gap_s=1800)
+    st = FakeState()
+
+    def run(ts_list):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(ts_list, unit="s", utc=True)})
+        return list(fn(("1",), iter([pdf]), st))[0]
+
+    base = 43200
+    out1 = run([base])
+    assert len(out1) == 0 and st.get == (base, base, 1)
+    # near-late event (within gap of start): folds in, frontier stays
+    out2 = run([base - 600])
+    assert len(out2) == 0
+    assert st.get == (base - 600, base, 2)
+    assert st.timeout_ms == (base + 1800) * 1000
+    # far-late event (a full hour before the session): closes alone,
+    # open session untouched
+    out3 = run([base - 3600 - 1801])
+    assert [tuple(r) for r in out3.itertuples(index=False)] == [
+        ("1", base - 3600 - 1801, base - 3600 - 1801, 1)
+    ]
+    assert st.get == (base - 600, base, 2)
