@@ -1173,3 +1173,61 @@ FROM f"""
 
 
 register("q105_funnel_latency", q105, _q105_sql())
+
+
+# --------------------------------------------------------------------------
+# Q109 — quantile feature discretization: exact decile boundaries of
+#        the event value (one percentile aggregate), then a map-side
+#        bucket assignment (bucket = #boundaries strictly below the
+#        value) and per-bucket stats. The GBDT-style feature-binning
+#        prep — the scale-safe alternative to NTILE's global sort:
+#        boundaries are 9 numbers broadcast as literals into a pure
+#        map stage. Boundaries are rounded to 6 dp BEFORE the compare
+#        so both engines make identical bucket decisions at the edges.
+# --------------------------------------------------------------------------
+_Q109_QS = [i / 10.0 for i in range(1, 10)]
+
+
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        *[
+            F.round(F.percentile("value", F.lit(q)), 6).alias(f"__b{i}")
+            for i, q in enumerate(_Q109_QS)
+        ]
+    ).first()
+    bs = [bounds[f"__b{i}"] for i in range(len(_Q109_QS))]
+    v = F.round(F.col("value").cast("double"), 6)
+    bucket = sum(
+        [(v > F.lit(b)).cast("int") for b in bs], F.lit(0)
+    ).alias("bucket")
+    return (
+        ev.select(bucket, F.col("value").cast("double").alias("__v"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("int").alias("n"),
+            F.round(F.min("__v"), 6).alias("lo"),
+            F.round(F.max("__v"), 6).alias("hi"),
+        )
+    )
+
+
+_Q109_SQL = f"""
+WITH bounds AS (
+  SELECT {", ".join(f"ROUND(quantile_cont(value, {q}), 6) AS b{i}"
+                    for i, q in enumerate(_Q109_QS))}
+  FROM events
+),
+assigned AS (
+  SELECT {" + ".join(f"CAST(ROUND(CAST(value AS DOUBLE), 6) > b{i} AS INT)"
+                     for i in range(len(_Q109_QS)))} AS bucket,
+         CAST(value AS DOUBLE) AS v
+  FROM events, bounds
+)
+SELECT bucket, CAST(COUNT(*) AS INT) AS n,
+       ROUND(MIN(v), 6) AS lo, ROUND(MAX(v), 6) AS hi
+FROM assigned GROUP BY bucket
+"""
+
+
+register("q109_quantile_binning", q109, _Q109_SQL)
