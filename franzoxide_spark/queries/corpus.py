@@ -1231,3 +1231,83 @@ FROM assigned GROUP BY bucket
 
 
 register("q109_quantile_binning", q109, _Q109_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q110 — inter-arrival burstiness per user: mean/σ of the gaps between a
+#        user's consecutive events and the Goh–Barabási burstiness
+#        B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 periodic, 0 Poisson, → 1 bursty)
+#        — the behavioral-regularity feature that separates bots from
+#        humans in an event log. Gaps are INTEGER seconds (same q89
+#        total order), so Σg and Σg² accumulate exactly in decimal and
+#        the μ/σ formulas run as identical double expressions on both
+#        engines (the q91 pattern). One user-key shuffle shared by the
+#        lag and the aggregation.
+# --------------------------------------------------------------------------
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("long"), "event_id"
+    )
+    g = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(wo)
+    )
+    gaps = ev.select("user_id", g.alias("__g")).filter(
+        F.col("__g").isNotNull()
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("__g").cast("decimal(19,0)")).cast("double").alias("__s"),
+        F.sum(
+            F.col("__g").cast("decimal(19,0)")
+            * F.col("__g").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    mu = F.col("__s") / n
+    sigma = F.sqrt(F.col("__s2") / n - (F.col("__s") / n) * (F.col("__s") / n))
+    return agg.select(
+        "user_id",
+        F.col("__n").cast("int").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sigma, 6).alias("std_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )
+
+
+_Q110_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS g
+  FROM events
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(CAST(g AS HUGEINT)) AS DOUBLE) AS s,
+         CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE) AS s2
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(n AS INT) AS n_gaps,
+       ROUND(s / CAST(n AS DOUBLE), 6) AS mean_gap_s,
+       ROUND(SQRT(s2 / CAST(n AS DOUBLE)
+                  - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))), 6)
+         AS std_gap_s,
+       ROUND((SQRT(s2 / CAST(n AS DOUBLE)
+                   - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+              - s / CAST(n AS DOUBLE))
+             / (SQRT(s2 / CAST(n AS DOUBLE)
+                     - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+                + s / CAST(n AS DOUBLE)), 6) AS burstiness
+FROM agg
+"""
+
+
+register("q110_interarrival_burstiness", q110, _Q110_SQL)
