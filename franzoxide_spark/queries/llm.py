@@ -1424,3 +1424,58 @@ FROM per_doc GROUP BY source
 
 
 register("q103_pii_density_report", q103, _Q103_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q111 — hashed sparse feature export: per document the sorted
+#        (bucket, tf) pairs of the 4096-bucket hashed bag-of-words as
+#        parallel arrays — the serialization step that feeds q68's
+#        linear classifier (and any hashed-feature trainer) without
+#        materializing a dense 4096-wide row. Same hash60 bucket
+#        function as q68, so exported indices line up with the served
+#        weight table. Two map-side-combined shuffles on (doc, bucket)
+#        then doc; nothing corpus-wide beyond the token stream.
+# --------------------------------------------------------------------------
+_Q111_BUCKETS = 4096
+
+
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.text import hash60
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("__tok")
+    ).select(
+        "doc_id",
+        F.pmod(hash60(F.col("__tok")), F.lit(_Q111_BUCKETS)).alias("__b"),
+    )
+    counts = feats.groupBy("doc_id", "__b").agg(F.count("*").alias("__tf"))
+    srt = F.sort_array(F.collect_list(F.struct("__b", "__tf")))
+    return counts.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("nnz"),
+        F.sum("__tf").cast("int").alias("total_tf"),
+        F.transform(srt, lambda s: s["__b"].cast("int")).alias("idx"),
+        F.transform(srt, lambda s: s["__tf"].cast("int")).alias("tf"),
+    )
+
+
+def _q111_sql() -> str:
+    from franzoxide_spark.functions.text import sql_hash60
+
+    tok_h = sql_hash60("tok")
+    return f"""
+WITH feat AS (
+  SELECT doc_id, {tok_h} % {_Q111_BUCKETS} AS b
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+c AS (SELECT doc_id, b, COUNT(*) AS tf FROM feat GROUP BY doc_id, b)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS nnz,
+       CAST(SUM(tf) AS INT) AS total_tf,
+       list(CAST(b AS INT) ORDER BY b) AS idx,
+       list(CAST(tf AS INT) ORDER BY b) AS tf
+FROM c GROUP BY doc_id
+"""
+
+
+register("q111_sparse_feature_export", q111, _q111_sql())
