@@ -1311,3 +1311,54 @@ FROM agg
 
 
 register("q110_interarrival_burstiness", q110, _Q110_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q112 — class-balance plan over the labeled embedding table: per label
+#        its share, the inverse-frequency class weight N/(k·n) a loss
+#        function would use, and the integer oversample factor that
+#        levels the classes — the imbalanced-training prep between
+#        labeling (q83) and batch construction (q95). One partial-
+#        aggregated shuffle into a |labels|-bounded grid; the global
+#        totals ride a single-partition window over that grid (bounded,
+#        never the corpus).
+# --------------------------------------------------------------------------
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    per = emb.groupBy("label").agg(F.count("*").alias("__n"))
+    w = Window.partitionBy()
+    total = F.sum("__n").over(w)
+    k = F.count("*").over(w)
+    mx = F.max("__n").over(w)
+    return per.select(
+        "label",
+        F.col("__n").cast("int").alias("n"),
+        F.round(F.col("__n").cast("double") / total.cast("double"), 6).alias(
+            "frac"
+        ),
+        F.round(
+            total.cast("double") / (k.cast("double") * F.col("__n").cast("double")),
+            6,
+        ).alias("class_weight"),
+        F.ceil(mx.cast("double") / F.col("__n").cast("double"))
+        .cast("int")
+        .alias("oversample"),
+    )
+
+
+_Q112_SQL = """
+WITH per AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+SELECT label, CAST(n AS INT) AS n,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6) AS frac,
+       ROUND(CAST(SUM(n) OVER () AS DOUBLE)
+             / (CAST(COUNT(*) OVER () AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         AS class_weight,
+       CAST(CEIL(CAST(MAX(n) OVER () AS DOUBLE) / CAST(n AS DOUBLE)) AS INT)
+         AS oversample
+FROM per
+"""
+
+
+register("q112_class_balance_plan", q112, _Q112_SQL)
