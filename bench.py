@@ -3,12 +3,14 @@
 compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "suite_ratio": ..., "over_bar": [...]}.
 
-The full per-query detail (Spark timings AND DuckDB oracle timings, plus
-every summary field) is written to BENCH_DETAIL.json next to this file —
-the round-2 artifact lost ~40 per-query timings because the driver's
-capture truncated the single giant line, so the printed line now carries
-only the driver-contract fields plus the (short) per-query Spark map,
-while the detail file is the auditable record.
+The printed line MUST fit the driver's 2000-byte stdout tail capture
+(r5/r6 both recorded parsed:null because the full per-query map at 106
+queries pushed the line to ~3.3 KB), so "queries" on the printed line is
+a fixed-size sample of the 10 slowest and every list field is capped; the
+full per-query detail (Spark timings AND DuckDB oracle timings, 4dp, plus
+every summary field and error message) is written to BENCH_DETAIL.json
+next to this file as the auditable record. The size contract is locked by
+tests/test_bench_contract.py.
 
 Both sides of the per-query bar are measured here: each oracle SQL is also
 timed in DuckDB on the same files (warm connection, same min-of-N pandas
@@ -67,6 +69,95 @@ def _time_oracles(
         return out
     finally:
         con.close()
+
+
+def build_summary(
+    timings: dict[str, float],
+    oracle_timings: dict[str, float],
+    errors: dict[str, str],
+    floor: float,
+    floor_failed: bool,
+    sf: float,
+) -> tuple[dict, dict]:
+    """Build (printed_summary, detail) from the raw measurements.
+
+    CONTRACT: the printed summary, JSON-encoded compact, must stay under
+    ~1800 bytes no matter how many queries are registered — the driver
+    keeps only the LAST 2000 bytes of stdout, and r5/r6 both lost their
+    bench record (parsed: null) because the full per-query map (~3.3 KB at
+    106 queries) pushed the head of the single JSON line past the capture
+    window. So the printed line carries the scalar driver-contract fields
+    plus a fixed-size top-slowest sample of the per-query map; the FULL
+    per-query detail (Spark + DuckDB timings, 4dp, error messages) lives
+    in BENCH_DETAIL.json. Locked by tests/test_bench_contract.py with 150
+    synthetic queries.
+    """
+    total = round(sum(timings.values()), 4)
+    # Ratio over the INTERSECTION both engines successfully timed — if one
+    # side errored on a query, counting the other side's time would skew
+    # the suite ratio in whichever direction happened to break.
+    both = set(timings) & set(oracle_timings)
+    oracle_total = round(sum(timings[k] for k in both), 4)
+    # The per-query 2x bar applies where the reference side is data-dominated
+    # (duckdb >= 0.5 s). Below that, the measurement is the fixed per-query
+    # scheduling floor (sched_floor_s, measured), which is constant in
+    # data volume and amortizes to nothing at scale — those queries are
+    # covered by the suite-level ratio instead. Full per-query scatter is in
+    # the artifact so the cut is auditable.
+    bar_min_oracle_s = 0.5
+    # Per-query bar per BASELINE.md: spark <= 2 * duckdb + sched_floor_s
+    # (the floor term was missing in r2 — the artifact could flag queries
+    # the documented criterion permits).
+    over_bar = sorted(
+        name
+        for name, osec in oracle_timings.items()
+        if osec >= bar_min_oracle_s
+        and timings.get(name, 0.0) > 2 * osec + floor
+    ) if not floor_failed else []
+    # Fixed-size sample keeps the driver-contract "queries" key present
+    # (per-query seconds) without unbounded growth: the 10 slowest are the
+    # only ones a reader of the one-line record acts on anyway.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        # driver contract: per-query Spark seconds. SAMPLED to the 10
+        # slowest (2dp) — the full map at 106+ queries is ~3.3 KB and
+        # overflows the driver's 2000-byte tail capture (lost r5+r6 bench
+        # records); the complete map is in BENCH_DETAIL.json.
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "queries_n": len(timings),
+        "sf": sf,
+        # oracle-checked subset only — the apples-to-apples number vs the
+        # DuckDB reference (rows-only queries have no DuckDB counterpart)
+        "oracle_value": oracle_total,
+        "oracle_queries_total": round(sum(oracle_timings[k] for k in both), 4),
+        "suite_ratio": round(
+            oracle_total / max(sum(oracle_timings[k] for k in both), 1e-9), 3
+        ),
+        "sched_floor_s": None if floor_failed else floor,
+        "bar_min_oracle_s": bar_min_oracle_s,
+        # caps: normally both lists are empty; a mass failure must not
+        # re-grow the line past the capture window
+        "over_bar": over_bar[:15],
+        "over_bar_n": len(over_bar),
+        "error_keys": sorted(errors)[:15],
+        "errors_n": len(errors),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    detail = dict(summary)
+    detail["queries"] = timings
+    detail["over_bar"] = over_bar
+    detail["error_keys"] = sorted(errors)
+    detail["errors"] = errors
+    # per-query DuckDB reference timings (same files, same min-of-N
+    # pandas-materialization protocol) — detail file only; on the printed
+    # line they doubled its length and caused the r2 truncation.
+    detail["oracle_queries"] = oracle_timings
+    return summary, detail
 
 
 def main() -> None:
@@ -142,7 +233,6 @@ def main() -> None:
     # (the recorded error makes the skip auditable)
     floor = 0.0 if floor_failed else round(floor, 4)
 
-    total = round(sum(timings.values()), 4)
     spark.stop()
 
     try:
@@ -150,58 +240,9 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["oracle_suite"] = f"{type(e).__name__}: {e}"[:300]
         oracle_timings = {}
-    # Ratio over the INTERSECTION both engines successfully timed — if one
-    # side errored on a query, counting the other side's time would skew
-    # the suite ratio in whichever direction happened to break.
-    both = set(timings) & set(oracle_timings)
-    oracle_total = round(sum(timings[k] for k in both), 4)
-    # The per-query 2x bar applies where the reference side is data-dominated
-    # (duckdb >= 0.5 s). Below that, the measurement is the fixed per-query
-    # scheduling floor (sched_floor_s, measured above), which is constant in
-    # data volume and amortizes to nothing at scale — those queries are
-    # covered by the suite-level ratio instead. Full per-query scatter is in
-    # the artifact so the cut is auditable.
-    bar_min_oracle_s = 0.5
-    # Per-query bar per BASELINE.md: spark <= 2 * duckdb + sched_floor_s
-    # (the floor term was missing in r2 — the artifact could flag queries
-    # the documented criterion permits).
-    over_bar = sorted(
-        name
-        for name, osec in oracle_timings.items()
-        if osec >= bar_min_oracle_s
-        and timings.get(name, 0.0) > 2 * osec + floor
-    ) if not floor_failed else []
-    summary = {
-        "metric": "suite_wall_clock",
-        "value": total,
-        "unit": "sec",
-        # driver contract: per-query Spark seconds (3dp keeps the line short
-        # enough to survive the driver's tail-capture; full 4dp in detail)
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "sf": sf,
-        # oracle-checked subset only — the apples-to-apples number vs the
-        # DuckDB reference (rows-only queries have no DuckDB counterpart)
-        "oracle_value": oracle_total,
-        "oracle_queries_total": round(sum(oracle_timings[k] for k in both), 4),
-        "suite_ratio": round(
-            oracle_total / max(sum(oracle_timings[k] for k in both), 1e-9), 3
-        ),
-        "sched_floor_s": None if floor_failed else floor,
-        "bar_min_oracle_s": bar_min_oracle_s,
-        "over_bar": over_bar,
-        # names only on the printed line: full messages would re-grow the
-        # single JSON line whose length already caused the r2 tail-capture
-        # truncation once — details live in BENCH_DETAIL.json
-        "error_keys": sorted(errors),
-        "detail_file": "BENCH_DETAIL.json",
-    }
-    detail = dict(summary)
-    detail["queries"] = timings
-    detail["errors"] = errors
-    # per-query DuckDB reference timings (same files, same min-of-N
-    # pandas-materialization protocol) — detail file only; on the printed
-    # line they doubled its length and caused the r2 truncation.
-    detail["oracle_queries"] = oracle_timings
+    summary, detail = build_summary(
+        timings, oracle_timings, errors, floor, floor_failed, sf
+    )
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

@@ -1,0 +1,63 @@
+"""bench.py stdout contract: the ONE printed JSON line must survive the
+driver's 2000-byte stdout tail capture regardless of how many queries the
+registry grows to — r5 and r6 both lost their bench record (parsed: null)
+because the full per-query map overflowed the capture window."""
+
+from __future__ import annotations
+
+import json
+
+from bench import build_summary
+
+
+def _fake_run(n_queries: int):
+    timings = {f"q{i:03d}_some_operator_name_{i}": 0.1234 + i * 0.001
+               for i in range(n_queries)}
+    oracle = {k: v / 1.6 for k, v in timings.items()}
+    return timings, oracle
+
+
+def test_printed_line_fits_driver_capture_at_150_queries():
+    timings, oracle = _fake_run(150)
+    summary, detail = build_summary(
+        timings, oracle, errors={}, floor=0.21, floor_failed=False, sf=0.1
+    )
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1800, f"printed line is {len(line)} bytes"
+    # the detail file still carries the complete per-query record
+    assert len(detail["queries"]) == 150
+    assert len(detail["oracle_queries"]) == 150
+
+
+def test_printed_line_bounded_even_under_mass_failure():
+    """A mass failure (every query erroring, every query over bar) must not
+    re-grow the printed line past the capture window — lists are capped
+    with _n counts carrying the true totals."""
+    timings, oracle = _fake_run(150)
+    # every query over the bar: spark side 10x the oracle, oracle >= 0.5
+    timings = {k: 10.0 for k in timings}
+    oracle = {k: 0.9 for k in oracle}
+    errors = {f"oracle:{k}": "Boom: " + "x" * 300 for k in list(timings)[:120]}
+    summary, _ = build_summary(
+        timings, oracle, errors, floor=0.21, floor_failed=False, sf=0.1
+    )
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1800, f"printed line is {len(line)} bytes"
+    assert summary["over_bar_n"] == 150 and len(summary["over_bar"]) == 15
+    assert summary["errors_n"] == 120 and len(summary["error_keys"]) == 15
+
+
+def test_summary_keeps_driver_contract_fields():
+    timings, oracle = _fake_run(106)
+    summary, _ = build_summary(
+        timings, oracle, errors={}, floor=0.21, floor_failed=False, sf=0.1
+    )
+    for key in ("metric", "value", "unit", "queries", "sf", "suite_ratio",
+                "sched_floor_s", "over_bar", "detail_file"):
+        assert key in summary
+    assert summary["unit"] == "sec"
+    assert summary["queries_n"] == 106
+    # sampled map holds the slowest queries, values are per-query seconds
+    assert 0 < len(summary["queries"]) <= 10
+    slowest = max(timings, key=timings.get)
+    assert slowest in summary["queries"]
