@@ -34,11 +34,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered by franzoxide_spark.queries.driver_ordering(): the §2.4
+    contract entries are always in the driver's 50-row CORRECTNESS
+    window, the remaining slots rotate per-round through the rest of the
+    oracle-checked registry (so every operator earns a driver-verified
+    row within a few rounds), and rows-only entries sit at the tail."""
+    order = _q.driver_ordering()
+    return {name: _q.QUERIES[name] for name in order}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted for the few
     non-SQL-expressible ops -> driver records a rows-only check)."""
-    return dict(_q.ORACLES)
+    order = _q.driver_ordering()
+    return {name: _q.ORACLES[name] for name in order if name in _q.ORACLES}

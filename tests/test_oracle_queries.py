@@ -24,11 +24,68 @@ def test_query_matches_oracle(name, spark, sf_dir):
 
 
 def test_first_50_registry_entries_are_oracle_checked():
-    """The driver records at most 50 CORRECTNESS rows in registration
-    order (r01 silently cut the last 4). Ordering policy
-    (queries/__init__.py:load_all): the first 50 entries must all be
-    oracle-checked, so a new registration in the wrong module can never
-    silently push a unique operator out of the verified window."""
-    names = list(QUERIES)
-    missing = [n for n in names[:50] if n not in ORACLES]
-    assert not missing, f"non-oracle entries inside the 50-window: {missing}"
+    """The driver records at most 50 CORRECTNESS rows from the front of
+    the __spark_entry__.queries() dict. Ordering policy
+    (queries/__init__.py:driver_ordering): for EVERY rotation state the
+    first 50 entries must all be oracle-checked, so rotation can never
+    spend a verified-window slot on a weak rows-only smoke record."""
+    from franzoxide_spark.queries import DRIVER_WINDOW, driver_ordering
+
+    for completed in range(12):
+        names = driver_ordering(completed)[:DRIVER_WINDOW]
+        missing = [n for n in names if n not in ORACLES]
+        assert not missing, (
+            f"round state {completed}: non-oracle entries inside the "
+            f"50-window: {missing}"
+        )
+
+
+def test_driver_window_rotation_policy():
+    """Rotation contract: §2.4 pinned entries never leave the window, the
+    free slots change each round, and the union of a few consecutive
+    rounds' windows covers the ENTIRE oracle-checked registry — every
+    operator earns a driver CORRECTNESS row within ceil(pool/slots)
+    rounds instead of never."""
+    from franzoxide_spark.queries import (
+        DRIVER_WINDOW,
+        PINNED_CONTRACT,
+        driver_ordering,
+    )
+
+    pinned = [n for n in PINNED_CONTRACT if n in QUERIES]
+    assert pinned == list(PINNED_CONTRACT), "pinned contract entry missing"
+    assert all(n in ORACLES for n in pinned)
+
+    slots = DRIVER_WINDOW - len(pinned)
+    pool = sorted(n for n in QUERIES
+                  if n in ORACLES and n not in PINNED_CONTRACT)
+    need = -(-len(pool) // slots)  # ceil
+    seen: set[str] = set()
+    prev_window: set[str] | None = None
+    for completed in range(need):
+        window = driver_ordering(completed)[:DRIVER_WINDOW]
+        assert window[: len(pinned)] == pinned
+        free = set(window[len(pinned):])
+        if prev_window is not None:
+            assert free != prev_window, "window did not rotate"
+        prev_window = free
+        seen |= free
+    assert seen == set(pool), f"never-windowed: {sorted(set(pool) - seen)}"
+
+
+def test_spark_entry_exposes_rotated_ordering():
+    """__spark_entry__.queries()/oracle_sql() must agree with
+    driver_ordering() — the rotation only helps if the driver-facing
+    module actually serves it."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __spark_entry__ as entry_mod
+    from franzoxide_spark.queries import driver_ordering
+
+    assert list(entry_mod.queries()) == driver_ordering()
+    oracles = entry_mod.oracle_sql()
+    assert list(oracles) == [n for n in driver_ordering() if n in ORACLES]
+    assert set(entry_mod.queries()) == set(QUERIES)
