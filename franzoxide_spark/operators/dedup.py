@@ -718,12 +718,19 @@ def incremental_dedup(
     different threshold needs no recompute of the join.
     """
     rows = num_hashes // bands
+    # localCheckpoint (non-eager), not cache(): each signature table is
+    # used twice in the plan (banding + shingle verify), but a cache()
+    # would pin executor storage FOREVER in a long-lived ingest session —
+    # nothing here can unpersist after the lazy result is materialized.
+    # Locally-checkpointed blocks are reclaimed by the ContextCleaner once
+    # the returned DataFrame is garbage-collected, and lineage truncation
+    # buys the same no-recompute property.
     sig_b = minhash_signatures(
         _with_tokens(batch, text_col), text_col, id_col, num_hashes, shingle_k
-    ).cache()
+    ).localCheckpoint(eager=False)
     sig_c = minhash_signatures(
         _with_tokens(corpus, text_col), text_col, id_col, num_hashes, shingle_k
-    ).cache()
+    ).localCheckpoint(eager=False)
 
     def _band(sig_df: DataFrame, side: str) -> DataFrame:
         return sig_df.select(

@@ -63,8 +63,13 @@ def source_js_divergence(
         .groupBy("source", "term")
         .agg(F.count("*").alias("s_cnt"))
     )
-    # bounded grid: every source x every vocab term (absent -> s_cnt 0)
-    sources = sc.select("source").distinct()
+    # bounded grid: every source x every vocab term (absent -> s_cnt 0).
+    # Source list comes from the DOCS table, not from sc: a source whose
+    # documents contain none of the top-v vocabulary — the maximally
+    # out-of-distribution case this monitor exists to flag — has no sc
+    # rows at all and would otherwise silently vanish from the output
+    # instead of reporting n_terms=0, js=ln 2.
+    sources = docs.select(F.col(source_col).alias("source")).distinct()
     grid = (
         sources.crossJoin(F.broadcast(vocab))
         .join(sc, ["source", "term"], "left")
@@ -74,7 +79,11 @@ def source_js_divergence(
         F.sum("s_cnt").alias("s_tot"),
         F.sum("c_cnt").alias("c_tot"),  # same for every source: vocab mass
     )
-    p = "(s_cnt / cast(s_tot as double))"
+    # s_tot = 0 (vocab-disjoint source) would make p a 0/0 — guard it; the
+    # per-source js for that case is pinned to ln 2 below, the defined
+    # maximum for disjoint supports (the source's whole mass is outside
+    # the vocab, so within-vocab renormalization has nothing to scale).
+    p = "(case when s_tot = 0 then 0.0 else s_cnt / cast(s_tot as double) end)"
     q = "(c_cnt / cast(c_tot as double))"
     m = f"(({p} + {q}) / 2)"
     contrib = (
@@ -90,7 +99,16 @@ def source_js_divergence(
             F.sum(F.when(F.col("s_cnt") > 0, 1).otherwise(0))
             .cast("int")
             .alias("n_terms"),
-            F.round(F.sum("__contrib"), 4).alias("js"),
+            F.sum("__contrib").alias("__js_sum"),
+        )
+        .select(
+            "source",
+            "n_terms",
+            F.when(
+                F.col("n_terms") == 0, F.round(F.expr("ln(2)"), 4)
+            )
+            .otherwise(F.round(F.col("__js_sum"), 4))
+            .alias("js"),
         )
     )
 
@@ -103,7 +121,8 @@ def sql_source_js_divergence(
 ) -> str:
     """DuckDB mirror — same vocab cut, grid, rounding ladder."""
     toks = sql_tokens(text_col)
-    p = "(s_cnt / CAST(s_tot AS DOUBLE))"
+    p = ("(CASE WHEN s_tot = 0 THEN 0.0"
+         " ELSE s_cnt / CAST(s_tot AS DOUBLE) END)")
     q = "(c_cnt / CAST(c_tot AS DOUBLE))"
     m = f"(({p} + {q}) / 2)"
     return f"""
@@ -118,7 +137,7 @@ sc AS (
 ),
 grid AS (
   SELECT s.source, vb.term, vb.c_cnt, COALESCE(sc.s_cnt, 0) AS s_cnt
-  FROM (SELECT DISTINCT source FROM sc) s
+  FROM (SELECT DISTINCT {source_col} AS source FROM {table}) s
   CROSS JOIN vocab vb
   LEFT JOIN sc ON sc.source = s.source AND sc.term = vb.term
 ),
@@ -135,6 +154,8 @@ c AS (
   FROM grid JOIN tot ON grid.source = tot.source
 )
 SELECT source, CAST(SUM(present) AS INT) AS n_terms,
-       ROUND(SUM(contrib), 4) AS js
+       CASE WHEN SUM(present) = 0 THEN ROUND(LN(2), 4)
+            ELSE ROUND(SUM(contrib), 4)
+       END AS js
 FROM c GROUP BY source
 """

@@ -198,12 +198,28 @@ def numeric_histogram(
         F.count(col).alias("__n"),
     ).first()
     lo, hi, total = row["__lo"], row["__hi"], row["__n"]
+    if total == 0 or lo is None or hi is None:
+        # empty / all-NULL column: the binning expression would divide by
+        # a NULL width (engine-dependent NaN-vs-NULL bucketing) — emit
+        # the bare grid, identical on both engines (sql mirror: total=0
+        # branch).
+        return df.sparkSession.range(bins).select(
+            F.col("id").cast("int").alias("bin_id"),
+            F.lit(None).cast("double").alias("lo"),
+            F.lit(None).cast("double").alias("hi"),
+            F.lit(0).cast("int").alias("n"),
+            F.lit(None).cast("double").alias("share"),
+        )
     lo_l = F.lit(lo).cast("double")
     hi_l = F.lit(hi).cast("double")
     width = (hi_l - lo_l) / bins
+    # constant column: zero width makes floor(0/0) NaN and Spark/DuckDB
+    # bucket NaN differently — bin with a safe width of 1 so every row
+    # lands in bin 0 while the displayed edges still collapse to [lo, lo].
+    bin_w = F.lit(1.0).cast("double") if hi == lo else width
     x = F.col(col).cast("double")
     bin_id = F.least(
-        F.floor((x - lo_l) / width), F.lit(bins - 1)
+        F.floor((x - lo_l) / bin_w), F.lit(bins - 1)
     ).cast("int")
     counts = (
         df.filter(x.isNotNull())
@@ -235,7 +251,9 @@ WITH mm AS (
 ),
 counts AS (
   SELECT CAST(LEAST(FLOOR((CAST({col} AS DOUBLE) - lo)
-                          / ((hi - lo) / {bins})), {bins - 1}) AS INT)
+                          / (CASE WHEN hi = lo THEN 1.0
+                                  ELSE (hi - lo) / {bins} END)),
+              {bins - 1}) AS INT)
            AS bin_id,
          COUNT(*) AS n
   FROM {table}, mm
@@ -247,10 +265,16 @@ grid AS (
   FROM mm, UNNEST(range(0, {bins})) AS t(i)
 )
 SELECT g.bin_id,
-       ROUND(g.lo + g.bin_id * ((g.hi - g.lo) / {bins}), 6) AS lo,
-       ROUND(g.lo + (g.bin_id + 1) * ((g.hi - g.lo) / {bins}), 6) AS hi,
+       CASE WHEN g.total = 0 THEN NULL
+            ELSE ROUND(g.lo + g.bin_id * ((g.hi - g.lo) / {bins}), 6)
+       END AS lo,
+       CASE WHEN g.total = 0 THEN NULL
+            ELSE ROUND(g.lo + (g.bin_id + 1) * ((g.hi - g.lo) / {bins}), 6)
+       END AS hi,
        CAST(COALESCE(c.n, 0) AS INT) AS n,
-       ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(g.total AS DOUBLE), 6)
-         AS share
+       CASE WHEN g.total = 0 THEN NULL
+            ELSE ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE)
+                       / CAST(g.total AS DOUBLE), 6)
+       END AS share
 FROM grid g LEFT JOIN counts c USING (bin_id)
 """

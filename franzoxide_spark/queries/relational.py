@@ -727,9 +727,15 @@ _Q104_COLS = ("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
 
 def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # NULL columns must render identically on both engines: Spark's
+    # concat_ws SKIPS nulls while a '||' chain propagates them (md5(NULL)
+    # = NULL, so SUM would silently drop the row from the very tool meant
+    # to detect divergence) — coalesce to a sentinel on BOTH sides.
     fp = F.expr(
         f"cast(conv(substr(md5(concat_ws('|', "
-        + ", ".join(f"cast({c} as string)" for c in _Q104_COLS)
+        + ", ".join(
+            f"coalesce(cast({c} as string), '<null>')" for c in _Q104_COLS
+        )
         + ")), 1, 15), 16, 10) as decimal(38,0))"
     )
     return li.agg(
@@ -741,7 +747,7 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q104_SQL = f"""
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST('0x' || substr(md5(
-             {" || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in _Q104_COLS)}
+             {" || '|' || ".join(f"COALESCE(CAST({c} AS VARCHAR), '<null>')" for c in _Q104_COLS)}
            ), 1, 15) AS BIGINT)) AS VARCHAR) AS checksum
 FROM lineitem
 """

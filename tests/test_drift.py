@@ -75,3 +75,44 @@ def test_v_must_be_positive(spark):
     df = None
     with pytest.raises(ValueError):
         source_js_divergence(df, v=0)
+
+
+def test_vocab_disjoint_source_reports_max_divergence(spark):
+    """A source whose documents contain NONE of the top-v vocabulary — the
+    maximally out-of-distribution case this monitor exists to flag — must
+    appear with n_terms=0 and js = ln 2, not silently vanish (ADVICE r6:
+    the source list used to be derived from the vocab-joined counts)."""
+    rows = [
+        (1, "a", "x x x"),
+        (2, "a", "x x"),
+        (3, "weird", "q"),
+    ]
+    got = _run(spark, rows, v=1)  # vocab = {x}; 'weird' is disjoint
+    assert "weird" in got
+    assert got["weird"] == (0, round(math.log(2), 4))
+    assert got["a"][0] == 1
+
+
+def test_vocab_disjoint_source_parity_with_sql(spark):
+    import duckdb
+
+    from franzoxide_spark.operators.drift import sql_source_js_divergence
+
+    rows = [
+        (1, "a", "x x x"),
+        (2, "a", "x x"),
+        (3, "weird", "q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = sorted(
+        tuple(r)
+        for r in source_js_divergence(df, "source", "text", v=1).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    exp = sorted(
+        con.execute(sql_source_js_divergence("t", "source", "text", v=1)).fetchall()
+    )
+    con.close()
+    assert got == exp

@@ -421,7 +421,6 @@ def test_spacesaving_invariants_hold_for_any_stream(stream, capacity):
         st.tuples(st.sampled_from(["en", "de"]), st.integers(1, 500)),
         min_size=1,
         max_size=60,
-        unique_by=lambda t: None,  # allow duplicates
     ),
     st.integers(min_value=1, max_value=7),
 )

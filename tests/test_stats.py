@@ -77,3 +77,62 @@ def test_numeric_histogram_emits_empty_bins(spark):
     df = spark.createDataFrame([(0.0,), (10.0,)], "x double")
     rows = {r["bin_id"]: r["n"] for r in numeric_histogram(df, "x", bins=4).collect()}
     assert rows == {0: 1, 1: 0, 2: 0, 3: 1}
+
+
+def test_numeric_histogram_constant_column(spark):
+    """lo == hi used to make bin width 0 -> floor(0/0) NaN with
+    engine-dependent bucketing (ADVICE r6): a constant column now puts
+    every row in bin 0 with edges collapsed to [lo, lo]."""
+    from franzoxide_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([(7.0,)] * 5, "x double")
+    by = {r["bin_id"]: r for r in numeric_histogram(df, "x", bins=4).collect()}
+    assert len(by) == 4
+    assert by[0]["n"] == 5 and all(by[i]["n"] == 0 for i in (1, 2, 3))
+    assert by[0]["lo"] == 7.0 and by[0]["hi"] == 7.0
+    assert by[0]["share"] == 1.0
+
+
+def test_numeric_histogram_empty_and_all_null(spark):
+    from franzoxide_spark.operators.profile import numeric_histogram
+
+    for data in ([], [(None,), (None,)]):
+        df = spark.createDataFrame(data, "x double")
+        rows = numeric_histogram(df, "x", bins=3).collect()
+        assert len(rows) == 3
+        assert all(
+            r["n"] == 0 and r["lo"] is None and r["hi"] is None
+            and r["share"] is None
+            for r in rows
+        )
+
+
+def test_numeric_histogram_degenerate_parity_with_sql(spark):
+    """Both engines must agree on the degenerate inputs too — the guard
+    exists precisely because the unguarded expression diverged."""
+    import duckdb
+
+    from franzoxide_spark.operators.profile import (
+        numeric_histogram,
+        sql_numeric_histogram,
+    )
+
+    cases = {
+        "constant": "(7.0), (7.0), (7.0)",
+        "all_null": "(NULL), (NULL)",
+        "empty": None,
+    }
+    for name, values in cases.items():
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (x DOUBLE)")
+        if values:
+            con.execute(f"INSERT INTO t VALUES {values}")
+        exp = sorted(con.execute(sql_numeric_histogram("t", "x", bins=4)).fetchall())
+        con.close()
+        data = ([(7.0,)] * 3 if name == "constant"
+                else [(None,), (None,)] if name == "all_null" else [])
+        df = spark.createDataFrame(data, "x double")
+        got = sorted(
+            tuple(r) for r in numeric_histogram(df, "x", bins=4).collect()
+        )
+        assert got == exp, f"{name}: spark {got} != duckdb {exp}"
