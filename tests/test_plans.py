@@ -35,6 +35,10 @@ def test_q05_dim_chain_is_broadcast(spark, sf_dir):
 def test_q03_join_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q03_join_agg_mktsegment")
     assert "BroadcastHashJoin" in plan
+    # the r6 driver bench saw q03 at 0.52s vs r4's 0.33s — if that was a
+    # plan degradation (customer side falling back to a shuffle join)
+    # rather than host noise, this catches it
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_q02_has_partial_aggregation(spark, sf_dir):
