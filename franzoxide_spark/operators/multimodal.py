@@ -3,10 +3,15 @@
 The pattern for image/audio/video at 100 TB: media travels as a ``binary``
 column next to a typed metadata struct; per-record decode/feature work runs
 in Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
-row objects. The actual codec step needs media libraries that are NOT in
-this container, so decode is STUBBED (raises unless ``fake=True``); all
-Spark-side plumbing — schema, batch iteration, partition-parallel
-execution, byte-level stats — is real and tested.
+row objects.
+
+Decode is REAL for uncompressed rasters — 24-bit BMP and binary PPM are
+parsed with the pure-stdlib codecs in functions/raster.py, so
+``extract_features`` / ``resize_media`` / ``decode_image_stats`` execute
+end-to-end in this environment. Compressed codecs (JPEG/PNG/video) need
+libraries NOT in this container and stay gated: those buffers raise
+NotImplementedError unless ``fake=True`` routes them through the
+deterministic byte-level stand-in paths.
 """
 
 from __future__ import annotations
@@ -36,6 +41,89 @@ def media_frame_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media: each document's text bytes become the
+    pixel raster of a small genuine 24-bit BMP (dimensions derived from
+    doc_id, bytes tiled to fill). Unlike media_frame_from_documents (whose
+    payload is just raw text bytes), every buffer this emits round-trips
+    through the actual encoder — so decode paths run end-to-end with no
+    fake flag. Arrow-batched mapInPandas; map-side only."""
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from franzoxide_spark.functions.raster import encode_bmp
+
+        for pdf in batches:
+            media, metas = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 4 + int(doc_id) % 9
+                h = 4 + int(doc_id) % 7
+                src = np.frombuffer(
+                    (text or "").encode("utf-8") or b"\x00", dtype=np.uint8
+                )
+                idx = np.arange(w * h * 3) % len(src)
+                media.append(encode_bmp(src[idx].reshape(h, w, 3)))
+                metas.append({"width": w, "height": h, "format": "image/bmp"})
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": media, "meta": metas}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=out_schema)
+
+
+def decode_image_stats(media_df: DataFrame) -> DataFrame:
+    """Decode every supported raster buffer and emit typed pixel-domain
+    stats; unsupported/malformed buffers are flagged, not dropped —
+    the row shape a curation pipeline filters on.
+
+    Output: ``doc_id, ok boolean, format string, width int, height int,
+    channels int, mean_r double, mean_g double, mean_b double,
+    brightness double`` (brightness = mean BT.601 luma, 0-255 scale;
+    means rounded to 4 dp). Arrow-batched mapInPandas, map-side only —
+    at 100 TB this is a pure scan stage, no shuffle."""
+    out_schema = (
+        "doc_id bigint, ok boolean, format string, width int, height int,"
+        " channels int, mean_r double, mean_g double, mean_b double,"
+        " brightness double"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from franzoxide_spark.functions.raster import decode_raster, sniff_raster
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(blob)
+                kind = sniff_raster(raw)
+                try:
+                    img = decode_raster(raw).astype(np.float64)
+                except ValueError:
+                    rows.append((doc_id, False, kind, None, None, None,
+                                 None, None, None, None))
+                    continue
+                mr, mg, mb = (float(img[:, :, c].mean()) for c in range(3))
+                rows.append((
+                    doc_id, True, f"image/{kind}",
+                    img.shape[1], img.shape[0], 3,
+                    round(mr, 4), round(mg, 4), round(mb, 4),
+                    round(0.299 * mr + 0.587 * mg + 0.114 * mb, 4),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ok", "format", "width", "height",
+                         "channels", "mean_r", "mean_g", "mean_b",
+                         "brightness"],
+            )
+
+    return media_df.mapInPandas(run, schema=out_schema)
+
+
 def byte_stats(media_df: DataFrame) -> DataFrame:
     """Pure-expression byte-level features (no decode needed)."""
     return media_df.select(
@@ -53,10 +141,13 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas.
 
-    ``fake=False`` raises NotImplementedError from the executors (the real
-    decoder needs PIL/ffmpeg — not in this container). ``fake=True``
-    computes a deterministic byte-histogram 'feature vector' so the full
-    Arrow batch path is exercised end-to-end.
+    BMP/PPM buffers (sniffed by magic bytes) take the REAL branch: decode
+    via functions/raster.py and emit a normalized luminance histogram over
+    ``bins`` buckets — an actual pixel-domain feature. Other buffers need
+    codec libraries absent from this container: they raise
+    NotImplementedError unless ``fake=True``, which computes the
+    deterministic byte-histogram stand-in instead (same feature shape, so
+    mixed corpora keep one schema).
     """
     out_schema = "doc_id bigint, feat array<double>"
 
@@ -64,16 +155,36 @@ def extract_features(
         import numpy as np
         import pandas as pd
 
+        from franzoxide_spark.functions.raster import decode_raster, sniff_raster
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires image/audio libraries not present"
-                    " in this environment; pass fake=True for the"
-                    " deterministic byte-histogram path"
-                )
             feats = []
             for blob in pdf["media"]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                raw = bytes(blob)
+                if sniff_raster(raw):
+                    img = decode_raster(raw).astype(np.float64)
+                    # ITU-R BT.601 luma, binned over [0, 256)
+                    luma = (
+                        0.299 * img[:, :, 0]
+                        + 0.587 * img[:, :, 1]
+                        + 0.114 * img[:, :, 2]
+                    )
+                    hist = np.bincount(
+                        np.minimum(
+                            (luma * bins / 256.0).astype(np.int64), bins - 1
+                        ).ravel(),
+                        minlength=bins,
+                    )
+                    feats.append((hist / max(luma.size, 1)).tolist())
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "media decode for compressed codecs requires image/"
+                        "audio libraries not present in this environment"
+                        " (BMP/PPM decode IS supported); pass fake=True for"
+                        " the deterministic byte-histogram path"
+                    )
+                arr = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(arr % bins, minlength=bins)
                 total = max(len(arr), 1)
                 feats.append((hist / total).tolist())
@@ -91,12 +202,12 @@ def resize_media(
     """Resize plumbing via mapInPandas: media in, media out, metadata
     updated to the target dimensions.
 
-    ``fake=False`` raises NotImplementedError from the executors (a real
-    resize needs PIL/ffmpeg). ``fake=True`` stride-samples the byte
-    buffer to exactly ``width*height`` bytes (repeating when the source
-    is shorter) — a deterministic stand-in with the same contract a real
-    resizer has: output media is a binary column of the target size and
-    ``meta`` reflects it. Map-side only; partition-parallel; bytes move
+    BMP/PPM buffers take the REAL branch: decode, nearest-neighbor
+    resample to (width, height), re-encode as binary PPM, meta format
+    ``image/ppm``. Other buffers raise NotImplementedError unless
+    ``fake=True``, which stride-samples the byte buffer to exactly
+    ``width*height`` bytes — a deterministic stand-in with the same
+    contract. Map-side only; partition-parallel; bytes move
     Arrow-batched, never through Python row objects.
     """
     out_schema = MEDIA_SCHEMA
@@ -105,30 +216,44 @@ def resize_media(
         import numpy as np
         import pandas as pd
 
+        from franzoxide_spark.functions.raster import (
+            decode_raster,
+            encode_ppm,
+            sniff_raster,
+        )
+
         target = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media resize requires image libraries not present in"
-                    " this environment; pass fake=True for the deterministic"
-                    " stride-sample path"
-                )
-            out = []
+            out, metas = [], []
             for blob in pdf["media"]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                raw = bytes(blob)
+                if sniff_raster(raw):
+                    img = decode_raster(raw)
+                    h, w = img.shape[:2]
+                    ys = (np.arange(height) * h) // height
+                    xs = (np.arange(width) * w) // width
+                    out.append(encode_ppm(img[ys][:, xs]))
+                    metas.append(
+                        {"width": width, "height": height, "format": "image/ppm"}
+                    )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "media resize for compressed codecs requires image"
+                        " libraries not present in this environment (BMP/PPM"
+                        " resize IS supported); pass fake=True for the"
+                        " deterministic stride-sample path"
+                    )
+                arr = np.frombuffer(raw, dtype=np.uint8)
                 if len(arr) == 0:
                     arr = np.zeros(1, dtype=np.uint8)
                 idx = (np.arange(target) * len(arr)) // target
                 out.append(arr[idx].tobytes())
+                metas.append(
+                    {"width": width, "height": height, "format": "fake/resized"}
+                )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media": out,
-                    "meta": [
-                        {"width": width, "height": height, "format": "fake/resized"}
-                        for _ in out
-                    ],
-                }
+                {"doc_id": pdf["doc_id"], "media": out, "meta": metas}
             )
 
     return media_df.mapInPandas(run, schema=out_schema)
