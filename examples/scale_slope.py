@@ -282,7 +282,10 @@ def main() -> None:
             "scaled_sec": scaled,
             "ratio": round(scaled / base, 2),
         }
-    result["envelope_throughput"] = envelope_throughput(spark, src, r, runs)
+    # subset runs at high replication (e.g. the 30x second-decade pass)
+    # don't need the envelope section re-measured each time
+    if not os.environ.get("SPARK_GRAFT_SLOPE_SKIP_ENVELOPE"):
+        result["envelope_throughput"] = envelope_throughput(spark, src, r, runs)
     print(json.dumps(result, indent=1))
     spark.stop()
 

@@ -1362,3 +1362,64 @@ FROM per
 
 
 register("q112_class_balance_plan", q112, _Q112_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q114 — interval-join attribution (the batch face of the stream-stream
+#        watermarked interval join, streaming/joins.py). view->purchase
+#        pairs per user within a 2-hour bound, rolled up per view-hour.
+#        Streaming semantics (watermark state eviction, late-pair drop)
+#        are locked by tests/test_streaming.py; this entry oracle-checks
+#        the join predicate + lag math. One shuffle per side on user_id,
+#        interval bound as a join residual — never a cartesian.
+# --------------------------------------------------------------------------
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.streaming.joins import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    pairs = interval_join(
+        views, purchases, on="user_id", left_ts="v_ts", right_ts="p_ts",
+        upper="2 hours",
+    )
+    return (
+        pairs.withColumn(
+            "__lag_us", F.unix_micros("p_ts") - F.unix_micros("v_ts")
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "v_ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("view_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.avg("__lag_us") / F.lit(1e6), 3).alias("avg_lag_s"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
+_Q114_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT strftime(date_trunc('hour', v_ts), '%Y-%m-%d %H:%M:%S') AS view_hour,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT v.user_id) AS n_users,
+       ROUND(AVG(date_diff('microsecond', v_ts, p_ts)) / 1e6, 3) AS avg_lag_s,
+       ROUND(SUM(value), 2) AS attributed_value
+FROM v JOIN p ON v.user_id = p.user_id
+   AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 2 HOUR
+GROUP BY 1
+"""
+
+
+register("q114_interval_join_attribution", q114, _Q114_SQL)

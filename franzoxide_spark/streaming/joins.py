@@ -1,0 +1,71 @@
+"""Stream-stream watermarked interval join.
+
+The one Spark-native streaming operator the matrix lacked through round 6
+(reference scope is stream-static only — SURVEY §2.4 Q32): two event
+streams equi-joined on a key with a time-interval predicate, the shape of
+click-to-purchase attribution, request/response pairing, and sensor
+correlation.
+
+Batch/streaming duality: ``interval_join`` builds the SAME plan for batch
+and streaming inputs — an equi-join on ``on`` plus a range residual on
+the two event-time columns. In streaming mode Spark requires watermarks
+on both sides to bound join state: each side's buffered rows are evicted
+once the OTHER side's watermark passes the interval bound, so state is
+``O(key-cardinality-per-horizon)``, never unbounded. Pass ``watermark``
+to enable that (ignored semantics-wise in batch: watermarks are a no-op
+on batch DataFrames, so the exact same call works for the oracle-checked
+batch face, q114).
+
+Scale shape at 100 TB: both sides shuffle ONCE on the join key; the
+interval predicate is a residual on the sorted/hashed join, never a
+cartesian. Skewed keys (one user with millions of events) are the same
+salting problem as any keyed join — operators/skew.py applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "2 hours",
+    strict_after: bool = True,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Join ``left`` and ``right`` on ``on`` where ``right_ts`` falls in
+    (``left_ts``, ``left_ts + upper``] (or [..] when ``strict_after`` is
+    False).
+
+    ``left_ts`` / ``right_ts`` must be DISTINCT column names (rename
+    before calling) — the joined row carries both, and distinct names
+    keep the output unambiguous without alias gymnastics. ``watermark``
+    (e.g. ``"2 hours"``) is applied to both sides' event-time columns;
+    required by Spark for streaming state eviction, a no-op for batch.
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            f"left_ts and right_ts must differ (both {left_ts!r}); rename"
+            " one side before joining"
+        )
+    if on not in left.columns or on not in right.columns:
+        raise ValueError(f"join key {on!r} missing from an input")
+    if watermark is not None:
+        left = left.withWatermark(left_ts, watermark)
+        right = right.withWatermark(right_ts, watermark)
+    lower_op = ">" if strict_after else ">="
+    # the only shared column name is the key — rename the right side's so
+    # the join condition and the output are unambiguous
+    right_key = f"__{on}_r"
+    right = right.withColumnRenamed(on, right_key)
+    cond = (
+        (F.col(on) == F.col(right_key))
+        & F.expr(f"{right_ts} {lower_op} {left_ts}")
+        & F.expr(f"{right_ts} <= {left_ts} + interval {upper}")
+    )
+    return left.join(right, cond).drop(right_key)

@@ -1266,3 +1266,109 @@ def test_sessionize_update_fn_late_events_never_regress_frontier(spark):
         ("1", base - 3600 - 1801, base - 3600 - 1801, 1)
     ]
     assert st.get == (base - 600, base, 2)
+
+
+def test_stream_stream_interval_join_late_pair_dropped(spark, tmp_path):
+    """Stream-stream watermarked interval join (streaming/joins.py): two
+    file streams joined on user_id with p_ts in (v_ts, v_ts + 30 min];
+    on-time pairs emit, and a purchase arriving AFTER the watermark has
+    passed its matching view's interval is dropped (the state for that
+    view is already evicted)."""
+    import datetime as dt
+
+    v_dir, p_dir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    os.makedirs(v_dir), os.makedirs(p_dir)
+    v_schema = "v_ts timestamp, user_id long"
+    p_schema = "p_ts timestamp, user_id long"
+
+    def write(dirname, name, schema, rows):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        for f in glob.glob(os.path.join(stage, "*.parquet")):
+            os.link(f, os.path.join(dirname, f"{name}.parquet"))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    views = spark.readStream.schema(v_schema).parquet(v_dir)
+    purchases = spark.readStream.schema(p_schema).parquet(p_dir)
+    joined = interval_join(
+        views, purchases, on="user_id", left_ts="v_ts", right_ts="p_ts",
+        upper="30 minutes", watermark="30 minutes",
+    ).select("user_id", "v_ts", "p_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    try:
+        # batch 1: one on-time pair for u1
+        write(v_dir, "v1", v_schema, [(t(10, 0), 1)])
+        write(p_dir, "p1", p_schema, [(t(10, 10), 1)])
+        q.processAllAvailable()
+        # batch 2: advance BOTH watermarks to ~13:30-0:30=13:00 and form a
+        # second on-time pair for u9
+        write(v_dir, "v2", v_schema, [(t(13, 25), 9)])
+        write(p_dir, "p2", p_schema, [(t(13, 30), 9)])
+        q.processAllAvailable()
+        # batch 3: a purchase for u1 at 10:20 — inside the 10:00 view's
+        # interval, but far behind the watermark: dropped, no third pair
+        write(p_dir, "p3", p_schema, [(t(10, 20), 1)])
+        q.processAllAvailable()
+        # keep the clock moving so any (wrongly) buffered late row would
+        # have every chance to emit before we assert
+        write(v_dir, "v3", v_schema, [(t(15, 0), 7)])
+        write(p_dir, "p4", p_schema, [(t(15, 1), 8)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r["user_id"], r["v_ts"].strftime("%H:%M"), r["p_ts"].strftime("%H:%M"))
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    )
+    assert rows == [(1, "10:00", "10:10"), (9, "13:25", "13:30")], rows
+
+
+def test_interval_join_batch_matches_explicit_join(spark):
+    """Batch face: interval_join builds the same relation as the hand-
+    written equi+range join (the q114 oracle's shape)."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(t(0), 1), (t(5), 2), (t(40), 1)], "v_ts timestamp, user_id long"
+    )
+    right = spark.createDataFrame(
+        [(t(10), 1), (t(0), 1), (t(50), 1), (t(6), 3)],
+        "p_ts timestamp, user_id long",
+    )
+    got = sorted(
+        (r["user_id"], r["v_ts"].minute, r["p_ts"].minute)
+        for r in interval_join(
+            left, right, on="user_id", left_ts="v_ts", right_ts="p_ts",
+            upper="30 minutes",
+        ).collect()
+    )
+    # u1@:00 matches :10 (within 30m, strictly after; :00 excluded, :50 out
+    # of bound); u1@:40 matches :50; u2/u3 never match
+    assert got == [(1, 0, 10), (1, 40, 50)], got
+
+
+def test_interval_join_rejects_bad_inputs(spark):
+    from franzoxide_spark.streaming.joins import interval_join
+
+    df = spark.createDataFrame([], "ts timestamp, user_id long")
+    with pytest.raises(ValueError, match="must differ"):
+        interval_join(df, df, on="user_id", left_ts="ts", right_ts="ts")
+    with pytest.raises(ValueError, match="missing"):
+        interval_join(
+            df, df.withColumnRenamed("user_id", "uid"),
+            on="user_id", left_ts="ts", right_ts="ts2",
+        )
