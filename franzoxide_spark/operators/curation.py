@@ -285,3 +285,46 @@ SELECT * FROM (
   FROM {table}
 ) WHERE {rank_col} <= {k}
 """
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, ...] = (90, 5, 5),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: near-duplicate CLUSTERS are
+    the split unit, not documents.
+
+    ``split_assign`` keyed on doc_id puts two near-identical documents in
+    different splits ~10% of the time (for 90/5/5) — the classic
+    train/test contamination that inflates eval loss. Here the pair graph
+    (any finder: q33/q34/q35/q36) is clustered into connected components
+    (operators/dedup.py:neardup_clusters) and the split hash is keyed on
+    the CLUSTER id (singletons: their own id), so every member of a
+    component lands in the same split by construction.
+
+    Output: ``id_col, cluster_id, split``. Deterministic: same corpus +
+    same pairs -> same assignment, and a document's split never depends
+    on row order or partitioning.
+
+    Scale shape: clustering shuffles only the pair graph (millions of
+    times smaller than the corpus); the corpus itself takes ONE hash join
+    against the (small) clustered-id relation plus a map-side hash — no
+    corpus self-shuffle anywhere.
+    """
+    from franzoxide_spark.operators.dedup import neardup_clusters
+
+    clusters = neardup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    keyed = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    return split_assign(
+        keyed, id_col="cluster_id", weights=weights, names=names, seed=seed
+    ).select(id_col, "cluster_id", "split")

@@ -1,0 +1,102 @@
+"""Snapshot diff: the row-level companion to the q104 table checksum.
+
+q104 answers "are these two copies identical?" with two numbers; when
+they are NOT, this operator answers "which rows differ, and how" —
+the audit a 100 TB migration/replication/backfill needs before anyone
+trusts the new copy. Rows are compared by a canonical fingerprint
+(null-sentinel ``'|'``-joined rendering -> md5 prefix, the same
+canonicalization q104 sums), keyed on a unique id column.
+
+Scale shape: each side computes its fingerprint MAP-SIDE (the document
+payload never travels — only id + 16-char fingerprint shuffle), then ONE
+full-outer hash join on the id. Output is only the differing rows, which
+for a sane migration is millions of times smaller than the input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(cols: Sequence[str]):
+    return F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                    for c in cols
+                ],
+            )
+        ),
+        1,
+        16,
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Rows differing between two snapshots of an id-unique table:
+    ``(id_col, change)`` with change ``added`` (id only in ``new``),
+    ``removed`` (only in ``old``), or ``changed`` (both, fingerprint of
+    ``compare_cols`` differs). Identical rows are absent from the output.
+
+    ``id_col`` must be unique within each snapshot — with duplicate ids a
+    row-level diff is ill-defined (which copy changed?); dedupe or pick a
+    compound key first.
+    """
+    if not compare_cols:
+        raise ValueError("compare_cols must be non-empty")
+    o = old.select(F.col(id_col), _fingerprint(compare_cols).alias("__fp_o"))
+    n = new.select(F.col(id_col), _fingerprint(compare_cols).alias("__fp_n"))
+    change = (
+        F.when(F.col("__fp_o").isNull(), F.lit("added"))
+        .when(F.col("__fp_n").isNull(), F.lit("removed"))
+        .when(F.col("__fp_o") != F.col("__fp_n"), F.lit("changed"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(id_col, "change")
+    )
+
+
+def sql_snapshot_diff(
+    old_rel: str,
+    new_rel: str,
+    id_col: str,
+    compare_cols: Sequence[str],
+) -> str:
+    """DuckDB mirror: same fingerprint canonicalization, same full-outer
+    shape. ``old_rel``/``new_rel`` are relation expressions (table names
+    or parenthesized subqueries)."""
+    fp = (
+        "substr(md5("
+        + " || '|' || ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), '<null>')" for c in compare_cols
+        )
+        + "), 1, 16)"
+    )
+    return f"""
+WITH o AS (SELECT {id_col}, {fp} AS fp_o FROM {old_rel}),
+n AS (SELECT {id_col}, {fp} AS fp_n FROM {new_rel}),
+j AS (
+  SELECT COALESCE(o.{id_col}, n.{id_col}) AS {id_col}, fp_o, fp_n
+  FROM o FULL OUTER JOIN n ON o.{id_col} = n.{id_col}
+)
+SELECT {id_col},
+       CASE WHEN fp_o IS NULL THEN 'added'
+            WHEN fp_n IS NULL THEN 'removed'
+            WHEN fp_o <> fp_n THEN 'changed'
+       END AS change
+FROM j
+WHERE fp_o IS NULL OR fp_n IS NULL OR fp_o <> fp_n
+"""

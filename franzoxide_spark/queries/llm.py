@@ -1479,3 +1479,45 @@ FROM c GROUP BY doc_id
 
 
 register("q111_sparse_feature_export", q111, _q111_sql())
+
+
+# --------------------------------------------------------------------------
+# Q115 — leakage-free split: near-dup clusters (q57's relation over q33
+#        pairs) are the split unit, so two near-copies can never land in
+#        different train/val/test splits — the contamination a doc-keyed
+#        split (q54's) leaves in ~10% of pairs at 90/5/5.
+# --------------------------------------------------------------------------
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.curation import cluster_safe_split
+
+    docs = table(spark, sf_dir, "documents")
+    return cluster_safe_split(docs, q33(spark, sf_dir), id_col="doc_id")
+
+
+def _q115_sql() -> str:
+    from franzoxide_spark.operators.curation import sql_split_assign
+
+    return f"""
+WITH RECURSIVE pairs AS ({Q33_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS n, src AS r FROM edges
+  UNION
+  SELECT e.dst AS n, reach.r FROM reach JOIN edges e ON e.src = reach.n
+),
+cc AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+keyed AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       {sql_split_assign("cluster_id")} AS split
+FROM keyed
+"""
+
+
+register("q115_leakage_safe_split", q115, _q115_sql())

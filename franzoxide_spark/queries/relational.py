@@ -864,3 +864,49 @@ FROM ca JOIN cb USING (k)
 
 
 register("q108_join_size_estimate", q108, _Q108_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q116 — snapshot diff (operators/snapshot.py): row-level added/removed/
+#        changed audit between two snapshots — what you run when the q104
+#        checksums DISAGREE. The second snapshot is a deterministic
+#        perturbation of documents (drop %101 ids, edit %97 texts, add
+#        %103 ids shifted) so all three change kinds appear.
+# --------------------------------------------------------------------------
+_Q116_COLS = ("text", "lang", "source")
+
+
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.snapshot import snapshot_diff
+
+    docs = table(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("doc_id") % 101 != 0)
+    edited = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat("text", F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 103 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    new = edited.unionByName(added)
+    return snapshot_diff(docs, new, "doc_id", _Q116_COLS)
+
+
+def _q116_sql() -> str:
+    from franzoxide_spark.operators.snapshot import sql_snapshot_diff
+
+    new_rel = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 101 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % 103 = 0
+)"""
+    return sql_snapshot_diff("documents", new_rel, "doc_id", _Q116_COLS)
+
+
+register("q116_snapshot_diff", q116, _q116_sql())

@@ -268,3 +268,66 @@ def test_compression_ratio_plan_is_map_only(spark):
         compression_ratio_gate(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # no shuffle: one Arrow-batched map pass
+
+
+def test_cluster_safe_split_never_splits_a_pair(spark, sf_dir):
+    """The leakage invariant q115 exists for: every near-dup pair lands in
+    the SAME split, and singleton docs follow plain split_assign keyed on
+    their own id."""
+    from franzoxide_spark.operators.curation import (
+        cluster_safe_split,
+        split_assign,
+    )
+    from franzoxide_spark.queries.llm import q33
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = q33(spark, sf_dir)
+    out = cluster_safe_split(docs, pairs, id_col="doc_id")
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    pair_rows = pairs.collect()
+    assert pair_rows, "fixture should contain near-dup pairs"
+    for p in pair_rows:
+        assert split_of[p["id_a"]] == split_of[p["id_b"]], (
+            p["id_a"], p["id_b"])
+    # singletons: split == plain id-keyed assignment
+    clustered = {p["id_a"] for p in pair_rows} | {p["id_b"] for p in pair_rows}
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs.select("doc_id")).collect()
+    }
+    singles = [d for d in split_of if d not in clustered]
+    assert singles
+    assert all(split_of[d] == plain[d] for d in singles)
+    # every document got exactly one row
+    assert set(split_of) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def test_snapshot_diff_classifies_all_three_kinds(spark):
+    from franzoxide_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", None)],
+        "id long, v string, w string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "B", "y"), (4, "d", "z")],
+        "id long, v string, w string",
+    )
+    got = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id", ["v", "w"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # id 1 unchanged -> absent
+
+
+def test_snapshot_diff_null_vs_sentinel_and_empty(spark):
+    """NULL and the literal '<null>' string fingerprint differently from
+    each other? No — they canonicalize identically BY DESIGN (documented
+    sentinel); what matters is NULL == NULL compares as unchanged, not as
+    changed (the raw SQL '=' would say rows with NULLs always differ)."""
+    from franzoxide_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "p")], "id long, v string")
+    new = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    got = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id", ["v"]).collect()}
+    assert got == {2: "changed"}  # NULL==NULL rows are unchanged
+    with pytest.raises(ValueError, match="non-empty"):
+        snapshot_diff(old, new, "id", [])
