@@ -152,3 +152,87 @@ SELECT {key_col}, CAST(n AS BIGINT) AS n,
          AS intercept
 FROM agg
 """
+
+
+def winsorize_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization (quantile clipping) report — the outlier
+    treatment a feature/reward column gets before training: values below
+    the group's ``lower`` quantile or above its ``upper`` quantile are
+    clamped to the bound.
+
+    Output per group: ``n, n_clip_lo int, n_clip_hi int, lo, hi,
+    mean_before, mean_after``. The quantile bounds are EXACT interpolated
+    percentiles (the q49 path) rounded to 6 dp BEFORE clipping on both
+    engines — Spark and DuckDB interpolate with differently-ordered FP
+    ops, so the unrounded bounds can differ in the last ulps and a value
+    sitting in that sliver would flip its clip decision between engines.
+    Means go through the exact-decimal path (functions/numeric).
+
+    Scale shape: two shuffles on the group key (bounds agg, then the
+    report agg), bounds broadcast back — the stream never shuffles on
+    anything unbounded. Exact percentile buffers each group's values in
+    one buffer; at 100 TB swap ``percentile`` for ``approx_percentile``
+    exactly as grouped_percentiles documents (flag, not rewrite).
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, {lower})"), 6).alias("__lo"),
+        F.round(F.expr(f"percentile({value_col}, {upper})"), 6).alias("__hi"),
+    )
+    from franzoxide_spark.functions.numeric import davg
+
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(v < F.col("__lo"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_clip_lo"),
+            F.sum(F.when(v > F.col("__hi"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_clip_hi"),
+            F.round(F.min("__lo"), 6).alias("lo"),
+            F.round(F.max("__hi"), 6).alias("hi"),
+            davg(dec(v), "mean_before"),
+            davg(dec(clipped), "mean_after"),
+        )
+    )
+
+
+def sql_winsorize_report(
+    table: str,
+    value_col: str,
+    group_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> str:
+    """DuckDB mirror — same rounded bounds, same exact-decimal means."""
+    from franzoxide_spark.functions.numeric import sql_davg
+
+    clip = f"LEAST(GREATEST({value_col}, lo), hi)"
+    return f"""
+WITH b AS (
+  SELECT {group_col} AS g,
+         ROUND(quantile_cont({value_col}, {lower}), 6) AS lo,
+         ROUND(quantile_cont({value_col}, {upper}), 6) AS hi
+  FROM {table} GROUP BY 1
+)
+SELECT t.{group_col}, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN {value_col} < lo THEN 1 ELSE 0 END) AS INT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN {value_col} > hi THEN 1 ELSE 0 END) AS INT)
+         AS n_clip_hi,
+       ROUND(MIN(lo), 6) AS lo, ROUND(MAX(hi), 6) AS hi,
+       {sql_davg(sql_dec(value_col), "mean_before")},
+       {sql_davg(sql_dec(clip), "mean_after")}
+FROM {table} t JOIN b ON t.{group_col} = b.g
+GROUP BY t.{group_col}
+"""

@@ -1423,3 +1423,26 @@ GROUP BY 1
 
 
 register("q114_interval_join_attribution", q114, _Q114_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q117 — per-group winsorization report (operators/stats.py): quantile-
+#        clip events.value per event_type — the outlier treatment a
+#        feature/reward column gets before training, with clip counts and
+#        exact-decimal before/after means.
+# --------------------------------------------------------------------------
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.stats import winsorize_report
+
+    return winsorize_report(
+        table(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
+def _q117_sql() -> str:
+    from franzoxide_spark.operators.stats import sql_winsorize_report
+
+    return sql_winsorize_report("events", "value", "event_type")
+
+
+register("q117_winsorize_report", q117, _q117_sql())

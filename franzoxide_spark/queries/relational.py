@@ -910,3 +910,60 @@ def _q116_sql() -> str:
 
 
 register("q116_snapshot_diff", q116, _q116_sql())
+
+
+# --------------------------------------------------------------------------
+# Q118 — blocked record linkage (operators/linkage.py): match parts
+#        against a second registry whose names carry a one-letter typo
+#        (deterministic perturbation: partkey%5 rows, last letter shifted
+#        +1 in the alphabet, id shifted by 1e6). Block on
+#        (p_brand, name prefix-4) — candidates only within a block, never
+#        all-pairs — verify with levenshtein <= 1. The structured-record
+#        face of the dedup family.
+# --------------------------------------------------------------------------
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.linkage import blocked_linkage
+
+    p = table(spark, sf_dir, "part")
+    mutated = F.expr(
+        "concat(substring(p_name, 1, length(p_name) - 1),"
+        " chr((ascii(substring(p_name, length(p_name), 1)) - 97 + 1) % 26"
+        " + 97))"
+    )
+    dirty = p.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + 1_000_000).alias("cand_id"),
+        mutated.alias("p_name"),
+        "p_brand",
+    )
+    base = p.select("p_partkey", "p_name", "p_brand")
+    withblk = lambda df: df.withColumn("__pfx", F.substring("p_name", 1, 4))
+    return blocked_linkage(
+        withblk(base),
+        withblk(dirty),
+        id_left="p_partkey",
+        id_right="cand_id",
+        block_cols=("p_brand", "__pfx"),
+        compare_col="p_name",
+        max_dist=1,
+    )
+
+
+_Q118_SQL = """
+WITH dirty AS (
+  SELECT p_partkey + 1000000 AS cand_id,
+         substr(p_name, 1, length(p_name) - 1)
+           || chr((ascii(substr(p_name, length(p_name), 1)) - 97 + 1) % 26
+                  + 97) AS p_name,
+         p_brand
+  FROM part WHERE p_partkey % 5 = 0
+)
+SELECT b.p_partkey, d.cand_id,
+       CAST(levenshtein(b.p_name, d.p_name) AS INT) AS dist
+FROM part b JOIN dirty d
+  ON b.p_brand = d.p_brand
+ AND substr(b.p_name, 1, 4) = substr(d.p_name, 1, 4)
+WHERE levenshtein(b.p_name, d.p_name) <= 1
+"""
+
+
+register("q118_record_linkage", q118, _Q118_SQL)

@@ -297,3 +297,20 @@ def test_q105_funnel_executes_once(spark, sf_dir):
         ln for ln in plan.splitlines() if "hashpartitioning(user_id" in ln
     ]
     assert len(user_exchanges) == 1, plan
+
+
+def test_q118_linkage_blocks_are_equi_joined(spark, sf_dir):
+    """Blocking must reach the join as equi-keys: a nested-loop or
+    cartesian here means the block keys fell out of the condition and the
+    candidate set is all-pairs."""
+    plan = _plan(spark, sf_dir, "q118_record_linkage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q117_winsorize_bounds_are_broadcast(spark, sf_dir):
+    """The per-group quantile bounds table is group-cardinality-sized and
+    must broadcast back onto the stream, not shuffle it."""
+    plan = _plan(spark, sf_dir, "q117_winsorize_report")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
