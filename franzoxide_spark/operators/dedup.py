@@ -789,3 +789,74 @@ def incremental_dedup(
             "best_jaccard",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# containment pairs: asymmetric subsumption (A's shingles ⊆-ish B's)
+# --------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Asymmetric near-containment: ``(id_inner, id_outer, containment)``
+    where containment = |S(inner) ∩ S(outer)| / |S(inner)| >= threshold
+    over k-token shingle sets. The dedup decision Jaccard misses: a long
+    document that fully QUOTES a short one scores Jaccard ≈ |A|/|B| (tiny)
+    but containment ≈ 1 — the subsumed doc is the redundant one.
+
+    Scale shape: same single shingle-hash equi-join as jaccard_pairs —
+    candidates are pairs sharing >= 1 shingle, counted per pair, then both
+    directions are emitted from ONE unordered-pair aggregate (no second
+    join). There is deliberately NO length-ratio prune: asymmetric sizes
+    are the operator's whole point. The candidate-volume hazard is hot
+    boilerplate shingles, handled upstream by the q52 sweep exactly as
+    jaccard_pairs documents.
+    """
+    sh = _with_tokens(df, text_col).select(
+        F.col(id_col), shingles("__toks", k=shingle_k).alias("s")
+    )
+    sizes = sh.select(id_col, F.size("s").alias("n"))
+    ex = sh.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10)"
+                " as bigint))"
+            )
+        ).alias("g"),
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    both = inter.join(na, "id_a").join(nb, "id_b")
+    t = F.lit(threshold)
+    fwd = both.select(
+        F.col("id_a").alias("id_inner"),
+        F.col("id_b").alias("id_outer"),
+        F.round(F.col("inter").cast("double") / F.col("na").cast("double"), 6)
+        .alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_inner"),
+        F.col("id_a").alias("id_outer"),
+        F.round(F.col("inter").cast("double") / F.col("nb").cast("double"), 6)
+        .alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= t)

@@ -27,6 +27,7 @@ from franzoxide_spark.functions.text import (
 )
 from franzoxide_spark.operators.asof import asof_join
 from franzoxide_spark.operators.dedup import (
+    containment_pairs,
     embedding_near_duplicates,
     exact_dedup,
     jaccard_pairs,
@@ -1521,3 +1522,55 @@ FROM keyed
 
 
 register("q115_leakage_safe_split", q115, _q115_sql())
+
+
+# --------------------------------------------------------------------------
+# Q119 — asymmetric containment pairs (operators/dedup.py:
+#        containment_pairs): |S(inner) ∩ S(outer)| / |S(inner)| over
+#        3-token shingles — the subsumption decision Jaccard misses (a
+#        long doc quoting a short one is ~0 Jaccard, ~1 containment, and
+#        the subsumed doc is the redundant one).
+# --------------------------------------------------------------------------
+_Q119_T = 0.7
+
+
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=_Q119_T,
+    )
+
+
+Q119_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
+sz AS (SELECT doc_id, len(ss) AS n FROM sh),
+ex AS (SELECT doc_id,
+              unnest(list_transform(ss,
+                g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))) AS g
+       FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pp AS (
+  SELECT id_a, id_b, i, na.n AS na, nb.n AS nb
+  FROM inter
+  JOIN sz na ON na.doc_id = id_a
+  JOIN sz nb ON nb.doc_id = id_b
+)
+SELECT id_inner, id_outer, containment FROM (
+  SELECT id_a AS id_inner, id_b AS id_outer,
+         ROUND(CAST(i AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
+  FROM pp
+  UNION ALL
+  SELECT id_b AS id_inner, id_a AS id_outer,
+         ROUND(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment
+  FROM pp
+)
+WHERE containment >= {_Q119_T}
+"""
+
+
+register("q119_containment_pairs", q119, Q119_SQL)

@@ -131,3 +131,36 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q113_media_decode_stats", q113, None)
+
+
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-DAY Datasketches HLL sketches of
+    distinct users (hll_sketch_agg), merged per week with hll_union_agg —
+    the incremental pattern for distinct-counting at 100 TB: daily
+    sketches are tiny, persistable, and re-aggregable to any coarser
+    grain WITHOUT rescanning the raw events (exact rollup would need the
+    full (week, user) dedup every time). Rows-only: DuckDB's HLL is a
+    different implementation with different estimates; the binding check
+    is the error-bound test vs exact COUNT(DISTINCT) in
+    tests/test_stats.py (lgK=12 -> RSE ~1.6%, asserted within 5%)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "day").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("est_users"),
+        )
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "n_days",
+            "est_users",
+        )
+    )
+
+
+register("q120_hll_sketch_rollup", q120, None)

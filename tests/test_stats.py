@@ -136,3 +136,42 @@ def test_numeric_histogram_degenerate_parity_with_sql(spark):
             tuple(r) for r in numeric_histogram(df, "x", bins=4).collect()
         )
         assert got == exp, f"{name}: spark {got} != duckdb {exp}"
+
+
+def test_q120_hll_rollup_within_error_bound(spark, sf_dir):
+    """The merged weekly HLL estimate must sit within the sketch's error
+    bound of the exact weekly distinct count (lgK=12 -> RSE ~1.6%; 5%
+    asserted), and merging daily sketches must equal sketching the week
+    directly — the mergeability property the rollup pattern rests on."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.queries.rows_only import q120
+    from franzoxide_spark.tables import table
+
+    est = {r["week"]: r["est_users"] for r in q120(spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for wk, n in exact.items():
+        assert abs(est[wk] - n) <= max(0.05 * n, 2), (wk, est[wk], n)
+    # mergeability: union-of-daily == direct weekly sketch, estimate-exact
+    direct = {
+        r["week"]: r["est"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week")
+        )
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    assert est == direct
