@@ -16,6 +16,7 @@ from franzoxide_spark.config import ConnectorConfig, KafkaConfig
 from franzoxide_spark.errors import ConfigError
 from franzoxide_spark.sources.files import file_record_source, rate_source
 from franzoxide_spark.sources.kafka import kafka_source
+from franzoxide_spark.sources.replay import replay_record_source
 
 SourceBuilder = Callable[[SparkSession, KafkaConfig, ConnectorConfig], DataFrame]
 
@@ -24,6 +25,7 @@ SOURCE_CLASSES: dict[str, SourceBuilder] = {
     "kafka": kafka_source,
     "file": file_record_source,
     "rate": rate_source,
+    "kafka_replay": replay_record_source,
 }
 
 
