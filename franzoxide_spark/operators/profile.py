@@ -278,3 +278,86 @@ SELECT g.bin_id,
        END AS share
 FROM grid g LEFT JOIN counts c USING (bin_id)
 """
+
+
+# --------------------------------------------------------------------------
+# semi-structured (JSON) column profiling
+# --------------------------------------------------------------------------
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema-on-read exploration of a JSON string column: per key,
+    presence count/fraction and a text-level value-kind breakdown
+    (numeric / boolean / string) — the first question against a payload
+    column nobody has a schema for.
+
+    Kind classification is deliberately TEXT-level (regex on the
+    unquoted extracted value, identical on both engines): Spark's
+    ``from_json`` to ``map<string,string>`` and DuckDB's
+    ``json_extract_string`` both surface unquoted text, so a JSON
+    ``true`` and a JSON ``"true"`` are indistinguishable — documented
+    precision limit, not a parity hazard. Keys containing ``.`` would
+    break the DuckDB ``$.key`` path mirror; the operator targets flat
+    payload objects.
+
+    Scale shape: one scan, explode bounded by per-row key count, one
+    shuffle on the (bounded) key space with map-side partial aggregation;
+    the total-row count joins back as a broadcast 1-row aggregate.
+    """
+    kv = df.select(
+        F.explode(
+            F.from_json(F.col(json_col), "map<string,string>")
+        ).alias("key", "value")
+    )
+    total = df.select(F.count(F.lit(1)).alias("__total"))
+    is_num = F.col("value").rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+    is_bool = F.col("value").isin("true", "false")
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(is_num.cast("int")).cast("int").alias("n_numeric"),
+            F.sum((is_bool & ~is_num).cast("int")).cast("int").alias("n_bool"),
+            F.sum((~is_num & ~is_bool).cast("int")).cast("int").alias("n_string"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            F.round(
+                F.col("n_present").cast("double") / F.col("__total").cast("double"),
+                6,
+            ).alias("frac"),
+            "n_numeric",
+            "n_bool",
+            "n_string",
+        )
+    )
+
+
+def sql_json_key_profile(rel: str, json_col: str) -> str:
+    """DuckDB mirror: json_keys + unnest + per-key extract, same regex
+    ladder. ``rel`` is a relation expression (table or subquery)."""
+    return f"""
+WITH src AS (SELECT {json_col} AS j FROM {rel}),
+tot AS (SELECT COUNT(*) AS total FROM src),
+kv AS (
+  SELECT k AS key, json_extract_string(j, '$.' || k) AS value
+  FROM (SELECT j, unnest(json_keys(j::JSON)) AS k FROM src)
+),
+cls AS (
+  SELECT key,
+         regexp_matches(value, '^-?[0-9]+(\\.[0-9]+)?$') AS is_num,
+         value IN ('true', 'false') AS is_bool
+  FROM kv
+)
+SELECT key, COUNT(*) AS n_present,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS frac,
+       CAST(SUM(CASE WHEN is_num THEN 1 ELSE 0 END) AS INT) AS n_numeric,
+       CAST(SUM(CASE WHEN is_bool AND NOT is_num THEN 1 ELSE 0 END) AS INT)
+         AS n_bool,
+       CAST(SUM(CASE WHEN NOT is_num AND NOT is_bool THEN 1 ELSE 0 END) AS INT)
+         AS n_string
+FROM cls, tot
+GROUP BY key, tot.total
+"""

@@ -100,3 +100,89 @@ SELECT {id_col},
 FROM j
 WHERE fp_o IS NULL OR fp_n IS NULL OR fp_o <> fp_n
 """
+
+
+def scd2_merge(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: Sequence[str],
+    t_old: str,
+    t_new: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from two snapshots: one row per
+    VERSION of each entity — ``(id_col, version_fp, valid_from,
+    valid_to, is_current)`` — where a changed or removed row's old
+    version closes at ``t_new`` and changed/new rows open a current
+    version at ``t_new``. The dimension-history pattern a warehouse
+    maintains so facts can join the attributes as-of their event time.
+
+    Same canonical fingerprint as snapshot_diff/q104 (NULL-sentinel
+    rendering); ``id_col`` must be unique per snapshot. Scale shape:
+    map-side fingerprints, ONE full-outer join on the id, map-side
+    version construction — the attribute payload never shuffles.
+    """
+    if not compare_cols:
+        raise ValueError("compare_cols must be non-empty")
+    o = old.select(F.col(id_col), _fingerprint(compare_cols).alias("__fp_o"))
+    n = new.select(F.col(id_col), _fingerprint(compare_cols).alias("__fp_n"))
+    j = o.join(n, id_col, "full_outer")
+    same = F.col("__fp_o") == F.col("__fp_n")
+    old_version = j.filter(F.col("__fp_o").isNotNull()).select(
+        F.col(id_col),
+        F.col("__fp_o").alias("version_fp"),
+        F.lit(t_old).alias("valid_from"),
+        F.when(same, F.lit(None).cast("string"))
+        .otherwise(F.lit(t_new))
+        .alias("valid_to"),
+        F.coalesce(same, F.lit(False)).alias("is_current"),
+    )
+    new_version = j.filter(
+        F.col("__fp_n").isNotNull()
+        & (F.col("__fp_o").isNull() | ~same)
+    ).select(
+        F.col(id_col),
+        F.col("__fp_n").alias("version_fp"),
+        F.lit(t_new).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return old_version.unionByName(new_version)
+
+
+def sql_scd2_merge(
+    old_rel: str,
+    new_rel: str,
+    id_col: str,
+    compare_cols: Sequence[str],
+    t_old: str,
+    t_new: str,
+) -> str:
+    """DuckDB mirror of scd2_merge."""
+    fp = (
+        "substr(md5("
+        + " || '|' || ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), '<null>')" for c in compare_cols
+        )
+        + "), 1, 16)"
+    )
+    return f"""
+WITH o AS (SELECT {id_col}, {fp} AS fp_o FROM {old_rel}),
+n AS (SELECT {id_col}, {fp} AS fp_n FROM {new_rel}),
+j AS (
+  SELECT COALESCE(o.{id_col}, n.{id_col}) AS {id_col}, fp_o, fp_n
+  FROM o FULL OUTER JOIN n ON o.{id_col} = n.{id_col}
+)
+SELECT {id_col}, fp_o AS version_fp,
+       '{t_old}' AS valid_from,
+       CASE WHEN fp_n IS NOT NULL AND fp_o = fp_n THEN NULL
+            ELSE '{t_new}' END AS valid_to,
+       COALESCE(fp_o = fp_n, FALSE) AS is_current
+FROM j WHERE fp_o IS NOT NULL
+UNION ALL
+SELECT {id_col}, fp_n AS version_fp,
+       '{t_new}' AS valid_from,
+       NULL AS valid_to,
+       TRUE AS is_current
+FROM j WHERE fp_n IS NOT NULL AND (fp_o IS NULL OR fp_o <> fp_n)
+"""

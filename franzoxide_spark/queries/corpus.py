@@ -1446,3 +1446,50 @@ def _q117_sql() -> str:
 
 
 register("q117_winsorize_report", q117, _q117_sql())
+
+
+# --------------------------------------------------------------------------
+# Q121 — JSON key profile (operators/profile.py:json_key_profile):
+#        schema-on-read exploration of a payload column — per key,
+#        presence fraction and text-level value kinds. The fixture's
+#        props is single-key, so the query enriches it deterministically
+#        (same string construction on both engines) into a variable-key
+#        object with optional boolean/numeric members.
+# --------------------------------------------------------------------------
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.profile import json_key_profile
+
+    ev = table(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"id": '), F.col("event_id").cast("string"),
+        F.lit(', "tag": "'), F.col("event_type"), F.lit('"'),
+        F.when(F.col("event_id") % 3 == 0, F.lit(', "ok": true')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(
+                F.lit(', "score": '), (F.col("user_id") % 100).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return json_key_profile(ev.select(j.alias("j")), "j")
+
+
+def _q121_sql() -> str:
+    from franzoxide_spark.operators.profile import sql_json_key_profile
+
+    rel = """(
+  SELECT '{"id": ' || event_id || ', "tag": "' || event_type || '"'
+         || CASE WHEN event_id % 3 = 0 THEN ', "ok": true' ELSE '' END
+         || CASE WHEN event_id % 4 = 0
+                 THEN ', "score": ' || CAST(user_id % 100 AS VARCHAR)
+                 ELSE '' END
+         || '}' AS j
+  FROM events
+)"""
+    return sql_json_key_profile(rel, "j")
+
+
+register("q121_json_key_profile", q121, _q121_sql())

@@ -875,11 +875,21 @@ register("q108_join_size_estimate", q108, _Q108_SQL)
 # --------------------------------------------------------------------------
 _Q116_COLS = ("text", "lang", "source")
 
+# deterministic second snapshot shared by q116 (diff) and q122 (SCD2):
+# drop %101 ids (removed), edit %97 texts (changed), add %103 ids shifted
+# by 1e6 (added) — same construction on both engines
+_Q116_NEW_REL = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 101 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % 103 = 0
+)"""
 
-def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from franzoxide_spark.operators.snapshot import snapshot_diff
 
-    docs = table(spark, sf_dir, "documents")
+def _q116_new_snapshot(docs: DataFrame) -> DataFrame:
     kept = docs.filter(F.col("doc_id") % 101 != 0)
     edited = kept.withColumn(
         "text",
@@ -890,26 +900,53 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     added = docs.filter(F.col("doc_id") % 103 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10_000_000
     )
-    new = edited.unionByName(added)
-    return snapshot_diff(docs, new, "doc_id", _Q116_COLS)
+    return edited.unionByName(added)
+
+
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.snapshot import snapshot_diff
+
+    docs = table(spark, sf_dir, "documents")
+    return snapshot_diff(
+        docs, _q116_new_snapshot(docs), "doc_id", _Q116_COLS
+    )
 
 
 def _q116_sql() -> str:
     from franzoxide_spark.operators.snapshot import sql_snapshot_diff
 
-    new_rel = """(
-  SELECT doc_id,
-         CASE WHEN doc_id % 97 = 0 THEN text || ' [rev2]' ELSE text END AS text,
-         lang, source
-  FROM documents WHERE doc_id % 101 <> 0
-  UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, text, lang, source
-  FROM documents WHERE doc_id % 103 = 0
-)"""
-    return sql_snapshot_diff("documents", new_rel, "doc_id", _Q116_COLS)
+    return sql_snapshot_diff("documents", _Q116_NEW_REL, "doc_id", _Q116_COLS)
 
 
 register("q116_snapshot_diff", q116, _q116_sql())
+
+
+# --------------------------------------------------------------------------
+# Q122 — SCD2 merge (operators/snapshot.py:scd2_merge): dimension
+#        version history from two snapshots — old versions close at the
+#        new snapshot time when changed/removed, changed/new rows open a
+#        current version. Same perturbed snapshot as q116.
+# --------------------------------------------------------------------------
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.snapshot import scd2_merge
+
+    docs = table(spark, sf_dir, "documents")
+    return scd2_merge(
+        docs, _q116_new_snapshot(docs), "doc_id", _Q116_COLS,
+        t_old="2024-01-01", t_new="2024-02-01",
+    )
+
+
+def _q122_sql() -> str:
+    from franzoxide_spark.operators.snapshot import sql_scd2_merge
+
+    return sql_scd2_merge(
+        "documents", _Q116_NEW_REL, "doc_id", _Q116_COLS,
+        t_old="2024-01-01", t_new="2024-02-01",
+    )
+
+
+register("q122_scd2_merge", q122, _q122_sql())
 
 
 # --------------------------------------------------------------------------

@@ -331,3 +331,26 @@ def test_snapshot_diff_null_vs_sentinel_and_empty(spark):
     assert got == {2: "changed"}  # NULL==NULL rows are unchanged
     with pytest.raises(ValueError, match="non-empty"):
         snapshot_diff(old, new, "id", [])
+
+
+def test_scd2_merge_version_semantics(spark):
+    """Closed-form SCD2 check: unchanged keeps one current version;
+    changed closes the old and opens a new; removed closes; added opens."""
+    from franzoxide_spark.operators.snapshot import scd2_merge
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, v string"
+    )
+    rows = scd2_merge(old, new, "id", ["v"], "t1", "t2").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["id"], []).append(
+            (r["valid_from"], r["valid_to"], r["is_current"])
+        )
+    assert by[1] == [("t1", None, True)]  # unchanged: one open version
+    assert sorted(by[2]) == [("t1", "t2", False), ("t2", None, True)]  # changed
+    assert by[3] == [("t1", "t2", False)]  # removed: closed, no current
+    assert by[4] == [("t2", None, True)]  # added: new current
