@@ -128,26 +128,36 @@ def scd2_merge(
     n = new.select(F.col(id_col), _fingerprint(compare_cols).alias("__fp_n"))
     j = o.join(n, id_col, "full_outer")
     same = F.col("__fp_o") == F.col("__fp_n")
-    old_version = j.filter(F.col("__fp_o").isNotNull()).select(
-        F.col(id_col),
-        F.col("__fp_o").alias("version_fp"),
-        F.lit(t_old).alias("valid_from"),
-        F.when(same, F.lit(None).cast("string"))
-        .otherwise(F.lit(t_new))
-        .alias("valid_to"),
-        F.coalesce(same, F.lit(False)).alias("is_current"),
+    # both version rows come out of ONE pass over the joined relation
+    # (map-side array build + explode) — a union of two filtered branches
+    # would re-execute the full-outer join per branch (observed as a
+    # doubled join in the physical plan before this restructure)
+    old_version = F.when(
+        F.col("__fp_o").isNotNull(),
+        F.struct(
+            F.col("__fp_o").alias("version_fp"),
+            F.lit(t_old).alias("valid_from"),
+            F.when(same, F.lit(None).cast("string"))
+            .otherwise(F.lit(t_new))
+            .alias("valid_to"),
+            F.coalesce(same, F.lit(False)).alias("is_current"),
+        ),
     )
-    new_version = j.filter(
-        F.col("__fp_n").isNotNull()
-        & (F.col("__fp_o").isNull() | ~same)
-    ).select(
-        F.col(id_col),
-        F.col("__fp_n").alias("version_fp"),
-        F.lit(t_new).alias("valid_from"),
-        F.lit(None).cast("string").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    new_version = F.when(
+        F.col("__fp_n").isNotNull() & (F.col("__fp_o").isNull() | ~same),
+        F.struct(
+            F.col("__fp_n").alias("version_fp"),
+            F.lit(t_new).alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        ),
     )
-    return old_version.unionByName(new_version)
+    versions = F.filter(
+        F.array(old_version, new_version), lambda x: x.isNotNull()
+    )
+    return j.select(
+        F.col(id_col), F.explode(versions).alias("__v")
+    ).select(id_col, "__v.*")
 
 
 def sql_scd2_merge(

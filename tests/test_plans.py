@@ -314,3 +314,33 @@ def test_q117_winsorize_bounds_are_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q117_winsorize_report")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round7_joins_are_never_nested_loop(spark, sf_dir):
+    """The round-7 join family (interval join, leakage split, snapshot
+    diff, containment, SCD2) must always drive through equi-keys — a
+    cartesian/nested-loop anywhere here is an all-pairs regression."""
+    for name in (
+        "q114_interval_join_attribution",
+        "q115_leakage_safe_split",
+        "q116_snapshot_diff",
+        "q119_containment_pairs",
+        "q122_scd2_merge",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q122_scd2_builds_both_versions_from_one_join(spark, sf_dir):
+    """Both SCD2 version rows come from ONE full-outer join pass
+    (array-build + explode); the union-of-filtered-branches shape
+    re-executes the join per branch (observed before the restructure)."""
+    plan = _plan(spark, sf_dir, "q122_scd2_merge")
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    # formatted mode names each node twice (tree + details)
+    assert n_joins <= 2, f"SCD2 join executed more than once:\n{plan}"
+    assert "Generate" in plan  # the explode producing the version rows
