@@ -1004,3 +1004,36 @@ WHERE levenshtein(b.p_name, d.p_name) <= 1
 
 
 register("q118_record_linkage", q118, _Q118_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q123 — z-order (Morton) clustering key (operators/layout.py): the
+#        write-side half of two-dimensional data skipping — interleave
+#        customer and order-day bits so a (customer-range, date-range)
+#        box predicate maps to a contiguous z-range and parquet min/max
+#        stats prune to few files. Pure integer bit math, map-side.
+# --------------------------------------------------------------------------
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.layout import zorder_value
+
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("long")
+    return o.select(
+        "o_orderkey",
+        zorder_value(F.col("o_custkey"), day, bits=16).alias("zval"),
+    )
+
+
+def _q123_sql() -> str:
+    from franzoxide_spark.operators.layout import sql_zorder_value
+
+    day = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    return f"""
+SELECT o_orderkey, {sql_zorder_value('o_custkey', f'({day})', 16)} AS zval
+FROM orders
+"""
+
+
+register("q123_zorder_curve", q123, _q123_sql())
