@@ -1493,3 +1493,45 @@ def _q121_sql() -> str:
 
 
 register("q121_json_key_profile", q121, _q121_sql())
+
+
+# --------------------------------------------------------------------------
+# Q124 — incremental aggregate refresh (operators/incremental.py): the
+#        Spark side refreshes a stored rollup by merging it with the
+#        delta's partial aggregate (cost ~ delta); the oracle aggregates
+#        the WHOLE table directly — a hash match proves the merge path
+#        is exactly the full recompute, the equivalence every
+#        materialized-view refresh rests on.
+# --------------------------------------------------------------------------
+_Q124_CUTOFF = "2024-01-15"
+
+
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.incremental import (
+        finalize,
+        merge_partials,
+        partial_agg,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit(_Q124_CUTOFF).cast("timestamp")
+    stored = partial_agg(ev.filter(F.col("ts") < cut), ["event_type"], "value")
+    delta = partial_agg(ev.filter(F.col("ts") >= cut), ["event_type"], "value")
+    return finalize(
+        merge_partials(stored, delta, keys=["event_type"]), ["event_type"]
+    )
+
+
+def _q124_sql() -> str:
+    from franzoxide_spark.functions.numeric import sql_dec
+
+    return f"""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM({sql_dec("value")}) AS DOUBLE) AS value_sum,
+       ROUND(CAST(SUM({sql_dec("value")}) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS value_avg
+FROM events GROUP BY event_type
+"""
+
+
+register("q124_incremental_refresh", q124, _q124_sql())
