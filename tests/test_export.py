@@ -71,6 +71,19 @@ def test_manifest_detects_tampering(spark, sf_dir, tmp_path):
     ln = ln[:pos] + ("X" if ln[pos] != "X" else "Y") + ln[pos + 1 :]
     lines[0] = ln
     open(victim, "w").write("\n".join(lines) + "\n")
+    # Hadoop's LocalFileSystem wrote a .crc sidecar that would flag the
+    # edit before our manifest gets to — object stores (the production
+    # target) have no such sidecar, so drop it to exercise OUR check
+    import os
+
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    # the session's file-status cache still holds the pre-tamper mtime;
+    # a real consumer verifying in a fresh session never hits this
+    spark.catalog.refreshByPath(out)
     after = {r["shard"]: r["checksum"] for r in shard_manifest(spark, out).collect()}
     changed = [s for s in before if before[s] != after.get(s)]
     assert len(changed) == 1
