@@ -1,0 +1,131 @@
+"""Distributed Lloyd k-means over an embedding column.
+
+The iterative-algorithm representative of the ML-primitive family
+(q53's IVF index fits its coarse centroids on a driver-side SAMPLE;
+this is the full distributed loop a corpus-scale clustering needs):
+
+- init: deterministic — the k rows with the smallest ids seed the
+  centroids (no RNG; same corpus -> same clustering);
+- assign: Arrow-batched pandas UDF computes each row's nearest centroid
+  against the BROADCAST centroid matrix (one numpy GEMM per batch, the
+  q83 pattern) — corpus never shuffles for assignment;
+- update: per-(cluster, dimension) partial sums via posexplode +
+  map-side-combined aggregation — the shuffle is bounded by k x dim
+  regardless of corpus size (the q92 centroid shape) — then the k x dim
+  result collects to the driver (tiny) to become the next broadcast.
+
+Per iteration: one corpus scan, one bounded shuffle, one tiny collect.
+Iterations are the outer loop a driver coordinates — exactly how MLlib
+schedules it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# numpy/pandas are imported at module scope (not inside the UDF builders)
+# because pandas_udf resolves the postponed 'pd.Series' type-hint strings
+# against the function's globals — a local import leaves them unresolvable
+
+
+def _assign_udf(centroids):
+    """Returns a pandas UDF mapping an embedding column to the nearest
+    centroid id (squared-L2 argmin via one GEMM per Arrow batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)  # k x dim
+    c_sq = (c * c).sum(axis=1)  # k
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy())  # n x dim
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d = -2.0 * (x @ c.T) + c_sq
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+) -> tuple[list[list[float]], DataFrame]:
+    """Run ``iters`` Lloyd iterations; returns (centroids, assigned)
+    where assigned = emb plus a ``cluster_id`` column for the FINAL
+    centroids. Deterministic seeding: the k smallest ids."""
+    if k <= 0 or iters <= 0:
+        raise ValueError(f"k and iters must be positive ({k}, {iters})")
+    seed_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"corpus has fewer than k={k} rows")
+    centroids = [list(r[vec_col]) for r in seed_rows]
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "cluster_id", _assign_udf(centroids)(F.col(vec_col))
+        )
+        sums = (
+            assigned.select(
+                "cluster_id", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = r["s"]
+            counts[r["cluster_id"]] = r["n"]
+        dim = len(centroids[0])
+        centroids = [
+            [by_cluster[c][p] / counts[c] for p in range(dim)]
+            if c in by_cluster
+            else centroids[c]  # empty cluster keeps its centroid
+            for c in range(k)
+        ]
+    assigned = emb.withColumn(
+        "cluster_id", _assign_udf(centroids)(F.col(vec_col))
+    )
+    return centroids, assigned
+
+
+def kmeans_summary(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Bounded clustering report: per cluster, size and mean squared
+    distance to its centroid (rounded — FP sums across partitions are
+    not bit-stable, the report is)."""
+    centroids, assigned = kmeans_fit(emb, vec_col, id_col, k, iters)
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("double")
+    def sqdist(v: pd.Series, cid: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy())
+        cc = c[cid.to_numpy()]
+        d = x - cc
+        return pd.Series((d * d).sum(axis=1))
+
+    return (
+        assigned.withColumn(
+            "__d2", sqdist(F.col(vec_col), F.col("cluster_id"))
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.avg("__d2"), 4).alias("mean_sq_dist"),
+        )
+    )

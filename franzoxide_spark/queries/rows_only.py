@@ -164,3 +164,20 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q120_hll_sketch_rollup", q120, None)
+
+
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table
+    (operators/clustering.py): deterministic smallest-id seeding,
+    broadcast-GEMM assignment, k x dim-bounded update shuffle, driver
+    coordinating iterations — the iterative-algorithm representative.
+    Rows-only (iterative FP refinement has no SQL counterpart); the
+    binding checks are the convergence/assignment properties in
+    tests/test_clustering.py."""
+    from franzoxide_spark.operators.clustering import kmeans_summary
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_summary(emb, k=8, iters=4)
+
+
+register("q125_kmeans_summary", q125, None)

@@ -1,0 +1,81 @@
+"""Distributed Lloyd k-means (operators/clustering.py): convergence and
+assignment properties that bind the rows-only q125."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from franzoxide_spark.operators.clustering import kmeans_fit, kmeans_summary
+from franzoxide_spark.tables import table
+
+
+def _inertia(emb, centroids, vec_col="embedding"):
+    c = np.asarray(centroids)
+    rows = emb.select(vec_col, "cluster_id").collect()
+    return sum(
+        float(((np.asarray(r[vec_col]) - c[r["cluster_id"]]) ** 2).sum())
+        for r in rows
+    )
+
+
+def test_kmeans_inertia_monotone_nonincreasing(spark, sf_dir):
+    """Lloyd's invariant: total within-cluster inertia never increases
+    with more iterations (each assign and each update step is a
+    coordinate descent on the same objective)."""
+    emb = table(spark, sf_dir, "embeddings").limit(300)
+    prev = None
+    for iters in (1, 2, 4):
+        centroids, assigned = kmeans_fit(emb, k=5, iters=iters)
+        inertia = _inertia(assigned, centroids)
+        if prev is not None:
+            assert inertia <= prev * (1 + 1e-9), (iters, inertia, prev)
+        prev = inertia
+
+
+def test_kmeans_points_assigned_to_nearest_final_centroid(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").limit(200)
+    centroids, assigned = kmeans_fit(emb, k=4, iters=3)
+    c = np.asarray(centroids)
+    for r in assigned.select("embedding", "cluster_id").collect():
+        x = np.asarray(r["embedding"])
+        d = ((c - x) ** 2).sum(axis=1)
+        assert d[r["cluster_id"]] <= d.min() + 1e-9
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Three well-separated blobs must come back as three pure clusters."""
+    rng_free = []
+    for b, center in enumerate(((10.0, 0.0), (0.0, 10.0), (-10.0, -10.0))):
+        for i in range(30):
+            # deterministic jitter, no RNG
+            dx, dy = ((i * 7) % 10) / 20.0, ((i * 13) % 10) / 20.0
+            rng_free.append((b * 100 + i, [center[0] + dx, center[1] + dy], b))
+    emb = spark.createDataFrame(
+        rng_free, "vec_id long, embedding array<double>, label int"
+    )
+    _, assigned = kmeans_fit(emb, k=3, iters=4)
+    purity = (
+        assigned.groupBy("label")
+        .agg(F.countDistinct("cluster_id").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in purity)
+    assert assigned.select("cluster_id").distinct().count() == 3
+
+
+def test_kmeans_summary_shape_and_counts(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    out = kmeans_summary(emb, k=8, iters=2).collect()
+    assert len(out) <= 8
+    assert sum(r["n_points"] for r in out) == emb.count()
+    assert all(r["mean_sq_dist"] >= 0 for r in out)
+
+
+def test_kmeans_rejects_bad_params(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").limit(3)
+    with pytest.raises(ValueError, match="positive"):
+        kmeans_fit(emb, k=0, iters=1)
+    with pytest.raises(ValueError, match="fewer than k"):
+        kmeans_fit(emb, k=10, iters=1)
