@@ -1535,3 +1535,57 @@ FROM events GROUP BY event_type
 
 
 register("q124_incremental_refresh", q124, _q124_sql())
+
+
+# --------------------------------------------------------------------------
+# Q126 — bottom-k sampled quantiles (streaming/stateful.py:
+#        batch_bottomk_quantiles): the batch face of the streaming
+#        quantile estimator — per-key uniform sample = the capacity rows
+#        with the smallest deterministic id-hashes, quartiles
+#        interpolated over the sample. Oracle-checking this face (plus
+#        the exact stream==batch parity test) pins the streaming
+#        operator's semantics end-to-end.
+# --------------------------------------------------------------------------
+_Q126_CAP = 128
+
+
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.streaming.stateful import batch_bottomk_quantiles
+
+    ev = table(spark, sf_dir, "events")
+    out = batch_bottomk_quantiles(ev, "event_type", "event_id", "value", _Q126_CAP)
+    return out.select(
+        "key", "n_seen", "sample_n",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+    )
+
+
+def _q126_sql() -> str:
+    from franzoxide_spark.functions.text import sql_hash60
+
+    return f"""
+WITH keyed AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, event_id AS rid, value
+  FROM events
+),
+h AS (SELECT key, rid, value, {sql_hash60("rid")} AS hh FROM keyed),
+rk AS (
+  SELECT key, value,
+         row_number() OVER (PARTITION BY key ORDER BY hh, rid) AS rk
+  FROM h
+),
+tot AS (SELECT key, COUNT(*) AS n_seen FROM keyed GROUP BY key)
+SELECT key, n_seen,
+       CAST(COUNT(*) AS INT) AS sample_n,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM rk JOIN tot USING (key)
+WHERE rk <= {_Q126_CAP}
+GROUP BY key, n_seen
+"""
+
+
+register("q126_bottomk_quantiles", q126, _q126_sql())

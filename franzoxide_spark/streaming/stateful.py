@@ -533,3 +533,133 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# streaming quantiles: deterministic bottom-k sample per key
+# --------------------------------------------------------------------------
+
+QUANTILE_OUTPUT_SCHEMA = (
+    "key string, n_seen bigint, sample_n int,"
+    " p25 double, p50 double, p75 double"
+)
+QUANTILE_STATE_SCHEMA = "n bigint, hashes array<bigint>, vals array<double>"
+
+
+def _det_hash(ids) -> "list[int]":
+    """60-bit md5-derived hash of the row id — the same deterministic
+    hash family the batch engine uses (functions/text.py), computed
+    Python-side here because it runs inside the state update."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+        for i in ids
+    ]
+
+
+def make_quantile_update(capacity: int, qs=(0.25, 0.5, 0.75)):
+    """Build the applyInPandasWithState update fn for streaming
+    quantiles. State = the ``capacity`` rows with the SMALLEST
+    deterministic id-hashes seen so far (a bottom-k sketch): a uniform
+    sample without replacement that is ORDER- and BATCHING-INDEPENDENT —
+    any permutation of the stream leaves the state identical, so the
+    stream result equals the batch twin exactly (tested). Quantiles are
+    linear-interpolated over the sorted sample; error is the sampling
+    error O(1/sqrt(capacity)), not data-dependent drift."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+
+    def _update(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            n, hashes, vals = state.get
+            hashes, vals = list(hashes), list(vals)
+        else:
+            n, hashes, vals = 0, [], []
+        for pdf in pdf_iter:
+            n += len(pdf)
+            hashes.extend(_det_hash(pdf["rid"]))
+            vals.extend(float(x) for x in pdf["value"])
+        if len(hashes) > capacity:
+            order = np.argsort(np.array(hashes, dtype=np.uint64), kind="stable")[
+                :capacity
+            ]
+            hashes = [hashes[i] for i in order]
+            vals = [vals[i] for i in order]
+        state.update((n, hashes, vals))
+        s = np.sort(np.array(vals, dtype=np.float64))
+        est = [float(np.quantile(s, q)) for q in qs] if len(s) else [None] * 3
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n],
+                "sample_n": [len(vals)],
+                "p25": [est[0]],
+                "p50": [est[1]],
+                "p75": [est[2]],
+            }
+        )
+
+    return _update
+
+
+def streaming_quantiles(
+    events: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    capacity: int = 256,
+) -> DataFrame:
+    """Per-key streaming quantile estimates over a bottom-k sample of
+    ``capacity`` rows (state bounded by construction; update-mode output
+    refreshes a key's row each batch it appears in)."""
+    keyed = events.selectExpr(
+        f"cast({key_col} as string) as key",
+        f"cast({id_col} as bigint) as rid",
+        f"cast({value_col} as double) as value",
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        make_quantile_update(capacity),
+        outputStructType=QUANTILE_OUTPUT_SCHEMA,
+        stateStructType=QUANTILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_bottomk_quantiles(
+    events: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    capacity: int = 256,
+) -> DataFrame:
+    """Batch twin of streaming_quantiles: the same bottom-k-by-id-hash
+    sample expressed as a rank window, same interpolated quantiles —
+    the parity oracle proving the streaming state is order-independent."""
+    from franzoxide_spark.functions.text import hash60
+
+    from pyspark.sql import Window
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("bigint").alias("rid"),
+        F.col(value_col).cast("double").alias("value"),
+    ).withColumn("__h", hash60(F.col("rid").cast("string")))
+    w = Window.partitionBy("key").orderBy("__h", "rid")
+    sample = keyed.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= capacity
+    )
+    totals = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("n_seen"))
+    est = sample.groupBy("key").agg(
+        F.count(F.lit(1)).cast("int").alias("sample_n"),
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    return totals.join(est, "key").select(
+        "key", "n_seen", "sample_n", "p25", "p50", "p75"
+    )
