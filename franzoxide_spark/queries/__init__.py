@@ -65,17 +65,27 @@ PINNED_CONTRACT = (
 )
 
 
-def rounds_completed() -> int:
-    """Number of driver rounds already recorded = count of
-    CORRECTNESS_r*.json artifacts at the repo root (the file for the
-    round currently running is written AFTER verify, so at verify time
-    this equals current_round - 1)."""
+def driver_coverage() -> dict[str, int]:
+    """How many driver CORRECTNESS rows each query has earned so far,
+    read from the recorded CORRECTNESS_r*.json artifacts at the repo
+    root (the running round's file is written AFTER verify, so at verify
+    time this reflects exactly the previous rounds)."""
+    import json
+
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    counts: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                for name in json.load(f):
+                    counts[name] = counts.get(name, 0) + 1
+        except (OSError, ValueError):
+            continue  # a malformed artifact must not break query listing
+    return counts
 
 
-def driver_ordering(completed: int | None = None) -> list[str]:
+def driver_ordering(seen_counts: dict[str, int] | None = None) -> list[str]:
     """Driver-facing query order (what __spark_entry__.queries() returns).
 
     The driver verifies only the first DRIVER_WINDOW entries, so with a
@@ -84,26 +94,26 @@ def driver_ordering(completed: int | None = None) -> list[str]:
 
     1. the §2.4 contract entries (PINNED_CONTRACT) occupy the front of the
        window every round;
-    2. the remaining window slots rotate through the other oracle-checked
-       queries, advancing by the slot count each round (keyed on the count
-       of recorded CORRECTNESS artifacts), so every oracle-checked operator
-       is driver-verified within ceil(pool/slots) rounds;
+    2. the remaining window slots go to the LEAST-driver-covered
+       oracle-checked queries first (coverage read from the recorded
+       CORRECTNESS artifacts; ties broken by name) — self-balancing even
+       as the registry grows between rounds, unlike a modular rotation
+       whose offset shifts when the pool size changes;
     3. the not-currently-windowed oracle-checked queries follow (they stay
        verified every round by tests/test_oracle_queries.py — the same
        hash-compare, self-administered);
     4. rows-only entries sit at the tail so the window never spends a slot
        on a weak rows-only smoke record.
     """
-    if completed is None:
-        completed = rounds_completed()
+    if seen_counts is None:
+        seen_counts = driver_coverage()
     pinned = [n for n in PINNED_CONTRACT if n in QUERIES]
-    pool = sorted(n for n in QUERIES
-                  if n in ORACLES and n not in PINNED_CONTRACT)
-    slots = max(DRIVER_WINDOW - len(pinned), 0)
-    off = (completed * slots) % len(pool) if pool else 0
-    rotated = pool[off:] + pool[:off]
+    pool = sorted(
+        (n for n in QUERIES if n in ORACLES and n not in PINNED_CONTRACT),
+        key=lambda n: (seen_counts.get(n, 0), n),
+    )
     rows_only = [n for n in QUERIES if n not in ORACLES]
-    return pinned + rotated + rows_only
+    return pinned + pool + rows_only
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:

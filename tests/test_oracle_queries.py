@@ -26,26 +26,30 @@ def test_query_matches_oracle(name, spark, sf_dir):
 def test_first_50_registry_entries_are_oracle_checked():
     """The driver records at most 50 CORRECTNESS rows from the front of
     the __spark_entry__.queries() dict. Ordering policy
-    (queries/__init__.py:driver_ordering): for EVERY rotation state the
+    (queries/__init__.py:driver_ordering): for EVERY coverage state the
     first 50 entries must all be oracle-checked, so rotation can never
     spend a verified-window slot on a weak rows-only smoke record."""
     from franzoxide_spark.queries import DRIVER_WINDOW, driver_ordering
 
-    for completed in range(12):
-        names = driver_ordering(completed)[:DRIVER_WINDOW]
+    states = [
+        {},  # fresh repo
+        {n: 3 for n in list(QUERIES)[:40]},  # partially covered
+        {n: 1 for n in QUERIES},  # everything seen once
+    ]
+    for seen in states:
+        names = driver_ordering(seen)[:DRIVER_WINDOW]
         missing = [n for n in names if n not in ORACLES]
-        assert not missing, (
-            f"round state {completed}: non-oracle entries inside the "
-            f"50-window: {missing}"
-        )
+        assert not missing, f"non-oracle entries inside the 50-window: {missing}"
 
 
 def test_driver_window_rotation_policy():
-    """Rotation contract: §2.4 pinned entries never leave the window, the
-    free slots change each round, and the union of a few consecutive
-    rounds' windows covers the ENTIRE oracle-checked registry — every
-    operator earns a driver CORRECTNESS row within ceil(pool/slots)
-    rounds instead of never."""
+    """Coverage-driven rotation contract: §2.4 pinned entries never leave
+    the window, the free slots always go to the least-driver-covered
+    queries, and simulating successive rounds (window -> coverage+1)
+    covers the ENTIRE oracle-checked registry in ceil(pool/slots) rounds
+    — robust to the registry growing between rounds, which broke the
+    earlier modular-offset scheme (pool growth shifted the offset back
+    onto already-covered queries)."""
     from franzoxide_spark.queries import (
         DRIVER_WINDOW,
         PINNED_CONTRACT,
@@ -60,17 +64,47 @@ def test_driver_window_rotation_policy():
     pool = sorted(n for n in QUERIES
                   if n in ORACLES and n not in PINNED_CONTRACT)
     need = -(-len(pool) // slots)  # ceil
-    seen: set[str] = set()
-    prev_window: set[str] | None = None
-    for completed in range(need):
-        window = driver_ordering(completed)[:DRIVER_WINDOW]
+    coverage: dict[str, int] = {}
+    covered: set[str] = set()
+    prev_free: set[str] | None = None
+    for _round in range(need):
+        window = driver_ordering(coverage)[:DRIVER_WINDOW]
         assert window[: len(pinned)] == pinned
         free = set(window[len(pinned):])
-        if prev_window is not None:
-            assert free != prev_window, "window did not rotate"
-        prev_window = free
-        seen |= free
-    assert seen == set(pool), f"never-windowed: {sorted(set(pool) - seen)}"
+        # the free slots must be exactly the least-covered entries: their
+        # coverage multiset equals the lowest `slots` coverages in the pool
+        got = sorted(coverage.get(n, 0) for n in free)
+        want = sorted(coverage.get(n, 0) for n in pool)[: len(free)]
+        assert got == want, "window skipped a less-covered query"
+        if prev_free is not None and covered != set(pool):
+            assert free != prev_free, "window did not rotate"
+        prev_free = free
+        covered |= free
+        for n in window:
+            coverage[n] = coverage.get(n, 0) + 1
+    assert covered == set(pool), f"never-windowed: {sorted(set(pool) - covered)}"
+
+
+def test_driver_window_prefers_never_seen_queries_from_real_artifacts():
+    """Against the ACTUAL recorded CORRECTNESS artifacts: the free slots
+    of the current window contain only queries with minimal real driver
+    coverage (i.e. new operators rotate in ahead of already-verified
+    ones)."""
+    from franzoxide_spark.queries import (
+        DRIVER_WINDOW,
+        PINNED_CONTRACT,
+        driver_coverage,
+        driver_ordering,
+    )
+
+    cov = driver_coverage()
+    window = driver_ordering()[:DRIVER_WINDOW]
+    free = window[len(PINNED_CONTRACT):]
+    pool = [n for n in QUERIES if n in ORACLES and n not in PINNED_CONTRACT]
+    if pool:
+        got = sorted(cov.get(n, 0) for n in free)
+        want = sorted(cov.get(n, 0) for n in pool)[: len(free)]
+        assert got == want
 
 
 def test_spark_entry_exposes_rotated_ordering():
