@@ -1,0 +1,85 @@
+"""Plan introspection: the engine's own scale-audit, queryable as data.
+
+``plan_report`` condenses a DataFrame's physical plan into the handful
+of numbers a reviewer checks before letting a query near 100 TB — scan
+pushdown, join strategies, exchange count, Python-boundary presence,
+codegen coverage. The same properties tests/test_plans.py pins for the
+registry queries, exposed as an operator so a pipeline can gate on them
+("fail the deploy if this plan gained a SortMergeJoin or lost its
+pushed filter") instead of re-deriving them from explain() text by hand.
+
+Driver-side only (parses the formatted explain string — metadata, never
+data); returns a 1-row DataFrame so reports compose with plain filters.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """Dict form of the report (see plan_report for the column story)."""
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # "formatted" mode names each node once in the tree and once in the
+    # details section — divide by 2 to count NODES
+    def nodes(name: str) -> int:
+        return plan.count(name) // 2
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    read_schemas = re.findall(r"ReadSchema: [^\n]*struct<([^>]*)>", plan)
+    return {
+        "n_scans": plan.count("Scan parquet") or plan.count("BatchScan"),
+        "n_pushed_filters": sum(
+            len([f for f in p.split(",") if f.strip()]) for p in pushed
+        ),
+        "scan_columns": sum(
+            len([c for c in rs.split(",") if c.strip()]) for rs in read_schemas
+        ),
+        "n_exchanges": plan.count("Arguments: hashpartitioning(")
+        + plan.count("Arguments: rangepartitioning("),
+        "n_broadcast_joins": nodes("BroadcastHashJoin"),
+        "n_sortmerge_joins": nodes("SortMergeJoin"),
+        "n_shuffledhash_joins": nodes("ShuffledHashJoin"),
+        "n_nested_loop_joins": nodes("BroadcastNestedLoopJoin")
+        + nodes("CartesianProduct"),
+        "n_aggregates": nodes("HashAggregate")
+        + nodes("SortAggregate")
+        + nodes("ObjectHashAggregate"),
+        "n_sorts": nodes("Sort "),
+        "n_python_stages": plan.count("ArrowEvalPython")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas")
+        + plan.count("BatchEvalPython"),
+        # NOTE: whole-stage-codegen span ids are only assigned in the FINAL
+        # adaptive plan (post-execution) — under AQE the static explain
+        # carries none, so a codegen count is deliberately absent here
+        "has_global_sort": "rangepartitioning(" in plan
+        and "TakeOrderedAndProject" not in plan,
+    }
+
+
+def plan_report(df: DataFrame) -> DataFrame:
+    """1-row report over ``df``'s physical plan:
+
+    ``n_scans, n_pushed_filters, scan_columns, n_exchanges,
+    n_broadcast_joins, n_sortmerge_joins, n_shuffledhash_joins,
+    n_nested_loop_joins, n_aggregates, n_sorts, n_python_stages,
+    has_global_sort`` — e.g. gate a deploy on
+    ``n_nested_loop_joins == 0`` or alert when ``n_pushed_filters``
+    drops to 0 on a scan that used to prune."""
+    s = plan_summary(df)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [tuple(s.values())],
+        ", ".join(
+            f"{k} {'boolean' if isinstance(v, bool) else 'int'}"
+            for k, v in s.items()
+        ),
+    )

@@ -1,0 +1,49 @@
+"""Plan introspection (operators/introspect.py): the report must agree
+with the hand-audited plan properties test_plans.py pins."""
+
+from __future__ import annotations
+
+from franzoxide_spark.operators.introspect import plan_report, plan_summary
+from franzoxide_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def test_report_on_broadcast_chain(spark, sf_dir):
+    s = plan_summary(QUERIES["q05_broadcast_dim_chain"](spark, sf_dir))
+    assert s["n_broadcast_joins"] == 3
+    assert s["n_sortmerge_joins"] == 0
+    assert s["n_nested_loop_joins"] == 0
+    assert s["n_python_stages"] == 0
+
+
+def test_report_sees_pushdown_and_pruning(spark, sf_dir):
+    s = plan_summary(QUERIES["q01_scan_filter_project"](spark, sf_dir))
+    assert s["n_pushed_filters"] >= 2  # IsNotNull + LessThanOrEqual
+    assert s["scan_columns"] == 5  # 4 projected + the filter column
+    assert s["n_exchanges"] == 0
+
+
+def test_report_sees_python_boundary(spark, sf_dir):
+    s = plan_summary(QUERIES["q47_pandas_udf_score"](spark, sf_dir))
+    assert s["n_python_stages"] >= 1
+
+
+def test_report_composes_as_dataframe(spark, sf_dir):
+    rep = plan_report(QUERIES["q03_join_agg_mktsegment"](spark, sf_dir))
+    row = rep.collect()[0]
+    assert row["n_broadcast_joins"] == 1
+    assert row["n_nested_loop_joins"] == 0
+    # the deploy-gate shape: a plain filter over the report
+    assert rep.filter("n_nested_loop_joins = 0").count() == 1
+
+
+def test_report_flags_global_sort(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).orderBy(F.desc("id"))
+    s = plan_summary(df)
+    assert s["has_global_sort"]
+    # top-k is NOT a global sort
+    s2 = plan_summary(spark.range(1000).orderBy(F.desc("id")).limit(5))
+    assert not s2["has_global_sort"]

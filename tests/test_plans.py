@@ -344,3 +344,41 @@ def test_q122_scd2_builds_both_versions_from_one_join(spark, sf_dir):
     # formatted mode names each node twice (tree + details)
     assert n_joins <= 2, f"SCD2 join executed more than once:\n{plan}"
     assert "Generate" in plan  # the explode producing the version rows
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine's skew posture beyond manual salting (q66/q90): with a
+    hot key big enough to cross the (test-lowered) thresholds, AQE's
+    OptimizeSkewedJoin must split the skewed partition — visible as
+    skew=true on the SortMergeJoin in the FINAL adaptive plan. Executed
+    on the SAME DataFrame (a count() would plan a separate execution and
+    the marker only exists post-finalization)."""
+    keep = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    }
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(220_000).selectExpr(
+            "case when id < 200000 then 0 else id % 50 end as k",
+            "id as v", "repeat('x', 40) as pad",
+        )
+        right = spark.range(2000).selectExpr("id % 50 as k", "id * 2 as w")
+        j = left.join(right, "k")
+        assert len(j.toPandas()) > 0
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
+        for k in tuned:
+            if k not in keep:
+                spark.conf.unset(k)
