@@ -1589,3 +1589,43 @@ GROUP BY key, n_seen
 
 
 register("q126_bottomk_quantiles", q126, _q126_sql())
+
+
+# --------------------------------------------------------------------------
+# Q127 — geohash density (operators/geo.py): spatial GROUP BY on the
+#        public-spec geohash cell (bit-interleave + base32, the
+#        geospatial sibling of q123's z-curve). Events carry no
+#        coordinates, so lat/lon derive deterministically from ids with
+#        the identical expression on both engines; encoding correctness
+#        itself is pinned by the spec vectors in tests/test_geo.py.
+# --------------------------------------------------------------------------
+_Q127_LAT = "((user_id * 37) % 17000) / 100.0 - 85.0"
+_Q127_LON = "((event_id * 91) % 36000) / 100.0 - 180.0"
+
+
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.geo import with_geohash
+
+    ev = table(spark, sf_dir, "events").select(
+        F.expr(_Q127_LAT).alias("lat"), F.expr(_Q127_LON).alias("lon")
+    )
+    return (
+        with_geohash(ev, "lat", "lon", precision=3, out_col="cell")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _q127_sql() -> str:
+    from franzoxide_spark.operators.geo import sql_geohash
+
+    return f"""
+WITH pts AS (
+  SELECT {_Q127_LAT} AS lat, {_Q127_LON} AS lon FROM events
+)
+SELECT {sql_geohash("lat", "lon", 3)} AS cell, COUNT(*) AS n_events
+FROM pts GROUP BY 1
+"""
+
+
+register("q127_geohash_density", q127, _q127_sql())
