@@ -1037,3 +1037,74 @@ FROM orders
 
 
 register("q123_zorder_curve", q123, _q123_sql())
+
+
+# --------------------------------------------------------------------------
+# Q128 — data-contract validation (operators/contracts.py): the
+#        declarative admission gate (dbt-tests shape) — not-null,
+#        uniqueness, accepted values, range, referential integrity, and
+#        a free-form predicate, evaluated into one violations report.
+#        Row-local rules fold into ONE aggregate pass; unique adds one
+#        key shuffle; the FK check is one anti-join.
+# --------------------------------------------------------------------------
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators import contracts as c
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    rules = [
+        c.not_null("l_orderkey"),
+        c.unique("l_orderkey", "l_linenumber"),
+        c.accepted_values("l_returnflag", ["A", "N", "R"]),
+        c.in_range("l_discount", 0.0, 0.1),
+        c.foreign_key("l_orderkey", orders, "o_orderkey"),
+        c.expression("positive_quantity", "l_quantity > 0"),
+    ]
+    return c.validate_contracts(li, rules)
+
+
+_Q128_SQL = """
+SELECT 'not_null(l_orderkey)' AS rule,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM lineitem
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)',
+       CAST(COALESCE(SUM(GREATEST(n - 1, 0)), 0) AS BIGINT),
+       COALESCE(SUM(GREATEST(n - 1, 0)), 0) = 0
+FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'accepted_values(l_returnflag)',
+       CAST(SUM(CASE WHEN l_returnflag IS NULL
+                       OR l_returnflag NOT IN ('A', 'N', 'R')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN l_returnflag IS NULL
+                  OR l_returnflag NOT IN ('A', 'N', 'R')
+                THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'in_range(l_discount)',
+       CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                       OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                  OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'foreign_key(l_orderkey)',
+       CAST(COUNT(*) AS BIGINT),
+       COUNT(*) = 0
+FROM lineitem li
+WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)
+UNION ALL
+SELECT 'positive_quantity',
+       CAST(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE)
+                THEN 1 ELSE 0 END) = 0
+FROM lineitem
+"""
+
+
+register("q128_data_contracts", q128, _Q128_SQL)
