@@ -203,3 +203,82 @@ def with_session_index(
     return marked.withColumn("session_idx", F.sum("__new").over(wo)).drop(
         "__new"
     )
+
+
+def completeness_monitor(
+    events: DataFrame,
+    ts_col: str = "ts",
+    trailing_days: int = 7,
+    drop_factor: float = 0.5,
+) -> DataFrame:
+    """Ingestion-gap monitor: per-day row counts over the table's full
+    date span — MISSING days emitted with n=0, which is precisely the
+    alert case a groupBy alone silently hides — compared to the trailing
+    ``trailing_days`` average; ``alert`` when the day falls below
+    ``drop_factor`` x that average (on the 4-dp-rounded average so both
+    engines cut identically).
+
+    Scale shape: the corpus aggregates once into a day-bounded series
+    (map-side combine); everything after lives on ~rows = span-in-days,
+    bounded by TIME not data volume, so the single-partition window over
+    it is a non-issue at any corpus scale.
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("__d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = daily.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    full = bounds.select(
+        F.explode(F.expr("sequence(__lo, __hi, interval 1 day)")).alias("__d")
+    )
+    series = full.join(daily, "__d", "left").select(
+        "__d", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+    w = (
+        Window.orderBy("__d").rowsBetween(-trailing_days, -1)
+    )
+    trail = F.round(F.avg("n_events").over(w), 4)
+    return series.select(
+        F.date_format("__d", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        trail.alias("trailing_avg"),
+        F.when(
+            trail.isNotNull(),
+            F.col("n_events").cast("double") < F.lit(drop_factor) * trail,
+        ).otherwise(F.lit(False)).alias("alert"),
+    )
+
+
+def sql_completeness_monitor(
+    table: str, ts_col: str = "ts", trailing_days: int = 7,
+    drop_factor: float = 0.5,
+) -> str:
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', {ts_col}) AS d, COUNT(*) AS n_events
+  FROM {table} GROUP BY 1
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+grid AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+),
+series AS (
+  SELECT g.d, COALESCE(daily.n_events, 0) AS n_events
+  FROM grid g LEFT JOIN daily ON daily.d = g.d
+),
+win AS (
+  SELECT d, n_events,
+         ROUND(AVG(n_events) OVER (
+           ORDER BY d ROWS BETWEEN {trailing_days} PRECEDING AND 1 PRECEDING
+         ), 4) AS trailing_avg
+  FROM series
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       trailing_avg,
+       CASE WHEN trailing_avg IS NOT NULL
+            THEN CAST(n_events AS DOUBLE) < {drop_factor} * trailing_avg
+            ELSE FALSE END AS alert
+FROM win
+"""

@@ -1629,3 +1629,24 @@ FROM pts GROUP BY 1
 
 
 register("q127_geohash_density", q127, _q127_sql())
+
+
+# --------------------------------------------------------------------------
+# Q129 — completeness monitor (operators/timeseries.py): per-day counts
+#        over the FULL date span with missing days emitted as n=0 (the
+#        alert case a bare groupBy hides), flagged against the trailing
+#        7-day average.
+# --------------------------------------------------------------------------
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.timeseries import completeness_monitor
+
+    return completeness_monitor(table(spark, sf_dir, "events"))
+
+
+def _q129_sql() -> str:
+    from franzoxide_spark.operators.timeseries import sql_completeness_monitor
+
+    return sql_completeness_monitor("events")
+
+
+register("q129_completeness_monitor", q129, _q129_sql())

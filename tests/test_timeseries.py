@@ -121,3 +121,28 @@ def test_rolling_features_single_shuffle(spark):
     )
     # all three frames ride one hash-partitioning on the key
     assert plan.count("Exchange") == 1
+
+
+def test_completeness_monitor_emits_and_flags_gap_days(spark):
+    """A day with ZERO rows must appear (n=0) and alert against the
+    trailing average — the silent-ingestion-gap case the monitor exists
+    for; the first day has no trailing window and must not alert."""
+    import datetime as dt
+
+    from franzoxide_spark.operators.timeseries import completeness_monitor
+
+    rows = []
+    eid = 0
+    for d in range(10):
+        if d == 6:
+            continue  # ingestion gap: no rows at all on day 6
+        for i in range(100 if d != 8 else 10):  # day 8: 90% drop
+            rows.append((eid, dt.datetime(2024, 3, 1 + d, 12, 0, i % 60)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["day"]: r for r in completeness_monitor(df, "ts").collect()}
+    assert len(out) == 10  # full span, gap day included
+    assert out["2024-03-07"]["n_events"] == 0 and out["2024-03-07"]["alert"]
+    assert out["2024-03-09"]["n_events"] == 10 and out["2024-03-09"]["alert"]
+    assert not out["2024-03-01"]["alert"]  # no trailing window yet
+    assert not out["2024-03-05"]["alert"]  # healthy day
