@@ -1108,3 +1108,62 @@ FROM lineitem
 
 
 register("q128_data_contracts", q128, _Q128_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q130 — CDC changelog apply (operators/cdc.py): materialize table state
+#        from an insert/update/delete log — highest sequence wins, delete
+#        winners vanish, co-sequenced deletes beat updates. The changelog
+#        is synthesized from orders deterministically: every order gets
+#        an I, %3 ids an U with a bumped price, %11 ids a trailing D.
+# --------------------------------------------------------------------------
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.cdc import cdc_apply
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    ins = o.select(
+        "o_orderkey", F.lit("I").alias("op"), F.lit(1).alias("seq"),
+        "o_totalprice", "o_orderstatus",
+    )
+    # exact-decimal bump: a double ROUND(x*1.1, 2) lands on genuine 2-dp
+    # ties where Spark rounds HALF_UP and DuckDB half-even (observed
+    # flapping at sf0.01) — decimal multiply is exact on both engines
+    bump = (dec("o_totalprice") * F.lit("1.1").cast("decimal(2,1)")).cast(
+        "double"
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        bump.alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(3).alias("seq"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    return cdc_apply(log, "o_orderkey", "seq")
+
+
+def _q130_sql() -> str:
+    from franzoxide_spark.operators.cdc import sql_cdc_apply
+
+    rel = f"""(
+  SELECT o_orderkey, 'I' AS op, 1 AS seq, o_totalprice, o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U', 2,
+         CAST({sql_dec('o_totalprice')} * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE), 'U'
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', 3, NULL, NULL
+  FROM orders WHERE o_orderkey % 11 = 0
+)"""
+    return sql_cdc_apply(
+        rel, "o_orderkey", "seq", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+register("q130_cdc_apply", q130, _q130_sql())

@@ -354,3 +354,27 @@ def test_scd2_merge_version_semantics(spark):
     assert sorted(by[2]) == [("t1", "t2", False), ("t2", None, True)]  # changed
     assert by[3] == [("t1", "t2", False)]  # removed: closed, no current
     assert by[4] == [("t2", None, True)]  # added: new current
+
+
+def test_cdc_apply_semantics_and_idempotence(spark):
+    from franzoxide_spark.operators.cdc import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            (1, "I", 1, "a"),
+            (1, "U", 2, "a2"),      # survives as a2
+            (2, "I", 1, "b"),
+            (2, "D", 2, None),      # deleted
+            (3, "I", 1, "c"),
+            (3, "U", 2, "c2"),
+            (3, "D", 2, None),      # co-sequenced D beats U
+            (4, "D", 1, None),      # delete-only key: absent
+        ],
+        "id long, op string, seq int, v string",
+    )
+    got = {r["id"]: r["v"] for r in cdc_apply(log, "id", "seq").collect()}
+    assert got == {1: "a2"}
+    # idempotence: replaying the log twice yields the same state
+    replay = log.unionByName(log)
+    got2 = {r["id"]: r["v"] for r in cdc_apply(replay, "id", "seq").collect()}
+    assert got2 == got
