@@ -1167,3 +1167,31 @@ def _q130_sql() -> str:
 
 
 register("q130_cdc_apply", q130, _q130_sql())
+
+
+# --------------------------------------------------------------------------
+# Q131 — nested round-trip: lineitems COLLECT into a per-order sorted
+#        struct array (the document-store export shape) and INLINE back
+#        out; the oracle is the flat relation itself, so a hash match
+#        proves nest/unnest is lossless — including the fixture's
+#        duplicate (orderkey, linenumber) pairs, which a map-keyed
+#        nesting would silently collapse.
+# --------------------------------------------------------------------------
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("items")
+    )
+    return nested.select("l_orderkey", F.inline("items"))
+
+
+_Q131_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+"""
+
+
+register("q131_nested_roundtrip", q131, _Q131_SQL)
