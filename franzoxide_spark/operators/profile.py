@@ -361,3 +361,115 @@ SELECT key, COUNT(*) AS n_present,
 FROM cls, tot
 GROUP BY key, tot.total
 """
+
+
+# --------------------------------------------------------------------------
+# string-column type inference (schema suggestion)
+# --------------------------------------------------------------------------
+
+_TYPE_CHECKS = (
+    # (kind, spark predicate template, duckdb predicate template)
+    # int = integer-shaped TEXT (sign + digits) that a bigint cast also
+    # accepts (range guard). The textual shape matters because the cast
+    # semantics diverge: DuckDB's TRY_CAST('123.45' AS BIGINT) ROUNDS
+    # and '87.0' casts clean, while Spark returns null for both — a
+    # cast-only check cannot agree across engines
+    ("int", "{c} rlike '^[+-]?[0-9]+$'"
+            " and try_cast({c} as bigint) is not null",
+     "regexp_matches({c}, '^[+-]?[0-9]+$')"
+     " AND TRY_CAST({c} AS BIGINT) IS NOT NULL"),
+    ("double", "try_cast({c} as double) is not null",
+     "TRY_CAST({c} AS DOUBLE) IS NOT NULL"),
+    ("date", "try_cast({c} as date) is not null",
+     "TRY_CAST({c} AS DATE) IS NOT NULL"),
+    ("bool", "lower({c}) in ('true', 'false')",
+     "LOWER({c}) IN ('true', 'false')"),
+)
+
+
+def infer_column_types(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Schema suggestion for string columns: per column, the fraction of
+    non-null values parseable as int/double/date/bool and the suggested
+    type — the narrowest kind covering >= 99% of non-null values, else
+    ``string``. One aggregate pass over one scan for ALL columns.
+
+    The try_cast ladder (not regexes) is deliberately the check: the
+    suggestion must agree with what a later CAST will actually accept.
+    ``int`` wins over ``double`` when both fit (ints are doubles);
+    ``date`` and ``bool`` only apply when numerics don't.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__n_{c}"))
+        for kind, sp, _ in _TYPE_CHECKS:
+            aggs.append(
+                F.sum(
+                    (F.col(c).isNotNull() & F.expr(sp.format(c=c)))
+                    .cast("long")
+                )
+                .alias(f"__{kind}_{c}")
+            )
+    one = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        n = F.col(f"__n_{c}").cast("double")
+        frac = {
+            kind: F.round(
+                F.coalesce(F.col(f"__{kind}_{c}"), F.lit(0)).cast("double")
+                / F.greatest(n, F.lit(1.0)),
+                6,
+            )
+            for kind, _, _ in _TYPE_CHECKS
+        }
+        thresh = 0.99
+        suggested = (
+            F.when((n > 0) & (frac["int"] >= thresh), "bigint")
+            .when((n > 0) & (frac["double"] >= thresh), "double")
+            .when((n > 0) & (frac["date"] >= thresh), "date")
+            .when((n > 0) & (frac["bool"] >= thresh), "boolean")
+            .otherwise("string")
+        )
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__n_{c}").cast("bigint").alias("n_values"),
+                frac["int"].alias("frac_int"),
+                frac["double"].alias("frac_double"),
+                frac["date"].alias("frac_date"),
+                frac["bool"].alias("frac_bool"),
+                suggested.alias("suggested_type"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def sql_infer_column_types(rel: str, cols: Sequence[str]) -> str:
+    """DuckDB mirror — same try_cast ladder, same 99% threshold."""
+    arms = []
+    for c in cols:
+        checks = {
+            kind: f"SUM(CASE WHEN {c} IS NOT NULL AND {dd.format(c=c)}"
+                  f" THEN 1 ELSE 0 END)"
+            for kind, _, dd in _TYPE_CHECKS
+        }
+        n = f"COUNT({c})"
+        frac = {
+            kind: f"ROUND(CAST(COALESCE({expr}, 0) AS DOUBLE)"
+                  f" / GREATEST(CAST({n} AS DOUBLE), 1.0), 6)"
+            for kind, expr in checks.items()
+        }
+        arms.append(f"""SELECT '{c}' AS col_name,
+       CAST({n} AS BIGINT) AS n_values,
+       {frac['int']} AS frac_int,
+       {frac['double']} AS frac_double,
+       {frac['date']} AS frac_date,
+       {frac['bool']} AS frac_bool,
+       CASE WHEN {n} > 0 AND {frac['int']} >= 0.99 THEN 'bigint'
+            WHEN {n} > 0 AND {frac['double']} >= 0.99 THEN 'double'
+            WHEN {n} > 0 AND {frac['date']} >= 0.99 THEN 'date'
+            WHEN {n} > 0 AND {frac['bool']} >= 0.99 THEN 'boolean'
+            ELSE 'string' END AS suggested_type
+FROM {rel}""")
+    return "\nUNION ALL\n".join(arms)

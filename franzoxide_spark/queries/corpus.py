@@ -1650,3 +1650,46 @@ def _q129_sql() -> str:
 
 
 register("q129_completeness_monitor", q129, _q129_sql())
+
+
+# --------------------------------------------------------------------------
+# Q132 — string-column type inference (operators/profile.py): the
+#        schema-suggestion pass over schemaless string data, using the
+#        SAME try_cast ladder a later CAST will enforce. Inputs are
+#        events fields re-rendered as strings (with %7 ids corrupted to
+#        non-numeric text so no column is trivially 100% castable).
+# --------------------------------------------------------------------------
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.profile import infer_column_types
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        F.when(F.col("event_id") % 7 == 0, F.lit("n/a"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("user_s"),
+        F.col("value").cast("string").alias("value_s"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_s"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("flag_s"),
+        F.col("event_type").alias("type_s"),
+    )
+    return infer_column_types(s, ["user_s", "value_s", "day_s", "flag_s", "type_s"])
+
+
+def _q132_sql() -> str:
+    from franzoxide_spark.operators.profile import sql_infer_column_types
+
+    rel = """(
+  SELECT CASE WHEN event_id % 7 = 0 THEN 'n/a'
+              ELSE CAST(user_id AS VARCHAR) END AS user_s,
+         CAST(value AS VARCHAR) AS value_s,
+         strftime(ts, '%Y-%m-%d') AS day_s,
+         CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END AS flag_s,
+         event_type AS type_s
+  FROM events
+)"""
+    return sql_infer_column_types(rel, ["user_s", "value_s", "day_s", "flag_s", "type_s"])
+
+
+register("q132_type_inference", q132, _q132_sql())

@@ -175,3 +175,30 @@ def test_q120_hll_rollup_within_error_bound(spark, sf_dir):
         .collect()
     }
     assert est == direct
+
+
+def test_infer_column_types_edges(spark):
+    from franzoxide_spark.operators.profile import infer_column_types
+
+    df = spark.createDataFrame(
+        [
+            ("1", "x", None),
+            ("2", "2.5", None),
+            ("-3", "true", None),
+            ("4", "2024-01-01", None),
+        ],
+        "ints string, mixed string, empty string",
+    )
+    out = {r["col_name"]: r for r in
+           infer_column_types(df, ["ints", "mixed", "empty"]).collect()}
+    assert out["ints"]["suggested_type"] == "bigint"
+    assert out["ints"]["frac_int"] == 1.0
+    # mixed column crosses no 99% threshold -> string
+    assert out["mixed"]["suggested_type"] == "string"
+    # all-null column: no evidence, stays string
+    assert out["empty"]["n_values"] == 0
+    assert out["empty"]["suggested_type"] == "string"
+    # '87.0' is double-shaped, NOT int-shaped (the cross-engine contract)
+    d2 = spark.createDataFrame([("87.0",), ("1.5",)], "v string")
+    o2 = infer_column_types(d2, ["v"]).collect()[0]
+    assert o2["frac_int"] == 0.0 and o2["suggested_type"] == "double"
