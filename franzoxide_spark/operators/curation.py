@@ -328,3 +328,66 @@ def cluster_safe_split(
     return split_assign(
         keyed, id_col="cluster_id", weights=weights, names=names, seed=seed
     ).select(id_col, "cluster_id", "split")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row gets key = ln(u)/w with u the seeded
+    id-hash mapped into (0,1] and w its positive weight; the k LARGEST
+    keys are the sample, distributed P(i in sample) ∝ w_i. Deterministic
+    (same corpus + seed -> same sample), order/partition-independent,
+    and engine-agreeing: the key is ROUNDED to 12 dp before ranking so
+    last-ulp ln/pow differences between libm implementations cannot flip
+    the boundary rank (tie-break: the id).
+
+    Scale shape: key is map-side; selection is one top-k
+    (TakeOrdered-shaped when k is small), never a global sort of the
+    corpus.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = hash60(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    ).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 12)
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.desc("__wkey"), F.asc(id_col))
+    return (
+        df.filter(w > 0)
+        .withColumn("__wkey", key)
+        .withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+        .withColumnRenamed("__wkey", "sample_key")
+    )
+
+
+def sql_weighted_sample(
+    rel: str, id_col: str, weight_col: str, k: int, seed: str = "wsample"
+) -> str:
+    from franzoxide_spark.functions.text import sql_hash60
+
+    seeded = f"'{seed}:' || CAST({id_col} AS VARCHAR)"
+    u = f"(CAST({sql_hash60(seeded)} AS DOUBLE) / {float(1 << 60)})"
+    key = f"ROUND(LN({u}) / CAST({weight_col} AS DOUBLE), 12)"
+    return f"""
+WITH keyed AS (
+  SELECT *, {key} AS sample_key FROM {rel}
+  WHERE CAST({weight_col} AS DOUBLE) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY sample_key DESC, {id_col} ASC
+  ) AS rk
+  FROM keyed
+)
+SELECT * EXCLUDE (rk) FROM ranked WHERE rk <= {k}
+"""

@@ -1574,3 +1574,28 @@ WHERE containment >= {_Q119_T}
 
 
 register("q119_containment_pairs", q119, Q119_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q134 — deterministic weighted sampling (operators/curation.py:
+#        weighted_sample, Efraimidis-Spirakis): sample 100 documents
+#        with probability ∝ n_chars — the curriculum/mixture primitive
+#        that is reproducible across runs, engines, and partitionings.
+# --------------------------------------------------------------------------
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.curation import weighted_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100).select(
+        "doc_id", "n_chars", "sample_key"
+    )
+
+
+def _q134_sql() -> str:
+    from franzoxide_spark.operators.curation import sql_weighted_sample
+
+    inner = sql_weighted_sample("documents", "doc_id", "n_chars", 100)
+    return f"SELECT doc_id, n_chars, sample_key FROM ({inner})"
+
+
+register("q134_weighted_sample", q134, _q134_sql())

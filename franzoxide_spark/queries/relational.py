@@ -1195,3 +1195,64 @@ SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
 
 
 register("q131_nested_roundtrip", q131, _Q131_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q133 — top-N + OTHER rollup: the reporting staple — per nation, the
+#        top-3 customers by exact-decimal revenue stay named and the
+#        long tail folds into one OTHER row, so the result is bounded at
+#        (N+1) x |nations| regardless of customer count. Rank ties
+#        cannot flap: revenue is exact decimal and the tie-break is the
+#        key itself.
+# --------------------------------------------------------------------------
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("__rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("__rev"), F.asc("c_custkey")
+    )
+    labeled = per_cust.withColumn("__rk", F.row_number().over(w)).select(
+        "n_name",
+        F.when(F.col("__rk") <= 3, F.col("c_custkey").cast("string"))
+        .otherwise(F.lit("OTHER"))
+        .alias("who"),
+        "__rev",
+    )
+    return labeled.groupBy("n_name", "who").agg(
+        F.sum("__rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+_Q133_SQL = f"""
+WITH per_cust AS (
+  SELECT n_name, c_custkey, SUM({sql_dec("o_totalprice")}) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY n_name ORDER BY rev DESC, c_custkey ASC
+  ) AS rk
+  FROM per_cust
+)
+SELECT n_name,
+       CASE WHEN rk <= 3 THEN CAST(c_custkey AS VARCHAR)
+            ELSE 'OTHER' END AS who,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_customers
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+register("q133_topn_plus_other", q133, _Q133_SQL)

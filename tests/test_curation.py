@@ -378,3 +378,32 @@ def test_cdc_apply_semantics_and_idempotence(spark):
     replay = log.unionByName(log)
     got2 = {r["id"]: r["v"] for r in cdc_apply(replay, "id", "seq").collect()}
     assert got2 == got
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Heavier rows appear more often across seed variations, sampling is
+    partition-independent, and k caps the output."""
+    from franzoxide_spark.operators.curation import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picks = []
+    for s in range(8):
+        got = {r["id"] for r in
+               weighted_sample(df, "id", "w", k=50, seed=f"s{s}").collect()}
+        assert len(got) == 50
+        picks.append(got)
+    heavy_rate = sum(len([i for i in p if i < 50]) for p in picks) / (8 * 50)
+    # 50 heavy rows hold 5000/5950 of the mass; the ES sample is without
+    # replacement so heavy share < mass share, but must dwarf the 5%
+    # population share
+    assert heavy_rate > 0.5, heavy_rate
+    # determinism + partition independence
+    a = weighted_sample(df, "id", "w", 50).collect()
+    b = weighted_sample(df.repartition(13), "id", "w", 50).collect()
+    assert sorted(r["id"] for r in a) == sorted(r["id"] for r in b)
+    # non-positive weights are excluded, k validated
+    z = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "id long, w double")
+    assert [r["id"] for r in weighted_sample(z, "id", "w", 10).collect()] == [3]
+    with pytest.raises(ValueError, match="k must"):
+        weighted_sample(df, "id", "w", 0)
