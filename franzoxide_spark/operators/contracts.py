@@ -158,3 +158,30 @@ def validate_contracts(df: DataFrame, rules: list[Rule]) -> DataFrame:
             (F.col("n_violations") == 0).alias("passed"),
         )
     )
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level contract side-output: returns (good, bad) where ``bad``
+    carries a ``violated`` column naming the failed ROW-LOCAL rules
+    (comma-joined in rule order — deterministic). This is the streaming
+    dead-letter shape: inside foreachBatch, write ``good`` to the main
+    sink and ``bad`` to quarantine, so one malformed record never stalls
+    the pipeline. Table-level rules (unique/foreign_key) have no
+    single-row blame and are rejected here — run validate_contracts for
+    those."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    bad_kinds = [r.name for r in rules if _row_local_violation(r) is None]
+    if bad_kinds:
+        raise ValueError(
+            f"quarantine_split takes row-local rules only; got {bad_kinds}"
+        )
+    marks = [
+        F.when(_row_local_violation(r), F.lit(r.name)) for r in rules
+    ]
+    tagged = df.withColumn("violated", F.concat_ws(",", *marks))
+    good = tagged.filter(F.col("violated") == "").drop("violated")
+    bad = tagged.filter(F.col("violated") != "")
+    return good, bad

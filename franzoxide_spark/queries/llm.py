@@ -1599,3 +1599,70 @@ def _q134_sql() -> str:
 
 
 register("q134_weighted_sample", q134, _q134_sql())
+
+
+# --------------------------------------------------------------------------
+# Q136 — filter operating curve: for a grid of quality thresholds, the
+#        docs and tokens a "keep quality >= t" filter retains (count +
+#        token share) — how the operating point of a corpus filter gets
+#        chosen: the knee of this curve, not a guessed constant. Scores
+#        come from q39's exact relation (same CTE both engines); one
+#        corpus score pass, then the sweep lives on the bounded
+#        |grid| x aggregate domain.
+# --------------------------------------------------------------------------
+_Q136_GRID = [0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70]
+
+
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q39(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    grid = spark.createDataFrame(
+        [(t,) for t in _Q136_GRID], "threshold double"
+    )
+    keep = F.col("quality") >= F.col("threshold")
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("__docs"),
+        F.sum("n_tokens").alias("__toks"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(keep.cast("long")).cast("bigint").alias("docs_kept"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round("threshold", 2).alias("threshold"),
+            "docs_kept",
+            "tokens_kept",
+            F.round(
+                F.col("tokens_kept").cast("double")
+                / F.col("__toks").cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+    )
+
+
+def _q136_sql() -> str:
+    grid = ", ".join(f"({t})" for t in _Q136_GRID)
+    return f"""
+WITH scored AS ({Q39_SQL}),
+grid(threshold) AS (VALUES {grid}),
+tot AS (SELECT COUNT(*) AS docs, SUM(n_tokens) AS toks FROM scored)
+SELECT ROUND(threshold, 2) AS threshold,
+       CAST(SUM(CASE WHEN quality >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_kept,
+       CAST(SUM(CASE WHEN quality >= threshold THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+       ROUND(CAST(SUM(CASE WHEN quality >= threshold THEN n_tokens
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(tot.toks AS DOUBLE), 6) AS token_share
+FROM scored CROSS JOIN grid CROSS JOIN tot
+GROUP BY threshold, tot.toks
+"""
+
+
+register("q136_filter_operating_curve", q136, _q136_sql())

@@ -1256,3 +1256,43 @@ GROUP BY 1, 2
 
 
 register("q133_topn_plus_other", q133, _Q133_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q135 — row quarantine (operators/contracts.py:quarantine_split): the
+#        dead-letter face of q128 — each failing row tagged with the
+#        row-local rules it violates (comma-joined in rule order), good
+#        rows pass through untouched. One scan, map-side only.
+# --------------------------------------------------------------------------
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators import contracts as c
+
+    li = table(spark, sf_dir, "lineitem")
+    rules = [
+        c.in_range("l_discount", 0.0, 0.05),
+        c.accepted_values("l_returnflag", ["A", "N"]),
+        c.expression("small_quantity", "l_quantity <= 30"),
+    ]
+    _good, bad = c.quarantine_split(li, rules)
+    return bad.select("l_orderkey", "l_linenumber", "violated")
+
+
+_Q135_SQL = """
+WITH tagged AS (
+  SELECT l_orderkey, l_linenumber,
+         concat_ws(',',
+           CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                  OR l_discount > 0.05 THEN 'in_range(l_discount)' END,
+           CASE WHEN l_returnflag IS NULL
+                  OR l_returnflag NOT IN ('A', 'N')
+                THEN 'accepted_values(l_returnflag)' END,
+           CASE WHEN NOT COALESCE(l_quantity <= 30, FALSE)
+                THEN 'small_quantity' END
+         ) AS violated
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, violated FROM tagged WHERE violated <> ''
+"""
+
+
+register("q135_row_quarantine", q135, _Q135_SQL)

