@@ -1372,3 +1372,62 @@ def test_interval_join_rejects_bad_inputs(spark):
             df, df.withColumnRenamed("user_id", "uid"),
             on="user_id", left_ts="ts", right_ts="ts2",
         )
+
+
+def test_foreachbatch_quarantine_side_output(spark, tmp_path):
+    """The documented dead-letter usage of quarantine_split: inside
+    foreachBatch, good rows land in the main sink and contract-violating
+    rows in quarantine with their rule tags — one malformed record never
+    stalls the stream, and the two outputs exactly partition the input."""
+    import datetime as dt
+
+    from franzoxide_spark.operators import contracts as c
+
+    in_dir = str(tmp_path / "qin")
+    os.makedirs(in_dir)
+    rows = [
+        (i,
+         dt.datetime(2024, 1, 1, 10, i % 60),
+         float(i % 20) if i % 13 != 0 else -1.0,   # %13 -> negative value
+         "click" if i % 7 != 0 else "mystery")     # %7 -> bad type
+        for i in range(200)
+    ]
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    for f in glob.glob(stage + "/*.parquet"):
+        os.link(f, os.path.join(in_dir, "b0.parquet"))
+
+    rules = [
+        c.in_range("value", 0.0, 100.0),
+        c.accepted_values("event_type", ["click", "view", "purchase"]),
+    ]
+    good_dir, bad_dir = str(tmp_path / "good"), str(tmp_path / "bad")
+
+    def route(batch_df, _bid):
+        good, bad = c.quarantine_split(batch_df, rules)
+        good.write.mode("append").parquet(good_dir)
+        bad.write.mode("append").parquet(bad_dir)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, value double, event_type string"
+    ).parquet(in_dir)
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    good = spark.read.parquet(good_dir)
+    bad = spark.read.parquet(bad_dir)
+    assert good.count() + bad.count() == 200
+    n_bad_expected = len([r for r in rows if r[2] < 0 or r[3] == "mystery"])
+    assert bad.count() == n_bad_expected
+    tags = {r["violated"] for r in bad.collect()}
+    assert "in_range(value)" in " ".join(tags)
+    assert "accepted_values(event_type)" in " ".join(tags)
+    assert "violated" not in good.columns
