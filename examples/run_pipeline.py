@@ -10,8 +10,10 @@ stops cleanly. State (offsets, sink commits) lives in the checkpoint dir,
 so a restart resumes exactly-once.
 
 For an environment without a Kafka broker, switch the source's
-``connector_class`` to ``"file"`` with a ``"path"`` config pointing at
-KafkaRecord-schema parquet, or ``"rate"`` for synthetic load.
+``connector_class`` to ``"kafka_replay"`` with a ``"path"`` config
+pointing at a staged offset log (sources/replay.py — real per-partition
+offset semantics, WAL resume), ``"file"`` for plain KafkaRecord-schema
+parquet, or ``"rate"`` for synthetic load.
 
 When the config carries ``tcp_address`` / ``unix_socket_path`` (the
 reference daemon's dual-transport fields) AND grpcio is installed, the
