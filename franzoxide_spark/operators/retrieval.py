@@ -1,0 +1,181 @@
+"""Keyword retrieval over the corpus: BM25 top-k search.
+
+The missing member of the search family (q30/q37/q53 cover the dense
+embedding side): classic sparse lexical retrieval with the Okapi BM25
+ranking function — the standard first-stage retriever in RAG pipelines
+and the usual lexical baseline next to ANN search.
+
+``score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) /
+                            (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))``
+with the Robertson/Lucene non-negative idf
+``idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))``.
+
+Scale shape (the inverted-index plan, not a scan-per-query):
+
+- ONE corpus shuffle builds the posting list ``(doc, term) → tf`` with
+  map-side combine; the document length ``dl`` is computed at scan time
+  and rides through the explode, so no separate corpus-sized doclen join
+  exists anywhere in the plan.
+- The query set (tiny by definition) broadcasts into the posting list —
+  after that semi-shaped join every downstream row is a posting of a
+  *query* term, so work is bounded by the touched posting lists, exactly
+  like serving from an inverted index.
+- ``df``/``N``/``avgdl`` are one tiny aggregate each (df over the
+  candidate postings, the corpus stats map-side-combined) and re-enter
+  broadcast; per-(query, doc) scoring is one more bounded shuffle and the
+  top-k is a per-query window over candidates only.
+
+At 100 TB the posting-list build is the standard one-shuffle index pass
+(stopword-skewed terms are the AQE skew-join case), and everything after
+it scales with query-term posting sizes, not corpus size.
+
+Reference parity: the reference engine (valdo404/franzoxide, Rust
+Kafka→S3 connector) has no search surface; this extends the
+driver-mandated LLM-pipeline tier (SURVEY.md §2.3) — BM25 per
+Robertson et al., "Okapi at TREC-3" (1995), parameters k1=1.2, b=0.75.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from franzoxide_spark.functions.text import sql_tokens, tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries`` is a small DataFrame ``(query_id int, query_text string)``
+    — it is broadcast, so keep it query-sized (thousands, not millions).
+    Duplicate terms within one query count once (binary query-side tf,
+    the common BM25 simplification). Scores are rounded to 6 decimals
+    before ranking with ``doc_id`` ascending as the tiebreak, so the
+    ordering is engine-stable.
+
+    Returns ``(query_id, doc_id-named id_col, rk, bm25)``.
+    """
+    # Posting lists: dl computed at scan time rides through the explode,
+    # so the ONE wide exchange here is the (doc, term) combine.
+    toks = docs.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+    ).select(id_col, F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+
+    # Corpus stats: one row, broadcast.
+    stats = docs.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+
+    # Distinct query terms, broadcast into the posting list — everything
+    # after this join is bounded by the touched posting lists.
+    qterms = queries.select(
+        "query_id", F.explode(tokens("query_text")).alias("term")
+    ).distinct()
+    cand = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+
+    # df over candidates == df over the corpus for query terms (every
+    # posting of those terms survived the join). Tiny; re-enters broadcast.
+    df_tbl = cand.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        cand.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (1.0 + k1))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, F.col("rk").cast("int").alias("rk"), "bm25")
+    )
+
+
+def sql_bm25_topk(
+    table: str,
+    queries: list[tuple[int, str]],
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk` with the query set inlined."""
+    qvalues = ", ".join(f"({qid}, '{qt}')" for qid, qt in queries)
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {qvalues}),
+qt AS (
+  SELECT DISTINCT query_id, unnest({sql_tokens("query_text")}) AS term FROM q
+),
+toks AS (
+  SELECT {id_col}, len({sql_tokens(text_col)}) AS dl,
+         unnest({sql_tokens(text_col)}) AS term
+  FROM {table}
+),
+tf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM toks GROUP BY {id_col}, term
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len({sql_tokens(text_col)})) AS avgdl
+  FROM {table}
+),
+cand AS (
+  SELECT tf.* FROM tf
+  WHERE term IN (SELECT term FROM qt)
+),
+dfs AS (SELECT term, COUNT(*) AS df FROM cand GROUP BY term),
+scored AS (
+  SELECT qt.query_id, cand.{id_col},
+         ROUND(SUM(
+           ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (cand.tf * (1.0 + {k1}))
+           / (cand.tf + {k1} * (1.0 - {b} + {b} * cand.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM cand
+  JOIN qt ON qt.term = cand.term
+  JOIN dfs ON dfs.term = cand.term
+  CROSS JOIN stats
+  GROUP BY qt.query_id, cand.{id_col}
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY bm25 DESC, {id_col} ASC) AS rk
+  FROM scored
+)
+SELECT query_id, {id_col}, CAST(rk AS INT) AS rk, bm25 FROM r WHERE rk <= {k}
+"""

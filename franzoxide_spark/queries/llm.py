@@ -1666,3 +1666,36 @@ GROUP BY threshold, tot.toks
 
 
 register("q136_filter_operating_curve", q136, _q136_sql())
+
+
+# --------------------------------------------------------------------------
+# Q137 — BM25 top-k retrieval (operators/retrieval.py: bm25_topk): the
+#        sparse lexical side of the search family (q30/q37/q53 are the
+#        dense side) — inverted-index plan, query terms broadcast, work
+#        bounded by touched posting lists, not corpus size.
+# --------------------------------------------------------------------------
+_Q137_QUERIES = [
+    (1, "hash join order"),
+    (2, "window sort merge stream"),
+    (3, "customer line filter"),
+    (4, "big data query scan"),
+]
+
+
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _Q137_QUERIES, "query_id int, query_text string"
+    )
+    return bm25_topk(docs, queries, "doc_id", "text", k=10)
+
+
+def _q137_sql() -> str:
+    from franzoxide_spark.operators.retrieval import sql_bm25_topk
+
+    return sql_bm25_topk("documents", _Q137_QUERIES, "doc_id", "text", k=10)
+
+
+register("q137_bm25_topk", q137, _q137_sql())
