@@ -181,3 +181,34 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q125_kmeans_summary", q125, None)
+
+
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer train + apply (operators/tokenizer.py): learn 60
+    merges from the bounded word-frequency table, encode the corpus with
+    the broadcast merge table, report per-source BPE compression
+    (chars per BPE token). Rows-only (iterative merge learning has no SQL
+    counterpart); the real verification is tests/test_tokenizer.py —
+    reference-implementation equality, round-trip, monotonicity, and
+    partitioning-independence."""
+    from franzoxide_spark.operators.tokenizer import apply_bpe, learn_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, "text", n_merges=60, top_words=50_000)
+    enc = apply_bpe(docs, "doc_id", "text", merges)
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(enc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+register("q138_bpe_tokenizer", q138, None)
