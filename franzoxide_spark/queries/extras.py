@@ -179,3 +179,79 @@ register("q45_pivot_unpivot", q45, Q45_SQL)
 register("q47_pandas_udf_score", q47, Q47_SQL)
 register("q48_python_udtf_shingles", q48, Q48_SQL)
 register("q49_exact_percentiles", q49, Q49_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q139 — PageRank over the supplier↔customer co-transaction graph
+#        (operators/graph.py): nodes are suppliers (key*2) and customers
+#        (key*2+1), an undirected edge per distinct (supplier, customer)
+#        pair that shares a lineitem. 3 power iterations, d=0.85; the
+#        oracle unrolls the identical recurrence in SQL. Final ranks
+#        rounded to 9dp (values ~1/N; FP summation wobble is ~1e-15).
+# --------------------------------------------------------------------------
+_Q139_EDGE_CTE = """
+SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+UNION
+SELECT DISTINCT o_custkey * 2 + 1 AS src, l_suppkey * 2 AS dst
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+"""
+
+
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from franzoxide_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85).select(
+        "node", F.round("rank", 9).alias("rank")
+    )
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        ranks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("node_type"),
+            F.floor(F.col("node") / 2).cast("bigint").alias("node_key"),
+            F.col("rk").cast("int").alias("rk"),
+            "rank",
+        )
+    )
+
+
+def _q139_sql() -> str:
+    from franzoxide_spark.operators.graph import sql_pagerank_unrolled
+
+    prefix = sql_pagerank_unrolled(_Q139_EDGE_CTE, iters=3, damping=0.85)
+    return f"""
+{prefix},
+final AS (SELECT node, ROUND(rank, 9) AS rank FROM r3),
+topk AS (
+  SELECT node, rank,
+         ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS rk
+  FROM final
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS node_key,
+       CAST(rk AS INT) AS rk,
+       rank
+FROM topk WHERE rk <= 20
+"""
+
+
+register("q139_pagerank_topk", q139, _q139_sql())
