@@ -124,6 +124,71 @@ def bm25_topk(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    n: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) of a
+    per-query candidate set: greedily pick ``n`` of each query's
+    candidates maximizing ``λ·rel − (1−λ)·max_{s∈selected} cos(cand, s)``.
+
+    ``candidates`` columns: ``query_id``, ``neighbor_id``, ``rel``
+    (relevance score from any first stage — q30 exact cosine, q37 ANN,
+    q137 BM25), ``vec array<float>``. This is the diversity rerank that
+    runs AFTER candidate generation, so the greedy loop only ever sees a
+    bounded top-k per query: ``applyInPandas`` groups by query and each
+    group is O(k²·dim) NumPy work — queries distribute, candidate sets
+    never grow with corpus size.
+
+    Deterministic: ties on the MMR score go to the smaller neighbor_id;
+    scores are rounded to 6dp. Returns
+    ``(query_id, neighbor_id, sel_rank, mmr)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["neighbor_id"]).reset_index(drop=True)
+        vecs = np.stack(pdf["vec"].map(np.asarray, na_action=None)).astype(
+            "float64"
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf["rel"].to_numpy(dtype="float64")
+        m = len(pdf)
+        chosen: list[int] = []
+        max_sim = np.full(m, -np.inf)
+        out_rows = []
+        for rank in range(1, min(n, m) + 1):
+            pen = np.where(np.isfinite(max_sim), max_sim, 0.0)
+            has_sel = bool(chosen)
+            score = lam * rel - ((1 - lam) * pen if has_sel else 0.0)
+            score = np.round(score, 6)
+            score[chosen] = -np.inf
+            best = int(np.argmax(score))  # argmax takes the FIRST max =
+            chosen.append(best)           # smallest neighbor_id on ties
+            sims = unit @ unit[best]
+            max_sim = np.maximum(max_sim, sims)
+            out_rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    int(pdf["neighbor_id"].iloc[best]),
+                    rank,
+                    float(score[best]),
+                )
+            )
+        return pd.DataFrame(
+            out_rows, columns=["query_id", "neighbor_id", "sel_rank", "mmr"]
+        )
+
+    return candidates.groupBy("query_id").applyInPandas(
+        pick, schema="query_id long, neighbor_id long, sel_rank int, mmr double"
+    )
+
+
 def sql_bm25_topk(
     table: str,
     queries: list[tuple[int, str]],

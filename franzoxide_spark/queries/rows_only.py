@@ -212,3 +212,32 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q138_bpe_tokenizer", q138, None)
+
+
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (operators/retrieval.py: mmr_rerank) over
+    q30's exact-cosine candidates: top-20 in, 5 diverse out per query.
+    Rows-only (greedy sequential selection has no SQL counterpart); the
+    binding checks are the closed-form/diversity/determinism properties
+    in tests/test_retrieval.py."""
+    from franzoxide_spark.operators.retrieval import mmr_rerank
+    from franzoxide_spark.operators.similarity import topk_cosine_exact
+
+    emb = table(spark, sf_dir, "embeddings")
+    cands = (
+        topk_cosine_exact(
+            emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=20
+        )
+        .withColumnRenamed("cos", "rel")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("vec"),
+            ),
+            "neighbor_id",
+        )
+    )
+    return mmr_rerank(cands, n=5, lam=0.7)
+
+
+register("q140_mmr_rerank", q140, None)

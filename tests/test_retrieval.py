@@ -67,6 +67,73 @@ def test_bm25_rank_order_and_k(spark):
     assert all(r["query_id"] == 7 for r in rows)
 
 
+def _mmr_ref(cands, n, lam):
+    """Plain-Python MMR oracle. cands: list of (nid, rel, vec)."""
+    import numpy as np
+
+    cands = sorted(cands)
+    unit = []
+    for _, _, v in cands:
+        a = np.asarray(v, dtype="float64")
+        nrm = np.linalg.norm(a) or 1.0
+        unit.append(a / nrm)
+    chosen, out = [], []
+    for rank in range(1, min(n, len(cands)) + 1):
+        best, best_score = None, None
+        for i, (nid, rel, _) in enumerate(cands):
+            if i in chosen:
+                continue
+            pen = max((float(unit[i] @ unit[j]) for j in chosen), default=0.0)
+            s = round(lam * rel - (1 - lam) * pen if chosen else lam * rel, 6)
+            if best is None or s > best_score:
+                best, best_score = i, s
+        chosen.append(best)
+        out.append((cands[best][0], rank, best_score))
+    return out
+
+
+def test_mmr_matches_reference_and_diversifies(spark):
+    from franzoxide_spark.operators.retrieval import mmr_rerank
+
+    # two near-identical high-rel candidates + two distinct mid-rel ones:
+    # pure relevance order would take both twins; MMR must not
+    cands = [
+        (1, 10, 0.99, [1.0, 0.0, 0.0]),
+        (1, 11, 0.98, [0.999, 0.01, 0.0]),   # twin of 10
+        (1, 12, 0.80, [0.0, 1.0, 0.0]),
+        (1, 13, 0.70, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        cands, "query_id long, neighbor_id long, rel double, vec array<double>"
+    )
+    got = [
+        (r["neighbor_id"], r["sel_rank"], r["mmr"])
+        for r in mmr_rerank(df, n=3, lam=0.5).orderBy("sel_rank").collect()
+    ]
+    ref = _mmr_ref([(nid, rel, v) for _, nid, rel, v in cands], 3, 0.5)
+    assert got == ref
+    assert got[0][0] == 10                      # first pick = top relevance
+    picked = {g[0] for g in got}
+    assert not {10, 11} <= picked               # the twin was skipped
+
+
+def test_mmr_lambda_one_is_relevance_order(spark):
+    from franzoxide_spark.operators.retrieval import mmr_rerank
+
+    cands = [
+        (2, i, 1.0 - i / 10, [float(i == j) for j in range(4)])
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        cands, "query_id long, neighbor_id long, rel double, vec array<double>"
+    )
+    got = [
+        r["neighbor_id"]
+        for r in mmr_rerank(df, n=4, lam=1.0).orderBy("sel_rank").collect()
+    ]
+    assert got == [0, 1, 2, 3]
+
+
 def test_bm25_plan_is_inverted_index_shaped(spark, sf_dir):
     """Query terms / df / stats all enter broadcast; the only sort-merge
     machinery allowed is none — candidates are joined hash-side — and no
