@@ -1693,3 +1693,26 @@ def _q132_sql() -> str:
 
 
 register("q132_type_inference", q132, _q132_sql())
+
+
+# --------------------------------------------------------------------------
+# Q141 — frequent co-occurrence pairs (operators/basket.py): per-user
+#        event-type baskets, pairs with support + lift — the A-Priori
+#        first pass / association-rule primitive. Map-side pair explode
+#        over bounded baskets; the SQL mirror uses the equivalent
+#        self-join form.
+# --------------------------------------------------------------------------
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.basket import frequent_pairs
+
+    ev = table(spark, sf_dir, "events")
+    return frequent_pairs(ev, "user_id", "event_type", min_support=0.05)
+
+
+def _q141_sql() -> str:
+    from franzoxide_spark.operators.basket import sql_frequent_pairs
+
+    return sql_frequent_pairs("events", "user_id", "event_type", min_support=0.05)
+
+
+register("q141_frequent_pairs", q141, _q141_sql())
