@@ -306,3 +306,95 @@ def sample_frames(
             )
 
     return media_df.mapInPandas(run, schema=out_schema)
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL audio: each document's text bytes become the
+    sample stream of a genuine 16-bit PCM WAV (mono for even doc_ids,
+    stereo for odd; sample rate cycles through common rates) — the audio
+    twin of synthesize_bmp_media. Every buffer round-trips through the
+    actual RIFF encoder, so the decode path runs end-to-end with no fake
+    flag. Arrow-batched mapInPandas; map-side only."""
+    out_schema = "doc_id bigint, media binary"
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from franzoxide_spark.functions.audio import encode_wav
+
+        rates = (8000, 16000, 44100)
+        for pdf in batches:
+            media = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                src = np.frombuffer(
+                    (text or "").encode("utf-8") or b"\x00", dtype=np.uint8
+                )
+                samples = ((src.astype(np.int32) - 128) * 256).astype("<i2")
+                channels = 1 if int(doc_id) % 2 == 0 else 2
+                n = len(samples) - len(samples) % channels
+                if n == 0:
+                    samples = np.zeros(channels, dtype="<i2")
+                    n = channels
+                media.append(
+                    encode_wav(
+                        samples[:n].reshape(-1, channels),
+                        rates[int(doc_id) % 3],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=out_schema)
+
+
+def decode_audio_stats(media_df: DataFrame) -> DataFrame:
+    """Decode every supported audio buffer and emit typed signal stats;
+    unsupported/malformed buffers are flagged, not dropped.
+
+    Output: ``doc_id, ok, format, sample_rate, channels, n_samples,
+    duration_s, rms, peak, zcr`` (rms/peak on the [-1, 1] float scale,
+    zcr = mean zero-crossing rate across channels; 6dp). Arrow-batched
+    mapInPandas, map-side only — a pure scan stage at any scale, same as
+    decode_image_stats."""
+    out_schema = (
+        "doc_id bigint, ok boolean, format string, sample_rate int,"
+        " channels int, n_samples long, duration_s double, rms double,"
+        " peak double, zcr double"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from franzoxide_spark.functions.audio import decode_wav, sniff_audio
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(blob)
+                kind = sniff_audio(raw)
+                try:
+                    rate, arr = decode_wav(raw)
+                except ValueError:
+                    rows.append((doc_id, False, kind, None, None, None,
+                                 None, None, None, None))
+                    continue
+                x = arr.astype(np.float64) / 32768.0
+                n = arr.shape[0]
+                sb = np.signbit(x)
+                zc = float(np.mean(sb[1:] != sb[:-1])) if n > 1 else 0.0
+                rows.append((
+                    doc_id, True, f"audio/{kind}", int(rate),
+                    int(arr.shape[1]), int(n),
+                    round(n / rate, 6),
+                    round(float(np.sqrt(np.mean(x * x))), 6),
+                    round(float(np.max(np.abs(x))) if n else 0.0, 6),
+                    round(zc, 6),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ok", "format", "sample_rate", "channels",
+                         "n_samples", "duration_s", "rms", "peak", "zcr"],
+            )
+
+    return media_df.mapInPandas(run, schema=out_schema)

@@ -241,3 +241,27 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q140_mmr_rerank", q140, None)
+
+
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (operators/multimodal.py +
+    functions/audio.py): each document's text becomes a genuine 16-bit
+    PCM WAV, then decode_audio_stats parses the RIFF chunks + samples
+    and emits signal stats — the audio twin of q113's image path, no
+    fake flag anywhere. Rows-only; the binding checks are the codec
+    goldens and encode/decode round-trip in tests/test_audio_decode.py."""
+    from franzoxide_spark.operators.multimodal import (
+        decode_audio_stats,
+        synthesize_wav_media,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    stats = decode_audio_stats(synthesize_wav_media(docs))
+    return stats.groupBy("ok", "format", "sample_rate", "channels").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+    )
+
+
+register("q142_audio_decode_stats", q142, None)
