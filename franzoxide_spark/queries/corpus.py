@@ -1716,3 +1716,75 @@ def _q141_sql() -> str:
 
 
 register("q141_frequent_pairs", q141, _q141_sql())
+
+
+# --------------------------------------------------------------------------
+# Q143 — last-touch conversion attribution: each purchase credits the
+#        user's most recent prior non-purchase event within the 1-hour
+#        lookback ('direct' when none) — the marketing-attribution shape
+#        on the same single user-key shuffle as the rest of the event
+#        family. Deterministic total order: (ts, event_id).
+# --------------------------------------------------------------------------
+_Q143_LOOKBACK_S = 3600
+
+
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("ts").alias("t"), F.col("event_type").alias("ch")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.withColumn("__touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("__touch").isNotNull()
+                & (
+                    F.col("ts").cast("long") - F.col("__touch.t").cast("long")
+                    <= _Q143_LOOKBACK_S
+                ),
+                F.col("__touch.ch"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel")
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+
+
+_Q143_SQL = f"""
+WITH touched AS (
+  SELECT event_type, ts,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN struct_pack(t := ts, ch := event_type) END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS tch
+  FROM events
+)
+SELECT CASE WHEN tch IS NOT NULL
+             AND CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - CAST(FLOOR(epoch(tch.t)) AS BIGINT) <= {_Q143_LOOKBACK_S}
+            THEN tch.ch ELSE 'direct' END AS channel,
+       COUNT(*) AS n_purchases
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+register("q143_purchase_attribution", q143, _Q143_SQL)

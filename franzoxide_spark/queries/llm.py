@@ -1699,3 +1699,42 @@ def _q137_sql() -> str:
 
 
 register("q137_bm25_topk", q137, _q137_sql())
+
+
+# --------------------------------------------------------------------------
+# Q144 — k-anonymity audit (governance, next to q103's PII density): the
+#        quasi-identifier classes (nation, segment, balance band) whose
+#        equivalence class is smaller than k=5 — the rows a release
+#        would re-identify. One map-side-combined aggregation over the
+#        bounded QI grid; the summary row count is the "rows at risk"
+#        number a privacy gate thresholds on.
+# --------------------------------------------------------------------------
+_Q144_K = 5
+
+
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return classes.filter(F.col("n") < _Q144_K).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        F.col("n").cast("int").alias("n"),
+    )
+
+
+_Q144_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS INT) AS n
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < {_Q144_K}
+"""
+
+
+register("q144_k_anonymity_audit", q144, _Q144_SQL)
