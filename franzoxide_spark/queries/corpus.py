@@ -1788,3 +1788,92 @@ GROUP BY 1
 
 
 register("q143_purchase_attribution", q143, _Q143_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q145 — A/B experiment report with Welch's t: users split into arms by
+#        id parity, per-arm n / mean / sample variance of the event
+#        value, then the Welch statistic and its Satterthwaite df.
+#        Moments come from exact-decimal Σx / Σx² (ONE map-side-combined
+#        conditional-aggregation pass over the log — the scale shape of
+#        every metrics pipeline), so the variances cannot flap on FP
+#        accumulation order; the final t/df arithmetic is the identical
+#        double expression on identical inputs in both engines.
+# --------------------------------------------------------------------------
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.numeric import dec
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arm_a = (F.col("user_id") % 2) == 0
+    v = dec(F.col("value"))
+    agg = ev.agg(
+        F.sum(arm_a.cast("long")).alias("n_a"),
+        F.sum((~arm_a).cast("long")).alias("n_b"),
+        F.sum(F.when(arm_a, v)).cast("double").alias("s_a"),
+        F.sum(F.when(~arm_a, v)).cast("double").alias("s_b"),
+        F.sum(F.when(arm_a, v * v)).cast("double").alias("ss_a"),
+        F.sum(F.when(~arm_a, v * v)).cast("double").alias("ss_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    qa = var_a / F.col("n_a")
+    qb = var_b / F.col("n_b")
+    t = (mean_a - mean_b) / F.sqrt(qa + qb)
+    df = (qa + qb) * (qa + qb) / (
+        qa * qa / (F.col("n_a") - 1) + qb * qb / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(var_a, 6).alias("var_a"),
+        F.round(var_b, 6).alias("var_b"),
+        F.round(t, 6).alias("welch_t"),
+        F.round(df, 6).alias("welch_df"),
+    )
+
+
+def _q145_sql() -> str:
+    from franzoxide_spark.functions.numeric import sql_dec
+
+    v = sql_dec("value")
+    return f"""
+WITH agg AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN {v} END) AS DOUBLE) AS s_a,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN {v} END) AS DOUBLE) AS s_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN {v} * {v} END) AS DOUBLE) AS ss_a,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN {v} * {v} END) AS DOUBLE) AS ss_b
+  FROM events WHERE value IS NOT NULL
+)
+SELECT CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+       ROUND(s_a / n_a, 6) AS mean_a,
+       ROUND(s_b / n_b, 6) AS mean_b,
+       ROUND((ss_a - s_a * s_a / n_a) / (n_a - 1), 6) AS var_a,
+       ROUND((ss_b - s_b * s_b / n_b) / (n_b - 1), 6) AS var_b,
+       ROUND((s_a / n_a - s_b / n_b)
+             / sqrt((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+                    + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b), 6)
+         AS welch_t,
+       ROUND(((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+              + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+             * ((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+                + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+             / (((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a)
+                * ((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a) / (n_a - 1)
+                + ((ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+                * ((ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b) / (n_b - 1)),
+             6) AS welch_df
+FROM agg
+"""
+
+
+register("q145_ab_welch_report", q145, _q145_sql())

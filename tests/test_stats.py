@@ -202,3 +202,48 @@ def test_infer_column_types_edges(spark):
     d2 = spark.createDataFrame([("87.0",), ("1.5",)], "v string")
     o2 = infer_column_types(d2, ["v"]).collect()[0]
     assert o2["frac_int"] == 0.0 and o2["suggested_type"] == "double"
+
+
+def test_welch_report_matches_textbook(spark):
+    """q145's Welch t/df against a plain-Python computation on the same
+    scale-4-rounded values (the dec() fixed point both engines share)."""
+    import math
+
+    from franzoxide_spark.queries import QUERIES, load_all
+
+    load_all()
+    # tiny deterministic sample mirroring the fixture layout
+    rows = [(i, float(f"{(i * 37 % 100) / 7:.4f}")) for i in range(1, 41)]
+    a = [v for u, v in rows if u % 2 == 0]
+    b = [v for u, v in rows if u % 2 != 0]
+
+    def stats(x):
+        n = len(x)
+        m = sum(x) / n
+        var = (sum(v * v for v in x) - sum(x) ** 2 / n) / (n - 1)
+        return n, m, var
+
+    na, ma, va = stats(a)
+    nb, mb, vb = stats(b)
+    qa, qb = va / na, vb / nb
+    t_ref = (ma - mb) / math.sqrt(qa + qb)
+    df_ref = (qa + qb) ** 2 / (qa * qa / (na - 1) + qb * qb / (nb - 1))
+
+    import pandas as pd
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as d:
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": pd.Timestamp("2024-01-01"),
+                "user_id": [u for u, _ in rows],
+                "event_type": "view",
+                "value": [v for _, v in rows],
+                "props": "{}",
+            }
+        )
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        got = QUERIES["q145_ab_welch_report"](spark, d).collect()[0]
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert abs(got["welch_t"] - t_ref) < 1e-5
+    assert abs(got["welch_df"] - df_ref) < 1e-4
