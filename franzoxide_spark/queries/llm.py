@@ -1738,3 +1738,60 @@ HAVING COUNT(*) < {_Q144_K}
 
 
 register("q144_k_anonymity_audit", q144, _Q144_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q146 — lang-ID calibration curve: bin q38's prediction confidence
+#        (winning lexicon share of all lexicon hits) and report the
+#        empirical accuracy per bin — the reliability diagram that says
+#        whether the classifier's confidence can gate routing decisions
+#        (the ML-eval twin of q96's confusion matrix). Confidence is an
+#        exact integer ratio, so both engines bin identically; one
+#        map-side scan + one bounded 5-bin aggregation.
+# --------------------------------------------------------------------------
+_Q146_BINS = 5
+
+
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q38(spark, sf_dir)
+    total = sum(F.col(f"s_{lg}") for lg in LANG_ORDER).cast("double")
+    top = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_ORDER]).cast("double")
+    conf = F.when(total > 0, top / total).otherwise(0.0)
+    b = F.least(
+        F.floor(conf * _Q146_BINS).cast("int"), F.lit(_Q146_BINS - 1)
+    )
+    return (
+        scored.withColumn("__conf", conf)
+        .withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.round(F.avg("__conf"), 6).alias("avg_conf"),
+            F.round(F.avg(F.col("correct").cast("double")), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+def _q146_sql() -> str:
+    total = " + ".join(f"s_{lg}" for lg in LANG_ORDER)
+    top = "GREATEST(" + ", ".join(f"s_{lg}" for lg in LANG_ORDER) + ")"
+    return f"""
+WITH scored AS ({Q38_SQL}),
+confd AS (
+  SELECT correct,
+         CASE WHEN ({total}) > 0
+              THEN CAST({top} AS DOUBLE) / ({total}) ELSE 0.0 END AS conf
+  FROM scored
+)
+SELECT CAST(LEAST(FLOOR(conf * {_Q146_BINS}), {_Q146_BINS - 1}) AS INT) AS bin,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       ROUND(AVG(conf), 6) AS avg_conf,
+       ROUND(AVG(CAST(correct AS DOUBLE)), 6) AS accuracy
+FROM confd
+GROUP BY 1
+"""
+
+
+register("q146_langid_calibration", q146, _q146_sql())
