@@ -1322,3 +1322,62 @@ SELECT l_orderkey, l_linenumber, violated FROM tagged WHERE violated <> ''
 
 
 register("q135_row_quarantine", q135, _Q135_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q147 — TPC-H Q5 shape (local supplier volume): the 6-table join with
+#        the cross-dimension residual c_nationkey = s_nationkey — the
+#        classic join-REORDERING benchmark. The fact tables join on their
+#        keys (one shuffle pair); region/nation/customer/supplier all
+#        enter broadcast, and the nation equality is a residual on the
+#        broadcast side, so Catalyst is free to pick the order. Exact-
+#        decimal revenue; full-year 1996 ASIA slice.
+# --------------------------------------------------------------------------
+_Q147_LO, _Q147_HI = "1996-01-01", "1997-01-01"
+
+
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q147_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q147_HI).cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(12,4)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_Q147_SQL = f"""
+SELECT n_name, {sql_dsum(_DP, "revenue")}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '{_Q147_LO}'
+  AND o_orderdate <  TIMESTAMP '{_Q147_HI}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+register("q147_tpch_local_volume", q147, _Q147_SQL)
