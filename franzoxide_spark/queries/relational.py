@@ -1381,3 +1381,47 @@ ORDER BY revenue DESC, n_name
 
 
 register("q147_tpch_local_volume", q147, _Q147_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q148 — TPC-H Q17 shape (correlated aggregate subquery): revenue of
+#        lineitems whose quantity is below 20% of their part's average.
+#        The aggregate-then-rejoin decorrelation: the per-part average is
+#        ONE map-side-combined aggregation over the same key the fact
+#        join uses, so both sides share the l_partkey exchange (no
+#        per-row subquery execution anywhere). The Brand filter enters
+#        broadcast.
+# --------------------------------------------------------------------------
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        davg(dec("l_quantity"), "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            dsum(dec("l_extendedprice"), "total_price"),
+        )
+    )
+
+
+_Q148_SQL = f"""
+WITH avg_q AS (
+  SELECT l_partkey AS pk, {sql_davg(sql_dec("l_quantity"), "avg_qty")}
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS INT) AS n_lines,
+       {sql_dsum(sql_dec("l_extendedprice"), "total_price")}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_q ON l_partkey = pk
+WHERE p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+"""
+
+
+register("q148_tpch_avg_quantity_gate", q148, _Q148_SQL)
