@@ -213,8 +213,26 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    # Bipartite degree attach: per-side degree tables are key-cardinality
+    # sized (suppliers / customers), so they re-enter broadcast and the
+    # doubled edge list is built map-side with `deg` already on it —
+    # pagerank() then skips its generic degree groupBy over 2x|pairs|
+    # rows (the edge build dominates its wall-clock; see operators/graph).
+    deg_s = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("__ds"))
+    deg_c = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("__dc"))
+    attached = pairs.join(F.broadcast(deg_s), "s").join(
+        F.broadcast(deg_c), "c"
+    )
+    edges = attached.select(
+        F.col("s").alias("src"),
+        F.col("c").alias("dst"),
+        F.col("__ds").alias("deg"),
+    ).union(
+        attached.select(
+            F.col("c").alias("src"),
+            F.col("s").alias("dst"),
+            F.col("__dc").alias("deg"),
+        )
     )
     ranks = pagerank(edges, iters=3, damping=0.85).select(
         "node", F.round("rank", 9).alias("rank")
