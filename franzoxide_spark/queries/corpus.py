@@ -1877,3 +1877,68 @@ FROM agg
 
 
 register("q145_ab_welch_report", q145, _q145_sql())
+
+
+# --------------------------------------------------------------------------
+# Q149 — hourly session concurrency: how many 30-minute-gap sessions
+#        (q74's sessionizer) are live in each hour — the load-curve /
+#        capacity metric. Sessions collapse to (start, end) on the one
+#        user-key shuffle, each session explodes into its own hour span
+#        (bounded by session duration, not corpus size), and the final
+#        count is a map-side-combined hour aggregation — no global sweep
+#        line, no unpartitioned window.
+# --------------------------------------------------------------------------
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.timeseries import with_session_index
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = with_session_index(
+        ev, "user_id", "ts", "event_id", gap_s=_Q74_GAP_MIN * 60
+    )
+    spans = sess.groupBy("user_id", "session_idx").agg(
+        F.date_trunc("hour", F.min("ts")).alias("__h0"),
+        F.date_trunc("hour", F.max("ts")).alias("__h1"),
+    )
+    return (
+        spans.select(
+            F.explode(
+                F.expr("sequence(__h0, __h1, interval 1 hour)")
+            ).alias("__h")
+        )
+        .groupBy(F.date_format("__h", "yyyy-MM-dd HH:00").alias("hour_s"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_active_sessions"))
+    )
+
+
+_Q149_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL '{_Q74_GAP_MIN} minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS session_idx
+  FROM o
+),
+spans AS (
+  SELECT user_id, session_idx,
+         date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM s GROUP BY user_id, session_idx
+),
+hours AS (
+  SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM spans
+)
+SELECT strftime(h, '%Y-%m-%d %H:00') AS hour_s,
+       CAST(COUNT(*) AS INT) AS n_active_sessions
+FROM hours GROUP BY h
+"""
+
+
+register("q149_session_concurrency", q149, _Q149_SQL)
