@@ -860,3 +860,58 @@ def containment_pairs(
         .alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= t)
+
+
+def minhash_accuracy_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Sketch-quality audit ("measure, don't guess" applied to the
+    sketch itself): for every LSH candidate pair, the MinHash-ESTIMATED
+    Jaccard (fraction of agreeing signature components — the quantity
+    the banding decision is actually made on) next to the exact
+    shingle-set Jaccard, plus the absolute error. The operational answer
+    to "are 8 hashes enough at our threshold?" — E[err] ~ 1/sqrt(k).
+
+    Same plan shape as minhash_near_duplicates: map-side signatures,
+    band-bucket join for candidates only (never all pairs), two
+    signature re-joins; the estimate is a zip_with fold inside codegen.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        _with_tokens(df, text_col), text_col, id_col, num_hashes, shingle_k
+    ).cache()
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig").alias("sg_a"),
+        F.col("shingle_set").alias("sh_a"),
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig").alias("sg_b"),
+        F.col("shingle_set").alias("sh_b"),
+    )
+    est = (
+        F.expr("size(filter(zip_with(sg_a, sg_b, (x, y) -> x = y), b -> b))")
+        .cast("double")
+        / num_hashes
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    exact = inter / union
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )

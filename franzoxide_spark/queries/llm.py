@@ -1795,3 +1795,55 @@ GROUP BY 1
 
 
 register("q146_langid_calibration", q146, _q146_sql())
+
+
+# --------------------------------------------------------------------------
+# Q150 — MinHash sketch-accuracy audit (operators/dedup.py:
+#        minhash_accuracy_audit): estimated vs exact Jaccard with the
+#        absolute error for every q33 LSH candidate pair — the evidence
+#        behind the num_hashes/bands parameter choice. Reuses q33's
+#        exact SQL signature machinery; the estimate is the signature
+#        agreement fraction in both engines.
+# --------------------------------------------------------------------------
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.dedup import minhash_accuracy_audit
+
+    return minhash_accuracy_audit(
+        table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+_Q150_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM toks),
+sig AS (
+  SELECT doc_id, ss, {_build_minhash_sig_sql()} AS sg
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, k AS band, sg[2 * k + 1] AS h1, sg[2 * k + 2] AS h2
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_filter(range(1, 9),
+                                  i -> sa.sg[i] = sb.sg[i])) AS DOUBLE) / 8,
+             6) AS est_jaccard,
+       ROUND(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+             / CAST(len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))
+                    AS DOUBLE), 6) AS jaccard,
+       ROUND(ABS(CAST(len(list_filter(range(1, 9),
+                                      i -> sa.sg[i] = sb.sg[i])) AS DOUBLE) / 8
+                 - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                   / CAST(len(sa.ss) + len(sb.ss)
+                          - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)),
+             6) AS abs_err
+FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+"""
+
+
+register("q150_minhash_accuracy", q150, _Q150_SQL)
