@@ -149,3 +149,120 @@ FROM est e JOIN exact x ON e.item = x.item
 ORDER BY cms_est DESC, e.item ASC
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitter sketches
+# --------------------------------------------------------------------------
+
+
+def _mg_fold(stream, capacity: int) -> dict:
+    """Textbook Misra-Gries (1982): at most ``capacity`` counters; a full
+    table decrements all counters instead of inserting. Estimated counts
+    undercount by at most (total decrements) <= n/(capacity+1)."""
+    counters: dict = {}
+    for item in stream:
+        if item in counters:
+            counters[item] += 1
+        elif len(counters) < capacity:
+            counters[item] = 1
+        else:
+            dead = []
+            for k in counters:
+                counters[k] -= 1
+                if counters[k] == 0:
+                    dead.append(k)
+            for k in dead:
+                del counters[k]
+    return counters
+
+
+def mg_merge(sketches, capacity: int) -> dict:
+    """Merge MG sketches (Agarwal et al. 2012, "Mergeable Summaries"):
+    sum counters by key, then subtract the (capacity+1)-th largest count
+    from all and drop the non-positive — the result obeys the SAME error
+    bound as a single sketch built over the concatenated streams."""
+    total: dict = {}
+    for sk in sketches:
+        for k, v in sk.items():
+            total[k] = total.get(k, 0) + v
+    if len(total) > capacity:
+        cut = sorted(total.values(), reverse=True)[capacity]
+        total = {k: v - cut for k, v in total.items() if v - cut > 0}
+    return total
+
+
+def mg_sketch_rollup(
+    events: DataFrame,
+    bucket_col: str,
+    rollup_col: str,
+    item_col: str,
+    capacity: int = 20,
+) -> DataFrame:
+    """Per-``bucket_col`` (e.g. day) Misra-Gries sketches of ``item_col``,
+    merged per ``rollup_col`` (e.g. week) WITHOUT rescanning the raw
+    stream — the frequency member of the mergeable-sketch family next to
+    the HLL rollup (q120) and the bottom-k quantile state (q126). At
+    100 TB the daily sketch is ``capacity`` counters regardless of
+    stream size; re-aggregating to any coarser grain touches only
+    sketches. Output: ``(rollup, item, est_count, n_days)`` for the
+    items surviving the merged sketch, plus the per-rollup stream size
+    ``n_total`` for the error bound est >= true - n_total/(capacity+1).
+
+    Plan: ONE shuffle to (bucket) groups; each group folds its stream in
+    arrival-independent sorted order (determinism for the tests — MG
+    contents are order-dependent in general) inside Arrow batches; the
+    merge pass moves only |buckets| x capacity counter rows.
+    """
+    import pandas as pd
+
+    def day_sketch(pdf: pd.DataFrame) -> pd.DataFrame:
+        items = sorted(pdf[item_col].tolist())
+        counters = _mg_fold(items, capacity)
+        return pd.DataFrame(
+            {
+                "rollup": pdf["rollup"].iloc[0],
+                "bucket": pdf[bucket_col].iloc[0],
+                "item": list(counters),
+                "cnt": list(counters.values()),
+                "n_rows": len(pdf),
+            }
+        )
+
+    sketches = (
+        events.withColumn("rollup", F.col(rollup_col))
+        .groupBy(bucket_col, "rollup")
+        .applyInPandas(
+            day_sketch,
+            schema=(
+                "rollup string, bucket string, item long, cnt long,"
+                " n_rows long"
+            ),
+        )
+    )
+
+    def week_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_day: dict = {}
+        day_rows: dict = {}
+        for _, r in pdf.iterrows():
+            by_day.setdefault(r["bucket"], {})[r["item"]] = r["cnt"]
+            day_rows[r["bucket"]] = r["n_rows"]
+        merged = mg_merge(list(by_day.values()), capacity)
+        n_total = int(sum(day_rows.values()))
+        return pd.DataFrame(
+            {
+                "rollup": pdf["rollup"].iloc[0],
+                "item": list(merged),
+                "est_count": list(merged.values()),
+                "n_days": len(by_day),
+                "n_total": n_total,
+            }
+        )
+
+    return sketches.groupBy("rollup").applyInPandas(
+        week_merge,
+        schema=(
+            "rollup string, item long, est_count long, n_days int,"
+            " n_total long"
+        ),
+    )

@@ -265,3 +265,31 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q142_audio_decode_stats", q142, None)
+
+
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter rollup (operators/sketch.py):
+    per-DAY user-frequency sketches (20 counters each, regardless of
+    stream size) merged per WEEK without rescanning raw events — the
+    frequency member of the mergeable-sketch family (HLL q120, bottom-k
+    quantiles q126). Rows-only (sketch contents are not SQL-expressible);
+    the binding checks are the undercount bound, the
+    every-true-heavy-item-survives guarantee, and merge-vs-direct
+    equivalence in tests/test_funnel_sketch.py."""
+    from franzoxide_spark.operators.sketch import mg_sketch_rollup
+
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        "user_id",
+    )
+    out = mg_sketch_rollup(ev, "day", "week", "user_id", capacity=20)
+    return out.groupBy("rollup").agg(
+        F.count(F.lit(1)).cast("int").alias("n_survivors"),
+        F.max("n_days").alias("n_days"),
+        F.max("n_total").alias("n_total"),
+        F.max("est_count").alias("top_est"),
+    )
+
+
+register("q151_mg_sketch_rollup", q151, None)

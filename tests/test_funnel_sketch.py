@@ -126,3 +126,66 @@ def test_cms_probe_broadcasts_the_sketch(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries mergeable rollup (operators/sketch.py)
+# --------------------------------------------------------------------------
+
+
+def test_mg_fold_and_merge_bounds():
+    from collections import Counter
+
+    from franzoxide_spark.operators.sketch import _mg_fold, mg_merge
+
+    cap = 5
+    # two daily streams with one true heavy item (7) and a noise tail
+    day1 = [7] * 40 + list(range(100, 130)) * 2
+    day2 = [7] * 25 + [8] * 30 + list(range(200, 220)) * 3
+    true = Counter(day1 + day2)
+    n = len(day1) + len(day2)
+    merged = mg_merge([_mg_fold(sorted(day1), cap), _mg_fold(sorted(day2), cap)], cap)
+    assert len(merged) <= cap
+    bound = n / (cap + 1)
+    for item, est in merged.items():
+        assert est <= true[item]                      # never overcounts
+        assert est >= true[item] - bound              # bounded undercount
+    # any item with true count > n/(cap+1) MUST survive the merge
+    for item, cnt in true.items():
+        if cnt > bound:
+            assert item in merged, (item, cnt, bound)
+
+
+def test_mg_merge_matches_direct_sketch_guarantee():
+    from collections import Counter
+
+    from franzoxide_spark.operators.sketch import _mg_fold, mg_merge
+
+    cap = 8
+    streams = [
+        sorted([i % 11 for i in range(d * 37, d * 37 + 120)]) for d in range(4)
+    ]
+    merged = mg_merge([_mg_fold(s, cap) for s in streams], cap)
+    direct = _mg_fold(sorted(x for s in streams for x in s), cap)
+    true = Counter(x for s in streams for x in s)
+    n = sum(len(s) for s in streams)
+    # both obey the same bound even if contents differ
+    for sk in (merged, direct):
+        for item, est in sk.items():
+            assert true[item] - n / (cap + 1) <= est <= true[item]
+
+
+def test_mg_rollup_is_partitioning_independent(spark):
+    from franzoxide_spark.operators.sketch import mg_sketch_rollup
+
+    rows = [
+        (f"2024-01-0{1 + i % 3}", "2024-01-01", i % 7) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "day string, week string, user_id long")
+    outs = []
+    for parts in (1, 13):
+        out = mg_sketch_rollup(
+            df.repartition(parts), "day", "week", "user_id", capacity=4
+        )
+        outs.append({tuple(r) for r in out.collect()})
+    assert outs[0] == outs[1] and len(outs[0]) > 0
