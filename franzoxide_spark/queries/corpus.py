@@ -1942,3 +1942,75 @@ FROM hours GROUP BY h
 
 
 register("q149_session_concurrency", q149, _Q149_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q152 — per-user EWMA level of daily event value (α = 0.3): the
+#        smoothing-forecast primitive, demonstrating RECURRENCES as
+#        first-class relational ops — the fold runs inside a codegen'd
+#        aggregate() HOF over each user's day-ordered series (DuckDB:
+#        list_reduce, same seed-on-first semantics), so both engines
+#        execute the identical chain of double ops and agree bitwise.
+#        One user-day aggregation + one user collect — series length is
+#        bounded by the retention window, not corpus size.
+# --------------------------------------------------------------------------
+_Q152_ALPHA = 0.3
+
+
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.numeric import dec
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum(dec(F.col("value"))).cast("double"), 6).alias("v"))
+    a = _Q152_ALPHA
+    return (
+        daily.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, v))),"
+                " s -> s.v)"
+            ).alias("__vs")
+        )
+        .select(
+            "user_id",
+            F.size("__vs").cast("int").alias("n_days"),
+            F.round(
+                F.expr(
+                    # element_at is 1-based like slice; bare __vs[1]
+                    # bracket indexing is 0-BASED in Spark and would seed
+                    # with the SECOND element
+                    f"aggregate(slice(__vs, 2, size(__vs) - 1),"
+                    f" cast(element_at(__vs, 1) as double),"
+                    f" (acc, x) -> {a} * x + {1 - a} * acc)"
+                ),
+                6,
+            ).alias("ewma_level"),
+        )
+    )
+
+
+def _q152_sql() -> str:
+    from franzoxide_spark.functions.numeric import sql_dec
+
+    a = _Q152_ALPHA
+    return f"""
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         ROUND(CAST(SUM({sql_dec("value")}) AS DOUBLE), 6) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+),
+series AS (
+  SELECT user_id, list(v ORDER BY day) AS vs FROM daily GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vs) AS INT) AS n_days,
+       ROUND(CAST(list_reduce(vs, (acc, x) -> {a} * x + {1 - a} * acc)
+                  AS DOUBLE), 6) AS ewma_level
+FROM series
+"""
+
+
+register("q152_ewma_level", q152, _q152_sql())
