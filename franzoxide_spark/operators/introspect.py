@@ -83,3 +83,73 @@ def plan_report(df: DataFrame) -> DataFrame:
             for k, v in s.items()
         ),
     )
+
+
+def parquet_layout_report(spark, paths: list[str]) -> DataFrame:
+    """Distributed parquet FOOTER introspection: per (file, column) the
+    row-group count, row count, compressed/uncompressed byte totals, the
+    ratio, and the encoding set — the evidence behind every layout
+    decision (compaction q123, target file size q106, z-ordering).
+
+    Scale shape: footers only — no data pages are ever read, so cost is
+    O(#files), and the file list distributes via mapInPandas (each
+    executor opens only its batch's footers). At 100 TB with ~100k files
+    this is a seconds-long metadata sweep; the same op over file CONTENT
+    would be the full corpus scan this exists to avoid.
+    """
+    import pandas as pd
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                per_col: dict = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        name = c.path_in_schema
+                        e = per_col.setdefault(
+                            name, [0, 0, set(), c.compression]
+                        )
+                        e[0] += c.total_compressed_size
+                        e[1] += c.total_uncompressed_size
+                        e[2].update(str(x) for x in c.encodings)
+                for name, (comp, uncomp, encs, codec) in sorted(
+                    per_col.items()
+                ):
+                    rows.append(
+                        (
+                            path.rsplit("/", 1)[-1],
+                            name,
+                            md.num_row_groups,
+                            md.num_rows,
+                            comp,
+                            uncomp,
+                            round(uncomp / comp, 4) if comp else None,
+                            codec,
+                            ",".join(sorted(encs)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "column", "n_row_groups", "n_rows",
+                    "compressed_bytes", "uncompressed_bytes", "ratio",
+                    "codec", "encodings",
+                ],
+            )
+
+    return files.mapInPandas(
+        read_footers,
+        schema=(
+            "file string, column string, n_row_groups int, n_rows long,"
+            " compressed_bytes long, uncompressed_bytes long, ratio double,"
+            " codec string, encodings string"
+        ),
+    )

@@ -293,3 +293,22 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q151_mg_sketch_rollup", q151, None)
+
+
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer introspection over the fixture tables
+    (operators/introspect.py: parquet_layout_report): per (file, column)
+    row-group/byte/encoding stats from footers ONLY — the metadata sweep
+    behind compaction and file-sizing decisions. Rows-only (file-format
+    metadata has no relational oracle); tests pin the stats against
+    pyarrow ground truth on a hand-written file."""
+    import os
+
+    from franzoxide_spark.operators.introspect import parquet_layout_report
+    from franzoxide_spark.tables import TABLES
+
+    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in sorted(TABLES)]
+    return parquet_layout_report(spark, paths)
+
+
+register("q153_parquet_layout_report", q153, None)

@@ -47,3 +47,32 @@ def test_report_flags_global_sort(spark):
     # top-k is NOT a global sort
     s2 = plan_summary(spark.range(1000).orderBy(F.desc("id")).limit(5))
     assert not s2["has_global_sort"]
+
+
+def test_parquet_layout_report_matches_pyarrow(spark, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from franzoxide_spark.operators.introspect import parquet_layout_report
+
+    p = str(tmp_path / "t.parquet")
+    pd.DataFrame(
+        {"a": range(1000), "b": ["x" * 20] * 1000}
+    ).to_parquet(p, row_group_size=300)
+    got = {
+        r["column"]: r.asDict()
+        for r in parquet_layout_report(spark, [p]).collect()
+    }
+    md = pq.ParquetFile(p).metadata
+    assert md.num_row_groups == 4  # 300*3 + 100
+    for col in ("a", "b"):
+        assert got[col]["n_row_groups"] == 4
+        assert got[col]["n_rows"] == 1000
+        comp = sum(
+            md.row_group(rg).column(ci).total_compressed_size
+            for rg in range(4)
+            for ci in range(md.row_group(rg).num_columns)
+            if md.row_group(rg).column(ci).path_in_schema == col
+        )
+        assert got[col]["compressed_bytes"] == comp
+        assert got[col]["ratio"] is not None and got[col]["codec"]
