@@ -107,6 +107,22 @@ SLOPE_QUERIES = (
     "q102_rolling_wau",
     # PII density: map-side regexp counts, |sources| agg; linear scan
     "q103_pii_density_report",
+    # BM25: per-replica token suffixes make query terms match ONLY
+    # replica 0 (the worst case is flat posting lists), so the slope
+    # isolates the posting-list-build pass — expected linear in corpus
+    "q137_bm25_topk",
+    # frequent pairs: replicas = disjoint user populations, so basket
+    # count grows 10x while the item vocabulary is fixed -> linear
+    "q141_frequent_pairs",
+    # session concurrency: disjoint users, hour spans unchanged; the
+    # hour aggregation key space is constant -> linear
+    "q149_session_concurrency",
+    # MinHash accuracy audit: same band-bucket candidate shape as q33
+    # (replicas disjoint in shingle space) -> expected ~q33's slope
+    "q150_minhash_accuracy",
+    # EWMA: one (user, day) agg + per-user fold; series length constant,
+    # users 10x -> linear
+    "q152_ewma_level",
 )
 
 
