@@ -196,3 +196,31 @@ SELECT {id_col}, fp_n AS version_fp,
        TRUE AS is_current
 FROM j WHERE fp_n IS NOT NULL AND (fp_o IS NULL OR fp_o <> fp_n)
 """
+
+
+def pit_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension VERSION that
+    was valid at its event time — ``from_col <= ts < to_col`` (half-open,
+    so version boundaries never double-match). The read-side counterpart
+    of scd2_merge: facts join history, not the current snapshot, which is
+    what makes backfilled training features leak-free.
+
+    Scale shape: an equi-join on the key with the validity bounds as a
+    RESIDUAL predicate (same plan family as q09's range join) — never a
+    nested loop. Version counts per key are small by construction (SCD2
+    history), so the join fans out by history depth, not quadratically;
+    a broadcastable dimension keeps the fact side shuffle-free.
+    """
+    cond = (
+        (facts[key_col] == dim_history[key_col])
+        & (facts[ts_col] >= dim_history[from_col])
+        & (facts[ts_col] < dim_history[to_col])
+    )
+    return facts.join(dim_history, cond)

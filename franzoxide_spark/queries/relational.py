@@ -1425,3 +1425,91 @@ WHERE p_brand = 'Brand#1'
 
 
 register("q148_tpch_avg_quantity_gate", q148, _Q148_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q154 — point-in-time join against an SCD2 dimension history
+#        (operators/snapshot.py: pit_join): customers get a synthetic
+#        two-version history (every third customer migrates segment on
+#        1998-01-01); each order joins the version valid AT ITS ORDER
+#        DATE — the leak-free feature-backfill pattern (joining the
+#        current snapshot instead would time-travel future attributes
+#        onto past facts). Equi-join on custkey + validity residual,
+#        dimension broadcast; exactly one version matches per order
+#        (half-open bounds), verified by the oracle's total.
+# --------------------------------------------------------------------------
+_Q154_CHANGE = "1998-01-01"
+
+
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.snapshot import pit_join
+
+    c = table(spark, sf_dir, "customer")
+    lo, hi, chg = "1990-01-01", "9999-01-01", _Q154_CHANGE
+    migrates = F.col("c_custkey") % 3 == 0
+    hist = c.select(
+        "c_custkey",
+        F.explode(
+            F.when(
+                migrates,
+                F.array(
+                    F.struct(
+                        F.col("c_mktsegment").alias("segment"),
+                        F.lit(lo).alias("valid_from"),
+                        F.lit(chg).alias("valid_to"),
+                    ),
+                    F.struct(
+                        F.lit("MIGRATED").alias("segment"),
+                        F.lit(chg).alias("valid_from"),
+                        F.lit(hi).alias("valid_to"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.col("c_mktsegment").alias("segment"),
+                        F.lit(lo).alias("valid_from"),
+                        F.lit(hi).alias("valid_to"),
+                    )
+                )
+            )
+        ).alias("v"),
+    ).select(
+        "c_custkey",
+        "v.segment",
+        F.col("v.valid_from").cast("timestamp").alias("valid_from"),
+        F.col("v.valid_to").cast("timestamp").alias("valid_to"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    joined = pit_join(
+        o,
+        F.broadcast(hist.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "o_orderdate",
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("int").alias("n_orders")
+    )
+
+
+_Q154_SQL = f"""
+WITH hist AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '1990-01-01' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '{_Q154_CHANGE}'
+              ELSE TIMESTAMP '9999-01-01' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'MIGRATED',
+         TIMESTAMP '{_Q154_CHANGE}', TIMESTAMP '9999-01-01'
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT segment, CAST(COUNT(*) AS INT) AS n_orders
+FROM orders JOIN hist
+  ON o_custkey = c_custkey
+ AND o_orderdate >= valid_from AND o_orderdate < valid_to
+GROUP BY segment
+"""
+
+
+register("q154_pit_scd2_join", q154, _Q154_SQL)
