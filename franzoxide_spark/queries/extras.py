@@ -212,6 +212,10 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2 + 1).alias("c"),
         )
         .distinct()
+        # three consumers below (two degree aggs + the attach join) —
+        # without this checkpoint the fact-fact join + distinct executes
+        # three times per run
+        .localCheckpoint()
     )
     # Bipartite degree attach: per-side degree tables are key-cardinality
     # sized (suppliers / customers), so they re-enter broadcast and the
