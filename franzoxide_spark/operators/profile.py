@@ -473,3 +473,77 @@ def sql_infer_column_types(rel: str, cols: Sequence[str]) -> str:
             ELSE 'string' END AS suggested_type
 FROM {rel}""")
     return "\nUNION ALL\n".join(arms)
+
+
+def fd_report(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Approximate-functional-dependency discovery: for each candidate
+    ``determinant -> dependent`` pair, how close the table comes to
+    satisfying the FD — the schema-normalization / data-contract
+    discovery tool (Kivinen & Mannila's g3 error: the minimum fraction
+    of rows to delete for the FD to hold exactly).
+
+    Output per pair: ``determinant, dependent, n_groups`` (distinct
+    determinant values), ``violating_groups`` (determinant values mapped
+    to >1 dependent), ``g3_rows`` (rows outside each group's majority
+    dependent), ``g3_rate`` (6dp), ``holds``.
+
+    Scale shape: each pair is one (det, dep) map-side-combined count —
+    bounded by the distinct pair space, never rows — followed by a
+    determinant-keyed re-aggregation of those counts; the per-pair
+    1-row results union. No corpus-sized shuffle for low-cardinality
+    candidates, which is what FD candidates are by definition.
+    """
+    n_rows = df.count()
+    parts = []
+    for det, dep in pairs:
+        cnt = df.groupBy(det, dep).agg(F.count(F.lit(1)).alias("__c"))
+        per_det = cnt.groupBy(det).agg(
+            F.sum("__c").alias("__tot"),
+            F.max("__c").alias("__mx"),
+            F.count(F.lit(1)).alias("__ndep"),
+        )
+        parts.append(
+            per_det.agg(
+                F.count(F.lit(1)).cast("int").alias("n_groups"),
+                F.sum((F.col("__ndep") > 1).cast("long"))
+                .cast("int")
+                .alias("violating_groups"),
+                F.sum(F.col("__tot") - F.col("__mx"))
+                .cast("bigint")
+                .alias("g3_rows"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_groups",
+                "violating_groups",
+                "g3_rows",
+                F.round(F.col("g3_rows") / F.lit(float(n_rows)), 6).alias(
+                    "g3_rate"
+                ),
+                (F.col("g3_rows") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def sql_fd_report(table: str, pairs: list[tuple[str, str]]) -> str:
+    arms = []
+    for det, dep in pairs:
+        arms.append(f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(COUNT(*) AS INT) AS n_groups,
+       CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS INT)
+         AS violating_groups,
+       CAST(SUM(tot - mx) AS BIGINT) AS g3_rows,
+       ROUND(SUM(tot - mx) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM {table}),
+             6) AS g3_rate,
+       SUM(tot - mx) = 0 AS holds
+FROM (
+  SELECT {det}, SUM(c) AS tot, MAX(c) AS mx, COUNT(*) AS ndep
+  FROM (SELECT {det}, {dep}, COUNT(*) AS c FROM {table} GROUP BY {det}, {dep})
+  GROUP BY {det}
+)""")
+    return " UNION ALL ".join(arms)

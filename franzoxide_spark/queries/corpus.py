@@ -2014,3 +2014,34 @@ FROM series
 
 
 register("q152_ewma_level", q152, _q152_sql())
+
+
+# --------------------------------------------------------------------------
+# Q155 — approximate-FD discovery (operators/profile.py: fd_report):
+#        candidate determinant→dependent pairs on part scored by the g3
+#        error (min fraction of rows to delete for the FD to hold) —
+#        the schema-normalization discovery tool beside q78/q132. The
+#        key column p_partkey demonstrates a holding FD; the brand/type
+#        directions are partial on purpose.
+# --------------------------------------------------------------------------
+_Q155_PAIRS = [
+    ("p_partkey", "p_brand"),
+    ("p_brand", "p_type"),
+    ("p_type", "p_brand"),
+    ("p_size", "p_brand"),
+]
+
+
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.profile import fd_report
+
+    return fd_report(table(spark, sf_dir, "part"), _Q155_PAIRS)
+
+
+def _q155_sql() -> str:
+    from franzoxide_spark.operators.profile import sql_fd_report
+
+    return sql_fd_report("part", _Q155_PAIRS)
+
+
+register("q155_fd_discovery", q155, _q155_sql())

@@ -1847,3 +1847,126 @@ FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
 
 
 register("q150_minhash_accuracy", q150, _Q150_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q156 — weak-supervision label model (Snorkel-style): three
+#        deterministic labeling functions vote keep(+1)/drop(-1)/
+#        abstain(0) on every document — lang-ID agreement (q38's
+#        predictor), quality thresholds (q39's exact score), and a
+#        length rule — and the majority vote becomes the label. Output:
+#        per-LF coverage and majority-agreement rates plus the MAJORITY
+#        row — the diagnostics that tell you which heuristic to trust
+#        before training a label model. One fused scan pipeline,
+#        bounded |LF| x aggregate output.
+# --------------------------------------------------------------------------
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = q38(spark, sf_dir).select("doc_id", "lang", "pred_lang")
+    qual = q39(spark, sf_dir).select("doc_id", "quality")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    v1 = F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(-1)
+    v2 = (
+        F.when(F.col("quality") >= 0.5, 1)
+        .when(F.col("quality") < 0.35, -1)
+        .otherwise(0)
+    )
+    v3 = (
+        F.when((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000), 1)
+        .when(F.col("n_chars") < 50, -1)
+        .otherwise(0)
+    )
+    votes = (
+        pred.join(qual, "doc_id")
+        .join(docs, "doc_id")
+        .select(
+            v1.alias("lf_lang"),
+            v2.alias("lf_quality"),
+            v3.alias("lf_length"),
+        )
+        .withColumn(
+            "maj",
+            F.signum(
+                F.col("lf_lang") + F.col("lf_quality") + F.col("lf_length")
+            ).cast("int"),
+        )
+    )
+    parts = []
+    for lf in ("lf_lang", "lf_quality", "lf_length"):
+        voting = F.col(lf) != 0
+        decided = voting & (F.col("maj") != 0)
+        parts.append(
+            votes.agg(
+                F.lit(lf).alias("lf"),
+                F.sum((F.col(lf) == 1).cast("long")).cast("int").alias("n_keep"),
+                F.sum((F.col(lf) == -1).cast("long")).cast("int").alias("n_drop"),
+                F.round(F.avg(voting.cast("double")), 6).alias("coverage"),
+                F.round(
+                    F.sum(
+                        (decided & (F.col(lf) == F.col("maj"))).cast("long")
+                    ).cast("double")
+                    / F.sum(decided.cast("long")),
+                    6,
+                ).alias("agree_rate"),
+            )
+        )
+    parts.append(
+        votes.agg(
+            F.lit("majority").alias("lf"),
+            F.sum((F.col("maj") == 1).cast("long")).cast("int").alias("n_keep"),
+            F.sum((F.col("maj") == -1).cast("long")).cast("int").alias("n_drop"),
+            F.round(F.avg((F.col("maj") != 0).cast("double")), 6).alias(
+                "coverage"
+            ),
+            F.lit(1.0).alias("agree_rate"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _q156_sql() -> str:
+    arms = []
+    for lf in ("lf_lang", "lf_quality", "lf_length"):
+        arms.append(f"""
+SELECT '{lf}' AS lf,
+       CAST(SUM(CASE WHEN {lf} = 1 THEN 1 ELSE 0 END) AS INT) AS n_keep,
+       CAST(SUM(CASE WHEN {lf} = -1 THEN 1 ELSE 0 END) AS INT) AS n_drop,
+       ROUND(AVG(CASE WHEN {lf} <> 0 THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+       ROUND(CAST(SUM(CASE WHEN {lf} <> 0 AND maj <> 0 AND {lf} = maj
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN {lf} <> 0 AND maj <> 0 THEN 1 ELSE 0 END), 6)
+         AS agree_rate
+FROM votes""")
+    arms.append("""
+SELECT 'majority' AS lf,
+       CAST(SUM(CASE WHEN maj = 1 THEN 1 ELSE 0 END) AS INT) AS n_keep,
+       CAST(SUM(CASE WHEN maj = -1 THEN 1 ELSE 0 END) AS INT) AS n_drop,
+       ROUND(AVG(CASE WHEN maj <> 0 THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+       1.0 AS agree_rate
+FROM votes""")
+    body = " UNION ALL ".join(arms)
+    return f"""
+WITH p38 AS ({Q38_SQL}),
+p39 AS ({Q39_SQL}),
+votes AS (
+  SELECT CASE WHEN p38.pred_lang = p38.lang THEN 1 ELSE -1 END AS lf_lang,
+         CASE WHEN p39.quality >= 0.5 THEN 1
+              WHEN p39.quality < 0.35 THEN -1 ELSE 0 END AS lf_quality,
+         CASE WHEN d.n_chars BETWEEN 100 AND 2000 THEN 1
+              WHEN d.n_chars < 50 THEN -1 ELSE 0 END AS lf_length,
+         CAST(sign(CASE WHEN p38.pred_lang = p38.lang THEN 1 ELSE -1 END
+              + CASE WHEN p39.quality >= 0.5 THEN 1
+                     WHEN p39.quality < 0.35 THEN -1 ELSE 0 END
+              + CASE WHEN d.n_chars BETWEEN 100 AND 2000 THEN 1
+                     WHEN d.n_chars < 50 THEN -1 ELSE 0 END) AS INT) AS maj
+  FROM p38
+  JOIN p39 ON p39.doc_id = p38.doc_id
+  JOIN documents d ON d.doc_id = p38.doc_id
+)
+{body}
+"""
+
+
+register("q156_weak_supervision_vote", q156, _q156_sql())
