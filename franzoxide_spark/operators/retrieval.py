@@ -244,3 +244,74 @@ r AS (
 )
 SELECT query_id, {id_col}, CAST(rk AS INT) AS rk, bm25 FROM r WHERE rk <= {k}
 """
+
+
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    id_col: str,
+    *,
+    k: int = 60,
+    n: int = 10,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. 2009) of two rank lists:
+    ``rrf(d) = Σ_r 1/(k + rank_r(d))`` over the rankers that returned
+    ``d`` — the standard hybrid-search combiner (BM25 + dense, or any
+    heterogeneous ranker pair) that needs no score calibration because
+    it only consumes RANKS.
+
+    Inputs carry ``(query_id, id_col, rk)``; a document absent from one
+    list simply gets no contribution from it (full-outer join). Output:
+    ``(query_id, id_col, rrf, rk)`` — top ``n`` per query, 6dp, doc-id
+    tiebreak. Bounded by the union of the two candidate lists per query;
+    the fusion itself is map-side after one candidate-keyed join.
+    """
+    a = rank_a.select("query_id", id_col, F.col("rk").alias("__ra"))
+    b = rank_b.select("query_id", id_col, F.col("rk").alias("__rb"))
+    fused = (
+        a.join(b, ["query_id", id_col], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (k + F.col("__ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (k + F.col("__rb")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .select("query_id", id_col, "rrf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def term_recall_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Simplest lexical ranker: documents ranked by how many DISTINCT
+    query terms they contain (doc-id tiebreak) — the recall-oriented
+    counterpart BM25 gets fused with in q157. Same inverted-index shape
+    as bm25_topk: one (doc, term)-distinct shuffle, query terms
+    broadcast."""
+    qterms = queries.select(
+        "query_id", F.explode(tokens("query_text")).alias("term")
+    ).distinct()
+    dterms = docs.select(
+        id_col, F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    hits = dterms.join(F.broadcast(qterms), "term").groupBy(
+        "query_id", id_col
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_hit"), F.asc(id_col))
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "n_hit", F.col("rk").cast("int").alias("rk"))
+    )

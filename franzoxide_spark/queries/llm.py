@@ -1970,3 +1970,74 @@ votes AS (
 
 
 register("q156_weak_supervision_vote", q156, _q156_sql())
+
+
+# --------------------------------------------------------------------------
+# Q157 — hybrid retrieval via reciprocal rank fusion (operators/
+#        retrieval.py: rrf_fuse): q137's BM25 top-20 fused with a
+#        distinct-term-recall top-20 by rrf = Σ 1/(60 + rank) — the
+#        calibration-free hybrid-search combiner (Cormack et al. 2009).
+#        Both rankers share the inverted-index shape; fusion is one
+#        candidate-keyed outer join, bounded by the two top-k lists.
+# --------------------------------------------------------------------------
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+        term_recall_topk,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _Q137_QUERIES, "query_id int, query_text string"
+    )
+    a = bm25_topk(docs, queries, "doc_id", "text", k=20)
+    b = term_recall_topk(docs, queries, "doc_id", "text", k=20)
+    return rrf_fuse(a, b, "doc_id", k=60, n=10)
+
+
+def _q157_sql() -> str:
+    from franzoxide_spark.operators.retrieval import sql_bm25_topk
+
+    bm = sql_bm25_topk("documents", _Q137_QUERIES, "doc_id", "text", k=20)
+    qvalues = ", ".join(f"({i}, '{t}')" for i, t in _Q137_QUERIES)
+    return f"""
+WITH bm AS ({bm}),
+q(query_id, query_text) AS (VALUES {qvalues}),
+qt AS (
+  SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS term
+  FROM q
+),
+dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT qt.query_id, dt.doc_id, COUNT(*) AS n_hit
+  FROM dt JOIN qt USING (term)
+  GROUP BY qt.query_id, dt.doc_id
+),
+rec AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_hit DESC, doc_id ASC) AS rk
+  FROM hits
+  QUALIFY rk <= 20
+),
+fused AS (
+  SELECT COALESCE(bm.query_id, rec.query_id) AS query_id,
+         COALESCE(bm.doc_id, rec.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + bm.rk), 0.0)
+               + COALESCE(1.0 / (60 + rec.rk), 0.0), 6) AS rrf
+  FROM bm FULL OUTER JOIN rec
+    ON bm.query_id = rec.query_id AND bm.doc_id = rec.doc_id
+)
+SELECT query_id, doc_id, rrf, CAST(rk AS INT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id ASC) AS rk
+  FROM fused
+) WHERE rk <= 10
+"""
+
+
+register("q157_hybrid_rrf", q157, _q157_sql())

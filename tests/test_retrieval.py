@@ -148,3 +148,20 @@ def test_bm25_plan_is_inverted_index_shaped(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_fusion_properties(spark):
+    from franzoxide_spark.operators.retrieval import rrf_fuse
+
+    # doc 5 is rank 1 in BOTH lists -> must fuse to rank 1;
+    # doc 9 only in list A at rank 2, doc 7 only in list B at rank 2
+    a = spark.createDataFrame(
+        [(1, 5, 1), (1, 9, 2)], "query_id int, doc_id long, rk int"
+    )
+    b = spark.createDataFrame(
+        [(1, 5, 1), (1, 7, 2)], "query_id int, doc_id long, rk int"
+    )
+    rows = rrf_fuse(a, b, "doc_id", k=60, n=10).orderBy("rk").collect()
+    assert [r["doc_id"] for r in rows] == [5, 7, 9]  # tie 7/9 -> id asc
+    assert rows[0]["rrf"] == round(2 / 61, 6)
+    assert rows[1]["rrf"] == rows[2]["rrf"] == round(1 / 62, 6)
