@@ -11,7 +11,7 @@ entry with the exact driver compare.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from franzoxide_spark.operators.corpus_stats import (
@@ -2045,3 +2045,148 @@ def _q155_sql() -> str:
 
 
 register("q155_fd_discovery", q155, _q155_sql())
+
+
+# --------------------------------------------------------------------------
+# Q158 — day-of-week seasonality strength per event type: decompose the
+#        daily count series into a dow-mean seasonal component and a
+#        residual; strength = 1 - var(residual)/var(deseasonalized-
+#        input) (the STL seasonality-strength statistic over a weekly
+#        period). Exact counts, variances from exact sums evaluated in
+#        the identical expression both engines — bounded by
+#        |event_type| x |days|.
+# --------------------------------------------------------------------------
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_type = Window.partitionBy("event_type")
+    w_dow = Window.partitionBy("event_type", "dow")
+    dec = (
+        daily.withColumn("mean_all", F.avg("n").over(w_type))
+        .withColumn("mean_dow", F.avg("n").over(w_dow))
+        .withColumn("resid", F.col("n") - F.col("mean_dow"))
+        .withColumn("detr", F.col("n") - F.col("mean_all"))
+    )
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+        F.round(F.avg("n"), 6).alias("mean_daily"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("resid") * F.col("resid"))
+            / F.sum(F.col("detr") * F.col("detr")),
+            6,
+        ).alias("dow_strength"),
+    )
+
+
+_Q158_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         dayofweek(ts) + 1 AS dow, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+dec AS (
+  SELECT event_type, n,
+         AVG(n) OVER (PARTITION BY event_type) AS mean_all,
+         AVG(n) OVER (PARTITION BY event_type, dow) AS mean_dow
+  FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(*) AS INT) AS n_days,
+       ROUND(AVG(n), 6) AS mean_daily,
+       ROUND(1.0 - SUM((n - mean_dow) * (n - mean_dow))
+                   / SUM((n - mean_all) * (n - mean_all)), 6) AS dow_strength
+FROM dec GROUP BY event_type
+"""
+
+
+register("q158_dow_seasonality", q158, _Q158_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q159 — CUSUM change detection over daily event counts (Page 1954):
+#        per event type, the one-sided cumulative-sum excursion
+#        s_t = max(0, s_{t-1} + (x_t - mean - slack)) over the
+#        day-ordered count series — the drift alarm for ingestion
+#        monitoring (q129's count-based twin). Second member of the
+#        recurrence-as-fold family (q152): the identical left fold runs
+#        in Spark's aggregate() HOF and DuckDB's list_reduce, so both
+#        engines produce bit-identical excursions. Output: max excursion
+#        + alarm flag per type; series bounded by the calendar.
+# --------------------------------------------------------------------------
+_Q159_SLACK = 0.05   # x mean
+_Q159_THRESH = 0.30  # alarm when max excursion > 30% of mean x days
+
+
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # exact integer mean enters the fold as the same double both engines
+    per_type = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, n))),"
+            " s -> cast(s.n as double))"
+        ).alias("__vs"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("__mean"),
+    )
+    fold = (
+        f"aggregate(__vs, struct(cast(0.0 as double) as s,"
+        f" cast(0.0 as double) as mx),"
+        f" (acc, x) -> named_struct("
+        f"'s', greatest(cast(0.0 as double),"
+        f" acc.s + x - __mean * {1 + _Q159_SLACK}),"
+        f" 'mx', greatest(acc.mx, greatest(cast(0.0 as double),"
+        f" acc.s + x - __mean * {1 + _Q159_SLACK}))),"
+        f" acc -> acc.mx)"
+    )
+    return per_type.select(
+        "event_type",
+        F.size("__vs").cast("int").alias("n_days"),
+        F.round("__mean", 6).alias("mean_daily"),
+        F.round(F.expr(fold), 6).alias("max_cusum"),
+        (
+            F.expr(fold)
+            > F.col("__mean") * F.size("__vs") * _Q159_THRESH
+        ).alias("alarm"),
+    )
+
+
+_Q159_SQL = f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type,
+         list(CAST(n AS DOUBLE) ORDER BY day) AS vs,
+         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_daily
+  FROM daily GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, len(vs) AS n_days, mean_daily,
+         list_reduce(
+           list_prepend([0.0, 0.0], list_transform(vs, x -> [x, 0.0])),
+           (acc, xe) -> [
+             greatest(0.0, acc[1] + xe[1] - mean_daily * {1 + _Q159_SLACK}),
+             greatest(acc[2], greatest(0.0,
+               acc[1] + xe[1] - mean_daily * {1 + _Q159_SLACK}))
+           ]
+         )[2] AS max_cusum
+  FROM per_type
+)
+SELECT event_type, CAST(n_days AS INT) AS n_days,
+       ROUND(mean_daily, 6) AS mean_daily,
+       ROUND(max_cusum, 6) AS max_cusum,
+       max_cusum > mean_daily * n_days * {_Q159_THRESH} AS alarm
+FROM folded
+"""
+
+
+register("q159_cusum_drift", q159, _Q159_SQL)
