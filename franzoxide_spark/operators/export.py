@@ -71,3 +71,93 @@ def dataset_checksum(df: DataFrame) -> str:
         .first()
     )
     return str(row["c"])
+
+
+def export_tfrecord_shards(
+    df: DataFrame,
+    payload_col: str,
+    out_path: str,
+    *,
+    shard_col: str = "__shard",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Write a binary-payload column as TFRecord shard files
+    (functions/tfrecord.py framing: length + masked-CRC32C, the
+    TensorFlow container format) — the hand-off a TF/JAX input pipeline
+    consumes directly via ``TFRecordDataset``.
+
+    Each task writes ONE shard file (``part-<shard>.tfrecord``) from its
+    partition via Arrow batches — the write is embarrassingly parallel
+    and adding executors adds shards, the same growth law as every
+    object-store sink here. Pass ``n_shards`` to repartition first
+    (deterministic by ``payload_col`` hash); otherwise the current
+    partitioning is kept. Returns the per-shard manifest
+    ``(shard, n_records, n_bytes)`` computed from what was actually
+    written (read back from the task, not trusted from the plan).
+    """
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    if n_shards is not None:
+        df = df.repartition(n_shards, F.col(payload_col))
+    os.makedirs(out_path, exist_ok=True)
+
+    def write_shard(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from franzoxide_spark.functions.tfrecord import frame_record
+
+        pid = TaskContext.get().partitionId()
+        shard = f"part-{pid:05d}.tfrecord"
+        n, total = 0, 0
+        tmp = os.path.join(out_path, f".{shard}.inprogress")
+        with open(tmp, "wb") as f:
+            for pdf in batches:
+                for payload in pdf[payload_col]:
+                    rec = frame_record(bytes(payload))
+                    f.write(rec)
+                    n += 1
+                    total += len(rec)
+        if n == 0:
+            os.remove(tmp)
+            return iter(())
+        os.replace(tmp, os.path.join(out_path, shard))  # atomic publish
+        return iter(
+            [pd.DataFrame({"shard": [shard], "n_records": [n], "n_bytes": [total]})]
+        )
+
+    return df.select(payload_col).mapInPandas(
+        write_shard, schema="shard string, n_records long, n_bytes long"
+    )
+
+
+def read_tfrecord_shards(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read TFRecord shards back as ``(shard, payload binary)`` rows,
+    verifying every frame checksum — the consumer-side round-trip proof.
+    ``binaryFile`` distributes by file, the frame parse is per-shard
+    Python over Arrow batches."""
+    import os
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(out_path, "*.tfrecord")
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        from franzoxide_spark.functions.tfrecord import read_records
+
+        for pdf in batches:
+            shards, payloads = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                for payload in read_records(bytes(content)):
+                    shards.append(name)
+                    payloads.append(payload)
+            yield pd.DataFrame({"shard": shards, "payload": payloads})
+
+    return files.select("path", "content").mapInPandas(
+        parse, schema="shard string, payload binary"
+    )

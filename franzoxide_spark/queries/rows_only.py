@@ -312,3 +312,51 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q153_parquet_layout_report", q153, None)
+
+
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord export end-to-end (operators/export.py +
+    functions/tfrecord.py): documents rendered to JSON payloads, framed
+    with masked-CRC32C TFRecord records into 8 shard files, read back
+    with full checksum verification — the TF/JAX-consumable hand-off
+    format next to the JSONL shards of q124's example. Rows-only (file
+    framing has no relational oracle); binding checks are the CRC32C
+    golden vectors, corruption detection, and write->read equality in
+    tests/test_tfrecord.py. Returns the written manifest joined with the
+    read-back per-shard counts (a self-verifying export report)."""
+    import tempfile
+
+    from franzoxide_spark.operators.export import (
+        export_tfrecord_shards,
+        read_tfrecord_shards,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.encode(F.to_json(F.struct("doc_id", "lang", "source", "text")), "UTF-8").alias(
+            "payload"
+        )
+    )
+    out = tempfile.mkdtemp(prefix="tfrecord_q160_")
+    # materialize the write BEFORE wiring the read-back scan — the shard
+    # files must exist when binaryFile lists the directory (8-row collect,
+    # the bounded write-forcer pattern of sinks/object_sink.py)
+    mrows = export_tfrecord_shards(payloads, "payload", out, n_shards=8).collect()
+    manifest = spark.createDataFrame(
+        mrows, "shard string, n_records long, n_bytes long"
+    )
+    readback = (
+        read_tfrecord_shards(spark, out)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("read_records"))
+    )
+    return manifest.join(readback, "shard").select(
+        "shard",
+        "n_records",
+        "n_bytes",
+        "read_records",
+        (F.col("n_records") == F.col("read_records")).alias("verified"),
+    )
+
+
+register("q160_tfrecord_export", q160, None)
