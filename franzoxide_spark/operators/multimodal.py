@@ -398,3 +398,76 @@ def decode_audio_stats(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(run, schema=out_schema)
+
+
+def synthesize_avi_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL video containers: each document becomes a
+    structurally-valid AVI whose main header (frame count from text
+    length, dimensions and fps cycling from doc_id) round-trips through
+    the actual RIFF encoder — the video face of synthesize_bmp_media /
+    synthesize_wav_media. Map-side mapInPandas."""
+    out_schema = "doc_id bigint, media binary"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from franzoxide_spark.functions.video import encode_avi_header
+
+        dims = ((320, 240), (640, 480), (1280, 720))
+        rates = (24, 25, 30)
+        for pdf in batches:
+            media = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = dims[int(doc_id) % 3]
+                media.append(
+                    encode_avi_header(
+                        max(len(text or "") // 10, 1), w, h,
+                        rates[int(doc_id) % 3],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=out_schema)
+
+
+def probe_video_meta(media_df: DataFrame) -> DataFrame:
+    """Container-metadata probe for every video buffer: the resolution /
+    fps / duration gates a curation pipeline applies WITHOUT decoding a
+    single frame (codec decode stays gated — sample_frames covers the
+    byte-level fan-out). Malformed buffers are flagged, not dropped.
+    Map-side only at any scale."""
+    out_schema = (
+        "doc_id bigint, ok boolean, format string, width int, height int,"
+        " fps double, n_frames int, duration_s double"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from franzoxide_spark.functions.video import (
+            parse_avi_header,
+            sniff_video,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(blob)
+                kind = sniff_video(raw)
+                try:
+                    m = parse_avi_header(raw)
+                except ValueError:
+                    rows.append((doc_id, False, kind, None, None, None,
+                                 None, None))
+                    continue
+                rows.append((
+                    doc_id, True, f"video/{kind}", m["width"], m["height"],
+                    m["fps"], m["n_frames"], m["duration_s"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ok", "format", "width", "height",
+                         "fps", "n_frames", "duration_s"],
+            )
+
+    return media_df.mapInPandas(run, schema=out_schema)

@@ -360,3 +360,29 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q160_tfrecord_export", q160, None)
+
+
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata probe (operators/multimodal.py +
+    functions/video.py): each document becomes a structurally-valid AVI
+    whose main header round-trips through the actual RIFF encoder;
+    probe_video_meta parses resolution/fps/frames without touching a
+    codec — the metadata gates a multimodal curation pipeline applies
+    before any decode. Completes the image (q113) / audio (q142) /
+    video modality triple. Rows-only; codec goldens + malformed-buffer
+    tests in tests/test_video_meta.py."""
+    from franzoxide_spark.operators.multimodal import (
+        probe_video_meta,
+        synthesize_avi_media,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    meta = probe_video_meta(synthesize_avi_media(docs))
+    return meta.groupBy("ok", "format", "width", "height", "fps").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+        F.sum("n_frames").alias("total_frames"),
+    )
+
+
+register("q161_video_meta_probe", q161, None)
