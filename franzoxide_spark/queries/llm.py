@@ -2041,3 +2041,100 @@ SELECT query_id, doc_id, rrf, CAST(rk AS INT) AS rk FROM (
 
 
 register("q157_hybrid_rrf", q157, _q157_sql())
+
+
+# --------------------------------------------------------------------------
+# Q162 — Matryoshka truncation audit (Kusupati et al. 2022): cosine
+#        fidelity of prefix-truncated embeddings (dim 8/16/32 of 64)
+#        over a deterministic query x corpus-sample pair grid — the
+#        measurement behind serving embeddings at a fraction of the
+#        storage/bandwidth (the dense twin of q77's int8 audit). One
+#        broadcast pair build, map-side cosines, |grid| output rows.
+# --------------------------------------------------------------------------
+_Q162_DIMS = (8, 16, 32)
+
+
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.vectors import cosine_rounded
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    pairs = c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+    parts = []
+    for d in _Q162_DIMS:
+        sliced = pairs.select(
+            cosine_rounded("qv", "cv").alias("cf"),
+            F.round(
+                F.expr(
+                    f"aggregate(zip_with(slice(qv, 1, {d}), slice(cv, 1, {d}),"
+                    " (x, y) -> cast(x as double) * cast(y as double)),"
+                    " cast(0.0 as double), (acc, v) -> acc + v)"
+                )
+                / (
+                    F.sqrt(F.expr(
+                        f"aggregate(transform(slice(qv, 1, {d}),"
+                        " x -> cast(x as double) * cast(x as double)),"
+                        " cast(0.0 as double), (acc, v) -> acc + v)"
+                    ))
+                    * F.sqrt(F.expr(
+                        f"aggregate(transform(slice(cv, 1, {d}),"
+                        " x -> cast(x as double) * cast(x as double)),"
+                        " cast(0.0 as double), (acc, v) -> acc + v)"
+                    ))
+                ),
+                6,
+            ).alias("ct"),
+        )
+        parts.append(
+            sliced.agg(
+                F.lit(d).alias("trunc_dim"),
+                F.count(F.lit(1)).cast("int").alias("n_pairs"),
+                F.round(F.avg(F.abs(F.col("cf") - F.col("ct"))), 6).alias(
+                    "mean_abs_err"
+                ),
+                F.round(F.max(F.abs(F.col("cf") - F.col("ct"))), 6).alias(
+                    "max_abs_err"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _q162_sql() -> str:
+    arms = []
+    for d in _Q162_DIMS:
+        ct = (
+            f"ROUND(list_cosine_similarity("
+            f"CAST(qv[1:{d}] AS DOUBLE[]), CAST(cv[1:{d}] AS DOUBLE[])), 6)"
+        )
+        arms.append(f"""
+SELECT {d} AS trunc_dim,
+       CAST(COUNT(*) AS INT) AS n_pairs,
+       ROUND(AVG(ABS(cf - {ct})), 6) AS mean_abs_err,
+       ROUND(MAX(ABS(cf - {ct})), 6) AS max_abs_err
+FROM pairs""")
+    body = " UNION ALL ".join(arms)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % 5 = 0),
+pairs AS (
+  SELECT qid, cid, qv, cv,
+         ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                      CAST(cv AS DOUBLE[])), 6) AS cf
+  FROM c CROSS JOIN q WHERE qid <> cid
+)
+{body}
+"""
+
+
+register("q162_matryoshka_audit", q162, _q162_sql())
