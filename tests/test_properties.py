@@ -444,3 +444,79 @@ def test_length_batch_plan_partitions_exactly(spark, rows, batch_docs):
 
     want = Counter(lang for lang, _ in rows)
     assert per_lang == dict(want)
+
+
+# --------------------------------------------------------------------------
+# codec round-trip properties (functions/audio.py, video.py, tfrecord.py)
+# --------------------------------------------------------------------------
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    channels=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+)
+@settings(max_examples=120, deadline=None)
+def test_wav_round_trips_any_pcm(samples, channels, rate):
+    import numpy as np
+
+    from franzoxide_spark.functions.audio import decode_wav, encode_wav
+
+    n = len(samples) - len(samples) % channels
+    if n == 0:
+        samples = samples * channels
+        n = channels
+    arr = np.asarray(samples[:n], dtype="<i2").reshape(-1, channels)
+    got_rate, back = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(back, arr)
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=10**6),
+    width=st.integers(min_value=1, max_value=8192),
+    height=st.integers(min_value=1, max_value=8192),
+    fps=st.sampled_from([10, 24, 25, 30, 60, 120]),
+)
+@settings(max_examples=120, deadline=None)
+def test_avi_header_round_trips_any_geometry(n_frames, width, height, fps):
+    from franzoxide_spark.functions.video import (
+        encode_avi_header,
+        parse_avi_header,
+    )
+
+    m = parse_avi_header(encode_avi_header(n_frames, width, height, fps))
+    assert (m["n_frames"], m["width"], m["height"]) == (n_frames, width, height)
+    # fps reconstructed from the truncated usec interval, not the input
+    assert abs(m["fps"] - fps) / fps < 0.001
+
+
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=300), min_size=0, max_size=30)
+)
+@settings(max_examples=120, deadline=None)
+def test_tfrecord_stream_round_trips_any_payloads(payloads):
+    from franzoxide_spark.functions.tfrecord import frame_record, read_records
+
+    stream = b"".join(frame_record(p) for p in payloads)
+    assert read_records(stream) == payloads
+
+
+@given(
+    payload=st.binary(min_size=1, max_size=200),
+    flip=st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=120, deadline=None)
+def test_tfrecord_any_single_bitflip_is_detected(payload, flip):
+    import pytest as _pytest
+
+    from franzoxide_spark.functions.tfrecord import frame_record, read_records
+
+    raw = bytearray(frame_record(payload))
+    pos = flip % len(raw)
+    bit = 1 << (flip % 8)
+    raw[pos] ^= bit
+    with _pytest.raises(ValueError):
+        read_records(bytes(raw))
