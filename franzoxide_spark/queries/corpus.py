@@ -940,13 +940,23 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.corpus_stats import vocab_encode
 
     docs = table(spark, sf_dir, "documents")
-    return vocab_encode(docs, "doc_id", "text", vocab_size=1000, max_tokens=32)
+    enc = vocab_encode(docs, "doc_id", "text", vocab_size=1000, max_tokens=32)
+    # Driver-facing export serializes the id array: oracle-checked
+    # queries emit only scalar columns (the driver canonicalizer can't
+    # hash list cells — guarded by tests/test_oracle_queries.py).
+    return enc.withColumn("ids", F.array_join("ids", ","))
 
 
 def _q94_sql() -> str:
     from franzoxide_spark.operators.corpus_stats import sql_vocab_encode
 
-    return sql_vocab_encode("documents", "doc_id", "text", vocab_size=1000, max_tokens=32)
+    inner = sql_vocab_encode(
+        "documents", "doc_id", "text", vocab_size=1000, max_tokens=32
+    )
+    return (
+        "SELECT doc_id, n_tokens, array_to_string(ids, ',') AS ids, "
+        f"oov_count FROM ({inner})"
+    )
 
 
 register("q94_vocab_encode", q94, _q94_sql())

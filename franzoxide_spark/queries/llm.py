@@ -1430,12 +1430,17 @@ register("q103_pii_density_report", q103, _Q103_SQL)
 # --------------------------------------------------------------------------
 # Q111 — hashed sparse feature export: per document the sorted
 #        (bucket, tf) pairs of the 4096-bucket hashed bag-of-words as
-#        parallel arrays — the serialization step that feeds q68's
-#        linear classifier (and any hashed-feature trainer) without
-#        materializing a dense 4096-wide row. Same hash60 bucket
-#        function as q68, so exported indices line up with the served
-#        weight table. Two map-side-combined shuffles on (doc, bucket)
-#        then doc; nothing corpus-wide beyond the token stream.
+#        parallel comma-joined strings (svmlight-style serialization) —
+#        the step that feeds q68's linear classifier (and any
+#        hashed-feature trainer) without materializing a dense
+#        4096-wide row. Same hash60 bucket function as q68, so exported
+#        indices line up with the served weight table. Two
+#        map-side-combined shuffles on (doc, bucket) then doc; nothing
+#        corpus-wide beyond the token stream. The export columns are
+#        STRINGS, not arrays: every oracle-checked registry entry must
+#        emit only scalar columns (the driver's canonicalizer sorts a
+#        pandas frame over all columns and list cells are unhashable —
+#        r7 verdict #1; guarded by tests/test_oracle_queries.py).
 # --------------------------------------------------------------------------
 _Q111_BUCKETS = 4096
 
@@ -1455,8 +1460,12 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("nnz"),
         F.sum("__tf").cast("int").alias("total_tf"),
-        F.transform(srt, lambda s: s["__b"].cast("int")).alias("idx"),
-        F.transform(srt, lambda s: s["__tf"].cast("int")).alias("tf"),
+        F.array_join(
+            F.transform(srt, lambda s: s["__b"].cast("int")), ","
+        ).alias("idx"),
+        F.array_join(
+            F.transform(srt, lambda s: s["__tf"].cast("int")), ","
+        ).alias("tf"),
     )
 
 
@@ -1473,8 +1482,8 @@ WITH feat AS (
 c AS (SELECT doc_id, b, COUNT(*) AS tf FROM feat GROUP BY doc_id, b)
 SELECT doc_id, CAST(COUNT(*) AS INT) AS nnz,
        CAST(SUM(tf) AS INT) AS total_tf,
-       list(CAST(b AS INT) ORDER BY b) AS idx,
-       list(CAST(tf AS INT) ORDER BY b) AS tf
+       string_agg(CAST(b AS VARCHAR), ',' ORDER BY b) AS idx,
+       string_agg(CAST(tf AS VARCHAR), ',' ORDER BY b) AS tf
 FROM c GROUP BY doc_id
 """
 

@@ -123,3 +123,27 @@ def test_spark_entry_exposes_rotated_ordering():
     oracles = entry_mod.oracle_sql()
     assert list(oracles) == [n for n in driver_ordering() if n in ORACLES]
     assert set(entry_mod.queries()) == set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_query_schema_is_driver_canonicalizable(name, spark, sf_dir):
+    """Every oracle-checked query must emit ONLY scalar column types.
+
+    The driver's canonicalizer sorts the result as a pandas frame over
+    all columns before hashing; array/map/struct cells are unhashable
+    there (`TypeError: unhashable type: 'list'`) and produced r7's only
+    red CORRECTNESS row (q111). Serialize nested values (array_join /
+    explode) before returning — this guard keeps the rotation from ever
+    surfacing another instance."""
+    from pyspark.sql import types as T
+
+    schema = QUERIES[name](spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name} emits non-scalar driver-facing columns {bad}; "
+        "array_join/explode them on BOTH engines"
+    )
