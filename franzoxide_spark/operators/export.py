@@ -94,6 +94,18 @@ def export_tfrecord_shards(
     partitioning is kept. Returns the per-shard manifest
     ``(shard, n_records, n_bytes)`` computed from what was actually
     written (read back from the task, not trusted from the plan).
+
+    Write-once contract: the shard write is a side effect inside the
+    plan, so this function MATERIALIZES the manifest exactly once
+    (collect + createDataFrame) before returning — re-evaluating the
+    returned DataFrame re-reads driver-local rows, never re-runs the
+    write. Task retries are safe: each attempt writes an
+    attempt-unique temp file (``.part-NNNNN.aAID.inprogress``) and
+    publishes with an atomic ``os.replace``, so two racing attempts of
+    one partition never interleave bytes — last complete file wins.
+    ``out_path`` must be a filesystem visible to driver AND executors
+    (local mode, or a shared mount); object stores go through the
+    committer-based sinks (sinks/object_sink.py), not this direct path.
     """
     import os
 
@@ -109,28 +121,34 @@ def export_tfrecord_shards(
 
         from franzoxide_spark.functions.tfrecord import frame_record
 
-        pid = TaskContext.get().partitionId()
-        shard = f"part-{pid:05d}.tfrecord"
+        ctx = TaskContext.get()
+        shard = f"part-{ctx.partitionId():05d}.tfrecord"
         n, total = 0, 0
-        tmp = os.path.join(out_path, f".{shard}.inprogress")
-        with open(tmp, "wb") as f:
-            for pdf in batches:
-                for payload in pdf[payload_col]:
-                    rec = frame_record(bytes(payload))
-                    f.write(rec)
-                    n += 1
-                    total += len(rec)
-        if n == 0:
-            os.remove(tmp)
-            return iter(())
-        os.replace(tmp, os.path.join(out_path, shard))  # atomic publish
+        tmp = os.path.join(
+            out_path, f".{shard}.a{ctx.taskAttemptId()}.inprogress"
+        )
+        try:
+            with open(tmp, "wb") as f:
+                for pdf in batches:
+                    for payload in pdf[payload_col]:
+                        rec = frame_record(bytes(payload))
+                        f.write(rec)
+                        n += 1
+                        total += len(rec)
+            if n == 0:
+                return iter(())
+            os.replace(tmp, os.path.join(out_path, shard))  # atomic publish
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         return iter(
             [pd.DataFrame({"shard": [shard], "n_records": [n], "n_bytes": [total]})]
         )
 
-    return df.select(payload_col).mapInPandas(
-        write_shard, schema="shard string, n_records long, n_bytes long"
-    )
+    spark = df.sparkSession
+    schema = "shard string, n_records long, n_bytes long"
+    rows = df.select(payload_col).mapInPandas(write_shard, schema=schema).collect()
+    return spark.createDataFrame(rows, schema)
 
 
 def read_tfrecord_shards(spark: SparkSession, out_path: str) -> DataFrame:

@@ -114,13 +114,16 @@ def parquet_layout_report(spark, paths: list[str]) -> DataFrame:
                     for ci in range(g.num_columns):
                         c = g.column(ci)
                         name = c.path_in_schema
-                        e = per_col.setdefault(
-                            name, [0, 0, set(), c.compression]
-                        )
+                        e = per_col.setdefault(name, [0, 0, set(), set()])
                         e[0] += c.total_compressed_size
                         e[1] += c.total_uncompressed_size
                         e[2].update(str(x) for x in c.encodings)
-                for name, (comp, uncomp, encs, codec) in sorted(
+                        # codecs accumulate as a set too: a column's codec
+                        # may legally differ across row groups (e.g. after
+                        # mixed-writer compaction — exactly what this
+                        # report exists to surface)
+                        e[3].add(str(c.compression))
+                for name, (comp, uncomp, encs, codecs) in sorted(
                     per_col.items()
                 ):
                     rows.append(
@@ -132,7 +135,7 @@ def parquet_layout_report(spark, paths: list[str]) -> DataFrame:
                             comp,
                             uncomp,
                             round(uncomp / comp, 4) if comp else None,
-                            codec,
+                            ",".join(sorted(codecs)),
                             ",".join(sorted(encs)),
                         )
                     )

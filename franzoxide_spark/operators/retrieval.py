@@ -199,8 +199,13 @@ def sql_bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> str:
-    """DuckDB mirror of :func:`bm25_topk` with the query set inlined."""
-    qvalues = ", ".join(f"({qid}, '{qt}')" for qid, qt in queries)
+    """DuckDB mirror of :func:`bm25_topk` with the query set inlined.
+    Query text is quote-escaped ('' doubling) so literals containing
+    apostrophes can't break the statement (or inject)."""
+    qvalues = ", ".join(
+        f"({int(qid)}, '{qt.replace(chr(39), chr(39) * 2)}')"
+        for qid, qt in queries
+    )
     return f"""
 WITH q(query_id, query_text) AS (VALUES {qvalues}),
 qt AS (

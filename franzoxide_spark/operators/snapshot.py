@@ -223,4 +223,7 @@ def pit_join(
         & (facts[ts_col] >= dim_history[from_col])
         & (facts[ts_col] < dim_history[to_col])
     )
-    return facts.join(dim_history, cond)
+    # Drop the dimension-side key: when callers rename the dim key to the
+    # fact key name (q154), keeping both would make every later name-based
+    # reference to the key AMBIGUOUS_REFERENCE. The fact-side key survives.
+    return facts.join(dim_history, cond).drop(dim_history[key_col])

@@ -2009,7 +2009,10 @@ def _q157_sql() -> str:
     from franzoxide_spark.operators.retrieval import sql_bm25_topk
 
     bm = sql_bm25_topk("documents", _Q137_QUERIES, "doc_id", "text", k=20)
-    qvalues = ", ".join(f"({i}, '{t}')" for i, t in _Q137_QUERIES)
+    qvalues = ", ".join(
+        f"({int(i)}, '{t.replace(chr(39), chr(39) * 2)}')"
+        for i, t in _Q137_QUERIES
+    )
     return f"""
 WITH bm AS ({bm}),
 q(query_id, query_text) AS (VALUES {qvalues}),

@@ -324,6 +324,7 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden vectors, corruption detection, and write->read equality in
     tests/test_tfrecord.py. Returns the written manifest joined with the
     read-back per-shard counts (a self-verifying export report)."""
+    import shutil
     import tempfile
 
     from franzoxide_spark.operators.export import (
@@ -338,25 +339,29 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = tempfile.mkdtemp(prefix="tfrecord_q160_")
-    # materialize the write BEFORE wiring the read-back scan — the shard
-    # files must exist when binaryFile lists the directory (8-row collect,
-    # the bounded write-forcer pattern of sinks/object_sink.py)
-    mrows = export_tfrecord_shards(payloads, "payload", out, n_shards=8).collect()
-    manifest = spark.createDataFrame(
-        mrows, "shard string, n_records long, n_bytes long"
-    )
-    readback = (
-        read_tfrecord_shards(spark, out)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("read_records"))
-    )
-    return manifest.join(readback, "shard").select(
-        "shard",
-        "n_records",
-        "n_bytes",
-        "read_records",
-        (F.col("n_records") == F.col("read_records")).alias("verified"),
-    )
+    try:
+        # export_tfrecord_shards materializes the write before returning
+        # (write-once contract), so the shard files exist when binaryFile
+        # lists the directory
+        manifest = export_tfrecord_shards(payloads, "payload", out, n_shards=8)
+        readback = (
+            read_tfrecord_shards(spark, out)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("read_records"))
+        )
+        report = manifest.join(readback, "shard").select(
+            "shard",
+            "n_records",
+            "n_bytes",
+            "read_records",
+            (F.col("n_records") == F.col("read_records")).alias("verified"),
+        )
+        # the report is shard-count-bounded (8 rows): materialize it so the
+        # scratch directory can be removed before returning (repeated bench
+        # runs must not accumulate temp shards on disk)
+        return spark.createDataFrame(report.collect(), report.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 register("q160_tfrecord_export", q160, None)

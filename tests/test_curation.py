@@ -407,3 +407,34 @@ def test_weighted_sample_bias_and_determinism(spark):
     assert [r["id"] for r in weighted_sample(z, "id", "w", 10).collect()] == [3]
     with pytest.raises(ValueError, match="k must"):
         weighted_sample(df, "id", "w", 0)
+
+
+def test_pit_join_drops_dimension_side_key(spark):
+    """pit_join output keeps only the fact-side key even when the caller
+    renames the dim key to the fact key name (q154's shape) — keeping
+    both made later name-based references AMBIGUOUS_REFERENCE (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.operators.snapshot import pit_join
+
+    facts = spark.createDataFrame(
+        [(1, "2020-06-01"), (2, "2020-06-01")], "k int, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    dim = spark.createDataFrame(
+        [
+            (1, "a", "2020-01-01", "2020-07-01"),
+            (1, "b", "2020-07-01", "9999-01-01"),
+            (2, "c", "2020-01-01", "9999-01-01"),
+        ],
+        "k int, seg string, valid_from string, valid_to string",
+    ).select(
+        "k",
+        "seg",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    j = pit_join(facts, dim, "k", "ts")
+    assert j.columns.count("k") == 1
+    # name-based select on the key works post-join (the AMBIGUOUS repro)
+    got = {(r["k"], r["seg"]) for r in j.select("k", "seg").collect()}
+    assert got == {(1, "a"), (2, "c")}

@@ -165,3 +165,23 @@ def test_rrf_fusion_properties(spark):
     assert [r["doc_id"] for r in rows] == [5, 7, 9]  # tie 7/9 -> id asc
     assert rows[0]["rrf"] == round(2 / 61, 6)
     assert rows[1]["rrf"] == rows[2]["rrf"] == round(1 / 62, 6)
+
+
+def test_sql_bm25_escapes_quotes_in_query_text():
+    """A query literal containing an apostrophe must not break the DuckDB
+    statement (ADVICE r7: '' doubling when inlining)."""
+    import duckdb
+
+    from franzoxide_spark.operators.retrieval import sql_bm25_topk
+
+    sql = sql_bm25_topk(
+        "documents", [(1, "o'brien's cat")], "doc_id", "text", k=5
+    )
+    assert "o''brien''s" in sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'the cat sat'), (2, 'o''brien''s dog')) t(doc_id, text)"
+    )
+    rows = con.execute(sql).fetchall()  # must parse and run
+    assert all(len(r) == 4 for r in rows)
