@@ -123,6 +123,21 @@ SLOPE_QUERIES = (
     # EWMA: one (user, day) agg + per-user fold; series length constant,
     # users 10x -> linear
     "q152_ewma_level",
+    # fact-fact join family (r8: first measured slope — previously
+    # plan-shape-only per BASELINE r7). Replicas are disjoint orderkey/
+    # custkey/suppkey/partkey populations, so the joins replicate their
+    # per-replica structure and growth adds key population:
+    # q108: two partial aggs + key-cardinality count join -> linear
+    "q108_join_size_estimate",
+    # q139: edge build = lineitem×orders one shuffle pair; edges 10x,
+    # nodes 10x (rank broadcast threshold still holds at 10x) -> linear
+    "q139_pagerank_topk",
+    # q147: Q5 shape — fact shuffle pair 10x, dims broadcast (customer/
+    # supplier grow 10x; still far under the broadcast bar) -> linear
+    "q147_tpch_local_volume",
+    # q148: Q17 shape — per-part avg agg + fact join share the partkey
+    # exchange; parts 10x -> linear
+    "q148_tpch_avg_quantity_gate",
 )
 
 
@@ -175,6 +190,79 @@ def build_scaled(spark, src: str, out: str, r: int) -> None:
         )
         .write.parquet(os.path.join(out, "events.parquet"))
     )
+    # TPC-H fact + growing-dim replication (the slope input the fact-fact
+    # join family q139/q147/q148/q108 was missing): lineitem/orders/
+    # customer/supplier/part all grow r× with DISJOINT key populations
+    # (orderkey/custkey/suppkey/partkey shifted per replica), which is
+    # exactly TPC-H's own SF growth law — per-replica join structure is
+    # sf0.1's, growth adds key population, never join fan-out. customer's
+    # shift matches events' user shift (1e6) so q108's events×customer
+    # key overlap replicates too. nation/region stay fixed (as in TPC-H),
+    # and c_nationkey/s_nationkey are NOT shifted so dim broadcasts and
+    # the q147 nation residual keep their real selectivity.
+    shift = {
+        "order": 100_000_000,
+        "cust": 1_000_000,
+        "supp": 1_000_000,
+        "part": 10_000_000,
+    }
+
+    def rep_shift(col: str, kind: str):
+        return (F.col(col) + F.col("__rep") * shift[kind]).alias(col)
+
+    li = table(spark, src, "lineitem")
+    (
+        li.crossJoin(reps)
+        .select(
+            rep_shift("l_orderkey", "order"),
+            rep_shift("l_partkey", "part"),
+            rep_shift("l_suppkey", "supp"),
+            *[c for c in li.columns if not c.startswith("l_order")
+              and c not in ("l_partkey", "l_suppkey")],
+        )
+        .write.parquet(os.path.join(out, "lineitem.parquet"))
+    )
+    o = table(spark, src, "orders")
+    (
+        o.crossJoin(reps)
+        .select(
+            rep_shift("o_orderkey", "order"),
+            rep_shift("o_custkey", "cust"),
+            *[c for c in o.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        .write.parquet(os.path.join(out, "orders.parquet"))
+    )
+    c = table(spark, src, "customer")
+    (
+        c.crossJoin(reps)
+        .select(
+            rep_shift("c_custkey", "cust"),
+            *[x for x in c.columns if x != "c_custkey"],
+        )
+        .write.parquet(os.path.join(out, "customer.parquet"))
+    )
+    s = table(spark, src, "supplier")
+    (
+        s.crossJoin(reps)
+        .select(
+            rep_shift("s_suppkey", "supp"),
+            *[x for x in s.columns if x != "s_suppkey"],
+        )
+        .write.parquet(os.path.join(out, "supplier.parquet"))
+    )
+    p = table(spark, src, "part")
+    (
+        p.crossJoin(reps)
+        .select(
+            rep_shift("p_partkey", "part"),
+            *[x for x in p.columns if x != "p_partkey"],
+        )
+        .write.parquet(os.path.join(out, "part.parquet"))
+    )
+    for dim in ("nation", "region"):
+        table(spark, src, dim).write.parquet(
+            os.path.join(out, f"{dim}.parquet")
+        )
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
