@@ -1,11 +1,12 @@
-"""Pure-stdlib raster codecs: uncompressed 24-bit BMP and binary PPM (P6).
+"""Pure-stdlib raster codecs: uncompressed 24-bit BMP, binary PPM (P6),
+and PNG (zlib is in the stdlib, so PNG needs no external library).
 
 The container has no image libraries (PIL/ffmpeg absent), which kept the
-multimodal decode path stubbed through round 6. These two formats need
-nothing beyond ``struct`` + numpy — headers plus a raw raster — so the
-multimodal operators (operators/multimodal.py) get a REAL decode branch
-that executes end-to-end in this environment, while compressed codecs
-(JPEG/PNG/video) stay gated exactly as before.
+multimodal decode path stubbed through round 6. These formats need
+nothing beyond ``struct`` + ``zlib`` + numpy, so the multimodal
+operators (operators/multimodal.py) get REAL decode branches that
+execute end-to-end in this environment, while JPEG and video codecs
+stay gated exactly as before.
 
 Format notes (public specs):
 - BMP: BITMAPFILEHEADER (14 bytes, magic ``BM``) + BITMAPINFOHEADER
@@ -15,11 +16,21 @@ Format notes (public specs):
 - PPM P6: ASCII header ``P6 <width> <height> <maxval>`` (whitespace
   separated, ``#`` comments allowed) followed by a single whitespace byte
   and ``width*height*3`` raw RGB bytes; only ``maxval=255`` is supported.
+- PNG (RFC 2083 / W3C spec): 8-byte signature, then chunks
+  ``len(4) type(4) data(len) crc32(4)``; IHDR carries dims/depth/color
+  type; IDAT chunks concatenate into one zlib stream of filtered
+  scanlines (per-row filter byte 0-4: None/Sub/Up/Average/Paeth);
+  IEND terminates. Supported here: bit depth 8, color types 0 (gray),
+  2 (RGB), 3 (palette + PLTE), 6 (RGBA; alpha dropped on decode to the
+  module-wide (h, w, 3) contract), non-interlaced only. Chunk CRCs are
+  VERIFIED on decode — a corrupt IDAT is a ValueError, not garbage
+  pixels.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -27,13 +38,18 @@ _BMP_INFO_SIZE = 40
 _BMP_OFFSET = 14 + _BMP_INFO_SIZE
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def sniff_raster(raw: bytes) -> str | None:
-    """Cheap magic-byte sniff: 'bmp', 'ppm', or None (not a format this
-    module decodes — compressed codecs route to the gated path)."""
+    """Cheap magic-byte sniff: 'bmp', 'ppm', 'png', or None (not a format
+    this module decodes — unsupported codecs route to the gated path)."""
     if len(raw) >= 2 and raw[:2] == b"BM":
         return "bmp"
     if len(raw) >= 3 and raw[:2] == b"P6" and raw[2:3].isspace():
         return "ppm"
+    if len(raw) >= 8 and raw[:8] == _PNG_SIG:
+        return "png"
     return None
 
 
@@ -143,6 +159,169 @@ def decode_ppm(raw: bytes) -> np.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 6: 4}  # bytes/pixel at depth 8, by color type
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, depth 8,
+    non-interlaced). ``filter_type`` applies ONE filter (0-4) to every
+    scanline — 0 (None) is the fast default; the others exist so decode
+    tests exercise each un-filter path against an independent forward
+    construction."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got {arr.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    h, w = arr.shape[:2]
+    img = arr.astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        row = img[y]
+        left = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            filt = row - left
+        elif filter_type == 2:  # Up
+            filt = row - prev
+        elif filter_type == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            ul = np.vstack([np.zeros((1, 3), np.int32), prev[:-1]])
+            filt = row - _paeth(left, prev, ul)
+        raw.append(filter_type)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (a=left, b=up, c=upper-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB. Supports depth 8, color types
+    0/2/3/6, non-interlaced; chunk CRCs verified; RGBA alpha dropped."""
+    if len(raw) < 8 or raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG buffer")
+    pos, ihdr, plte, idat, ended = 8, None, None, bytearray(), False
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(raw):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk crc mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError("PNG missing IHDR or IEND")
+    w, h, depth, ctype_n, comp, filt_m, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype_n not in _PNG_BPP:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={ctype_n});"
+            " supported: depth 8, color types 0/2/3/6"
+        )
+    if comp != 0 or filt_m != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if w <= 0 or h <= 0 or w * h > 100_000_000:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    bpp = _PNG_BPP[ctype_n]
+    stride = w * bpp
+    try:
+        scan = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError("corrupt PNG IDAT stream") from exc
+    if len(scan) != (stride + 1) * h:
+        raise ValueError("PNG scanline data has wrong length")
+    flat = np.frombuffer(scan, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(flat[y, 0])
+        line = flat[y, 1:].astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # pixel -> sequential in x, vectorized across the bpp lanes
+            rec = np.zeros(stride, dtype=np.int32)
+            px = line.reshape(w, bpp)
+            rp = rec.reshape(w, bpp)
+            pv = prev.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + pv[x]) // 2
+                else:
+                    pred = _paeth(left, pv[x], ul)
+                rp[x] = (px[x] + pred) % 256
+                left = rp[x]
+                ul = pv[x]
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y] = rec
+        prev = rec
+    pix = out.astype(np.uint8).reshape(h, w, bpp)
+    if ctype_n == 2:
+        return np.ascontiguousarray(pix)
+    if ctype_n == 6:
+        return np.ascontiguousarray(pix[:, :, :3])
+    if ctype_n == 0:
+        return np.ascontiguousarray(np.repeat(pix, 3, axis=2))
+    # palette
+    if plte is None or len(plte) % 3:
+        raise ValueError("palette PNG missing/malformed PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = pix[:, :, 0]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("PNG palette index out of range")
+    return np.ascontiguousarray(pal[idx])
+
+
 def decode_raster(raw: bytes) -> np.ndarray:
     """Decode any supported raster buffer to (h, w, 3) uint8 RGB; raises
     ValueError for unrecognized or malformed buffers."""
@@ -151,4 +330,8 @@ def decode_raster(raw: bytes) -> np.ndarray:
         return decode_bmp(raw)
     if kind == "ppm":
         return decode_ppm(raw)
-    raise ValueError("unrecognized raster format (supported: BMP 24-bit, PPM P6)")
+    if kind == "png":
+        return decode_png(raw)
+    raise ValueError(
+        "unrecognized raster format (supported: BMP 24-bit, PPM P6, PNG)"
+    )

@@ -5,13 +5,14 @@ column next to a typed metadata struct; per-record decode/feature work runs
 in Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
 row objects.
 
-Decode is REAL for uncompressed rasters — 24-bit BMP and binary PPM are
-parsed with the pure-stdlib codecs in functions/raster.py, so
-``extract_features`` / ``resize_media`` / ``decode_image_stats`` execute
-end-to-end in this environment. Compressed codecs (JPEG/PNG/video) need
-libraries NOT in this container and stay gated: those buffers raise
-NotImplementedError unless ``fake=True`` routes them through the
-deterministic byte-level stand-in paths.
+Decode is REAL for 24-bit BMP, binary PPM, and PNG (zlib inflate +
+un-filter + chunk-CRC verify — zlib is stdlib), all parsed with the
+pure codecs in functions/raster.py, so ``extract_features`` /
+``resize_media`` / ``decode_image_stats`` execute end-to-end in this
+environment. JPEG and video codecs need libraries NOT in this container
+and stay gated: those buffers raise NotImplementedError unless
+``fake=True`` routes them through the deterministic byte-level stand-in
+paths.
 """
 
 from __future__ import annotations
@@ -67,6 +68,56 @@ def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
                 idx = np.arange(w * h * 3) % len(src)
                 media.append(encode_bmp(src[idx].reshape(h, w, 3)))
                 metas.append({"width": w, "height": h, "format": "image/bmp"})
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": media, "meta": metas}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=out_schema)
+
+
+def synthesize_raster_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media across all three in-env raster codecs:
+    doc_id % 3 picks BMP / PPM / PNG (functions/raster.py), pixels are
+    the document's text bytes tiled — the mixed-format corpus shape a
+    real curation pipeline sees, with every buffer produced by a genuine
+    encoder. PNG rows also rotate through the five scanline filters
+    (doc_id % 5) so the decode path exercises every un-filter branch at
+    query scale, not just in unit tests. Arrow mapInPandas, map-side."""
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from franzoxide_spark.functions.raster import (
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        for pdf in batches:
+            media, metas = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 4 + int(doc_id) % 9
+                h = 4 + int(doc_id) % 7
+                src = np.frombuffer(
+                    (text or "").encode("utf-8") or b"\x00", dtype=np.uint8
+                )
+                idx = np.arange(w * h * 3) % len(src)
+                img = src[idx].reshape(h, w, 3)
+                pick = int(doc_id) % 3
+                if pick == 0:
+                    media.append(encode_bmp(img))
+                    fmt = "image/bmp"
+                elif pick == 1:
+                    media.append(encode_ppm(img))
+                    fmt = "image/ppm"
+                else:
+                    media.append(
+                        encode_png(img, filter_type=int(doc_id) % 5)
+                    )
+                    fmt = "image/png"
+                metas.append({"width": w, "height": h, "format": fmt})
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media": media, "meta": metas}
             )
@@ -179,10 +230,10 @@ def extract_features(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "media decode for compressed codecs requires image/"
-                        "audio libraries not present in this environment"
-                        " (BMP/PPM decode IS supported); pass fake=True for"
-                        " the deterministic byte-histogram path"
+                        "media decode for this codec requires image/audio"
+                        " libraries not present in this environment"
+                        " (BMP/PPM/PNG decode IS supported); pass fake=True"
+                        " for the deterministic byte-histogram path"
                     )
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(arr % bins, minlength=bins)
@@ -239,10 +290,10 @@ def resize_media(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "media resize for compressed codecs requires image"
-                        " libraries not present in this environment (BMP/PPM"
-                        " resize IS supported); pass fake=True for the"
-                        " deterministic stride-sample path"
+                        "media resize for this codec requires image"
+                        " libraries not present in this environment"
+                        " (BMP/PPM/PNG resize IS supported); pass fake=True"
+                        " for the deterministic stride-sample path"
                     )
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 if len(arr) == 0:

@@ -110,20 +110,22 @@ register("q75_multimodal_frames", q75, None)
 
 def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end (operators/multimodal.py +
-    functions/raster.py): each document's text becomes a genuine 24-bit
-    BMP (pure-stdlib encoder), then decode_image_stats parses headers +
-    raster and emits pixel-domain stats — no fake flag anywhere on this
-    path. Rows-only because the BMP byte-level round-trip has no DuckDB
-    counterpart; the binding checks are the codec goldens (hand-built
-    fixture images with known pixels) and the encode/decode round-trip
-    property in tests/test_multimodal_decode.py."""
+    functions/raster.py): each document's text becomes a genuine raster
+    — BMP, PPM, or PNG by doc_id (pure-stdlib encoders; PNG rows rotate
+    through all five scanline filters) — then decode_image_stats parses
+    headers + raster (PNG: inflate + un-filter + CRC verify) and emits
+    pixel-domain stats. No fake flag anywhere on this path. Rows-only
+    because the byte-level round-trips have no DuckDB counterpart; the
+    binding checks are the codec goldens (hand-built fixture images with
+    known pixels) and the encode/decode round-trip properties in
+    tests/test_multimodal_decode.py."""
     from franzoxide_spark.operators.multimodal import (
         decode_image_stats,
-        synthesize_bmp_media,
+        synthesize_raster_media,
     )
 
     docs = table(spark, sf_dir, "documents")
-    stats = decode_image_stats(synthesize_bmp_media(docs))
+    stats = decode_image_stats(synthesize_raster_media(docs))
     return stats.groupBy("ok", "format", "width", "height", "channels").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("brightness"), 2).alias("avg_brightness"),

@@ -520,3 +520,46 @@ def test_tfrecord_any_single_bitflip_is_detected(payload, flip):
     raw[pos] ^= bit
     with _pytest.raises(ValueError):
         read_records(bytes(raw))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ft=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_round_trips_any_geometry_and_filter(w, h, ft, seed):
+    import numpy as np
+
+    from franzoxide_spark.functions.raster import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    np.testing.assert_array_equal(decode_png(encode_png(img, ft)), img)
+
+
+@given(
+    flip=st.integers(min_value=0, max_value=10**9),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_any_single_bitflip_detected_or_equal(flip, seed):
+    """Flipping any single bit in a PNG either raises ValueError (crc/
+    structure/inflate) or — never — silently yields different pixels.
+    The signature region is exempt (a broken signature routes to the
+    not-a-PNG error, also a ValueError)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from franzoxide_spark.functions.raster import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, (5, 5, 3), dtype=np.uint8)
+    raw = bytearray(encode_png(img, filter_type=seed % 5))
+    raw[flip % len(raw)] ^= 1 << (flip % 8)
+    try:
+        out = decode_png(bytes(raw))
+    except ValueError:
+        return
+    np.testing.assert_array_equal(out, img)  # flip must not alter pixels
