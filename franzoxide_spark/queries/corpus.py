@@ -2200,3 +2200,73 @@ FROM folded
 
 
 register("q159_cusum_drift", q159, _Q159_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q163 — LEFT-OUTER watermarked interval join (streaming/joins.py,
+#        how='left_outer'): every view, with its purchase if one landed
+#        in (v_ts, v_ts + 2h] — unmatched views emit null-padded, which
+#        is what turns q114's pair stream into a CONVERSION RATE. The
+#        common attribution ask the inner variant can't answer: "how
+#        many views converted?" needs the views that didn't. Streaming
+#        face: unmatched rows emit only after the watermark passes their
+#        interval (state eviction — locked by tests/test_streaming.py);
+#        this batch face oracle-checks the null-padding + rate math.
+#        Same plan as q114: one shuffle per side on user_id, interval
+#        residual, never a cartesian; outer adds no shuffle.
+# --------------------------------------------------------------------------
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.streaming.joins import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    pairs = interval_join(
+        views, purchases, on="user_id", left_ts="v_ts", right_ts="p_ts",
+        upper="2 hours", how="left_outer",
+    )
+    return (
+        pairs.groupBy(
+            F.date_format(F.date_trunc("hour", "v_ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("view_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_view_rows"),
+            F.sum(F.col("p_ts").isNotNull().cast("int")).cast("bigint")
+            .alias("n_converted_rows"),
+            F.round(
+                F.sum(F.col("p_ts").isNotNull().cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("conversion_rate"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2)
+            .alias("attributed_value"),
+        )
+    )
+
+
+_Q163_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT strftime(date_trunc('hour', v_ts), '%Y-%m-%d %H:%M:%S') AS view_hour,
+       COUNT(*) AS n_view_rows,
+       CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted_rows,
+       ROUND(CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS conversion_rate,
+       ROUND(SUM(COALESCE(value, 0.0)), 2) AS attributed_value
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+   AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 2 HOUR
+GROUP BY 1
+"""
+
+
+register("q163_interval_join_outer_conversion", q163, _Q163_SQL)

@@ -37,6 +37,7 @@ def interval_join(
     upper: str = "2 hours",
     strict_after: bool = True,
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Join ``left`` and ``right`` on ``on`` where ``right_ts`` falls in
     (``left_ts``, ``left_ts + upper``] (or [..] when ``strict_after`` is
@@ -47,6 +48,17 @@ def interval_join(
     keep the output unambiguous without alias gymnastics. ``watermark``
     (e.g. ``"2 hours"``) is applied to both sides' event-time columns;
     required by Spark for streaming state eviction, a no-op for batch.
+
+    ``how``: ``"inner"`` (default) or ``"left_outer"`` — the attribution
+    ask "every view, with its purchase if one came": unmatched left rows
+    emit null-padded right columns. Streaming semantics (Spark's
+    documented outer stream-stream contract): an unmatched left row
+    CANNOT emit as soon as it's seen — a match might still arrive — so
+    it emits null-padded only after the watermark passes its interval
+    bound and its state is evicted. That makes ``watermark`` REQUIRED
+    for a streaming left-outer join (Spark enforces it at analysis);
+    batch left-outer needs no watermark and emits unmatched rows
+    immediately, and the two faces agree on the final relation.
     """
     if left_ts == right_ts:
         raise ValueError(
@@ -55,6 +67,15 @@ def interval_join(
         )
     if on not in left.columns or on not in right.columns:
         raise ValueError(f"join key {on!r} missing from an input")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left_outer', got {how!r}"
+        )
+    if how == "left_outer" and watermark is None and left.isStreaming:
+        raise ValueError(
+            "streaming left_outer interval join requires a watermark"
+            " (state for unmatched rows must be evictable)"
+        )
     if watermark is not None:
         left = left.withWatermark(left_ts, watermark)
         right = right.withWatermark(right_ts, watermark)
@@ -68,4 +89,4 @@ def interval_join(
         & F.expr(f"{right_ts} {lower_op} {left_ts}")
         & F.expr(f"{right_ts} <= {left_ts} + interval {upper}")
     )
-    return left.join(right, cond).drop(right_key)
+    return left.join(right, cond, how).drop(right_key)

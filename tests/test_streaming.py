@@ -1431,3 +1431,106 @@ def test_foreachbatch_quarantine_side_output(spark, tmp_path):
     assert "in_range(value)" in " ".join(tags)
     assert "accepted_values(event_type)" in " ".join(tags)
     assert "violated" not in good.columns
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream interval join (streaming/joins.py,
+    how='left_outer'): a matched view emits its pair; an UNMATCHED view
+    emits null-padded only after the watermark passes its interval bound
+    (its state is evicted, so no match can ever arrive) — Spark's
+    documented outer-join late-emission contract, the q163 streaming
+    face."""
+    import datetime as dt
+
+    v_dir, p_dir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    os.makedirs(v_dir), os.makedirs(p_dir)
+    v_schema = "v_ts timestamp, user_id long"
+    p_schema = "p_ts timestamp, user_id long"
+
+    def write(dirname, name, schema, rows):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        for f in glob.glob(os.path.join(stage, "*.parquet")):
+            os.link(f, os.path.join(dirname, f"{name}.parquet"))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    views = spark.readStream.schema(v_schema).parquet(v_dir)
+    purchases = spark.readStream.schema(p_schema).parquet(p_dir)
+    joined = interval_join(
+        views, purchases, on="user_id", left_ts="v_ts", right_ts="p_ts",
+        upper="30 minutes", watermark="30 minutes", how="left_outer",
+    ).select("user_id", "v_ts", "p_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssoj_out")
+        .option("checkpointLocation", str(tmp_path / "ssoj_ckpt"))
+        .start()
+    )
+
+    def rows_now():
+        return sorted(
+            (
+                r["user_id"],
+                r["v_ts"].strftime("%H:%M"),
+                r["p_ts"].strftime("%H:%M") if r["p_ts"] else None,
+            )
+            for r in spark.sql("SELECT * FROM ssoj_out").collect()
+        )
+
+    try:
+        # batch 1: u1 matched, u2 unmatched — u2 must NOT emit yet (a
+        # match could still arrive inside its interval)
+        write(v_dir, "v1", v_schema, [(t(10, 0), 1), (t(10, 0), 2)])
+        write(p_dir, "p1", p_schema, [(t(10, 10), 1)])
+        q.processAllAvailable()
+        assert rows_now() == [(1, "10:00", "10:10")], rows_now()
+        # batch 2: advance both watermarks far past 10:30; u2's state is
+        # evicted and the null-padded row emits
+        write(v_dir, "v2", v_schema, [(t(13, 0), 7)])
+        write(p_dir, "p2", p_schema, [(t(13, 1), 8)])
+        q.processAllAvailable()
+        # one more micro-batch tick: outer results emit on state eviction,
+        # which Spark performs in the batch AFTER the watermark advances
+        write(p_dir, "p3", p_schema, [(t(13, 2), 8)])
+        q.processAllAvailable()
+        assert (2, "10:00", None) in rows_now(), rows_now()
+    finally:
+        q.stop()
+
+
+def test_interval_join_outer_batch_requires_no_watermark(spark):
+    """Batch left-outer face: unmatched rows null-pad immediately, no
+    watermark needed — and the relation equals the inner join plus the
+    null-padded complement."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    views = spark.createDataFrame(
+        [(t(0), 1), (t(0), 2)], "v_ts timestamp, user_id long"
+    )
+    purchases = spark.createDataFrame(
+        [(t(10), 1)], "p_ts timestamp, user_id long"
+    )
+    out = sorted(
+        (r["user_id"], r["p_ts"] is not None)
+        for r in interval_join(
+            views, purchases, on="user_id", left_ts="v_ts",
+            right_ts="p_ts", upper="30 minutes", how="left_outer",
+        ).collect()
+    )
+    assert out == [(1, True), (2, False)]
+    with pytest.raises(ValueError, match="inner.*left_outer|left_outer"):
+        interval_join(
+            views, purchases, on="user_id", left_ts="v_ts",
+            right_ts="p_ts", how="full"
+        )
