@@ -49,6 +49,13 @@ def _assign_udf(centroids):
     return assign
 
 
+# Per-iteration driver traffic is k×dim partial-sum rows — independent
+# of corpus size (that's the operator's 100 TB contract). Bound it hard
+# so a caller can't silently request a centroid table that turns the
+# per-iteration collect into a driver bottleneck.
+_KMEANS_MAX_DRIVER_CELLS = 10_000_000  # k * dim
+
+
 def kmeans_fit(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -58,7 +65,14 @@ def kmeans_fit(
 ) -> tuple[list[list[float]], DataFrame]:
     """Run ``iters`` Lloyd iterations; returns (centroids, assigned)
     where assigned = emb plus a ``cluster_id`` column for the FINAL
-    centroids. Deterministic seeding: the k smallest ids."""
+    centroids. Deterministic seeding: the k smallest ids.
+
+    100 TB contract: each iteration is one corpus scan (broadcast-GEMM
+    assignment), one map-side-combined (cluster, pos) partial-sum
+    shuffle, and ONE driver collect of exactly k×dim rows — bounded by
+    the model size, never the corpus. The k×dim product is checked
+    against ``_KMEANS_MAX_DRIVER_CELLS`` up front.
+    """
     if k <= 0 or iters <= 0:
         raise ValueError(f"k and iters must be positive ({k}, {iters})")
     seed_rows = (
@@ -67,6 +81,13 @@ def kmeans_fit(
     if len(seed_rows) < k:
         raise ValueError(f"corpus has fewer than k={k} rows")
     centroids = [list(r[vec_col]) for r in seed_rows]
+    dim0 = len(centroids[0])
+    if k * dim0 > _KMEANS_MAX_DRIVER_CELLS:
+        raise ValueError(
+            f"k*dim = {k}*{dim0} exceeds the per-iteration driver bound"
+            f" {_KMEANS_MAX_DRIVER_CELLS}; shard the centroid table or"
+            " reduce k"
+        )
     for _ in range(iters):
         assigned = emb.withColumn(
             "cluster_id", _assign_udf(centroids)(F.col(vec_col))
@@ -79,6 +100,9 @@ def kmeans_fit(
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        # the partial-sum relation is grouped on (cluster, pos): at most
+        # k*dim rows regardless of corpus size — the bound checked above
+        assert len(sums) <= k * dim0, (len(sums), k, dim0)
         by_cluster: dict[int, dict[int, float]] = {}
         counts: dict[int, int] = {}
         for r in sums:

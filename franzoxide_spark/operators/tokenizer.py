@@ -117,6 +117,13 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
+# The merge-learning collect is DRIVER-side by design (BPE's argmax over
+# pair counts is inherently sequential); its input must therefore be
+# hard-bounded, not "usually small". A 100x corpus cannot grow it: the
+# row count is min(top_words, distinct words), never corpus size.
+_BPE_MAX_DRIVER_WORDS = 1_000_000
+
+
 def learn_bpe(
     docs: DataFrame,
     text_col: str,
@@ -124,10 +131,32 @@ def learn_bpe(
     n_merges: int = 200,
     top_words: int | None = 50_000,
 ) -> list[tuple[str, str]]:
-    """Word-count shuffle → bounded driver-side merge learning."""
-    counts = [
-        (r["word"], r["n"]) for r in word_counts(docs, text_col, top_words).collect()
-    ]
+    """Word-count shuffle → bounded driver-side merge learning.
+
+    100 TB contract: the ONLY driver materialization is the top-V word
+    table — ``top_words`` rows (TakeOrdered, never a global sort), a
+    vocabulary-sized bound independent of corpus size. ``top_words=None``
+    (unbounded, fine for tests/small corpora) is refused above
+    ``_BPE_MAX_DRIVER_WORDS`` distinct words so a silent pass-through
+    can never become an OOM-ing driver bottleneck at scale.
+    """
+    if top_words is not None and top_words > _BPE_MAX_DRIVER_WORDS:
+        raise ValueError(
+            f"top_words={top_words} exceeds the driver bound"
+            f" {_BPE_MAX_DRIVER_WORDS}; BPE merge learning collects one row"
+            " per vocabulary word"
+        )
+    wc = word_counts(docs, text_col, top_words)
+    if top_words is None:
+        n_distinct = wc.count()
+        if n_distinct > _BPE_MAX_DRIVER_WORDS:
+            raise ValueError(
+                f"corpus has {n_distinct} distinct words >"
+                f" {_BPE_MAX_DRIVER_WORDS}; pass top_words to bound the"
+                " driver-side merge-learning input"
+            )
+    counts = [(r["word"], r["n"]) for r in wc.collect()]
+    assert len(counts) <= (top_words or _BPE_MAX_DRIVER_WORDS)
     counts.sort(key=lambda wc: (-wc[1], wc[0]))
     return train_bpe_from_counts(counts, n_merges)
 

@@ -106,3 +106,23 @@ def test_q138_runs_and_is_deterministic(spark, sf_dir):
     a = {tuple(r) for r in QUERIES["q138_bpe_tokenizer"](spark, sf_dir).collect()}
     b = {tuple(r) for r in QUERIES["q138_bpe_tokenizer"](spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_learn_bpe_driver_bound_enforced(spark):
+    """BPE merge learning collects one row per vocab word; the bound is
+    explicit (r8) — an oversized top_words is refused up front."""
+    import pytest
+
+    from franzoxide_spark.operators.tokenizer import (
+        _BPE_MAX_DRIVER_WORDS,
+        learn_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="driver bound"):
+        learn_bpe(docs, "text", top_words=_BPE_MAX_DRIVER_WORDS + 1)
+    # top_words=None is fine when the distinct-word count is small
+    merges = learn_bpe(docs, "text", n_merges=2, top_words=None)
+    assert isinstance(merges, list)
