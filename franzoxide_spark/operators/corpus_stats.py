@@ -707,3 +707,120 @@ def vocab_encode_mapside(
     return _fan_out(docs.select(id_col, text_col)).mapInPandas(
         _encode, schema=out_schema
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit (power-law diagnostic)
+# --------------------------------------------------------------------------
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_ranks: int = 100,
+) -> DataFrame:
+    """Per group: the Zipf exponent of the token rank-frequency curve —
+    OLS of ln(count) on ln(rank) over the top ``top_ranks`` terms, so
+    count ≈ C·rank^(-alpha). Natural corpora sit near alpha ≈ 1; a much
+    flatter slope flags template/boilerplate-dominated text, a steeper
+    one a collapsed vocabulary — the corpus-level "does this read like
+    language" diagnostic next to q58/q61's per-document gates.
+
+    Cross-engine determinism: the per-group OLS moments are computed by
+    FOLDS over rank-ordered arrays (the q152/q159 recurrence-as-fold
+    family) — Spark ``aggregate`` and DuckDB ``list_reduce`` add the
+    same ≤ top_ranks doubles in the same order, and the 0.0 seed is
+    exact under IEEE (0 + x == x), so the engines agree bit-for-bit
+    (modulo a last-ulp ln() difference the 6-dp round absorbs, the same
+    accepted risk as q61/q137).
+
+    Scale shape: one map-side-combined token-count shuffle; the window
+    rank runs per group over term counts (count-domain, not corpus-
+    domain); everything after the top-R filter is R-bounded per group.
+    """
+    cnt = (
+        docs.select(group_col, F.explode(F.split(text_col, " ")).alias("__t"))
+        .groupBy(group_col, "__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    r = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.desc("__c"), "__t")
+    )
+    top = cnt.withColumn("__r", r).filter(F.col("__r") <= top_ranks)
+    srt = "array_sort(collect_list(struct(__r, __c)))"
+    agg = top.groupBy(group_col).agg(
+        F.count("*").alias("n_terms"),
+        F.expr(
+            f"aggregate({srt}, cast(0.0 as double),"
+            " (a, s) -> a + ln(cast(s.__r as double)))"
+        ).alias("__sx"),
+        F.expr(
+            f"aggregate({srt}, cast(0.0 as double),"
+            " (a, s) -> a + ln(cast(s.__c as double)))"
+        ).alias("__sy"),
+        F.expr(
+            f"aggregate({srt}, cast(0.0 as double),"
+            " (a, s) -> a + ln(cast(s.__r as double))"
+            " * ln(cast(s.__c as double)))"
+        ).alias("__sxy"),
+        F.expr(
+            f"aggregate({srt}, cast(0.0 as double),"
+            " (a, s) -> a + ln(cast(s.__r as double))"
+            " * ln(cast(s.__r as double)))"
+        ).alias("__sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom
+    return agg.select(
+        group_col,
+        F.col("n_terms").cast("int").alias("n_terms"),
+        F.round(-slope, 6).alias("zipf_alpha"),
+        F.round(
+            (F.col("__sy") - slope * F.col("__sx")) / n, 6
+        ).alias("ln_c_intercept"),
+    )
+
+
+def sql_zipf_fit(
+    table: str, text_col: str, group_col: str, top_ranks: int = 100
+) -> str:
+    """DuckDB mirror of :func:`zipf_fit` — identical rank-ordered folds."""
+    return f"""
+WITH cnt AS (
+  SELECT {group_col}, tok, COUNT(*) AS c
+  FROM (SELECT {group_col}, UNNEST(string_split({text_col}, ' ')) AS tok
+        FROM {table})
+  GROUP BY {group_col}, tok
+),
+top AS (
+  SELECT * FROM (
+    SELECT {group_col}, c,
+           ROW_NUMBER() OVER (PARTITION BY {group_col}
+                              ORDER BY c DESC, tok) AS r
+    FROM cnt
+  ) WHERE r <= {top_ranks}
+),
+folded AS (
+  SELECT {group_col}, COUNT(*) AS n_terms,
+         list_reduce(list_prepend(0.0,
+           list(ln(CAST(r AS DOUBLE)) ORDER BY r)), (a, x) -> a + x) AS sx,
+         list_reduce(list_prepend(0.0,
+           list(ln(CAST(c AS DOUBLE)) ORDER BY r)), (a, x) -> a + x) AS sy,
+         list_reduce(list_prepend(0.0,
+           list(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) ORDER BY r)),
+           (a, x) -> a + x) AS sxy,
+         list_reduce(list_prepend(0.0,
+           list(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) ORDER BY r)),
+           (a, x) -> a + x) AS sxx
+  FROM top GROUP BY {group_col}
+)
+SELECT {group_col}, CAST(n_terms AS INT) AS n_terms,
+       ROUND(-(CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS zipf_alpha,
+       ROUND((sy - (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n_terms AS DOUBLE), 6) AS ln_c_intercept
+FROM folded
+"""

@@ -236,3 +236,107 @@ SELECT t.{group_col}, COUNT(*) AS n,
 FROM {table} t JOIN b ON t.{group_col} = b.g
 GROUP BY t.{group_col}
 """
+
+
+# --------------------------------------------------------------------------
+# deterministic experiment assignment + sample-ratio-mismatch (SRM) check
+# --------------------------------------------------------------------------
+
+
+def ab_srm_check(
+    events: DataFrame,
+    unit_col: str,
+    group_col: str,
+    salt: str = "exp1",
+    treat_pct: int = 50,
+) -> DataFrame:
+    """Hash-based A/B assignment audit: units are assigned to treatment
+    iff ``hash60(salt || ':' || unit) % 100 < treat_pct`` (deterministic,
+    engine-independent, no RNG state), then per group the observed
+    treat/control UNIT counts are chi-square-tested against the design
+    ratio — the sample-ratio-mismatch alarm that catches a broken
+    randomizer or a biased logging path before anyone reads the metric
+    (Fabijan et al. 2019's first diagnostic). alarm at chi2 > 3.841
+    (df=1, p=0.05).
+
+    Determinism: counts are exact integers (distinct units per arm);
+    chi2 is a single closed-form double expression over those integers —
+    no FP accumulation anywhere.
+
+    Scale shape: one distinct on (group, unit) — map-side combined — then
+    a group-cardinality aggregate; assignment itself is a map-side hash,
+    usable standalone for the actual serving path.
+    """
+    from franzoxide_spark.functions.text import hash60
+
+    arm = (
+        F.pmod(
+            hash60(F.concat(F.lit(salt), F.lit(":"), F.col(unit_col))), 100
+        )
+        < treat_pct
+    )
+    units = (
+        events.select(group_col, F.col(unit_col), arm.alias("__t"))
+        .distinct()
+    )
+    agg = units.groupBy(group_col).agg(
+        F.sum(F.col("__t").cast("long")).alias("n_treat"),
+        F.sum((~F.col("__t")).cast("long")).alias("n_control"),
+    )
+    n = (F.col("n_treat") + F.col("n_control")).cast("double")
+    e_t = n * treat_pct / 100.0
+    e_c = n * (100 - treat_pct) / 100.0
+    d_t = F.col("n_treat").cast("double") - e_t
+    d_c = F.col("n_control").cast("double") - e_c
+    # d*d, not pow(d, 2): both engines then use one IEEE multiply and
+    # agree bit-for-bit (libm pow() is not guaranteed exact even at 2)
+    chi2 = d_t * d_t / e_t + d_c * d_c / e_c
+    return agg.select(
+        group_col,
+        F.col("n_treat").cast("bigint").alias("n_treat"),
+        F.col("n_control").cast("bigint").alias("n_control"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_alarm"),
+    )
+
+
+def sql_ab_srm_check(
+    table: str,
+    unit_col: str,
+    group_col: str,
+    salt: str = "exp1",
+    treat_pct: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`ab_srm_check` (same md5-prefix hash)."""
+    h = (
+        f"CAST('0x' || substr(md5('{salt}:' || CAST({unit_col} AS VARCHAR)),"
+        f" 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH units AS (
+  SELECT DISTINCT {group_col}, {unit_col},
+         ({h} % 100) < {treat_pct} AS t
+  FROM {table}
+),
+agg AS (
+  SELECT {group_col},
+         SUM(CASE WHEN t THEN 1 ELSE 0 END) AS n_treat,
+         SUM(CASE WHEN t THEN 0 ELSE 1 END) AS n_control
+  FROM units GROUP BY {group_col}
+),
+chi AS (
+  SELECT {group_col}, n_treat, n_control,
+         CAST(n_treat AS DOUBLE)
+           - CAST(n_treat + n_control AS DOUBLE) * {treat_pct} / 100.0 AS dt,
+         CAST(n_control AS DOUBLE)
+           - CAST(n_treat + n_control AS DOUBLE) * {100 - treat_pct} / 100.0 AS dc,
+         CAST(n_treat + n_control AS DOUBLE) * {treat_pct} / 100.0 AS et,
+         CAST(n_treat + n_control AS DOUBLE) * {100 - treat_pct} / 100.0 AS ec
+  FROM agg
+)
+SELECT {group_col}, CAST(n_treat AS BIGINT) AS n_treat,
+       CAST(n_control AS BIGINT) AS n_control,
+       ROUND(dt * dt / et + dc * dc / ec, 6) AS chi2,
+       (dt * dt / et + dc * dc / ec) > 3.841 AS srm_alarm
+FROM chi
+"""

@@ -2270,3 +2270,51 @@ GROUP BY 1
 
 
 register("q163_interval_join_outer_conversion", q163, _Q163_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q164 — Zipf rank-frequency fit per source (operators/corpus_stats.py:
+#        zipf_fit): OLS of ln(count) on ln(rank) over each source's top
+#        100 terms via rank-ordered folds (the recurrence-as-fold
+#        family), so both engines sum identical doubles in identical
+#        order. The corpus-level power-law diagnostic: alpha ≈ 1 reads
+#        like language, flat flags boilerplate, steep a collapsed vocab.
+# --------------------------------------------------------------------------
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.corpus_stats import zipf_fit
+
+    docs = table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", "source", top_ranks=100)
+
+
+def _q164_sql() -> str:
+    from franzoxide_spark.operators.corpus_stats import sql_zipf_fit
+
+    return sql_zipf_fit("documents", "text", "source", top_ranks=100)
+
+
+register("q164_zipf_fit", q164, _q164_sql())
+
+
+# --------------------------------------------------------------------------
+# Q166 — A/B sample-ratio-mismatch audit (operators/stats.py:
+#        ab_srm_check): deterministic hash-bucket assignment of users,
+#        per-event-type distinct-unit counts per arm, chi-square vs the
+#        50/50 design (alarm > 3.841, df=1 p=.05) — the experimentation
+#        guardrail that catches a broken randomizer before any metric is
+#        read. Exact integer counts, closed-form chi2, no RNG state.
+# --------------------------------------------------------------------------
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.stats import ab_srm_check
+
+    ev = table(spark, sf_dir, "events")
+    return ab_srm_check(ev, "user_id", "event_type")
+
+
+def _q166_sql() -> str:
+    from franzoxide_spark.operators.stats import sql_ab_srm_check
+
+    return sql_ab_srm_check("events", "user_id", "event_type")
+
+
+register("q166_ab_srm_check", q166, _q166_sql())

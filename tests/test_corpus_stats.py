@@ -246,3 +246,32 @@ def test_vocab_encode_mapside_plan_has_no_corpus_shuffle(spark, sf_dir):
     # input file (a no-op with real input splits)
     assert "MapInPandas" in plan
     assert "hashpartitioning" not in plan and "Join" not in plan
+
+
+def test_zipf_fit_recovers_exact_power_law(spark):
+    """A corpus whose counts are exactly c(r) = 840/r must fit
+    alpha = 1 (ln c = ln 840 - 1·ln r, an exact line)."""
+    from franzoxide_spark.operators.corpus_stats import zipf_fit
+
+    words = []
+    for r in range(1, 9):
+        words += [f"w{r:02d}"] * (840 // r)
+    text = " ".join(words)
+    docs = spark.createDataFrame([("s", text)], "source string, text string")
+    row = zipf_fit(docs, "text", "source", top_ranks=8).collect()[0]
+    assert row["n_terms"] == 8
+    assert abs(row["zipf_alpha"] - 1.0) < 1e-6
+    import math
+
+    assert abs(row["ln_c_intercept"] - math.log(840)) < 1e-6
+
+
+def test_zipf_fit_flat_corpus_near_zero_alpha(spark):
+    """Uniform counts (pure boilerplate) -> slope ~0: the flag the
+    operator exists to raise."""
+    from franzoxide_spark.operators.corpus_stats import zipf_fit
+
+    text = " ".join(f"w{r}" for _ in range(10) for r in range(50))
+    docs = spark.createDataFrame([("s", text)], "source string, text string")
+    row = zipf_fit(docs, "text", "source", top_ranks=50).collect()[0]
+    assert abs(row["zipf_alpha"]) < 1e-9

@@ -247,3 +247,40 @@ def test_welch_report_matches_textbook(spark):
     assert got["n_a"] == na and got["n_b"] == nb
     assert abs(got["welch_t"] - t_ref) < 1e-5
     assert abs(got["welch_df"] - df_ref) < 1e-4
+
+
+def test_ab_srm_balanced_and_broken_randomizer(spark):
+    """Closed-form SRM: a hash-balanced population stays quiet; a
+    logging path that drops most of one arm alarms."""
+    from franzoxide_spark.operators.stats import ab_srm_check
+
+    rows = [("g", i) for i in range(2000)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    ok = ab_srm_check(ev, "user_id", "event_type").collect()[0]
+    assert ok["n_treat"] + ok["n_control"] == 2000
+    assert not ok["srm_alarm"], ok  # hash split is ~50/50
+    # simulate arm-biased logging: keep only ~10% of treatment rows
+    from franzoxide_spark.functions.text import hash60
+    from pyspark.sql import functions as F
+
+    arm = F.pmod(hash60(F.concat(F.lit("exp1:"), F.col("user_id"))), 100) < 50
+    biased = ev.filter(~arm | (F.col("user_id") % 10 == 0))
+    bad = ab_srm_check(biased, "user_id", "event_type").collect()[0]
+    assert bad["srm_alarm"] and bad["chi2"] > 100
+
+
+def test_ab_srm_assignment_is_unit_deterministic(spark):
+    """The same unit lands in the same arm regardless of how many event
+    rows it has (distinct-unit counting, hash assignment)."""
+    from franzoxide_spark.operators.stats import ab_srm_check
+
+    once = spark.createDataFrame(
+        [("g", i) for i in range(500)], "event_type string, user_id long"
+    )
+    thrice = spark.createDataFrame(
+        [("g", i) for _ in range(3) for i in range(500)],
+        "event_type string, user_id long",
+    )
+    a = ab_srm_check(once, "user_id", "event_type").collect()[0]
+    b = ab_srm_check(thrice, "user_id", "event_type").collect()[0]
+    assert (a["n_treat"], a["n_control"]) == (b["n_treat"], b["n_control"])
