@@ -2318,3 +2318,34 @@ def _q166_sql() -> str:
 
 
 register("q166_ab_srm_check", q166, _q166_sql())
+
+
+# --------------------------------------------------------------------------
+# Q165 — Bloom-filter decontamination pre-filter (operators/sketch.py:
+#        bloom_build/bloom_probe_report): the eval set's shingles enter
+#        an 8 KiB relational Bloom (1024 int64 words, 4 seeded hashes,
+#        bit_or-mergeable like every sketch here); corpus shingles probe
+#        it map-side and positives are EXACT-verified — per source the
+#        bloom-positive / true-hit / false-positive ledger. The
+#        constant-memory membership path for when the deny-list side is
+#        too big to broadcast exactly (q54/q56 stay the exact default).
+#        Same %97 eval split as q56.
+# --------------------------------------------------------------------------
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.sketch import bloom_probe_report
+
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    pool = docs.filter(F.col("doc_id") % 97 != 0)
+    return bloom_probe_report(pool, eval_docs, "text", "source")
+
+
+def _q165_sql() -> str:
+    from franzoxide_spark.operators.sketch import sql_bloom_probe_report
+
+    return sql_bloom_probe_report(
+        "documents", "doc_id % 97 = 0", "doc_id % 97 != 0", "text", "source"
+    )
+
+
+register("q165_bloom_decontam_prefilter", q165, _q165_sql())

@@ -189,3 +189,50 @@ def test_mg_rollup_is_partitioning_independent(spark):
         )
         outs.append({tuple(r) for r in out.collect()})
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_bloom_never_misses_a_true_hit(spark):
+    """No-false-negative property: every shingle actually present in the
+    eval set must be bloom-positive (n_true rows all probe positive →
+    n_bloom_pos >= n_true and every true hit is inside the positives)."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.operators.sketch import bloom_probe_report
+
+    eval_docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            ("a", 2, "the quick brown fox jumps high"),   # shares shingles
+            ("a", 3, "completely different words entirely here now"),
+        ],
+        "source string, doc_id long, text string",
+    )
+    row = bloom_probe_report(pool, eval_docs, "text", "source").collect()[0]
+    assert row["n_true"] >= 1
+    assert row["n_bloom_pos"] >= row["n_true"]
+    assert row["n_false_pos"] == row["n_bloom_pos"] - row["n_true"]
+
+
+def test_bloom_build_is_mergeable(spark):
+    """bit_or of two half-builds equals the build of the union — the
+    mergeable-sketch contract shared with HLL/CMS/MG."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.operators.sketch import bloom_build
+
+    a = spark.createDataFrame([(f"g{i}",) for i in range(50)], "g string")
+    b = spark.createDataFrame([(f"g{i}",) for i in range(50, 100)], "g string")
+    both = a.unionAll(b)
+    merged = (
+        bloom_build(a, "g")
+        .unionAll(bloom_build(b, "g"))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    direct = bloom_build(both, "g")
+    got = {(r["word_idx"], r["bits"]) for r in merged.collect()}
+    want = {(r["word_idx"], r["bits"]) for r in direct.collect()}
+    assert got == want
