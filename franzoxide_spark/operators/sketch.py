@@ -278,14 +278,15 @@ _BLOOM_HASHES = 4
 
 
 def _bloom_bits(shingle_expr: str, seed: int) -> tuple[str, str]:
-    """(word_idx, bit_in_word) SQL fragments for one seeded hash —
-    IDENTICAL text spliced into both engines (only the hash60 spelling
-    differs, via the caller)."""
-    from franzoxide_spark.functions.text import HASH60_SEEDED_SPARK
+    """(word_idx, bit_in_word) Spark-SQL fragments for hash ``seed``.
 
-    h = HASH60_SEEDED_SPARK.format(i=seed, s=shingle_expr)
-    idx = f"pmod({h}, {_BLOOM_BITS})"
-    return f"cast({idx} / 64 as int)", f"cast({idx} % 64 as int)"
+    All four indices come from ONE md5: the 128-bit digest is split into
+    four disjoint 16-bit hex chunks, each exactly a position in the
+    2^16-bit array — one hash call per shingle instead of four (measured
+    ~25% off the whole q165 at sf0.1), with the same independence story
+    as seeded hashing for a uniform digest."""
+    h = f"cast(conv(substr(md5({shingle_expr}), {1 + 4 * seed}, 4), 16, 10) as int)"
+    return f"cast({h} / 64 as int)", f"cast({h} % 64 as int)"
 
 
 def bloom_build(eval_shingles: DataFrame, shingle_col: str) -> DataFrame:
@@ -331,52 +332,101 @@ def bloom_probe_report(
     verification work the Bloom costs — by construction the Bloom NEVER
     misses a true hit (no false negatives), which the tests assert.
 
-    Scale shape: the 1024-row sketch broadcasts into a map-side probe
-    (k_hashes rows per shingle, combined per shingle before any shuffle);
-    the exact verify joins ONLY distinct shingles; nothing corpus-sized
-    crosses the wire except the one distinct-shingle shuffle every
-    decontamination variant already pays.
+    When both inputs are slices of ONE relation, pass that relation via
+    :func:`bloom_probe_report_flagged` instead — it runs the whole
+    report off a single scan and a single shingle shuffle.
+    """
+    flagged = eval_docs.select(
+        F.lit(None).cast("string").alias("__grp"),
+        F.col(text_col).alias("__text"),
+        F.lit(True).alias("__is_eval"),
+    ).unionAll(
+        docs.select(
+            F.col(group_col).cast("string").alias("__grp"),
+            F.col(text_col).alias("__text"),
+            F.lit(False).alias("__is_eval"),
+        )
+    )
+    return bloom_probe_report_flagged(
+        flagged, "__text", "__grp", "__is_eval", k
+    ).withColumnRenamed("__grp", group_col)
+
+
+def bloom_probe_report_flagged(
+    flagged: DataFrame,
+    text_col: str,
+    group_col: str,
+    eval_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Single-scan core of :func:`bloom_probe_report`: one relation with
+    an ``eval_col`` boolean picking the eval side.
+
+    Scale shape — ONE corpus scan, ONE shingle shuffle: shingles explode
+    with the eval flag attached, then a single groupBy(shingle) derives
+    BOTH sides at once — ``in_eval = max(flag)`` is the exact truth bit
+    and the pool groups come from ``collect_set(group where not flag)``.
+    The per-shingle relation localCheckpoints (shingle-domain, bounded
+    by distinct shingles) because two consumers read it: the 1024-row
+    bloom build (filter in_eval → bit_or) and the probe/report (probe =
+    4 chained broadcast lookups of the sketch, one md5 per shingle
+    split into four 16-bit chunks). Nothing corpus-sized crosses the
+    wire except that one shingle shuffle — the same exchange every
+    decontamination variant pays. At the bench's sf0.1 (5 000 short
+    docs) every variant of this plan is FLOOR-dominated (~1.7 s against
+    DuckDB's 0.8 s — job-count and codegen overhead, not data; see
+    BASELINE.md r8); the shape above is the one whose cost is a single
+    corpus scan + shingle exchange at real scale.
     """
     from franzoxide_spark.functions.text import shingles, tokens
 
-    corpus_sh = (
-        docs.withColumn("__toks", tokens(text_col))
-        .select(group_col, F.explode(shingles("__toks", k)).alias("__g"))
-        .distinct()
+    # no _fan_out: the stage after the explode is itself a shuffle, so
+    # input parallelism does not bound the job (same reasoning as
+    # corpus_stats' LM scorers measured at sf0.1)
+    per_g = (
+        flagged.withColumn("__toks", tokens(text_col))
+        .select(
+            F.col(group_col),
+            F.col(eval_col).alias("__e"),
+            F.explode(shingles("__toks", k)).alias("__g"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.max(F.col("__e").cast("int")).alias("__in_eval"),
+            F.collect_set(
+                F.when(~F.col("__e"), F.col(group_col))
+            ).alias("__grps"),
+        )
+        .localCheckpoint(eager=False)
     )
-    eval_sh = (
-        eval_docs.withColumn("__toks", tokens(text_col))
-        .select(F.explode(shingles("__toks", k)).alias("__g"))
-        .distinct()
-    )
-    bloom = bloom_build(eval_sh, "__g")
-
-    probe = None
+    # everything below stays LAZY — one driver action total. The bloom
+    # subtree is referenced by four aliased joins; the non-eager
+    # checkpoint on per_g means the corpus work materializes once and
+    # the three re-evaluations of the (tiny) bloom read its blocks.
+    bloom = bloom_build(
+        per_g.filter(F.col("__in_eval") == 1), "__g"
+    ).localCheckpoint(eager=False)
+    probe = per_g.filter(F.size("__grps") > 0)
+    ok = None
     for seed in range(_BLOOM_HASHES):
         w, b = _bloom_bits("__g", seed)
-        part = corpus_sh.select(
-            group_col,
-            "__g",
-            F.expr(w).alias("word_idx"),
-            F.expr(f"shiftleft(cast(1 as bigint), {b})").alias("__m"),
+        side = f"__bl{seed}"
+        probe = probe.join(
+            F.broadcast(bloom.alias(side)),
+            F.expr(w) == F.col(f"{side}.word_idx"),
+            "left",
         )
-        probe = part if probe is None else probe.unionAll(part)
-    hit = (
-        probe.join(F.broadcast(bloom), "word_idx", "left")
-        .withColumn(
-            "__ok",
-            (F.col("bits").isNotNull())
-            & (F.col("bits").bitwiseAND(F.col("__m")) == F.col("__m")),
-        )
-        .groupBy(group_col, "__g")
-        .agg(F.min(F.col("__ok").cast("int")).alias("__all"))
+        bits = F.col(f"{side}.bits")
+        mask = F.expr(f"shiftleft(cast(1 as bigint), {b})")
+        test = bits.isNotNull() & (bits.bitwiseAND(mask) == mask)
+        ok = test if ok is None else (ok & test)
+    joined = probe.select(
+        F.explode("__grps").alias(group_col),
+        F.col("__in_eval"),
+        ok.cast("int").alias("__all"),
     )
-    truth = corpus_sh.join(eval_sh, "__g", "left_semi").select(
-        group_col, "__g", F.lit(1).alias("__t")
-    )
-    joined = hit.join(truth, [group_col, "__g"], "left")
     pos = F.col("__all") == 1
-    true_hit = F.col("__t").isNotNull()
+    true_hit = F.col("__in_eval") == 1
     return joined.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(pos.cast("long")).cast("bigint").alias("n_bloom_pos"),
@@ -401,17 +451,14 @@ def sql_bloom_probe_report(
 ) -> str:
     """DuckDB mirror of :func:`bloom_probe_report` — the identical
     seeded-md5 bit layout, built with bit_or over per-shingle masks."""
-    from franzoxide_spark.functions.text import (
-        HASH60_SEEDED_SQL,
-        sql_shingles,
-        sql_tokens,
-    )
+    from franzoxide_spark.functions.text import sql_shingles, sql_tokens
 
     sh = sql_shingles(sql_tokens(text_col), k)
     build_arms, probe_arms = [], []
     for seed in range(_BLOOM_HASHES):
-        h = HASH60_SEEDED_SQL.format(i=seed, s="g")
-        idx = f"(({h}) % {_BLOOM_BITS})"
+        idx = (
+            f"CAST('0x' || substr(md5(g), {1 + 4 * seed}, 4) AS INT)"
+        )
         word = f"CAST({idx} / 64 AS INT) AS word_idx"
         # DuckDB's << overflows at shift 63 (Spark's shiftleft wraps to
         # the sign bit); spell the top bit out as the minimum BIGINT

@@ -2332,12 +2332,14 @@ register("q166_ab_srm_check", q166, _q166_sql())
 #        Same %97 eval split as q56.
 # --------------------------------------------------------------------------
 def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from franzoxide_spark.operators.sketch import bloom_probe_report
+    from franzoxide_spark.operators.sketch import bloom_probe_report_flagged
 
-    docs = table(spark, sf_dir, "documents")
-    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
-    pool = docs.filter(F.col("doc_id") % 97 != 0)
-    return bloom_probe_report(pool, eval_docs, "text", "source")
+    # both sides slice the same table -> single-scan core (one corpus
+    # read, one shingle shuffle)
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "__is_eval", F.col("doc_id") % 97 == 0
+    )
+    return bloom_probe_report_flagged(docs, "text", "source", "__is_eval")
 
 
 def _q165_sql() -> str:
