@@ -824,3 +824,103 @@ SELECT {group_col}, CAST(n_terms AS INT) AS n_terms,
              / CAST(n_terms AS DOUBLE), 6) AS ln_c_intercept
 FROM folded
 """
+
+
+def heaps_fit(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Heaps'-law fit across groups: each group contributes one
+    (N = total tokens, V = distinct tokens) point, and the output is the
+    single-row OLS of ln V on ln N — V ≈ k·N^beta, the vocabulary-growth
+    law (beta ≈ 0.4-0.6 for natural text). The planning companion to
+    q164's Zipf exponent: beta predicts how big the q94/q138 vocabulary
+    gets as the corpus scales, BEFORE the corpus exists.
+
+    Determinism: N and V are exact integers per group; the OLS moments
+    fold over the GROUP-NAME-ORDERED list of (ln N, ln V) points — both
+    engines sum the same <=|groups| doubles in the same order (the
+    q164/q152 fold construction).
+
+    Scale shape: one (group, token) distinct-count shuffle (map-side
+    combined) + a group-cardinality aggregate; the fold runs over
+    |groups| rows on one reducer — bounded by the grouping key space,
+    never the corpus.
+    """
+    per_tok = docs.select(
+        group_col, F.explode(F.split(text_col, " ")).alias("__t")
+    )
+    per_grp = per_tok.groupBy(group_col).agg(
+        F.count("*").alias("__n"),
+        F.countDistinct("__t").alias("__v"),
+    )
+    srt = f"array_sort(collect_list(struct({group_col}, __n, __v)))"
+    folded = per_grp.agg(
+        F.count("*").alias("n_groups"),
+        F.expr(
+            f"aggregate({srt}, cast(0.0 as double),"
+            " (a, s) -> a + ln(cast(s.__n as double)))"
+        ).alias("__sx"),
+        F.expr(
+            f"aggregate({srt}, cast(0.0 as double),"
+            " (a, s) -> a + ln(cast(s.__v as double)))"
+        ).alias("__sy"),
+        F.expr(
+            f"aggregate({srt}, cast(0.0 as double),"
+            " (a, s) -> a + ln(cast(s.__n as double))"
+            " * ln(cast(s.__v as double)))"
+        ).alias("__sxy"),
+        F.expr(
+            f"aggregate({srt}, cast(0.0 as double),"
+            " (a, s) -> a + ln(cast(s.__n as double))"
+            " * ln(cast(s.__n as double)))"
+        ).alias("__sxx"),
+    )
+    n = F.col("n_groups").cast("double")
+    denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    beta = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom
+    return folded.select(
+        F.col("n_groups").cast("int").alias("n_groups"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("__sy") - beta * F.col("__sx")) / n, 6
+        ).alias("ln_k"),
+    )
+
+
+def sql_heaps_fit(table: str, text_col: str, group_col: str) -> str:
+    """DuckDB mirror of :func:`heaps_fit` — identical group-ordered folds."""
+    return f"""
+WITH per_grp AS (
+  SELECT {group_col}, COUNT(*) AS n, COUNT(DISTINCT tok) AS v
+  FROM (SELECT {group_col}, UNNEST(string_split({text_col}, ' ')) AS tok
+        FROM {table})
+  GROUP BY {group_col}
+),
+folded AS (
+  SELECT COUNT(*) AS n_groups,
+         list_reduce(list_prepend(0.0,
+           list(ln(CAST(n AS DOUBLE)) ORDER BY {group_col})),
+           (a, x) -> a + x) AS sx,
+         list_reduce(list_prepend(0.0,
+           list(ln(CAST(v AS DOUBLE)) ORDER BY {group_col})),
+           (a, x) -> a + x) AS sy,
+         list_reduce(list_prepend(0.0,
+           list(ln(CAST(n AS DOUBLE)) * ln(CAST(v AS DOUBLE))
+                ORDER BY {group_col})),
+           (a, x) -> a + x) AS sxy,
+         list_reduce(list_prepend(0.0,
+           list(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                ORDER BY {group_col})),
+           (a, x) -> a + x) AS sxx
+  FROM per_grp
+)
+SELECT CAST(n_groups AS INT) AS n_groups,
+       ROUND((CAST(n_groups AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_groups AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta,
+       ROUND((sy - (CAST(n_groups AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_groups AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n_groups AS DOUBLE), 6) AS ln_k
+FROM folded
+"""

@@ -2351,3 +2351,27 @@ def _q165_sql() -> str:
 
 
 register("q165_bloom_decontam_prefilter", q165, _q165_sql())
+
+
+# --------------------------------------------------------------------------
+# Q167 — Heaps'-law vocabulary-growth fit (operators/corpus_stats.py:
+#        heaps_fit): each source is one (total tokens, distinct tokens)
+#        point; the single-row OLS of ln V on ln N gives V ≈ k·N^beta —
+#        the planning law for how big q94/q138's vocab gets at 100 TB,
+#        estimated from the sources at hand. Group-ordered folds keep
+#        both engines bit-identical (the q164/q152 construction).
+# --------------------------------------------------------------------------
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.corpus_stats import heaps_fit
+
+    docs = table(spark, sf_dir, "documents")
+    return heaps_fit(docs, "text", "source")
+
+
+def _q167_sql() -> str:
+    from franzoxide_spark.operators.corpus_stats import sql_heaps_fit
+
+    return sql_heaps_fit("documents", "text", "source")
+
+
+register("q167_heaps_fit", q167, _q167_sql())

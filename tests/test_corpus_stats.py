@@ -275,3 +275,22 @@ def test_zipf_fit_flat_corpus_near_zero_alpha(spark):
     docs = spark.createDataFrame([("s", text)], "source string, text string")
     row = zipf_fit(docs, "text", "source", top_ranks=50).collect()[0]
     assert abs(row["zipf_alpha"]) < 1e-9
+
+
+def test_heaps_fit_recovers_exact_square_root_law(spark):
+    """Groups built so V = 2*sqrt(N) exactly: (N,V) = (100,20),
+    (400,40), (2500,100) -> beta = 0.5, ln_k = ln 2 (exact line in log
+    space)."""
+    import math
+
+    from franzoxide_spark.operators.corpus_stats import heaps_fit
+
+    rows = []
+    for src, (n, v) in {"a": (100, 20), "b": (400, 40), "c": (2500, 100)}.items():
+        toks = [f"{src}{i % v}" for i in range(n)]
+        rows.append((src, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "source string, text string")
+    row = heaps_fit(docs, "text", "source").collect()[0]
+    assert row["n_groups"] == 3
+    assert abs(row["heaps_beta"] - 0.5) < 1e-6
+    assert abs(row["ln_k"] - math.log(2)) < 1e-6
