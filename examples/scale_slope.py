@@ -138,6 +138,19 @@ SLOPE_QUERIES = (
     # q148: Q17 shape — per-part avg agg + fact join share the partkey
     # exchange; parts 10x -> linear
     "q148_tpch_avg_quantity_gate",
+    # r8 additions. q163: outer interval join = q114's plan + null
+    # padding (disjoint-user replicas) -> linear
+    "q163_interval_join_outer_conversion",
+    # q164/q167: one token-count shuffle each; replica token suffixes
+    # mean each replica contributes its own term slice, rank/fold work
+    # is group-bounded -> linear
+    "q164_zipf_fit",
+    "q167_heaps_fit",
+    # q165: one shingle shuffle + 8 KiB broadcast probe; replicas
+    # disjoint in shingle space -> ~q33's family slope
+    "q165_bloom_decontam_prefilter",
+    # q166: one distinct-unit shuffle, group-cardinality chi2 -> linear
+    "q166_ab_srm_check",
 )
 
 
