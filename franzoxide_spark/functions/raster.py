@@ -266,11 +266,18 @@ def decode_png(raw: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     bpp = _PNG_BPP[ctype_n]
     stride = w * bpp
+    need = (stride + 1) * h
+    # bounded inflate: a tiny buffer can declare small dims but carry a
+    # multi-GB zlib stream — cap the output at the scanline size the
+    # header promises instead of letting zlib.decompress allocate it all
+    # (review r8 finding)
+    d = zlib.decompressobj()
     try:
-        scan = zlib.decompress(bytes(idat))
+        scan = d.decompress(bytes(idat), need)
+        extra = d.decompress(b"", 1)
     except zlib.error as exc:
         raise ValueError("corrupt PNG IDAT stream") from exc
-    if len(scan) != (stride + 1) * h:
+    if len(scan) != need or extra or d.unconsumed_tail:
         raise ValueError("PNG scanline data has wrong length")
     flat = np.frombuffer(scan, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.int32)

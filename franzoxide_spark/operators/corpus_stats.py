@@ -772,13 +772,16 @@ def zipf_fit(
     )
     n = F.col("n_terms").cast("double")
     denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom
+    # try_divide: a single-term group has sx = sxx = 0 -> denom 0, which
+    # under the session's ANSI mode would ABORT the job; DuckDB's /
+    # yields NULL there, and try_divide matches that (review r8 finding)
+    slope = F.try_divide(n * F.col("__sxy") - F.col("__sx") * F.col("__sy"), denom)
     return agg.select(
         group_col,
         F.col("n_terms").cast("int").alias("n_terms"),
         F.round(-slope, 6).alias("zipf_alpha"),
         F.round(
-            (F.col("__sy") - slope * F.col("__sx")) / n, 6
+            F.try_divide(F.col("__sy") - slope * F.col("__sx"), n), 6
         ).alias("ln_c_intercept"),
     )
 
@@ -879,12 +882,14 @@ def heaps_fit(
     )
     n = F.col("n_groups").cast("double")
     denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    beta = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom
+    # try_divide: one group (or groups with equal N) -> denom 0; ANSI
+    # mode would abort, DuckDB yields NULL — match it (review r8)
+    beta = F.try_divide(n * F.col("__sxy") - F.col("__sx") * F.col("__sy"), denom)
     return folded.select(
         F.col("n_groups").cast("int").alias("n_groups"),
         F.round(beta, 6).alias("heaps_beta"),
         F.round(
-            (F.col("__sy") - beta * F.col("__sx")) / n, 6
+            F.try_divide(F.col("__sy") - beta * F.col("__sx"), n), 6
         ).alias("ln_k"),
     )
 

@@ -286,7 +286,10 @@ def _bloom_bits(shingle_expr: str, seed: int) -> tuple[str, str]:
     ~25% off the whole q165 at sf0.1), with the same independence story
     as seeded hashing for a uniform digest."""
     h = f"cast(conv(substr(md5({shingle_expr}), {1 + 4 * seed}, 4), 16, 10) as int)"
-    return f"cast({h} / 64 as int)", f"cast({h} % 64 as int)"
+    # `div` = integer division: Spark's cast(x/64 as int) truncates while
+    # DuckDB's CAST(x/64 AS INT) ROUNDS — the mirror uses // so both
+    # engines build the identical bit layout (review r8 finding)
+    return f"({h} div 64)", f"({h} % 64)"
 
 
 def bloom_build(eval_shingles: DataFrame, shingle_col: str) -> DataFrame:
@@ -459,7 +462,10 @@ def sql_bloom_probe_report(
         idx = (
             f"CAST('0x' || substr(md5(g), {1 + 4 * seed}, 4) AS INT)"
         )
-        word = f"CAST({idx} / 64 AS INT) AS word_idx"
+        # // (floor division), NOT CAST(x/64 AS INT): DuckDB's cast
+        # ROUNDS, which shifted every idx%64 >= 32 into the next word
+        # and diverged from Spark's truncating layout
+        word = f"({idx} // 64) AS word_idx"
         # DuckDB's << overflows at shift 63 (Spark's shiftleft wraps to
         # the sign bit); spell the top bit out as the minimum BIGINT
         mask = (

@@ -307,9 +307,12 @@ def sql_ab_srm_check(
     salt: str = "exp1",
     treat_pct: int = 50,
 ) -> str:
-    """DuckDB mirror of :func:`ab_srm_check` (same md5-prefix hash)."""
+    """DuckDB mirror of :func:`ab_srm_check` (same md5-prefix hash).
+    The salt is quote-escaped ('' doubling) like every inlined literal
+    in this repo's oracle SQL."""
+    salt_q = salt.replace(chr(39), chr(39) * 2)
     h = (
-        f"CAST('0x' || substr(md5('{salt}:' || CAST({unit_col} AS VARCHAR)),"
+        f"CAST('0x' || substr(md5('{salt_q}:' || CAST({unit_col} AS VARCHAR)),"
         f" 1, 15) AS BIGINT)"
     )
     return f"""

@@ -148,14 +148,18 @@ def learn_bpe(
         )
     wc = word_counts(docs, text_col, top_words)
     if top_words is None:
-        n_distinct = wc.count()
-        if n_distinct > _BPE_MAX_DRIVER_WORDS:
+        # ONE job: take bound+1 rows — a result longer than the bound
+        # proves the violation without a second full count pass
+        rows = wc.limit(_BPE_MAX_DRIVER_WORDS + 1).collect()
+        if len(rows) > _BPE_MAX_DRIVER_WORDS:
             raise ValueError(
-                f"corpus has {n_distinct} distinct words >"
-                f" {_BPE_MAX_DRIVER_WORDS}; pass top_words to bound the"
-                " driver-side merge-learning input"
+                f"corpus has > {_BPE_MAX_DRIVER_WORDS} distinct words;"
+                " pass top_words to bound the driver-side merge-learning"
+                " input"
             )
-    counts = [(r["word"], r["n"]) for r in wc.collect()]
+    else:
+        rows = wc.collect()
+    counts = [(r["word"], r["n"]) for r in rows]
     assert len(counts) <= (top_words or _BPE_MAX_DRIVER_WORDS)
     counts.sort(key=lambda wc: (-wc[1], wc[0]))
     return train_bpe_from_counts(counts, n_merges)

@@ -2229,22 +2229,25 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
         views, purchases, on="user_id", left_ts="v_ts", right_ts="p_ts",
         upper="2 hours", how="left_outer",
     )
+    # per-VIEW reduction first: a view matched by several purchases is
+    # ONE view that converted (review r8 — the raw join-row count
+    # inflated the rate), while attributed value legitimately sums every
+    # in-window purchase
+    per_view = pairs.groupBy("user_id", "v_ts").agg(
+        F.max(F.col("p_ts").isNotNull().cast("int")).alias("__conv"),
+        F.sum(F.coalesce("value", F.lit(0.0))).alias("__val"),
+    )
     return (
-        pairs.groupBy(
+        per_view.groupBy(
             F.date_format(F.date_trunc("hour", "v_ts"), "yyyy-MM-dd HH:mm:ss")
             .alias("view_hour")
         )
         .agg(
-            F.count(F.lit(1)).alias("n_view_rows"),
-            F.sum(F.col("p_ts").isNotNull().cast("int")).cast("bigint")
-            .alias("n_converted_rows"),
-            F.round(
-                F.sum(F.col("p_ts").isNotNull().cast("int"))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("conversion_rate"),
-            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2)
-            .alias("attributed_value"),
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum("__conv").cast("bigint").alias("n_converted"),
+            F.round(F.sum("__conv") / F.count(F.lit(1)), 6)
+            .alias("conversion_rate"),
+            F.round(F.sum("__val"), 2).alias("attributed_value"),
         )
     )
 
@@ -2255,16 +2258,21 @@ WITH v AS (
 ),
 p AS (
   SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+),
+per_view AS (
+  SELECT v.user_id, v_ts,
+         MAX(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS conv,
+         SUM(COALESCE(value, 0.0)) AS val
+  FROM v LEFT JOIN p ON v.user_id = p.user_id
+     AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 2 HOUR
+  GROUP BY v.user_id, v_ts
 )
 SELECT strftime(date_trunc('hour', v_ts), '%Y-%m-%d %H:%M:%S') AS view_hour,
-       COUNT(*) AS n_view_rows,
-       CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_converted_rows,
-       ROUND(CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS conversion_rate,
-       ROUND(SUM(COALESCE(value, 0.0)), 2) AS attributed_value
-FROM v LEFT JOIN p ON v.user_id = p.user_id
-   AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 2 HOUR
+       COUNT(*) AS n_views,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conversion_rate,
+       ROUND(SUM(val), 2) AS attributed_value
+FROM per_view
 GROUP BY 1
 """
 

@@ -294,3 +294,21 @@ def test_heaps_fit_recovers_exact_square_root_law(spark):
     assert row["n_groups"] == 3
     assert abs(row["heaps_beta"] - 0.5) < 1e-6
     assert abs(row["ln_k"] - math.log(2)) < 1e-6
+
+
+def test_zipf_and_heaps_degenerate_inputs_yield_null_not_crash(spark):
+    """Single-term groups / single groups make the OLS denominator 0;
+    ANSI mode must not abort — both engines yield NULL (review r8)."""
+    from franzoxide_spark.operators.corpus_stats import heaps_fit, zipf_fit
+
+    one_term = spark.createDataFrame(
+        [("s", "x x x x")], "source string, text string"
+    )
+    row = zipf_fit(one_term, "text", "source").collect()[0]
+    assert row["n_terms"] == 1 and row["zipf_alpha"] is None
+
+    one_group = spark.createDataFrame(
+        [("s", "a b c a")], "source string, text string"
+    )
+    row = heaps_fit(one_group, "text", "source").collect()[0]
+    assert row["n_groups"] == 1 and row["heaps_beta"] is None

@@ -299,3 +299,24 @@ def test_synthesize_mixed_rasters_end_to_end(spark, sf_dir):
     # of which codec carried the pixels
     for r in stats:
         assert 4 <= r["width"] <= 12 and 4 <= r["height"] <= 10
+
+
+def test_png_decompression_bomb_is_bounded():
+    """A small buffer declaring tiny dims but carrying a huge zlib
+    stream must fail with ValueError BEFORE allocating the inflated
+    payload (bounded decompressobj, review r8)."""
+    import struct
+    import zlib
+
+    from franzoxide_spark.functions.raster import _png_chunk, decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # needs 14 bytes
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)  # 64 MiB -> ~64 KiB
+    raw = (
+        sig + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="scanline"):
+        decode_png(raw)
