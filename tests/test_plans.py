@@ -435,3 +435,44 @@ def test_q139_pagerank_iterations_reuse_checkpointed_edges(spark, sf_dir):
     # re-derive the edge table from scratch (the 3x-recompute bug this
     # checkpoint structure exists to prevent)
     assert "lineitem" not in plan and "orders" not in plan
+
+
+def test_round8_joins_are_never_nested_loop(spark, sf_dir):
+    """Round-8 join family: outer interval join and the bloom probe must
+    drive through equi-keys — a cartesian/nested-loop is an all-pairs
+    regression."""
+    for name in (
+        "q163_interval_join_outer_conversion",
+        "q165_bloom_decontam_prefilter",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q165_bloom_probe_joins_are_broadcast(spark, sf_dir):
+    """Every bloom lookup (4 seeds) and the truth check ride BROADCAST
+    joins of sketch-sized tables — the corpus-side shingle stream is
+    never shuffled for the probe."""
+    plan = _plan(spark, sf_dir, "q165_bloom_decontam_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q164_q167_fits_aggregate_without_joins(spark, sf_dir):
+    """The power-law fits are pure aggregation pipelines (token-count
+    shuffle + bounded fold) — any join in the plan means the shape
+    regressed to something relational."""
+    for name in ("q164_zipf_fit", "q167_heaps_fit"):
+        plan = _plan(spark, sf_dir, name)
+        for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+            assert op not in plan, (name, op)
+
+
+def test_q166_srm_is_one_distinct_plus_group_agg(spark, sf_dir):
+    """SRM = map-side hash assignment + one distinct + one aggregate; no
+    join anywhere (the chi2 is closed-form over the group row)."""
+    plan = _plan(spark, sf_dir, "q166_ab_srm_check")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, op
+    assert "HashAggregate" in plan
