@@ -1534,3 +1534,122 @@ def test_interval_join_outer_batch_requires_no_watermark(spark):
             views, purchases, on="user_id", left_ts="v_ts",
             right_ts="p_ts", how="full"
         )
+
+
+def test_dynamic_gap_session_merges_inclusively_at_boundary(spark):
+    """Locks the measured r8 semantics the q168/q27 oracles encode: two
+    events exactly gap apart MERGE (inclusive), and a purchase's longer
+    gap holds the session open where a view's would have closed it."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    df = spark.createDataFrame(
+        [
+            (1, t(0), "view"),       # end 10:10
+            (1, t(10), "view"),      # exactly at end -> MERGES, end 10:20
+            (1, t(35), "purchase"),  # > end -> new session, end 11:05
+            (1, t(55), "view"),      # inside the purchase's 30m window
+            (2, t(0), "view"),
+            (2, t(11), "view"),      # 11 min > 10m gap -> separate
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    got = sorted(
+        (r["user_id"], r["s"].strftime("%H:%M"), r["e"].strftime("%H:%M"), r["n"])
+        for r in df.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+        .collect()
+    )
+    assert got == [
+        (1, "10:00", "10:20", 2),
+        (1, "10:35", "11:05", 2),
+        (2, "10:00", "10:10", 1),
+        (2, "10:11", "10:21", 1),
+    ], got
+
+
+def test_dynamic_gap_session_streaming_matches_batch(spark, tmp_path):
+    """q168's streaming face: the same dynamic-gap session_window over a
+    file stream (watermark + append) emits exactly the batch relation
+    once the watermark closes every session."""
+    import datetime as dt
+
+    in_dir = str(tmp_path / "dsw_in")
+    os.makedirs(in_dir)
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def write(name, rows):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        for f in glob.glob(os.path.join(stage, "*.parquet")):
+            os.link(f, os.path.join(in_dir, f"{name}.parquet"))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    batch1 = [(1, t(10, 0), "view"), (1, t(10, 5), "purchase"), (2, t(10, 0), "view")]
+    batch2 = [(1, t(10, 20), "view"), (7, t(15, 0), "view")]  # 15:00 closes all
+
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dsw_out")
+        .option("checkpointLocation", str(tmp_path / "dsw_ckpt"))
+        .start()
+    )
+    try:
+        write("b1", batch1)
+        q.processAllAvailable()
+        write("b2", batch2)
+        q.processAllAvailable()
+        write("b3", [(9, t(20, 0), "view")])  # push watermark past 15:10
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user_id"], r["s"].strftime("%H:%M"), r["e"].strftime("%H:%M"), r["n_events"])
+        for r in spark.sql("SELECT * FROM dsw_out").collect()
+    )
+    # batch face over the full input, sessions closed
+    batch = spark.createDataFrame(batch1 + batch2, schema)
+    want = sorted(
+        (r["user_id"], r["s"].strftime("%H:%M"), r["e"].strftime("%H:%M"), r["n_events"])
+        for r in batch.withColumn("g", F.lit(1))
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+        .collect()
+    )
+    assert got == want, (got, want)
+    # the purchase's 30m gap actually shaped user 1's single session:
+    # 10:00 view + 10:05 purchase + 10:20 view all merge, end 10:35
+    assert (1, "10:00", "10:35", 3) in got
