@@ -1543,3 +1543,103 @@ GROUP BY segment
 
 
 register("q154_pit_scd2_join", q154, _Q154_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q169 — cascade-delete propagation audit (GDPR/right-to-be-forgotten
+#        shape): given a deterministic deletion list of customers, the
+#        per-table ledger of what an erasure job would remove — direct
+#        rows (customer), key-joined rows (orders via o_custkey, events
+#        via user_id), and TRANSITIVELY affected rows (lineitem via the
+#        orderkeys of deleted orders). The report a compliance pipeline
+#        runs BEFORE the destructive pass, and the verification query it
+#        runs after. Completes the governance family next to q103/q51
+#        (PII) and q144 (k-anonymity).
+#
+#        Scale shape: the deletion list is key-cardinality-bounded and
+#        BROADCASTS into left-semi probes of each fact table — one scan
+#        per audited table, no fact-fact shuffle; the lineitem hop
+#        broadcasts the (bounded) affected-orderkey set, never joins
+#        lineitem x orders.
+# --------------------------------------------------------------------------
+_Q169_MOD = 101  # every 101st customer key is on the deletion list
+
+
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    dele = c.filter(F.col("c_custkey") % _Q169_MOD == 0).select(
+        F.col("c_custkey").alias("__k")
+    )
+    del_orders = o.join(
+        F.broadcast(dele), o["o_custkey"] == F.col("__k"), "left_semi"
+    ).select(F.col("o_orderkey").alias("__ok"))
+
+    # one scan + broadcast semi probe per audited table; the 1-row total
+    # and delete counts meet in a broadcast cross of single rows
+    rows = [
+        c.join(F.broadcast(dele), c["c_custkey"] == F.col("__k"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_delete"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_total"))))
+        .select(F.lit("customer").alias("table_name"), "n_total", "n_delete"),
+        o.join(F.broadcast(dele), o["o_custkey"] == F.col("__k"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_delete"))
+        .crossJoin(F.broadcast(o.agg(F.count(F.lit(1)).alias("n_total"))))
+        .select(F.lit("orders").alias("table_name"), "n_total", "n_delete"),
+        li.join(F.broadcast(del_orders), li["l_orderkey"] == F.col("__ok"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_delete"))
+        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n_total"))))
+        .select(F.lit("lineitem").alias("table_name"), "n_total", "n_delete"),
+        ev.join(F.broadcast(dele), ev["user_id"] == F.col("__k"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_delete"))
+        .crossJoin(F.broadcast(ev.agg(F.count(F.lit(1)).alias("n_total"))))
+        .select(F.lit("events").alias("table_name"), "n_total", "n_delete"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "table_name",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_delete").cast("bigint").alias("n_delete"),
+        F.round(F.col("n_delete") / F.col("n_total"), 6).alias("delete_frac"),
+    )
+
+
+_Q169_SQL = f"""
+WITH dele AS (
+  SELECT c_custkey AS k FROM customer WHERE c_custkey % {_Q169_MOD} = 0
+),
+del_orders AS (
+  SELECT o_orderkey FROM orders SEMI JOIN dele ON o_custkey = k
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_delete,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM customer), 6) AS delete_frac
+FROM customer SEMI JOIN dele ON c_custkey = k
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders), 6)
+FROM orders SEMI JOIN dele ON o_custkey = k
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM lineitem), 6)
+FROM lineitem SEMI JOIN del_orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'events',
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events), 6)
+FROM events SEMI JOIN dele ON user_id = k
+"""
+
+
+register("q169_delete_propagation_audit", q169, _Q169_SQL)

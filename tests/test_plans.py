@@ -476,3 +476,13 @@ def test_q166_srm_is_one_distinct_plus_group_agg(spark, sf_dir):
     for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert op not in plan, op
     assert "HashAggregate" in plan
+
+
+def test_q169_cascade_audit_probes_are_broadcast_semi(spark, sf_dir):
+    """Every deletion-list probe is a BROADCAST left-semi join — the
+    fact tables are scanned once each and never shuffled; the lineitem
+    hop must not become a lineitem x orders exchange."""
+    plan = _plan(spark, sf_dir, "q169_delete_propagation_audit")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 5  # 4 audits + the del_orders hop
