@@ -304,3 +304,132 @@ SELECT strftime(d, '%Y-%m-%d') AS day,
             ELSE FALSE END AS alert
 FROM win
 """
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (user retention with censoring)
+# --------------------------------------------------------------------------
+
+
+def kaplan_meier_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    churn_horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier (1958) survival curve over user lifetimes with
+    right-censoring — the estimator q73's cohort grid cannot give you
+    when users are still active: a user whose last event is within
+    ``churn_horizon_days`` of the observation end is CENSORED (their
+    true lifetime is only known to exceed what we saw), not churned,
+    and the product-limit estimator uses them in the at-risk counts
+    without counting a death.
+
+    Per distinct lifetime t (days, first->last event):
+      n_risk(t) = users with lifetime >= t, d(t) = churned at exactly t,
+      S(t) = prod_{t_i <= t} (1 - d(t_i)/n_risk(t_i)).
+
+    Determinism: lifetimes are exact integer day counts; the running
+    product folds over the LIFETIME-ORDERED per-duration table (the
+    q152/q164 fold family) so both engines multiply identical doubles
+    in identical order; 6-dp round on output.
+
+    Scale shape: one user-key shuffle (per-user min/max), one aggregate
+    over the DURATION domain (bounded by the observation span in days,
+    never by user count), and the fold + running n_risk run over that
+    bounded table inside a single collect_list group — O(span^2) driver-
+    free work on <=span rows.
+    """
+    per_user = events.groupBy(user_col).agg(
+        F.min(ts_col).alias("__first"), F.max(ts_col).alias("__last")
+    )
+    cutoff = events.agg(
+        F.date_sub(F.max(ts_col).cast("date"), churn_horizon_days).alias("__cut")
+    )
+    flagged = per_user.crossJoin(F.broadcast(cutoff)).select(
+        F.datediff(F.col("__last").cast("date"), F.col("__first").cast("date"))
+        .alias("dur"),
+        (F.col("__last").cast("date") < F.col("__cut")).cast("int").alias("__churn"),
+    )
+    per_dur = flagged.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("__a"),
+        F.sum("__churn").alias("__d"),
+    )
+    # bounded by the day span: single group, ordered fold
+    srt = "array_sort(collect_list(struct(dur, __a, __d)))"
+    folded = per_dur.agg(
+        F.expr(
+            f"""
+            transform(
+              {srt},
+              (s, i) -> struct(
+                s.dur as dur,
+                aggregate(slice({srt}, i + 1, size({srt})), 0L,
+                          (acc, x) -> acc + x.__a) as n_risk,
+                s.__d as n_churn,
+                aggregate(slice({srt}, 1, i + 1), cast(1.0 as double),
+                          (acc, x) -> acc * (1.0 - cast(x.__d as double)
+                              / aggregate({srt}, 0L,
+                                  (a2, y) -> a2 + if(y.dur >= x.dur, y.__a, 0L))))
+                  as surv
+              )
+            )
+            """
+        ).alias("__rows")
+    )
+    return folded.select(F.explode("__rows").alias("r")).select(
+        F.col("r.dur").cast("int").alias("duration_days"),
+        F.col("r.n_risk").cast("bigint").alias("n_risk"),
+        F.col("r.n_churn").cast("bigint").alias("n_churn"),
+        F.round(F.col("r.surv"), 6).alias("survival"),
+    )
+
+
+def sql_kaplan_meier(
+    table: str, user_col: str, ts_col: str, churn_horizon_days: int = 7
+) -> str:
+    """DuckDB mirror of :func:`kaplan_meier_retention` — the identical
+    duration-ordered product fold."""
+    return f"""
+WITH per_user AS (
+  SELECT {user_col}, MIN({ts_col}) AS f, MAX({ts_col}) AS l
+  FROM {table} GROUP BY {user_col}
+),
+cut AS (
+  SELECT CAST(MAX({ts_col}) AS DATE) - {churn_horizon_days} AS c FROM {table}
+),
+flagged AS (
+  SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS dur,
+         CASE WHEN CAST(l AS DATE) < c THEN 1 ELSE 0 END AS churn
+  FROM per_user, cut
+),
+per_dur AS (
+  SELECT dur, COUNT(*) AS a, SUM(churn) AS d
+  FROM flagged GROUP BY dur
+),
+lst AS (
+  SELECT list(struct_pack(dur := dur, a := a, d := d) ORDER BY dur) AS srt
+  FROM per_dur
+),
+rows AS (
+  SELECT UNNEST(list_transform(range(1, len(srt) + 1), i -> struct_pack(
+    dur := srt[i].dur,
+    n_risk := list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(srt[i:], x -> CAST(x.a AS BIGINT))), (acc, x) -> acc + x),
+    n_churn := srt[i].d,
+    surv := list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        list_transform(srt[1:i], x ->
+          1.0 - CAST(x.d AS DOUBLE) / list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(srt, y -> CASE WHEN y.dur >= x.dur
+                     THEN CAST(y.a AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+              (a2, yy) -> a2 + yy))),
+      (acc, x) -> acc * x)
+  ))) AS r FROM lst
+)
+SELECT CAST(r.dur AS INT) AS duration_days,
+       CAST(r.n_risk AS BIGINT) AS n_risk,
+       CAST(r.n_churn AS BIGINT) AS n_churn,
+       ROUND(r.surv, 6) AS survival
+FROM rows
+"""

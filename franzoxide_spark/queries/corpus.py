@@ -2383,3 +2383,28 @@ def _q167_sql() -> str:
 
 
 register("q167_heaps_fit", q167, _q167_sql())
+
+
+# --------------------------------------------------------------------------
+# Q170 — Kaplan-Meier retention survival (operators/timeseries.py):
+#        product-limit estimator over user lifetimes with right-
+#        censoring (users active within 7 days of observation end are
+#        censored, not churned) — the survival curve q73's cohort grid
+#        can't express. Duration-ordered product folds (the q152/q164
+#        family) keep both engines bit-identical; all heavy work is one
+#        user-key shuffle + a span-bounded per-duration table.
+# --------------------------------------------------------------------------
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.timeseries import kaplan_meier_retention
+
+    ev = table(spark, sf_dir, "events")
+    return kaplan_meier_retention(ev, "user_id", "ts")
+
+
+def _q170_sql() -> str:
+    from franzoxide_spark.operators.timeseries import sql_kaplan_meier
+
+    return sql_kaplan_meier("events", "user_id", "ts")
+
+
+register("q170_kaplan_meier_retention", q170, _q170_sql())

@@ -146,3 +146,61 @@ def test_completeness_monitor_emits_and_flags_gap_days(spark):
     assert out["2024-03-09"]["n_events"] == 10 and out["2024-03-09"]["alert"]
     assert not out["2024-03-01"]["alert"]  # no trailing window yet
     assert not out["2024-03-05"]["alert"]  # healthy day
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Closed-form: 6 users — durations/censoring chosen so the
+    product-limit steps are exact fractions. Users churned at t=0 (1 of
+    6), t=2 (2 of 3 remaining at risk), and censored elsewhere."""
+    import datetime as dt
+
+    from franzoxide_spark.operators.timeseries import kaplan_meier_retention
+
+    base = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = []
+    # observation end driven by user 99 at day 30 -> cutoff = day 23
+    def user(uid, start_day, dur):
+        rows.append((uid, base + day * start_day))
+        if dur > 0:
+            rows.append((uid, base + day * (start_day + dur)))
+
+    user(1, 0, 0)    # dur 0, last day 0 < 23 -> churned at 0
+    user(2, 0, 2)    # churned at 2
+    user(3, 1, 2)    # churned at 2
+    user(4, 0, 5)    # churned at 5? last day 5 < 23 -> churn at 5
+    user(5, 21, 2)   # last day 23 -> NOT < 23 -> censored at dur 2
+    user(6, 28, 2)   # last day 30 -> censored at dur 2
+    rows.append((99, base + day * 30))  # sets observation end; dur 0 censored? last=30 not < 23 -> censored
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["duration_days"]: (r["n_risk"], r["n_churn"], r["survival"])
+        for r in kaplan_meier_retention(ev, "user_id", "ts").collect()
+    }
+    # at-risk: dur0: all 7; dur2: 5 (u2,u3,u4,u5,u6); dur5: 1 (u4)
+    assert got[0] == (7, 1, round(1 - 1 / 7, 6))
+    s2 = (1 - 1 / 7) * (1 - 2 / 5)
+    assert got[2] == (5, 2, round(s2, 6))
+    assert got[5] == (1, 1, round(s2 * (1 - 1 / 1), 6))
+    # survival is non-increasing in duration
+    survs = [got[k][2] for k in sorted(got)]
+    assert survs == sorted(survs, reverse=True)
+
+
+def test_kaplan_meier_censored_users_never_drop_survival(spark):
+    """All-censored corpus: no churn events -> S(t) stays exactly 1.0
+    at every duration (censoring must not count as death)."""
+    import datetime as dt
+
+    from franzoxide_spark.operators.timeseries import kaplan_meier_retention
+
+    base = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = []
+    for uid in range(5):
+        rows.append((uid, base + day * uid))
+        rows.append((uid, base + day * 30))  # everyone active at the end
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = kaplan_meier_retention(ev, "user_id", "ts").collect()
+    assert all(r["survival"] == 1.0 for r in out)
+    assert all(r["n_churn"] == 0 for r in out)
