@@ -433,3 +433,106 @@ SELECT CAST(r.dur AS INT) AS duration_days,
        ROUND(r.surv, 6) AS survival
 FROM rows
 """
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend forecast)
+# --------------------------------------------------------------------------
+
+
+def holt_linear_trend(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    gamma: float = 0.3,
+) -> DataFrame:
+    """Holt (1957) double-exponential smoothing per key over the daily
+    value series: level l_t = a·x_t + (1-a)(l_{t-1}+b_{t-1}), trend
+    b_t = g·(l_t-l_{t-1}) + (1-g)·b_{t-1}, seeded l_1 = x_1, b_1 = 0 —
+    the one-step forecast l+b that q152's trendless EWMA under-predicts
+    on drifting series. Third member of the recurrence-as-fold family
+    (EWMA q152, CUSUM q159): the fold runs over the DAY-ORDERED daily
+    sums with a (level, trend) struct accumulator, so both engines
+    compute the identical IEEE sequence; daily sums are exact-decimal
+    6-dp values like q152's.
+
+    Scale shape: one (user, day) map-side-combined aggregation, then a
+    per-user fold over that user's (bounded) day span — no cross-user
+    state, no corpus-wide pass.
+    """
+    from franzoxide_spark.functions.numeric import dec
+
+    daily = events.filter(F.col(value_col).isNotNull()).groupBy(
+        user_col, F.date_format(ts_col, "yyyy-MM-dd").alias("__day")
+    ).agg(F.round(F.sum(dec(F.col(value_col))).cast("double"), 6).alias("__v"))
+    a, g = alpha, gamma
+    vs = "transform(array_sort(collect_list(struct(__day, __v))), s -> s.__v)"
+    fold = (
+        f"aggregate(slice({vs}, 2, size({vs}) - 1),"
+        f" named_struct('l', cast(element_at({vs}, 1) as double),"
+        f"              'b', cast(0.0 as double)),"
+        f" (acc, x) -> named_struct("
+        f"   'l', {a} * x + {1 - a} * (acc.l + acc.b),"
+        f"   'b', {g} * (({a} * x + {1 - a} * (acc.l + acc.b)) - acc.l)"
+        f"        + {1 - g} * acc.b))"
+    )
+    # one collect_list + one fold per group (referencing the fold in
+    # each output column would re-run it per column)
+    agg = daily.groupBy(user_col).agg(
+        F.size(F.expr(vs)).cast("int").alias("n_days"),
+        F.expr(fold).alias("__lb"),
+    )
+    return agg.select(
+        user_col,
+        "n_days",
+        F.round(F.col("__lb.l"), 6).alias("level"),
+        F.round(F.col("__lb.b"), 6).alias("trend"),
+        F.round(F.col("__lb.l") + F.col("__lb.b"), 6).alias("forecast_next"),
+    )
+
+
+def sql_holt_linear_trend(
+    table: str,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    gamma: float = 0.3,
+) -> str:
+    """DuckDB mirror — the identical fold with a [level, trend] list
+    accumulator (the q159 encoding)."""
+    from franzoxide_spark.functions.numeric import sql_dec
+
+    a, g = alpha, gamma
+    return f"""
+WITH daily AS (
+  SELECT {user_col}, strftime({ts_col}, '%Y-%m-%d') AS day,
+         ROUND(CAST(SUM({sql_dec(value_col)}) AS DOUBLE), 6) AS v
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY {user_col}, strftime({ts_col}, '%Y-%m-%d')
+),
+series AS (
+  SELECT {user_col}, list(v ORDER BY day) AS vs FROM daily
+  GROUP BY {user_col}
+),
+folded AS (
+  SELECT {user_col}, len(vs) AS n_days,
+         list_reduce(
+           list_prepend([vs[1], 0.0],
+             list_transform(vs[2:], x -> [x, 0.0])),
+           (acc, xe) -> [
+             {a} * xe[1] + {1 - a} * (acc[1] + acc[2]),
+             {g} * (({a} * xe[1] + {1 - a} * (acc[1] + acc[2])) - acc[1])
+               + {1 - g} * acc[2]
+           ]
+         ) AS lb
+  FROM series
+)
+SELECT {user_col}, CAST(n_days AS INT) AS n_days,
+       ROUND(lb[1], 6) AS level,
+       ROUND(lb[2], 6) AS trend,
+       ROUND(lb[1] + lb[2], 6) AS forecast_next
+FROM folded
+"""

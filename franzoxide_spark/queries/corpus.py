@@ -2408,3 +2408,26 @@ def _q170_sql() -> str:
 
 
 register("q170_kaplan_meier_retention", q170, _q170_sql())
+
+
+# --------------------------------------------------------------------------
+# Q171 — Holt linear-trend forecast (operators/timeseries.py): per-user
+#        double-exponential smoothing over daily value sums — level +
+#        trend one-step forecast, the drift-aware sibling of q152's
+#        EWMA. Third recurrence-as-fold member (EWMA, CUSUM, Holt);
+#        struct-accumulator fold == DuckDB [l,b]-list fold bit-for-bit.
+# --------------------------------------------------------------------------
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.timeseries import holt_linear_trend
+
+    ev = table(spark, sf_dir, "events")
+    return holt_linear_trend(ev, "user_id", "ts", "value")
+
+
+def _q171_sql() -> str:
+    from franzoxide_spark.operators.timeseries import sql_holt_linear_trend
+
+    return sql_holt_linear_trend("events", "user_id", "ts", "value")
+
+
+register("q171_holt_trend_forecast", q171, _q171_sql())

@@ -204,3 +204,49 @@ def test_kaplan_meier_censored_users_never_drop_survival(spark):
     out = kaplan_meier_retention(ev, "user_id", "ts").collect()
     assert all(r["survival"] == 1.0 for r in out)
     assert all(r["n_churn"] == 0 for r in out)
+
+
+def test_holt_recovers_exact_linear_series(spark):
+    """On a perfectly linear series x_t = 5 + 3t, Holt must converge to
+    trend == 3 and forecast the true next value (after enough steps the
+    level/trend lock onto the line; with integer-day data and a long
+    series the 6-dp round shows the converged values)."""
+    import datetime as dt
+
+    from franzoxide_spark.operators.timeseries import holt_linear_trend
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(days=t), 5.0 + 3.0 * t) for t in range(60)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = holt_linear_trend(ev, "user_id", "ts", "value").collect()[0]
+    assert r["n_days"] == 60
+    assert abs(r["trend"] - 3.0) < 1e-3
+    # next true value is 5 + 3*60 = 185
+    assert abs(r["forecast_next"] - 185.0) < 1e-2
+
+
+def test_holt_reference_fold(spark):
+    """Exact equality with a plain-Python fold of the same recurrence
+    on a short irregular series."""
+    import datetime as dt
+
+    from franzoxide_spark.operators.timeseries import holt_linear_trend
+
+    vals = [10.0, 12.0, 9.0, 20.0, 15.0]
+    base = dt.datetime(2024, 1, 1)
+    rows = [(7, base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    a, g = 0.5, 0.3
+    l, b = vals[0], 0.0
+    for x in vals[1:]:
+        nl = a * x + (1 - a) * (l + b)
+        b = g * (nl - l) + (1 - g) * b
+        l = nl
+    r = holt_linear_trend(ev, "user_id", "ts", "value").collect()[0]
+    assert r["level"] == round(l, 6)
+    assert r["trend"] == round(b, 6)
+    # HALF_UP (Spark) vs banker's (Python round) can split a tie on the
+    # summed forecast — tolerance, not exact, for this one
+    assert abs(r["forecast_next"] - (l + b)) < 1e-6
