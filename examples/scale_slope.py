@@ -151,6 +151,12 @@ SLOPE_QUERIES = (
     "q165_bloom_decontam_prefilter",
     # q166: one distinct-unit shuffle, group-cardinality chi2 -> linear
     "q166_ab_srm_check",
+    # q168: dynamic-gap sessions — one user-key shuffle (disjoint-user
+    # replicas), per-user session merge bounded by series length
+    "q168_dynamic_session_window",
+    # q170/q171: user-key shuffle + span-bounded folds -> linear
+    "q170_kaplan_meier_retention",
+    "q171_holt_trend_forecast",
 )
 
 
