@@ -563,3 +563,85 @@ def test_png_any_single_bitflip_detected_or_equal(flip, seed):
     except ValueError:
         return
     np.testing.assert_array_equal(out, img)  # flip must not alter pixels
+
+
+# --------------------------------------------------------------------------
+# survival / forecasting folds vs pure-Python references (r8)
+# --------------------------------------------------------------------------
+
+
+def _km_reference(durs_churn):
+    """Plain-Python Kaplan-Meier over (duration, churned) pairs."""
+    from collections import Counter
+
+    a = Counter(d for d, _ in durs_churn)
+    dth = Counter(d for d, c in durs_churn if c)
+    out, s = {}, 1.0
+    for t in sorted(a):
+        n_risk = sum(v for d, v in a.items() if d >= t)
+        s *= 1.0 - dth.get(t, 0) / n_risk
+        out[t] = (n_risk, dth.get(t, 0), round(s, 6))
+    return out
+
+
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20),   # start day
+                  st.integers(min_value=0, max_value=15)),  # duration
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_kaplan_meier_matches_python_reference(spark, spans):
+    import datetime as dt
+
+    from franzoxide_spark.operators.timeseries import kaplan_meier_retention
+
+    base = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = []
+    for uid, (start, dur) in enumerate(spans):
+        rows.append((uid, base + day * start))
+        rows.append((uid, base + day * (start + dur)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    end = max(s + d for s, d in spans)
+    cutoff = end - 7
+    ref = _km_reference(
+        [(d, (s + d) < cutoff) for s, d in spans]
+    )
+    got = {
+        r["duration_days"]: (r["n_risk"], r["n_churn"], r["survival"])
+        for r in kaplan_meier_retention(ev, "user_id", "ts").collect()
+    }
+    assert got == ref
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=15,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_holt_matches_python_reference(spark, vals):
+    import datetime as dt
+
+    from franzoxide_spark.operators.timeseries import holt_linear_trend
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    # the operator aggregates daily with exact-decimal rounding first —
+    # mirror that in the reference
+    import math
+    daily = [math.floor(v * 10_000 + 0.5) / 10_000 for v in vals]
+    a, g = 0.5, 0.3
+    l, b = round(daily[0], 6), 0.0
+    for x in [round(d, 6) for d in daily[1:]]:
+        nl = a * x + (1 - a) * (l + b)
+        b = g * (nl - l) + (1 - g) * b
+        l = nl
+    r = holt_linear_trend(ev, "user_id", "ts", "value").collect()[0]
+    assert abs(r["level"] - l) < 1e-6
+    assert abs(r["trend"] - b) < 1e-6
