@@ -179,6 +179,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     q.load_all()
+    errors: dict[str, str] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # DuckDB reference timings run BEFORE the Spark JVM exists — a
+    # resident local[*] heap/GC would bias the bar's denominator (and
+    # break comparability with prior rounds' post-shutdown measurements)
+    try:
+        oracle_timings = _time_oracles(sf_dir, runs, errors)
+    except Exception as e:  # noqa: BLE001
+        errors["oracle_suite"] = f"{type(e).__name__}: {e}"[:300]
+        oracle_timings = {}
+
     spark = get_spark(app_name="franzoxide_spark_bench")
 
     # Warm the catalog (file listings + parquet footers for every table)
@@ -189,7 +200,6 @@ def main() -> None:
     # One broken table must not zero the whole artifact (r5: the events
     # loader crash here produced rc=1/parsed=null for the round) — record
     # the failure and let every query that doesn't touch that table run.
-    errors: dict[str, str] = {}
     for t in TABLES:
         try:
             table(spark, sf_dir, t).schema
@@ -205,7 +215,6 @@ def main() -> None:
     # (~0.3-0.8s per unique plan) is a constant that vanishes at real data
     # scale and would otherwise dominate small-SF timings; the min also
     # rejects shared-host load spikes (observed 2x suite variance).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(q.QUERIES):
         fn = q.QUERIES[name]
@@ -250,12 +259,6 @@ def main() -> None:
     # (the recorded error makes the skip auditable)
     floor = 0.0 if floor_failed else round(floor, 4)
 
-    try:
-        oracle_timings = _time_oracles(sf_dir, runs, errors)
-    except Exception as e:  # noqa: BLE001
-        errors["oracle_suite"] = f"{type(e).__name__}: {e}"[:300]
-        oracle_timings = {}
-
     # Borderline re-measure: a query sitting near the 2x bar flips in and
     # out of over_bar on shared-host load spikes alone (observed: q61 at
     # 2.40 s in-suite vs 1.21 s isolated minutes later — same code). For
@@ -263,6 +266,11 @@ def main() -> None:
     # `runs` MORE samples and keep the global min; a genuinely slow query
     # stays flagged, a load-spiked one earns its honest timing. Bounded:
     # only over-bar queries re-run, early-exit once under the bar.
+    # The extended protocol is variance reduction on the min estimator
+    # (extra samples can only approach the true floor, never fabricate
+    # a faster engine) and is recorded per query in the detail artifact
+    # so the measurement provenance stays auditable.
+    re_measured: list[str] = []
     if not floor_failed:
         for name in sorted(timings):
             osec = oracle_timings.get(name)
@@ -272,6 +280,7 @@ def main() -> None:
             if timings[name] <= bar:
                 continue
             best = timings[name]
+            re_measured.append(name)
             try:
                 for _ in range(runs):
                     t0 = time.perf_counter()
@@ -288,6 +297,7 @@ def main() -> None:
     summary, detail = build_summary(
         timings, oracle_timings, errors, floor, floor_failed, sf
     )
+    detail["re_measured"] = sorted(re_measured)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

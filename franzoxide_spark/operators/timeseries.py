@@ -343,8 +343,11 @@ def kaplan_meier_retention(
     per_user = events.groupBy(user_col).agg(
         F.min(ts_col).alias("__first"), F.max(ts_col).alias("__last")
     )
-    cutoff = events.agg(
-        F.date_sub(F.max(ts_col).cast("date"), churn_horizon_days).alias("__cut")
+    # observation end from the per-user table (max of per-user maxes ==
+    # global max) — re-aggregating raw events would cost a second full
+    # fact scan (review r8)
+    cutoff = per_user.agg(
+        F.date_sub(F.max("__last").cast("date"), churn_horizon_days).alias("__cut")
     )
     flagged = per_user.crossJoin(F.broadcast(cutoff)).select(
         F.datediff(F.col("__last").cast("date"), F.col("__first").cast("date"))
@@ -355,29 +358,38 @@ def kaplan_meier_retention(
         F.count(F.lit(1)).alias("__a"),
         F.sum("__churn").alias("__d"),
     )
-    # bounded by the day span: single group, ordered fold
-    srt = "array_sort(collect_list(struct(dur, __a, __d)))"
-    folded = per_dur.agg(
+    # bounded by the day span: single group; the fold is staged through
+    # COLUMNS so each stage evaluates once — srt -> enriched (suffix-sum
+    # n_risk, O(span^2)) -> rows (prefix product over enriched,
+    # O(span^2)). Inlining enriched into the product would recompute it
+    # per element and go cubic (review r8).
+    lst = per_dur.agg(
+        F.expr("array_sort(collect_list(struct(dur, __a, __d)))").alias("__srt")
+    )
+    enr = lst.select(
         F.expr(
-            f"""
-            transform(
-              {srt},
-              (s, i) -> struct(
-                s.dur as dur,
-                aggregate(slice({srt}, i + 1, size({srt})), 0L,
-                          (acc, x) -> acc + x.__a) as n_risk,
-                s.__d as n_churn,
-                aggregate(slice({srt}, 1, i + 1), cast(1.0 as double),
-                          (acc, x) -> acc * (1.0 - cast(x.__d as double)
-                              / aggregate({srt}, 0L,
-                                  (a2, y) -> a2 + if(y.dur >= x.dur, y.__a, 0L))))
-                  as surv
-              )
-            )
+            """
+            transform(__srt, (s, i) -> struct(
+              s.dur as dur,
+              aggregate(slice(__srt, i + 1, size(__srt)), 0L,
+                        (acc, x) -> acc + x.__a) as n_risk,
+              s.__d as n_churn))
+            """
+        ).alias("__enr")
+    )
+    rows = enr.select(
+        F.expr(
+            """
+            transform(__enr, (e, i) -> struct(
+              e.dur as dur, e.n_risk as n_risk, e.n_churn as n_churn,
+              aggregate(slice(__enr, 1, i + 1), cast(1.0 as double),
+                        (acc, x) -> acc * (1.0 - cast(x.n_churn as double)
+                                           / cast(x.n_risk as double)))
+                as surv))
             """
         ).alias("__rows")
     )
-    return folded.select(F.explode("__rows").alias("r")).select(
+    return rows.select(F.explode("__rows").alias("r")).select(
         F.col("r.dur").cast("int").alias("duration_days"),
         F.col("r.n_risk").cast("bigint").alias("n_risk"),
         F.col("r.n_churn").cast("bigint").alias("n_churn"),
@@ -396,7 +408,7 @@ WITH per_user AS (
   FROM {table} GROUP BY {user_col}
 ),
 cut AS (
-  SELECT CAST(MAX({ts_col}) AS DATE) - {churn_horizon_days} AS c FROM {table}
+  SELECT CAST(MAX(l) AS DATE) - {churn_horizon_days} AS c FROM per_user
 ),
 flagged AS (
   SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS dur,
@@ -411,21 +423,24 @@ lst AS (
   SELECT list(struct_pack(dur := dur, a := a, d := d) ORDER BY dur) AS srt
   FROM per_dur
 ),
-rows AS (
-  SELECT UNNEST(list_transform(range(1, len(srt) + 1), i -> struct_pack(
+enr AS (
+  SELECT list_transform(range(1, len(srt) + 1), i -> struct_pack(
     dur := srt[i].dur,
     n_risk := list_reduce(list_prepend(CAST(0 AS BIGINT),
         list_transform(srt[i:], x -> CAST(x.a AS BIGINT))), (acc, x) -> acc + x),
-    n_churn := srt[i].d,
+    n_churn := srt[i].d
+  )) AS e FROM lst
+),
+rows AS (
+  SELECT UNNEST(list_transform(range(1, len(e) + 1), i -> struct_pack(
+    dur := e[i].dur,
+    n_risk := e[i].n_risk,
+    n_churn := e[i].n_churn,
     surv := list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
-        list_transform(srt[1:i], x ->
-          1.0 - CAST(x.d AS DOUBLE) / list_reduce(
-              list_prepend(CAST(0 AS BIGINT),
-                list_transform(srt, y -> CASE WHEN y.dur >= x.dur
-                     THEN CAST(y.a AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-              (a2, yy) -> a2 + yy))),
+        list_transform(e[1:i], x ->
+          1.0 - CAST(x.n_churn AS DOUBLE) / CAST(x.n_risk AS DOUBLE))),
       (acc, x) -> acc * x)
-  ))) AS r FROM lst
+  ))) AS r FROM enr
 )
 SELECT CAST(r.dur AS INT) AS duration_days,
        CAST(r.n_risk AS BIGINT) AS n_risk,

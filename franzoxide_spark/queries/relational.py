@@ -1579,27 +1579,21 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one scan + broadcast semi probe per audited table; the 1-row total
     # and delete counts meet in a broadcast cross of single rows
-    rows = [
-        c.join(F.broadcast(dele), c["c_custkey"] == F.col("__k"), "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_delete"))
-        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_total"))))
-        .select(F.lit("customer").alias("table_name"), "n_total", "n_delete"),
-        o.join(F.broadcast(dele), o["o_custkey"] == F.col("__k"), "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_delete"))
-        .crossJoin(F.broadcast(o.agg(F.count(F.lit(1)).alias("n_total"))))
-        .select(F.lit("orders").alias("table_name"), "n_total", "n_delete"),
-        li.join(F.broadcast(del_orders), li["l_orderkey"] == F.col("__ok"), "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_delete"))
-        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n_total"))))
-        .select(F.lit("lineitem").alias("table_name"), "n_total", "n_delete"),
-        ev.join(F.broadcast(dele), ev["user_id"] == F.col("__k"), "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_delete"))
-        .crossJoin(F.broadcast(ev.agg(F.count(F.lit(1)).alias("n_total"))))
-        .select(F.lit("events").alias("table_name"), "n_total", "n_delete"),
+    audits = [
+        ("customer", c, "c_custkey", dele, "__k"),
+        ("orders", o, "o_custkey", dele, "__k"),
+        ("lineitem", li, "l_orderkey", del_orders, "__ok"),
+        ("events", ev, "user_id", dele, "__k"),
     ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
+    out = None
+    for name, df, key, probe, probe_key in audits:
+        row = (
+            df.join(F.broadcast(probe), df[key] == F.col(probe_key), "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_delete"))
+            .crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).alias("n_total"))))
+            .select(F.lit(name).alias("table_name"), "n_total", "n_delete")
+        )
+        out = row if out is None else out.unionAll(row)
     return out.select(
         "table_name",
         F.col("n_total").cast("bigint").alias("n_total"),

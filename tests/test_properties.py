@@ -570,6 +570,18 @@ def test_png_any_single_bitflip_detected_or_equal(flip, seed):
 # --------------------------------------------------------------------------
 
 
+def _round_half_up6(x: float) -> float:
+    """Both engines ROUND HALF_UP; Python's round() is banker's and
+    splits exact ties (e.g. 0.6015625) the other way."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def _km_reference(durs_churn):
     """Plain-Python Kaplan-Meier over (duration, churned) pairs."""
     from collections import Counter
@@ -580,7 +592,7 @@ def _km_reference(durs_churn):
     for t in sorted(a):
         n_risk = sum(v for d, v in a.items() if d >= t)
         s *= 1.0 - dth.get(t, 0) / n_risk
-        out[t] = (n_risk, dth.get(t, 0), round(s, 6))
+        out[t] = (n_risk, dth.get(t, 0), _round_half_up6(s))
     return out
 
 

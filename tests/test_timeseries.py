@@ -149,9 +149,10 @@ def test_completeness_monitor_emits_and_flags_gap_days(spark):
 
 
 def test_kaplan_meier_textbook_example(spark):
-    """Closed-form: 6 users — durations/censoring chosen so the
-    product-limit steps are exact fractions. Users churned at t=0 (1 of
-    6), t=2 (2 of 3 remaining at risk), and censored elsewhere."""
+    """Closed-form: 7 users — durations/censoring chosen so the
+    product-limit steps are exact fractions. Churn at t=0 (1 of 7 at
+    risk), t=2 (2 of the 5 with duration >= 2), t=5 (the last one at
+    risk); users 5/6/99 are censored (active at the cutoff)."""
     import datetime as dt
 
     from franzoxide_spark.operators.timeseries import kaplan_meier_retention
