@@ -2431,3 +2431,62 @@ def _q171_sql() -> str:
 
 
 register("q171_holt_trend_forecast", q171, _q171_sql())
+
+
+# --------------------------------------------------------------------------
+# Q172 — Benford first-digit audit (operators/stats.py: benford_audit):
+#        per order-priority class, the first-significant-digit
+#        distribution of o_totalprice vs Benford's log10(1+1/d) with a
+#        chi-square triage flag — the classic fabricated/synthetic-
+#        numbers detector. Exact digit counts, deterministic 9-term
+#        chi2; one (group, digit) map-side-combined aggregate.
+# --------------------------------------------------------------------------
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.stats import benford_audit
+
+    o = table(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice", "o_orderpriority")
+
+
+def _q172_sql() -> str:
+    from franzoxide_spark.operators.stats import sql_benford_audit
+
+    return sql_benford_audit("orders", "o_totalprice", "o_orderpriority")
+
+
+register("q172_benford_audit", q172, _q172_sql())
+
+
+# --------------------------------------------------------------------------
+# Q173 — Gini revenue concentration (operators/stats.py:
+#        gini_concentration): per market segment, the Gini coefficient
+#        + top-1% share of customer order revenue — the concentration
+#        diagnostic behind skew planning (q90's join-skew twin on the
+#        value axis). Exact scale-4 integers + decimal(38,0) rank sums,
+#        so the 6-dp round cannot flap; rank-tie order is irrelevant by
+#        construction.
+# --------------------------------------------------------------------------
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.stats import gini_concentration
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rev = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    return gini_concentration(rev, "o_totalprice", "c_mktsegment")
+
+
+def _q173_sql() -> str:
+    from franzoxide_spark.operators.stats import sql_gini_concentration
+
+    inner = sql_gini_concentration(
+        "(SELECT c_mktsegment, o_totalprice"
+        " FROM orders JOIN customer ON o_custkey = c_custkey)",
+        "o_totalprice",
+        "c_mktsegment",
+    )
+    return inner
+
+
+register("q173_gini_concentration", q173, _q173_sql())

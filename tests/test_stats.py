@@ -284,3 +284,46 @@ def test_ab_srm_assignment_is_unit_deterministic(spark):
     a = ab_srm_check(once, "user_id", "event_type").collect()[0]
     b = ab_srm_check(thrice, "user_id", "event_type").collect()[0]
     assert (a["n_treat"], a["n_control"]) == (b["n_treat"], b["n_control"])
+
+
+def test_benford_log_uniform_quiet_uniform_alarms(spark):
+    """Log-uniform magnitudes follow Benford (no alarm); uniformly
+    distributed 3-digit values have a flat first-digit histogram and
+    must trip the chi-square flag."""
+    from franzoxide_spark.operators.stats import benford_audit
+
+    log_uniform = [("b", 10 ** (i / 300.0)) for i in range(900)]  # 3 decades
+    uniform = [("u", float(100 + i)) for i in range(900)]
+    df = spark.createDataFrame(log_uniform + uniform, "g string, v double")
+    got = {r["g"]: r for r in benford_audit(df, "v", "g").collect()}
+    assert got["b"]["n_values"] == 900 and not got["b"]["benford_alarm"], got["b"]
+    assert got["u"]["benford_alarm"] and got["u"]["chi2"] > 100
+
+
+def test_benford_first_digit_extraction_edge_cases(spark):
+    """Sub-1 magnitudes, negatives, and exact powers of ten all yield
+    the correct first significant digit; zeros/nulls are excluded."""
+    from franzoxide_spark.operators.stats import benford_audit
+
+    rows = [("g", v) for v in [0.00456, -78.0, 0.1, 1000.0, 9.99, 0.0, None]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = benford_audit(df, "v", "g").collect()[0]
+    assert r["n_values"] == 5  # zero and null excluded
+
+
+def test_gini_closed_forms(spark):
+    """Exact Gini values: all-equal -> 0; one-holder among n zeros ->
+    (n-1)/n; arithmetic sequence 1..n -> (n-1)/(3n) (textbook)."""
+    from franzoxide_spark.operators.stats import gini_concentration
+
+    rows = (
+        [("eq", 5.0)] * 10
+        + [("one", 0.0)] * 9 + [("one", 100.0)]
+        + [("seq", float(i)) for i in range(1, 11)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in gini_concentration(df, "v", "g").collect()}
+    assert got["eq"]["gini"] == 0.0
+    assert got["one"]["gini"] == round(9 / 10, 6)
+    assert got["one"]["top1pct_share"] == 1.0  # the single holder is the top 1%
+    assert got["seq"]["gini"] == round(9 / 30, 6)
