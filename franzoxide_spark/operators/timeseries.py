@@ -551,3 +551,110 @@ SELECT {user_col}, CAST(n_days AS INT) AS n_days,
        ROUND(lb[1] + lb[2], 6) AS forecast_next
 FROM folded
 """
+
+
+# --------------------------------------------------------------------------
+# autocorrelation function (lag-k ACF of the daily series)
+# --------------------------------------------------------------------------
+
+
+def daily_acf(
+    events: DataFrame,
+    ts_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """ACF of the daily event-count series at lags 1..``max_lag``:
+    r_k = Σ(x_t - x̄)(x_{t+k} - x̄) / Σ(x_t - x̄)² — the periodicity
+    diagnostic behind q158's day-of-week strength (a weekly cycle shows
+    as a peak at lag 7). Spikes also flag duplicated-ingest days.
+
+    Determinism: daily counts are exact integers; the mean is one exact
+    division; numerator and denominator are DAY-ORDERED folds (the
+    q152/q164 family) so both engines add identical doubles in
+    identical order.
+
+    Scale shape: one map-side-combined (day) count aggregate — the
+    series is span-bounded — then O(span·max_lag) fold work on a single
+    row. Nothing user- or event-cardinality-sized survives the first
+    aggregate.
+    """
+    daily = events.groupBy(
+        F.date_format(ts_col, "yyyy-MM-dd").alias("__day")
+    ).agg(F.count("*").alias("__n"))
+    vs = "transform(array_sort(collect_list(struct(__day, __n))), s -> cast(s.__n as double))"
+    lst = daily.agg(
+        F.expr(vs).alias("__vs"),
+        F.sum("__n").alias("__tot"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    lst = lst.withColumn(
+        "__mean", F.col("__tot").cast("double") / F.col("n_days")
+    ).withColumn(
+        "__den",
+        F.expr(
+            "aggregate(__vs, cast(0.0 as double),"
+            " (a, x) -> a + (x - __mean) * (x - __mean))"
+        ),
+    )
+    rows = lst.select(
+        "n_days",
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(1, {max_lag}), k -> struct(
+                  k as lag,
+                  case when size(__vs) > k and __den > 0 then
+                    round(aggregate(sequence(1, size(__vs) - k),
+                              cast(0.0 as double),
+                              (a, i) -> a + (element_at(__vs, i) - __mean)
+                                  * (element_at(__vs, i + k) - __mean))
+                          / __den, 6)
+                  end as acf))
+                """
+            )
+        ).alias("r"),
+    )
+    return rows.select(
+        F.col("r.lag").cast("int").alias("lag"),
+        F.col("n_days").cast("int").alias("n_days"),
+        F.col("r.acf").alias("acf"),
+    )
+
+
+def sql_daily_acf(table: str, ts_col: str, max_lag: int = 7) -> str:
+    """DuckDB mirror — identical day-ordered folds."""
+    return f"""
+WITH daily AS (
+  SELECT strftime({ts_col}, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM {table} GROUP BY strftime({ts_col}, '%Y-%m-%d')
+),
+lst AS (
+  SELECT list(CAST(n AS DOUBLE) ORDER BY day) AS vs,
+         SUM(n) AS tot, COUNT(*) AS n_days
+  FROM daily
+),
+stats AS (
+  SELECT vs, n_days,
+         CAST(tot AS DOUBLE) / n_days AS m,
+         list_reduce(list_prepend(0.0,
+           list_transform(vs, x -> (x - CAST(tot AS DOUBLE) / n_days)
+                                   * (x - CAST(tot AS DOUBLE) / n_days))),
+           (a, x) -> a + x) AS den
+  FROM lst
+),
+rows AS (
+  SELECT n_days, UNNEST(list_transform(range(1, {max_lag} + 1), k ->
+    struct_pack(
+      lag := k,
+      acf := CASE WHEN len(vs) > k AND den > 0 THEN
+        ROUND(list_reduce(list_prepend(0.0,
+            list_transform(range(1, len(vs) - k + 1), i ->
+              (vs[CAST(i AS INT)] - m) * (vs[CAST(i + k AS INT)] - m))),
+          (a, x) -> a + x) / den, 6)
+      END))) AS r
+  FROM stats
+)
+SELECT CAST(r.lag AS INT) AS lag, CAST(n_days AS INT) AS n_days,
+       r.acf AS acf
+FROM rows
+"""

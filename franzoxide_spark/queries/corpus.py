@@ -2490,3 +2490,27 @@ def _q173_sql() -> str:
 
 
 register("q173_gini_concentration", q173, _q173_sql())
+
+
+# --------------------------------------------------------------------------
+# Q174 — daily-series autocorrelation (operators/timeseries.py:
+#        daily_acf): lag 1..7 ACF of the daily event-count series —
+#        the periodicity diagnostic behind q158's day-of-week strength
+#        (weekly cycle = lag-7 peak; duplicated-ingest days = spikes).
+#        Day-ordered folds over a span-bounded series; fourth
+#        recurrence-as-fold member.
+# --------------------------------------------------------------------------
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.timeseries import daily_acf
+
+    ev = table(spark, sf_dir, "events")
+    return daily_acf(ev, "ts")
+
+
+def _q174_sql() -> str:
+    from franzoxide_spark.operators.timeseries import sql_daily_acf
+
+    return sql_daily_acf("events", "ts")
+
+
+register("q174_daily_acf", q174, _q174_sql())

@@ -251,3 +251,27 @@ def test_holt_reference_fold(spark):
     # HALF_UP (Spark) vs banker's (Python round) can split a tie on the
     # summed forecast — tolerance, not exact, for this one
     assert abs(r["forecast_next"] - (l + b)) < 1e-6
+
+
+def test_daily_acf_period_two_alternation(spark):
+    """A strict high/low alternating daily series has ACF(1) ~ -1 and
+    ACF(2) ~ +1 — the textbook period-2 signature."""
+    import datetime as dt
+
+    from franzoxide_spark.operators.timeseries import daily_acf
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(30):
+        n = 10 if d % 2 == 0 else 2
+        for i in range(n):
+            rows.append((base + dt.timedelta(days=d, minutes=i),))
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    got = {r["lag"]: r["acf"] for r in daily_acf(ev, "ts").collect()}
+    assert got[1] < -0.9 and got[2] > 0.85, got
+    # a constant series yields NULL acf (zero variance), not a crash
+    const = spark.createDataFrame(
+        [(base + dt.timedelta(days=d),) for d in range(10)], "ts timestamp"
+    )
+    got_c = {r["lag"]: r["acf"] for r in daily_acf(const, "ts").collect()}
+    assert all(v is None for v in got_c.values())
