@@ -1263,6 +1263,12 @@ _Q101_KS = (3, 5, 8)
 def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.functions.text import shingles
 
+    # Shape note (r8 A/B): a single-pass variant exploding (k, gram)
+    # structs for all three k at once measured 2.31 s vs 1.63 s for this
+    # per-k loop at sf0.1 — the combined array-of-struct build plus one
+    # big (k,g) distinct costs more than the extra scans of the small
+    # fixture. At real scale the scans dominate instead; the single-pass
+    # rewrite is the documented handoff if the input stops fitting cache.
     docs = table(spark, sf_dir, "documents")
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
     pool = docs.filter(F.col("doc_id") % 97 != 0)
