@@ -101,3 +101,130 @@ def sql_geohash(lat_col: str, lon_col: str, precision: int = 6) -> str:
     subexpressions)."""
     bits = _bits_sql(lat_col, lon_col, precision, spark=False)
     return _chars_sql(bits, precision, spark=False)
+
+
+# --------------------------------------------------------------------------
+# radius join: points within d km of anchors (grid-bucketed, never all-pairs)
+# --------------------------------------------------------------------------
+
+_EARTH_R_KM = 6371.0088
+# conservative degree-grid for a <=100 km radius: 1 deg latitude is
+# ~111.32 km >= 100 everywhere; longitude degrees shrink by cos(lat), so
+# with |lat| <= 85 deg one lon cell must cover 100/(111.32*cos(85 deg))
+# ~ 10.3 deg -> 12. Conservative cells admit extra candidates (verified
+# away by the exact distance), never miss one.
+_GRID_LAT_DEG = 1.0
+_GRID_LON_DEG = 12.0
+
+
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Great-circle distance in km — IDENTICAL text for both engines
+    (radians/sin/cos/asin/sqrt exist in each)."""
+    return (
+        f"2.0 * {_EARTH_R_KM} * asin(sqrt("
+        f" pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
+    )
+
+
+def radius_join(
+    anchors: DataFrame,
+    points: DataFrame,
+    radius_km: float = 100.0,
+) -> DataFrame:
+    """All (anchor, point) pairs within ``radius_km`` great-circle km:
+    ``(anchor_id, point_id, dist_km)`` — the spatial join behind
+    store-catchment and nearest-facility analytics, next to q127's cell
+    density. Inputs carry ``(anchor_id|point_id, lat, lon)``.
+
+    Scale shape — bucketed, never all-pairs (the q33 discipline on a
+    sphere): both sides land on a conservative lat/lon degree grid whose
+    cells are at least ``radius_km`` wide at any latitude in range, the
+    ANCHOR side (small by contract) explodes to its 3x3 neighbor cells
+    and BROADCASTS, and candidates meet in an equi-join on the cell key
+    before the exact haversine verify. A conservative cell admits extra
+    candidates but can never miss a pair; distances round to 6 dp before
+    the threshold compare so both engines keep the identical pair set.
+
+    ``radius_km`` must fit the grid constants (<= 100 with the shipped
+    1 deg x 12 deg cells); larger radii need proportionally coarser cells.
+    """
+    if radius_km > 100.0:
+        raise ValueError(
+            f"radius_km={radius_km} exceeds the 100 km the shipped grid"
+            " guarantees; coarsen _GRID_LAT_DEG/_GRID_LON_DEG first"
+        )
+    cell_lat = lambda c: F.floor(F.col(c) / _GRID_LAT_DEG).cast("int")  # noqa: E731
+    cell_lon = lambda c: F.floor(F.col(c) / _GRID_LON_DEG).cast("int")  # noqa: E731
+    a = anchors.select(
+        "anchor_id",
+        F.col("lat").alias("__alat"),
+        F.col("lon").alias("__alon"),
+        cell_lat("lat").alias("__cla"),
+        cell_lon("lon").alias("__clo"),
+    )
+    # 3x3 neighbor fan-out on the SMALL side only
+    a9 = a.select(
+        "anchor_id",
+        "__alat",
+        "__alon",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dy ->"
+                " transform(sequence(-1, 1), dx ->"
+                " struct(__cla + dy as cla, __clo + dx as clo))))"
+            )
+        ).alias("__c"),
+    ).select(
+        "anchor_id", "__alat", "__alon",
+        F.col("__c.cla").alias("__cla"), F.col("__c.clo").alias("__clo"),
+    )
+    p = points.select(
+        "point_id",
+        F.col("lat").alias("__plat"),
+        F.col("lon").alias("__plon"),
+        cell_lat("lat").alias("__cla"),
+        cell_lon("lon").alias("__clo"),
+    )
+    dist = F.expr(
+        "round(" + _haversine_sql("__alat", "__alon", "__plat", "__plon") + ", 6)"
+    )
+    return (
+        p.join(F.broadcast(a9), ["__cla", "__clo"])
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= radius_km)
+        .select("anchor_id", "point_id", "dist_km")
+    )
+
+
+def sql_radius_join(
+    anchors_rel: str,
+    points_rel: str,
+    radius_km: float = 100.0,
+) -> str:
+    """DuckDB mirror — identical grid, neighbor fan-out, and rounded
+    haversine threshold."""
+    hav = _haversine_sql("a.alat", "a.alon", "p.plat", "p.plon")
+    return f"""
+WITH a AS (
+  SELECT anchor_id, lat AS alat, lon AS alon,
+         CAST(FLOOR(lat / {_GRID_LAT_DEG}) AS INT) AS cla,
+         CAST(FLOOR(lon / {_GRID_LON_DEG}) AS INT) AS clo
+  FROM {anchors_rel}
+),
+a9 AS (
+  SELECT anchor_id, alat, alon, cla + dy AS cla, clo + dx AS clo
+  FROM a, (SELECT UNNEST(range(-1, 2)) AS dy) y,
+       (SELECT UNNEST(range(-1, 2)) AS dx) x
+),
+p AS (
+  SELECT point_id, lat AS plat, lon AS plon,
+         CAST(FLOOR(lat / {_GRID_LAT_DEG}) AS INT) AS cla,
+         CAST(FLOOR(lon / {_GRID_LON_DEG}) AS INT) AS clo
+  FROM {points_rel}
+)
+SELECT a.anchor_id, p.point_id, ROUND({hav}, 6) AS dist_km
+FROM p JOIN a9 a USING (cla, clo)
+WHERE ROUND({hav}, 6) <= {radius_km}
+"""

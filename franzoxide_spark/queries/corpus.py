@@ -2514,3 +2514,72 @@ def _q174_sql() -> str:
 
 
 register("q174_daily_acf", q174, _q174_sql())
+
+
+# --------------------------------------------------------------------------
+# Q175 — spatial radius join (operators/geo.py: radius_join): event
+#        pings within 100 km of each synthetic store — per store the
+#        catchment count, distinct users, and nearest ping. Bucketed on
+#        a conservative 1°×12° grid (cells ≥ radius at any latitude in
+#        range), 3×3 neighbor fan-out on the broadcast store side, exact
+#        haversine verify rounded to 6 dp on BOTH engines so the pair
+#        set is identical. Never all-pairs — the q33 discipline on a
+#        sphere, completing the geo family with q127's cell density.
+# --------------------------------------------------------------------------
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.geo import radius_join
+
+    c = table(spark, sf_dir, "customer")
+    stores = c.filter(F.col("c_custkey") % 200 == 0).select(
+        F.col("c_custkey").alias("anchor_id"),
+        (((F.col("c_custkey") * 53) % 16000) / 100.0 - 80.0).alias("lat"),
+        (((F.col("c_custkey") * 97) % 35000) / 100.0 - 175.0).alias("lon"),
+    )
+    ev = table(spark, sf_dir, "events")
+    pings = ev.select(
+        F.col("event_id").alias("point_id"),
+        F.col("user_id").alias("__u"),
+        F.expr(_Q127_LAT).alias("lat"),
+        F.expr(_Q127_LON).alias("lon"),
+    )
+    pairs = radius_join(
+        stores, pings.select("point_id", "lat", "lon"), radius_km=100.0
+    )
+    return (
+        pairs.join(pings.select("point_id", "__u"), "point_id")
+        .groupBy("anchor_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pings"),
+            F.countDistinct("__u").cast("bigint").alias("n_users"),
+            F.min("dist_km").alias("nearest_km"),
+        )
+    )
+
+
+def _q175_sql() -> str:
+    from franzoxide_spark.operators.geo import sql_radius_join
+
+    stores = (
+        "(SELECT c_custkey AS anchor_id,"
+        " ((c_custkey * 53) % 16000) / 100.0 - 80.0 AS lat,"
+        " ((c_custkey * 97) % 35000) / 100.0 - 175.0 AS lon"
+        " FROM customer WHERE c_custkey % 200 = 0)"
+    )
+    pings = (
+        f"(SELECT event_id AS point_id, {_Q127_LAT} AS lat,"
+        f" {_Q127_LON} AS lon FROM events)"
+    )
+    rj = sql_radius_join(stores, pings, radius_km=100.0)
+    return f"""
+WITH pairs AS ({rj}),
+u AS (SELECT event_id AS point_id, user_id FROM events)
+SELECT pairs.anchor_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pings,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users,
+       MIN(dist_km) AS nearest_km
+FROM pairs JOIN u USING (point_id)
+GROUP BY pairs.anchor_id
+"""
+
+
+register("q175_geo_radius_join", q175, _q175_sql())

@@ -73,3 +73,42 @@ def test_geohash_rejects_bad_precision(spark):
         with_geohash(df, "lat", "lon", 0)
     with pytest.raises(ValueError, match="precision"):
         with_geohash(df, "lat", "lon", 13)
+
+
+def test_radius_join_known_distances_and_cell_boundaries(spark):
+    """Closed-form memberships: same point (0 km), 0.5 deg latitude apart
+    (~55.6 km, in), 1 deg (~111.2 km, out); a pair STRADDLING a grid-cell
+    boundary is still found (the 3x3 neighbor fan-out's whole job)."""
+    from franzoxide_spark.operators.geo import radius_join
+
+    anchors = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 0.999, 11.999)],  # anchor 2 near cell corner
+        "anchor_id long, lat double, lon double",
+    )
+    points = spark.createDataFrame(
+        [
+            (100, 10.0, 20.0),    # 0 km from anchor 1
+            (101, 10.5, 20.0),    # ~55.6 km, in
+            (102, 11.0, 20.0),    # ~111.2 km, out
+            (103, 1.001, 12.001), # other side of BOTH cell lines from a2
+        ],
+        "point_id long, lat double, lon double",
+    )
+    got = {
+        (r["anchor_id"], r["point_id"]): r["dist_km"]
+        for r in radius_join(anchors, points, 100.0).collect()
+    }
+    assert got[(1, 100)] == 0.0
+    assert 55 < got[(1, 101)] < 56
+    assert (1, 102) not in got
+    assert (2, 103) in got and got[(2, 103)] < 1.0
+
+
+def test_radius_join_rejects_radius_beyond_grid_guarantee(spark):
+    import pytest
+
+    from franzoxide_spark.operators.geo import radius_join
+
+    a = spark.createDataFrame([(1, 0.0, 0.0)], "anchor_id long, lat double, lon double")
+    with pytest.raises(ValueError, match="100 km"):
+        radius_join(a, a.withColumnRenamed("anchor_id", "point_id"), 250.0)
