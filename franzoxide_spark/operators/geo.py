@@ -147,14 +147,26 @@ def radius_join(
     candidates but can never miss a pair; distances round to 6 dp before
     the threshold compare so both engines keep the identical pair set.
 
-    ``radius_km`` must fit the grid constants (<= 100 with the shipped
-    1 deg x 12 deg cells); larger radii need proportionally coarser cells.
+    Extra columns on ``points`` pass through to the output (so callers
+    never rescan the big side to recover payload). Longitude neighbor
+    cells WRAP at the antimeridian; rows with |lat| > 85 are excluded on
+    both engines (the shipped grid's guarantee does not reach the polar
+    caps — excluding beats silently losing pairs). ``radius_km`` must
+    fit the grid constants (<= 100 with the shipped 1 deg x 12 deg
+    cells); larger radii need proportionally coarser cells.
     """
     if radius_km > 100.0:
         raise ValueError(
             f"radius_km={radius_km} exceeds the 100 km the shipped grid"
             " guarantees; coarsen _GRID_LAT_DEG/_GRID_LON_DEG first"
         )
+    # the grid guarantee holds for |lat| <= 85 only (a 12 deg lon cell at
+    # lat 86 is ~93 km < radius): polar-cap rows are EXCLUDED on both
+    # sides — identically in the SQL mirror — rather than silently
+    # losing pairs (review r8)
+    anchors = anchors.filter(F.abs(F.col("lat")) <= 85.0)
+    points = points.filter(F.abs(F.col("lat")) <= 85.0)
+    n_lon_cells = int(360.0 / _GRID_LON_DEG)
     cell_lat = lambda c: F.floor(F.col(c) / _GRID_LAT_DEG).cast("int")  # noqa: E731
     cell_lon = lambda c: F.floor(F.col(c) / _GRID_LON_DEG).cast("int")  # noqa: E731
     a = anchors.select(
@@ -164,7 +176,10 @@ def radius_join(
         cell_lat("lat").alias("__cla"),
         cell_lon("lon").alias("__clo"),
     )
-    # 3x3 neighbor fan-out on the SMALL side only
+    # 3x3 neighbor fan-out on the SMALL side only; lon neighbors WRAP at
+    # the antimeridian (pmod over the lon cell ring, review r8: an
+    # anchor at lon -175 must reach the cell holding lon +179.9)
+    half = n_lon_cells // 2
     a9 = a.select(
         "anchor_id",
         "__alat",
@@ -173,7 +188,9 @@ def radius_join(
             F.expr(
                 "flatten(transform(sequence(-1, 1), dy ->"
                 " transform(sequence(-1, 1), dx ->"
-                " struct(__cla + dy as cla, __clo + dx as clo))))"
+                " struct(__cla + dy as cla,"
+                f" pmod(__clo + dx + {half}, {n_lon_cells}) - {half}"
+                " as clo))))"
             )
         ).alias("__c"),
     ).select(
@@ -182,19 +199,26 @@ def radius_join(
     )
     p = points.select(
         "point_id",
+        *[c for c in points.columns if c not in ("point_id", "lat", "lon")],
         F.col("lat").alias("__plat"),
         F.col("lon").alias("__plon"),
         cell_lat("lat").alias("__cla"),
-        cell_lon("lon").alias("__clo"),
+        # the point lon cell lands on the same wrapped ring (lon exactly
+        # +180 would otherwise be cell 15 in a -15..14 ring)
+        (F.expr(f"pmod(cast(floor(lon / {_GRID_LON_DEG}) as int) + {half},"
+                f" {n_lon_cells}) - {half}")).alias("__clo"),
     )
     dist = F.expr(
         "round(" + _haversine_sql("__alat", "__alon", "__plat", "__plon") + ", 6)"
     )
+    passthrough = [
+        c for c in points.columns if c not in ("point_id", "lat", "lon")
+    ]
     return (
         p.join(F.broadcast(a9), ["__cla", "__clo"])
         .withColumn("dist_km", dist)
         .filter(F.col("dist_km") <= radius_km)
-        .select("anchor_id", "point_id", "dist_km")
+        .select("anchor_id", "point_id", *passthrough, "dist_km")
     )
 
 
@@ -202,29 +226,35 @@ def sql_radius_join(
     anchors_rel: str,
     points_rel: str,
     radius_km: float = 100.0,
+    extra_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB mirror — identical grid, neighbor fan-out, and rounded
     haversine threshold."""
     hav = _haversine_sql("a.alat", "a.alon", "p.plat", "p.plon")
+    n_lon = int(360.0 / _GRID_LON_DEG)
+    half = n_lon // 2
+    extra = "".join(f"{c}, " for c in extra_cols)
     return f"""
 WITH a AS (
   SELECT anchor_id, lat AS alat, lon AS alon,
          CAST(FLOOR(lat / {_GRID_LAT_DEG}) AS INT) AS cla,
          CAST(FLOOR(lon / {_GRID_LON_DEG}) AS INT) AS clo
-  FROM {anchors_rel}
+  FROM {anchors_rel} WHERE ABS(lat) <= 85.0
 ),
 a9 AS (
-  SELECT anchor_id, alat, alon, cla + dy AS cla, clo + dx AS clo
+  SELECT anchor_id, alat, alon, cla + dy AS cla,
+         ((clo + dx + {half}) % {n_lon} + {n_lon}) % {n_lon} - {half} AS clo
   FROM a, (SELECT UNNEST(range(-1, 2)) AS dy) y,
        (SELECT UNNEST(range(-1, 2)) AS dx) x
 ),
 p AS (
-  SELECT point_id, lat AS plat, lon AS plon,
+  SELECT point_id, {extra}lat AS plat, lon AS plon,
          CAST(FLOOR(lat / {_GRID_LAT_DEG}) AS INT) AS cla,
-         CAST(FLOOR(lon / {_GRID_LON_DEG}) AS INT) AS clo
-  FROM {points_rel}
+         ((CAST(FLOOR(lon / {_GRID_LON_DEG}) AS INT) + {half}) % {n_lon}
+          + {n_lon}) % {n_lon} - {half} AS clo
+  FROM {points_rel} WHERE ABS(lat) <= 85.0
 )
-SELECT a.anchor_id, p.point_id, ROUND({hav}, 6) AS dist_km
+SELECT a.anchor_id, p.point_id, {extra}ROUND({hav}, 6) AS dist_km
 FROM p JOIN a9 a USING (cla, clo)
 WHERE ROUND({hav}, 6) <= {radius_km}
 """

@@ -374,7 +374,10 @@ def benford_audit(
     # first significant digit: strip sign/zeros/dot from the plain
     # (non-scientific) decimal rendering. format_number handles the
     # Spark side; values are positive prices in the fixtures but abs()
-    # keeps the operator total.
+    # keeps the operator total. Magnitudes below 5e-7 render as all
+    # zeros -> the stripped string is empty -> cast yields NULL and the
+    # 1..9 filter drops the row; the mirror needs TRY_CAST for the same
+    # drop (DuckDB's CAST('') raises).
     d = F.substring(
         F.regexp_replace(
             F.format_number(F.abs(F.col(value_col)), 6), "[0.,]+", ""
@@ -430,7 +433,7 @@ def sql_benford_audit(table: str, value_col: str, group_col: str) -> str:
     return f"""
 WITH digits AS (
   SELECT {group_col},
-         CAST(substr(regexp_replace(
+         TRY_CAST(substr(regexp_replace(
               format('{{:.6f}}', ABS({value_col})), '[0.,]+', '', 'g'),
               1, 1) AS INT) AS d
   FROM {table}

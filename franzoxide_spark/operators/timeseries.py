@@ -568,6 +568,10 @@ def daily_acf(
     diagnostic behind q158's day-of-week strength (a weekly cycle shows
     as a peak at lag 7). Spikes also flag duplicated-ingest days.
 
+    Event-free calendar days COUNT AS ZERO (the series densifies over
+    the min..max day range) — compacting them away would shift every
+    later lag position and smear true periodicity.
+
     Determinism: daily counts are exact integers; the mean is one exact
     division; numerator and denominator are DAY-ORDERED folds (the
     q152/q164 family) so both engines add identical doubles in
@@ -581,6 +585,20 @@ def daily_acf(
     daily = events.groupBy(
         F.date_format(ts_col, "yyyy-MM-dd").alias("__day")
     ).agg(F.count("*").alias("__n"))
+    # DENSIFY to the full calendar range: an event-free day must appear
+    # as 0, not vanish — compaction would shift every later position and
+    # smear a true weekly peak across lags 6/7 (review r8). The day
+    # domain comes from one min/max over the (span-bounded) daily table.
+    span = daily.agg(
+        F.min(F.to_date("__day")).alias("__d0"),
+        F.max(F.to_date("__day")).alias("__d1"),
+    )
+    dense = span.select(
+        F.explode(F.expr("sequence(__d0, __d1, interval 1 day)")).alias("__d")
+    ).select(F.date_format("__d", "yyyy-MM-dd").alias("__day"))
+    daily = dense.join(daily, "__day", "left").select(
+        "__day", F.coalesce("__n", F.lit(0)).alias("__n")
+    )
     vs = "transform(array_sort(collect_list(struct(__day, __n))), s -> cast(s.__n as double))"
     lst = daily.agg(
         F.expr(vs).alias("__vs"),
@@ -624,9 +642,19 @@ def daily_acf(
 def sql_daily_acf(table: str, ts_col: str, max_lag: int = 7) -> str:
     """DuckDB mirror — identical day-ordered folds."""
     return f"""
-WITH daily AS (
+WITH raw AS (
   SELECT strftime({ts_col}, '%Y-%m-%d') AS day, COUNT(*) AS n
   FROM {table} GROUP BY strftime({ts_col}, '%Y-%m-%d')
+),
+dense AS (
+  SELECT strftime(UNNEST(generate_series(
+           CAST(MIN(day) AS DATE), CAST(MAX(day) AS DATE),
+           INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+  FROM raw
+),
+daily AS (
+  SELECT dense.day, COALESCE(raw.n, 0) AS n
+  FROM dense LEFT JOIN raw USING (day)
 ),
 lst AS (
   SELECT list(CAST(n AS DOUBLE) ORDER BY day) AS vs,

@@ -2542,17 +2542,13 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_Q127_LAT).alias("lat"),
         F.expr(_Q127_LON).alias("lon"),
     )
-    pairs = radius_join(
-        stores, pings.select("point_id", "lat", "lon"), radius_km=100.0
-    )
-    return (
-        pairs.join(pings.select("point_id", "__u"), "point_id")
-        .groupBy("anchor_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pings"),
-            F.countDistinct("__u").cast("bigint").alias("n_users"),
-            F.min("dist_km").alias("nearest_km"),
-        )
+    # user_id rides THROUGH radius_join as a passthrough column — the
+    # events table is scanned once, with no recovery join (review r8)
+    pairs = radius_join(stores, pings, radius_km=100.0)
+    return pairs.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pings"),
+        F.countDistinct("__u").cast("bigint").alias("n_users"),
+        F.min("dist_km").alias("nearest_km"),
     )
 
 
@@ -2566,19 +2562,18 @@ def _q175_sql() -> str:
         " FROM customer WHERE c_custkey % 200 = 0)"
     )
     pings = (
-        f"(SELECT event_id AS point_id, {_Q127_LAT} AS lat,"
+        f"(SELECT event_id AS point_id, user_id, {_Q127_LAT} AS lat,"
         f" {_Q127_LON} AS lon FROM events)"
     )
-    rj = sql_radius_join(stores, pings, radius_km=100.0)
+    rj = sql_radius_join(stores, pings, radius_km=100.0, extra_cols=("user_id",))
     return f"""
-WITH pairs AS ({rj}),
-u AS (SELECT event_id AS point_id, user_id FROM events)
-SELECT pairs.anchor_id,
+WITH pairs AS ({rj})
+SELECT anchor_id,
        CAST(COUNT(*) AS BIGINT) AS n_pings,
-       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        MIN(dist_km) AS nearest_km
-FROM pairs JOIN u USING (point_id)
-GROUP BY pairs.anchor_id
+FROM pairs
+GROUP BY anchor_id
 """
 
 

@@ -112,3 +112,23 @@ def test_radius_join_rejects_radius_beyond_grid_guarantee(spark):
     a = spark.createDataFrame([(1, 0.0, 0.0)], "anchor_id long, lat double, lon double")
     with pytest.raises(ValueError, match="100 km"):
         radius_join(a, a.withColumnRenamed("anchor_id", "point_id"), 250.0)
+
+
+def test_radius_join_wraps_at_antimeridian(spark):
+    """A pair straddling lon ±180 is found (the lon cell ring wraps);
+    polar-cap rows (|lat| > 85) are excluded on both sides rather than
+    silently losing pairs (r8 review)."""
+    from franzoxide_spark.operators.geo import radius_join
+
+    anchors = spark.createDataFrame(
+        [(1, -80.0, -179.5), (9, 86.0, 0.0)],
+        "anchor_id long, lat double, lon double",
+    )
+    points = spark.createDataFrame(
+        [(100, -80.05, 179.9), (101, 86.0, 0.0)],
+        "point_id long, lat double, lon double",
+    )
+    got = {(r["anchor_id"], r["point_id"]) for r in
+           radius_join(anchors, points, 100.0).collect()}
+    assert (1, 100) in got      # crosses the antimeridian, ~12 km apart
+    assert (9, 101) not in got  # polar cap excluded entirely

@@ -275,3 +275,29 @@ def test_daily_acf_period_two_alternation(spark):
     )
     got_c = {r["lag"]: r["acf"] for r in daily_acf(const, "ts").collect()}
     assert all(v is None for v in got_c.values())
+
+
+def test_daily_acf_gap_days_count_as_zero(spark):
+    """An event-free calendar day enters the series as 0 — the weekly
+    signature survives a one-day outage instead of smearing (r8 review:
+    the compacted form shifted every later lag position)."""
+    import datetime as dt
+
+    from franzoxide_spark.operators.timeseries import daily_acf
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(28):
+        if d == 9:
+            continue  # outage day: NO events at all
+        n = 10 if d % 2 == 0 else 2
+        for i in range(n):
+            rows.append((base + dt.timedelta(days=d, minutes=i),))
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    got = {r["lag"]: r for r in daily_acf(ev, "ts").collect()}
+    # 28 calendar days despite the missing one
+    assert got[1]["n_days"] == 28
+    # the period-2 alternation still shows: ACF(2) strongly positive,
+    # ACF(1) strongly negative (the gap is one perturbed point, not a
+    # wholesale phase shift)
+    assert got[2]["acf"] > 0.5 and got[1]["acf"] < -0.5, got
