@@ -66,10 +66,16 @@ PINNED_CONTRACT = (
 
 
 def driver_coverage() -> dict[str, int]:
-    """How many driver CORRECTNESS rows each query has earned so far,
-    read from the recorded CORRECTNESS_r*.json artifacts at the repo
+    """How many GREEN driver CORRECTNESS rows each query has earned so
+    far, read from the recorded CORRECTNESS_r*.json artifacts at the repo
     root (the running round's file is written AFTER verify, so at verify
-    time this reflects exactly the previous rounds)."""
+    time this reflects exactly the previous rounds).
+
+    Only green rows count (err is null and no match flag is false): an
+    errored or mismatched row is evidence the query NEEDS re-verification,
+    not that it was covered — counting it would park a broken query behind
+    the whole zero-covered pool for rounds (round-8 verdict item #1, where
+    q111's r7 err row did exactly that)."""
     import json
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -78,10 +84,18 @@ def driver_coverage() -> dict[str, int]:
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                for name in json.load(f):
-                    counts[name] = counts.get(name, 0) + 1
+                rows = json.load(f)
         except (OSError, ValueError):
             continue  # a malformed artifact must not break query listing
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("err") is None and all(
+                row.get(k) is not False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            if green:
+                counts[name] = counts.get(name, 0) + 1
     return counts
 
 

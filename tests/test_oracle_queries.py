@@ -107,6 +107,39 @@ def test_driver_window_prefers_never_seen_queries_from_real_artifacts():
         assert got == want
 
 
+def test_driver_coverage_counts_only_green_rows(tmp_path, monkeypatch):
+    """A driver CORRECTNESS row counts toward coverage ONLY if it is green
+    (err null, no match flag false). An errored/mismatched row means the
+    query still needs a verified run, so it must sort to the FRONT of the
+    rotation, not behind the zero-covered pool (round-8 verdict item #1:
+    q111's r7 err row deferred its fix's verification ~4 rounds)."""
+    import json
+
+    import franzoxide_spark.queries as qmod
+
+    rows = {
+        "a_green": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+        "b_err": {"rows_match": None, "schema_match": None,
+                  "hash_match": None, "err": "Traceback ..."},
+        "c_mismatch": {"rows_match": True, "schema_match": True,
+                       "hash_match": False, "err": None},
+        "d_rows_only": {"rows_match": True, "schema_match": None,
+                        "hash_match": None, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    real_glob = qmod.glob.glob
+    monkeypatch.setattr(
+        qmod.glob, "glob",
+        lambda pat: real_glob(str(tmp_path / "CORRECTNESS_r*.json")),
+    )
+    cov = qmod.driver_coverage()
+    assert cov.get("a_green") == 1
+    assert "b_err" not in cov, "errored row must not count as coverage"
+    assert "c_mismatch" not in cov, "hash-mismatch row must not count"
+    assert cov.get("d_rows_only") == 1, "weak rows-only green still counts"
+
+
 def test_spark_entry_exposes_rotated_ordering():
     """__spark_entry__.queries()/oracle_sql() must agree with
     driver_ordering() — the rotation only helps if the driver-facing
