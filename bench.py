@@ -52,7 +52,8 @@ def _clear_session_state(spark) -> None:
 
 
 def _time_oracles(
-    sf_dir: str, runs: int, errors: dict[str, str]
+    sf_dir: str, runs: int, errors: dict[str, str],
+    names: list[str] | None = None,
 ) -> dict[str, float]:
     """Per-query DuckDB reference timings on the same files, same protocol
     (warm connection, min-of-runs, pandas materialization) — the apples-to-
@@ -67,7 +68,9 @@ def _time_oracles(
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         out: dict[str, float] = {}
-        for name in sorted(q.ORACLES):
+        for name in sorted(q.ORACLES) if names is None else names:
+            if name not in q.ORACLES:
+                continue
             sql = q.ORACLES[name]
             best = float("inf")
             try:
@@ -191,6 +194,15 @@ def main() -> None:
         oracle_timings = {}
 
     spark = get_spark(app_name="franzoxide_spark_bench")
+    # ERROR-only logging for the bench session: the suite triggers benign
+    # WindowExec "No Partition Defined" WARNs on bounded intermediates
+    # (audited per-site in test_plans.py); at 172 queries the warning flood
+    # is large enough to push the one-line JSON record out of the driver's
+    # 2000-byte stdout tail (the r6 parsed:null failure mode).
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+    except Exception:  # noqa: BLE001 — logging config must not fail the bench
+        pass
 
     # Warm the catalog (file listings + parquet footers for every table)
     # and the JVM/codegen paths once so per-query timings reflect a warm
@@ -262,22 +274,20 @@ def main() -> None:
     # Borderline re-measure: a query sitting near the 2x bar flips in and
     # out of over_bar on shared-host load spikes alone (observed: q61 at
     # 2.40 s in-suite vs 1.21 s isolated minutes later — same code). For
-    # the handful of queries the first pass puts over the bar, take up to
-    # `runs` MORE samples and keep the global min; a genuinely slow query
-    # stays flagged, a load-spiked one earns its honest timing. Bounded:
-    # only over-bar queries re-run, early-exit once under the bar.
-    # The extended protocol is variance reduction on the min estimator
-    # (extra samples can only approach the true floor, never fabricate
-    # a faster engine) and is recorded per query in the detail artifact
-    # so the measurement provenance stays auditable.
+    # the handful of queries the first pass puts over the bar, BOTH sides
+    # get the same `runs` extra samples and keep their global min — the
+    # earlier Spark-only early-exit version sampled one side harder exactly
+    # where it was losing, biasing over_bar/suite_ratio toward passing
+    # (r8 ADVICE). Extra samples on the min estimator can only approach
+    # each engine's true floor, never fabricate a faster one; the list of
+    # re-measured queries is recorded in the detail artifact.
     re_measured: list[str] = []
     if not floor_failed:
         for name in sorted(timings):
             osec = oracle_timings.get(name)
             if osec is None or osec < 0.5:
                 continue
-            bar = 2.0 * osec + floor
-            if timings[name] <= bar:
+            if timings[name] <= 2.0 * osec + floor:
                 continue
             best = timings[name]
             re_measured.append(name)
@@ -287,13 +297,23 @@ def main() -> None:
                     q.QUERIES[name](spark, sf_dir).toPandas()
                     best = min(best, time.perf_counter() - t0)
                     _clear_session_state(spark)
-                    if best <= bar:
-                        break
             except Exception:  # noqa: BLE001 — keep the first-pass timing
                 pass
             timings[name] = round(best, 4)
 
     spark.stop()
+
+    # Matching extra oracle samples for the re-measured set (same count,
+    # same warm-connection min-of-N protocol). Runs after spark.stop() so
+    # the resident JVM heap can only hurt the DuckDB side — any bias is
+    # against the engine under test, never for it.
+    if re_measured:
+        try:
+            extra = _time_oracles(sf_dir, runs, {}, names=re_measured)
+        except Exception:  # noqa: BLE001 — keep the first-pass timings
+            extra = {}
+        for name, osec in extra.items():
+            oracle_timings[name] = min(oracle_timings.get(name, osec), osec)
     summary, detail = build_summary(
         timings, oracle_timings, errors, floor, floor_failed, sf
     )
