@@ -49,16 +49,19 @@ def interval_join(
     (e.g. ``"2 hours"``) is applied to both sides' event-time columns;
     required by Spark for streaming state eviction, a no-op for batch.
 
-    ``how``: ``"inner"`` (default) or ``"left_outer"`` — the attribution
-    ask "every view, with its purchase if one came": unmatched left rows
-    emit null-padded right columns. Streaming semantics (Spark's
-    documented outer stream-stream contract): an unmatched left row
-    CANNOT emit as soon as it's seen — a match might still arrive — so
-    it emits null-padded only after the watermark passes its interval
-    bound and its state is evicted. That makes ``watermark`` REQUIRED
-    for a streaming left-outer join (Spark enforces it at analysis);
-    batch left-outer needs no watermark and emits unmatched rows
-    immediately, and the two faces agree on the final relation.
+    ``how``: ``"inner"`` (default), ``"left_outer"`` or ``"full_outer"``.
+    ``left_outer`` is the attribution ask "every view, with its purchase
+    if one came": unmatched left rows emit null-padded right columns.
+    ``full_outer`` is the symmetric reconciliation ask "every view AND
+    every orphaned purchase": unmatched rows on EITHER side emit with the
+    other side's columns null-padded. Streaming semantics (Spark's
+    documented outer stream-stream contract): an unmatched row CANNOT
+    emit as soon as it's seen — a match might still arrive — so it emits
+    null-padded only after the watermark passes its interval bound and
+    its state is evicted. That makes ``watermark`` REQUIRED for any
+    streaming outer interval join (Spark enforces it at analysis); batch
+    outer joins need no watermark and emit unmatched rows immediately,
+    and the two faces agree on the final relation.
     """
     if left_ts == right_ts:
         raise ValueError(
@@ -67,13 +70,17 @@ def interval_join(
         )
     if on not in left.columns or on not in right.columns:
         raise ValueError(f"join key {on!r} missing from an input")
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(
-            f"how must be 'inner' or 'left_outer', got {how!r}"
+            f"how must be 'inner', 'left_outer' or 'full_outer', got {how!r}"
         )
-    if how == "left_outer" and watermark is None and left.isStreaming:
+    if (
+        how in ("left_outer", "full_outer")
+        and watermark is None
+        and (left.isStreaming or right.isStreaming)
+    ):
         raise ValueError(
-            "streaming left_outer interval join requires a watermark"
+            f"streaming {how} interval join requires a watermark"
             " (state for unmatched rows must be evictable)"
         )
     if watermark is not None:
@@ -89,4 +96,9 @@ def interval_join(
         & F.expr(f"{right_ts} {lower_op} {left_ts}")
         & F.expr(f"{right_ts} <= {left_ts} + interval {upper}")
     )
-    return left.join(right, cond, how).drop(right_key)
+    joined = left.join(right, cond, how)
+    if how == "full_outer":
+        # an unmatched RIGHT row carries its key only in the renamed right
+        # column — surface one unified key instead of dropping it
+        joined = joined.withColumn(on, F.coalesce(F.col(on), F.col(right_key)))
+    return joined.drop(right_key)

@@ -1506,6 +1506,105 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(
         q.stop()
 
 
+def test_stream_stream_full_outer_join_null_pads_both_sides(
+    spark, tmp_path
+):
+    """Full-outer stream-stream interval join (streaming/joins.py,
+    how='full_outer'): matched pairs emit immediately; an unmatched VIEW
+    and an unmatched (orphaned) PURCHASE each emit null-padded only after
+    the watermark passes their interval bound — the symmetric
+    reconciliation shape, q176's streaming face."""
+    import datetime as dt
+
+    v_dir, p_dir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    os.makedirs(v_dir), os.makedirs(p_dir)
+    v_schema = "v_ts timestamp, user_id long"
+    p_schema = "p_ts timestamp, user_id long"
+
+    def write(dirname, name, schema, rows):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        for f in glob.glob(os.path.join(stage, "*.parquet")):
+            os.link(f, os.path.join(dirname, f"{name}.parquet"))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    views = spark.readStream.schema(v_schema).parquet(v_dir)
+    purchases = spark.readStream.schema(p_schema).parquet(p_dir)
+    joined = interval_join(
+        views, purchases, on="user_id", left_ts="v_ts", right_ts="p_ts",
+        upper="30 minutes", watermark="30 minutes", how="full_outer",
+    ).select("user_id", "v_ts", "p_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssfoj_out")
+        .option("checkpointLocation", str(tmp_path / "ssfoj_ckpt"))
+        .start()
+    )
+
+    def rows_now():
+        return sorted(
+            (
+                r["user_id"],
+                r["v_ts"].strftime("%H:%M") if r["v_ts"] else None,
+                r["p_ts"].strftime("%H:%M") if r["p_ts"] else None,
+            )
+            for r in spark.sql("SELECT * FROM ssfoj_out").collect()
+        )
+
+    try:
+        # batch 1: u1 matched; u2 view with no purchase; u3 purchase with
+        # no view — NEITHER unmatched row may emit yet (a partner could
+        # still arrive inside its interval)
+        write(v_dir, "v1", v_schema, [(t(10, 0), 1), (t(10, 0), 2)])
+        write(p_dir, "p1", p_schema, [(t(10, 10), 1), (t(10, 10), 3)])
+        q.processAllAvailable()
+        assert rows_now() == [(1, "10:00", "10:10")], rows_now()
+        # advance both watermarks far past every interval bound, then one
+        # more tick: outer results emit on state eviction, which Spark
+        # performs in the batch AFTER the watermark advances
+        write(v_dir, "v2", v_schema, [(t(13, 0), 7)])
+        write(p_dir, "p2", p_schema, [(t(13, 1), 8)])
+        q.processAllAvailable()
+        write(p_dir, "p3", p_schema, [(t(13, 2), 8)])
+        q.processAllAvailable()
+        got = rows_now()
+        assert (2, "10:00", None) in got, got      # view-only, left-padded
+        assert (3, None, "10:10") in got, got      # orphan purchase, right-padded
+    finally:
+        q.stop()
+
+
+def test_interval_join_full_outer_batch_key_coalesced(spark):
+    """Batch full-outer face: unmatched rows on BOTH sides null-pad
+    immediately and the join key is surfaced for orphaned right rows
+    (coalesced from the renamed right key)."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    views = spark.createDataFrame(
+        [(t(0), 1), (t(0), 2)], "v_ts timestamp, user_id long"
+    )
+    purchases = spark.createDataFrame(
+        [(t(10), 1), (t(10), 3)], "p_ts timestamp, user_id long"
+    )
+    out = sorted(
+        (r["user_id"], r["v_ts"] is not None, r["p_ts"] is not None)
+        for r in interval_join(
+            views, purchases, on="user_id", left_ts="v_ts",
+            right_ts="p_ts", upper="30 minutes", how="full_outer",
+        ).collect()
+    )
+    assert out == [(1, True, True), (2, True, False), (3, False, True)]
+
+
 def test_interval_join_outer_batch_requires_no_watermark(spark):
     """Batch left-outer face: unmatched rows null-pad immediately, no
     watermark needed — and the relation equals the inner join plus the
