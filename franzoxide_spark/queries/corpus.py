@@ -2216,6 +2216,7 @@ register("q159_cusum_drift", q159, _Q159_SQL)
 #        residual, never a cartesian; outer adds no shuffle.
 # --------------------------------------------------------------------------
 def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.numeric import dec
     from franzoxide_spark.streaming.joins import interval_join
 
     ev = table(spark, sf_dir, "events")
@@ -2233,9 +2234,12 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE view that converted (review r8 — the raw join-row count
     # inflated the rate), while attributed value legitimately sums every
     # in-window purchase
+    # exact-decimal value sums (dec(), the q152/q171 convention): raw
+    # double addition is order-sensitive, so the cross-engine 2-dp round
+    # could flap on a half-cent boundary (r8 ADVICE)
     per_view = pairs.groupBy("user_id", "v_ts").agg(
         F.max(F.col("p_ts").isNotNull().cast("int")).alias("__conv"),
-        F.sum(F.coalesce("value", F.lit(0.0))).alias("__val"),
+        F.sum(dec(F.coalesce(F.col("value"), F.lit(0.0)))).alias("__val"),
     )
     return (
         per_view.groupBy(
@@ -2247,12 +2251,18 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__conv").cast("bigint").alias("n_converted"),
             F.round(F.sum("__conv") / F.count(F.lit(1)), 6)
             .alias("conversion_rate"),
-            F.round(F.sum("__val"), 2).alias("attributed_value"),
+            F.round(F.sum("__val").cast("double"), 2)
+            .alias("attributed_value"),
         )
     )
 
 
-_Q163_SQL = """
+def _q163_sql() -> str:
+    from franzoxide_spark.functions.numeric import sql_dec
+
+    # value sums ride sql_dec (exact decimal) to mirror the Spark side —
+    # see the dec() note in q163
+    return f"""
 WITH v AS (
   SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
 ),
@@ -2262,7 +2272,7 @@ p AS (
 per_view AS (
   SELECT v.user_id, v_ts,
          MAX(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS conv,
-         SUM(COALESCE(value, 0.0)) AS val
+         SUM(COALESCE({sql_dec('value')}, 0)) AS val
   FROM v LEFT JOIN p ON v.user_id = p.user_id
      AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 2 HOUR
   GROUP BY v.user_id, v_ts
@@ -2271,10 +2281,13 @@ SELECT strftime(date_trunc('hour', v_ts), '%Y-%m-%d %H:%M:%S') AS view_hour,
        COUNT(*) AS n_views,
        CAST(SUM(conv) AS BIGINT) AS n_converted,
        ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conversion_rate,
-       ROUND(SUM(val), 2) AS attributed_value
+       ROUND(CAST(SUM(val) AS DOUBLE), 2) AS attributed_value
 FROM per_view
 GROUP BY 1
 """
+
+
+_Q163_SQL = _q163_sql()
 
 
 register("q163_interval_join_outer_conversion", q163, _Q163_SQL)
