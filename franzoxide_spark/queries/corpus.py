@@ -2591,3 +2591,85 @@ GROUP BY anchor_id
 
 
 register("q175_geo_radius_join", q175, _q175_sql())
+
+
+# --------------------------------------------------------------------------
+# Q176 — FULL-OUTER watermarked interval join (streaming/joins.py,
+#        how='full_outer'): the symmetric reconciliation q163's left-outer
+#        can't answer — every view AND every ORPHANED purchase (no view in
+#        the 2h window before it). Join rows classify three ways: matched
+#        pair, view_only (p_ts null), purchase_only (v_ts null); the
+#        report counts each kind per hour of the row's own event time and
+#        sums purchase value in exact decimal. Streaming face (both-sides
+#        null-padded late emission after watermark) is locked in
+#        tests/test_streaming.py; this batch face oracle-checks the
+#        relation. Plan: one shuffle per side on user_id, interval
+#        residual on the sorted join — outer adds no shuffle, never a
+#        cartesian; at 100 TB this scales exactly like q114/q163.
+# --------------------------------------------------------------------------
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.numeric import dec
+    from franzoxide_spark.streaming.joins import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    pairs = interval_join(
+        views, purchases, on="user_id", left_ts="v_ts", right_ts="p_ts",
+        upper="2 hours", how="full_outer",
+    )
+    kind = (
+        F.when(F.col("v_ts").isNotNull() & F.col("p_ts").isNotNull(),
+               F.lit("matched"))
+        .when(F.col("p_ts").isNull(), F.lit("view_only"))
+        .otherwise(F.lit("purchase_only"))
+    )
+    hour = F.date_format(
+        F.date_trunc("hour", F.coalesce("v_ts", "p_ts")),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return (
+        pairs.groupBy(kind.alias("row_kind"), hour.alias("event_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(dec(F.coalesce(F.col("value"), F.lit(0.0))))
+                .cast("double"), 2,
+            ).alias("value_sum"),
+        )
+    )
+
+
+def _q176_sql() -> str:
+    from franzoxide_spark.functions.numeric import sql_dec
+
+    return f"""
+WITH v AS (
+  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT v_ts, p_ts, value
+  FROM v FULL JOIN p ON v.user_id = p.user_id
+     AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 2 HOUR
+)
+SELECT CASE WHEN v_ts IS NOT NULL AND p_ts IS NOT NULL THEN 'matched'
+            WHEN p_ts IS NULL THEN 'view_only'
+            ELSE 'purchase_only' END AS row_kind,
+       strftime(date_trunc('hour', COALESCE(v_ts, p_ts)),
+                '%Y-%m-%d %H:%M:%S') AS event_hour,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(COALESCE({sql_dec('value')}, 0)) AS DOUBLE), 2)
+         AS value_sum
+FROM j
+GROUP BY 1, 2
+"""
+
+
+register("q176_interval_join_full_reconcile", q176, _q176_sql())
