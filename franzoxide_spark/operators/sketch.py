@@ -338,7 +338,13 @@ def bloom_probe_report(
     When both inputs are slices of ONE relation, pass that relation via
     :func:`bloom_probe_report_flagged` instead — it runs the whole
     report off a single scan and a single shingle shuffle.
+
+    ``group_col`` rides the union as a string internally and is cast
+    back to its ORIGINAL dtype on output. Corpus rows whose group key is
+    NULL are dropped from the report (collect_set skips NULLs) — assign
+    a sentinel group upstream if those rows must be audited (r8 ADVICE).
     """
+    grp_type = docs.schema[group_col].dataType
     flagged = eval_docs.select(
         F.lit(None).cast("string").alias("__grp"),
         F.col(text_col).alias("__text"),
@@ -350,8 +356,9 @@ def bloom_probe_report(
             F.lit(False).alias("__is_eval"),
         )
     )
-    return bloom_probe_report_flagged(
-        flagged, "__text", "__grp", "__is_eval", k
+    out = bloom_probe_report_flagged(flagged, "__text", "__grp", "__is_eval", k)
+    return out.withColumn(
+        "__grp", F.col("__grp").cast(grp_type)
     ).withColumnRenamed("__grp", group_col)
 
 

@@ -374,10 +374,17 @@ def benford_audit(
     # first significant digit: strip sign/zeros/dot from the plain
     # (non-scientific) decimal rendering. format_number handles the
     # Spark side; values are positive prices in the fixtures but abs()
-    # keeps the operator total. Magnitudes below 5e-7 render as all
-    # zeros -> the stripped string is empty -> cast yields NULL and the
-    # 1..9 filter drops the row; the mirror needs TRY_CAST for the same
-    # drop (DuckDB's CAST('') raises).
+    # keeps the operator total.
+    #
+    # MAGNITUDE ASSUMPTION (enforced by the >= 1e-6 guard below, mirrored
+    # in sql_benford_audit): the digit comes from a 6-dp rounded
+    # rendering, so magnitudes in [5e-7, 1e-6) would carry-round to
+    # 0.000001 and miscount as digit 1 — the guard drops them on BOTH
+    # engines instead. Residual caveat for general inputs: a value within
+    # 5e-7 of a leading-digit boundary (e.g. 9.9999996) still rounds
+    # across the boundary, and Spark's format_number (HALF_UP) vs
+    # DuckDB's format (half-even) can disagree on an exact 6th-decimal
+    # tie; impossible for scale-2 currency, the documented input class.
     d = F.substring(
         F.regexp_replace(
             F.format_number(F.abs(F.col(value_col)), 6), "[0.,]+", ""
@@ -386,7 +393,10 @@ def benford_audit(
         1,
     )
     cnt = (
-        df.filter(F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) > 0))
+        df.filter(
+            F.col(value_col).isNotNull()
+            & (F.abs(F.col(value_col)) >= 1e-6)
+        )
         .withColumn("__d", d.cast("int"))
         .filter(F.col("__d").between(1, 9))
         .groupBy(group_col, "__d")
@@ -437,7 +447,7 @@ WITH digits AS (
               format('{{:.6f}}', ABS({value_col})), '[0.,]+', '', 'g'),
               1, 1) AS INT) AS d
   FROM {table}
-  WHERE {value_col} IS NOT NULL AND ABS({value_col}) > 0
+  WHERE {value_col} IS NOT NULL AND ABS({value_col}) >= 1e-6
 ),
 cnt AS (
   SELECT {group_col}, d, COUNT(*) AS n

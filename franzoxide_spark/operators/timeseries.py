@@ -605,6 +605,11 @@ def daily_acf(
         F.sum("__n").alias("__tot"),
         F.count(F.lit(1)).alias("n_days"),
     )
+    # empty-input parity: a global agg over zero rows still yields ONE
+    # row (n_days=0) that would explode into max_lag NULL-acf rows while
+    # the mirror's fold over an empty dense range emits none — drop the
+    # degenerate row identically on both engines (r8 ADVICE)
+    lst = lst.filter(F.col("n_days") > 0)
     lst = lst.withColumn(
         "__mean", F.col("__tot").cast("double") / F.col("n_days")
     ).withColumn(
@@ -660,6 +665,7 @@ lst AS (
   SELECT list(CAST(n AS DOUBLE) ORDER BY day) AS vs,
          SUM(n) AS tot, COUNT(*) AS n_days
   FROM daily
+  HAVING COUNT(*) > 0
 ),
 stats AS (
   SELECT vs, n_days,

@@ -236,3 +236,21 @@ def test_bloom_build_is_mergeable(spark):
     got = {(r["word_idx"], r["bits"]) for r in merged.collect()}
     want = {(r["word_idx"], r["bits"]) for r in direct.collect()}
     assert got == want
+
+
+def test_bloom_probe_report_preserves_group_dtype(spark):
+    """bloom_probe_report rides the group key through a string union
+    internally; the OUTPUT must restore the caller's dtype (r8 ADVICE —
+    a bigint group key silently came back as string)."""
+    from franzoxide_spark.operators.sketch import bloom_probe_report
+
+    pool = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "grp long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [("alpha beta gamma delta",)], "text string"
+    )
+    out = bloom_probe_report(pool, eval_docs, "text", "grp")
+    assert out.schema["grp"].dataType.simpleString() == "bigint"
+    assert {r["grp"] for r in out.collect()} == {1, 2}

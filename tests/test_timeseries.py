@@ -301,3 +301,19 @@ def test_daily_acf_gap_days_count_as_zero(spark):
     # ACF(1) strongly negative (the gap is one perturbed point, not a
     # wholesale phase shift)
     assert got[2]["acf"] > 0.5 and got[1]["acf"] < -0.5, got
+
+
+def test_daily_acf_empty_input_emits_zero_rows_on_both_engines(spark):
+    """Degenerate-case parity (r8 ADVICE): a zero-row input must yield a
+    zero-row report on BOTH engines — Spark's global agg would otherwise
+    keep one n_days=0 row and explode max_lag NULL-acf rows while the
+    DuckDB mirror's fold over an empty dense range emits none."""
+    import duckdb
+
+    from franzoxide_spark.operators.timeseries import daily_acf, sql_daily_acf
+
+    empty = spark.createDataFrame([], "ts timestamp")
+    assert daily_acf(empty, "ts").count() == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (ts TIMESTAMP)")
+    assert len(con.execute(sql_daily_acf("t", "ts")).df()) == 0
