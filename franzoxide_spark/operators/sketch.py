@@ -407,27 +407,47 @@ def bloom_probe_report_flagged(
                 F.when(~F.col("__e"), F.col(group_col))
             ).alias("__grps"),
         )
-        .localCheckpoint(eager=False)
     )
-    # everything below stays LAZY — one driver action total. The bloom
-    # subtree is referenced by four aliased joins; the non-eager
-    # checkpoint on per_g means the corpus work materializes once and
-    # the three re-evaluations of the (tiny) bloom read its blocks.
-    bloom = bloom_build(
-        per_g.filter(F.col("__in_eval") == 1), "__g"
-    ).localCheckpoint(eager=False)
-    probe = per_g.filter(F.size("__grps") > 0)
+    # The bloom builds from its OWN eval-only subtree rather than from
+    # per_g: the eval slice is small by design, Catalyst prunes the
+    # non-eval union arm under the filter (two-input callers never
+    # rescan the corpus for it), and per_g then has a single consumer —
+    # which retires the r8 localCheckpoint of the full shingle-domain
+    # table (1M-row block write+read at sf0.1, corpus-token-sized at
+    # 100 TB, the plan's real cost). One driver action total, corpus
+    # scanned and shuffled once. r9 A/B at sf0.1, min-of-5: r8 shape
+    # 2.03 s / 1-row dense-array join 2.33 s / driver-literal probe
+    # 2.45 s / this shape + hash-once 1.78 s — see BASELINE.md
+    # "q165 final position (r9)".
+    eval_sh = (
+        flagged.filter(F.col(eval_col))
+        .withColumn("__toks", tokens(text_col))
+        .select(F.explode(shingles("__toks", k)).alias("__g"))
+        .distinct()
+    )
+    bloom = bloom_build(eval_sh, "__g")
+    # render the md5 hex ONCE per probe shingle and slice all four
+    # (word, bit) pairs out of the stored string: the per-join-stage
+    # md5+conv re-derivation was measured at ~0.13 s of the sf0.1 total
+    # (codegen CSE does not span join operators)
+    probe = per_g.filter(F.size("__grps") > 0).withColumn(
+        "__md5", F.expr("md5(__g)")
+    )
+    for seed in range(_BLOOM_HASHES):
+        h = f"cast(conv(substr(__md5, {1 + 4 * seed}, 4), 16, 10) as int)"
+        probe = probe.withColumn(
+            f"__w{seed}", F.expr(f"({h} div 64)")
+        ).withColumn(f"__b{seed}", F.expr(f"({h} % 64)"))
     ok = None
     for seed in range(_BLOOM_HASHES):
-        w, b = _bloom_bits("__g", seed)
         side = f"__bl{seed}"
         probe = probe.join(
             F.broadcast(bloom.alias(side)),
-            F.expr(w) == F.col(f"{side}.word_idx"),
+            F.col(f"__w{seed}") == F.col(f"{side}.word_idx"),
             "left",
         )
         bits = F.col(f"{side}.bits")
-        mask = F.expr(f"shiftleft(cast(1 as bigint), {b})")
+        mask = F.expr(f"shiftleft(cast(1 as bigint), __b{seed})")
         test = bits.isNotNull() & (bits.bitwiseAND(mask) == mask)
         ok = test if ok is None else (ok & test)
     joined = probe.select(
