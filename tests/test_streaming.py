@@ -17,6 +17,13 @@ from franzoxide_spark.config import parse_config
 from franzoxide_spark.manager import ConnectorManager
 from franzoxide_spark.queries.envelope import kafka_records_from_events
 
+try:  # the transformWithState control plane needs the protobuf package
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
 
 def _write_record_files(spark, sf_dir, out_dir, n_files=2):
     """Materialize KafkaRecord-schema parquet from the events fixture."""
@@ -947,10 +954,17 @@ def test_transform_with_state_running_counts(spark, tmp_path):
             )
             q.processAllAvailable()
         except Exception as e:
-            # This container pairs pip pyspark with a /opt/spark distribution
-            # whose bundled TWS driver worker fails pre-init (initialization
-            # returned -2 before any user code runs) — an env-level gap, so
-            # gate like avro/iceberg rather than fail.
+            # HARD ENV LIMIT (root-caused r9 with the worker faulthandler
+            # on): the TWS driver worker dies pre-init on
+            # `ImportError: cannot import name 'descriptor' from
+            # 'google.protobuf'` — pyspark's transformWithState control
+            # plane (stateful_processor_api_client -> StateMessage_pb2)
+            # requires the `protobuf` pip package, absent from this
+            # sandbox (no installs). Same dependency class as the grpcio
+            # gate, so gate like avro/iceberg rather than fail; the test
+            # self-un-gates on an env that ships protobuf.
+            if _HAS_PROTOBUF:
+                raise  # protobuf present -> a real failure, not the gate
             pytest.skip(f"transformWithState unavailable in this env: {e}")
         feed("b2", [(1, 10.0)])
         q.processAllAvailable()
