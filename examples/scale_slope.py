@@ -149,6 +149,16 @@ SLOPE_QUERIES = (
     # q165: one shingle shuffle + 8 KiB broadcast probe; replicas
     # disjoint in shingle space -> ~q33's family slope
     "q165_bloom_decontam_prefilter",
+    # r9: the two remaining >1.4x data-dominated queries get their
+    # second decade here (r8 verdict item #6).
+    # q61: char-trigram LM scoring — map-side trigram explode + one
+    # trigram-count shuffle; replica token suffixes give each replica
+    # its own trigram slice -> linear
+    "q61_trigram_lm_quality",
+    # q119: containment pairs — the q35-family shingle equi-join;
+    # replicas disjoint in gram space so candidate pairs stay
+    # per-replica -> the family's measured sub-linear slope
+    "q119_containment_pairs",
     # q166: one distinct-unit shuffle, group-cardinality chi2 -> linear
     "q166_ab_srm_check",
     # q168: dynamic-gap sessions — one user-key shuffle (disjoint-user
