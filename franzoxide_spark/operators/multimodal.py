@@ -5,14 +5,15 @@ column next to a typed metadata struct; per-record decode/feature work runs
 in Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
 row objects.
 
-Decode is REAL for 24-bit BMP, binary PPM, and PNG (zlib inflate +
-un-filter + chunk-CRC verify — zlib is stdlib), all parsed with the
-pure codecs in functions/raster.py, so ``extract_features`` /
-``resize_media`` / ``decode_image_stats`` execute end-to-end in this
-environment. JPEG and video codecs need libraries NOT in this container
-and stay gated: those buffers raise NotImplementedError unless
-``fake=True`` routes them through the deterministic byte-level stand-in
-paths.
+Decode is REAL for 24-bit BMP, binary PPM, PNG (zlib inflate +
+un-filter + chunk-CRC verify — zlib is stdlib), and baseline sequential
+JPEG (pure Huffman + IDCT, functions/jpeg.py), all dispatched through
+functions/raster.py, so ``extract_features`` / ``resize_media`` /
+``decode_image_stats`` execute end-to-end in this environment.
+Progressive/arithmetic JPEG and video codecs need libraries NOT in this
+container and stay gated: those buffers raise NotImplementedError
+unless ``fake=True`` routes them through the deterministic byte-level
+stand-in paths.
 """
 
 from __future__ import annotations
@@ -72,23 +73,29 @@ def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "media": media, "meta": metas}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=out_schema)
+    from franzoxide_spark.operators.corpus_stats import _fan_out
+
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
+        run, schema=out_schema
+    )
 
 
 def synthesize_raster_media(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL media across all three in-env raster codecs:
-    doc_id % 3 picks BMP / PPM / PNG (functions/raster.py), pixels are
-    the document's text bytes tiled — the mixed-format corpus shape a
-    real curation pipeline sees, with every buffer produced by a genuine
-    encoder. PNG rows also rotate through the five scanline filters
-    (doc_id % 5) so the decode path exercises every un-filter branch at
-    query scale, not just in unit tests. Arrow mapInPandas, map-side."""
+    """Deterministic REAL media across all four in-env raster codecs:
+    doc_id % 4 picks BMP / PPM / PNG / baseline JPEG (functions/
+    raster.py + functions/jpeg.py), pixels are the document's text bytes
+    tiled — the mixed-format corpus shape a real curation pipeline sees,
+    with every buffer produced by a genuine encoder. PNG rows also
+    rotate through the five scanline filters (doc_id % 5) so the decode
+    path exercises every un-filter branch at query scale, not just in
+    unit tests. Arrow mapInPandas, map-side."""
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        from franzoxide_spark.functions.jpeg import encode_jpeg
         from franzoxide_spark.functions.raster import (
             encode_bmp,
             encode_png,
@@ -105,24 +112,34 @@ def synthesize_raster_media(docs: DataFrame) -> DataFrame:
                 )
                 idx = np.arange(w * h * 3) % len(src)
                 img = src[idx].reshape(h, w, 3)
-                pick = int(doc_id) % 3
+                pick = int(doc_id) % 4
                 if pick == 0:
                     media.append(encode_bmp(img))
                     fmt = "image/bmp"
                 elif pick == 1:
                     media.append(encode_ppm(img))
                     fmt = "image/ppm"
-                else:
+                elif pick == 2:
                     media.append(
                         encode_png(img, filter_type=int(doc_id) % 5)
                     )
                     fmt = "image/png"
+                else:
+                    media.append(encode_jpeg(img, quality=90))
+                    fmt = "image/jpeg"
                 metas.append({"width": w, "height": h, "format": fmt})
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media": media, "meta": metas}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=out_schema)
+    # the single-row-group fixture parquet scans as ONE partition, which
+    # would run every Python-side encode AND the downstream decode chain
+    # on one core (mapInPandas preserves partitioning) — fan out first
+    from franzoxide_spark.operators.corpus_stats import _fan_out
+
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
+        run, schema=out_schema
+    )
 
 
 def decode_image_stats(media_df: DataFrame) -> DataFrame:
@@ -232,8 +249,9 @@ def extract_features(
                     raise NotImplementedError(
                         "media decode for this codec requires image/audio"
                         " libraries not present in this environment"
-                        " (BMP/PPM/PNG decode IS supported); pass fake=True"
-                        " for the deterministic byte-histogram path"
+                        " (BMP/PPM/PNG/baseline-JPEG decode IS supported);"
+                        " pass fake=True for the deterministic"
+                        " byte-histogram path"
                     )
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(arr % bins, minlength=bins)
@@ -292,8 +310,9 @@ def resize_media(
                     raise NotImplementedError(
                         "media resize for this codec requires image"
                         " libraries not present in this environment"
-                        " (BMP/PPM/PNG resize IS supported); pass fake=True"
-                        " for the deterministic stride-sample path"
+                        " (BMP/PPM/PNG/baseline-JPEG resize IS supported);"
+                        " pass fake=True for the deterministic"
+                        " stride-sample path"
                     )
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 if len(arr) == 0:

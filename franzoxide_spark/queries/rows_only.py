@@ -111,8 +111,9 @@ register("q75_multimodal_frames", q75, None)
 def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end (operators/multimodal.py +
     functions/raster.py): each document's text becomes a genuine raster
-    — BMP, PPM, or PNG by doc_id (pure-stdlib encoders; PNG rows rotate
-    through all five scanline filters) — then decode_image_stats parses
+    — BMP, PPM, PNG, or baseline JPEG by doc_id (pure-stdlib encoders;
+    PNG rows rotate through all five scanline filters; JPEG rows carry
+    the full Huffman+IDCT decode, functions/jpeg.py) — then decode_image_stats parses
     headers + raster (PNG: inflate + un-filter + CRC verify) and emits
     pixel-domain stats. No fake flag anywhere on this path. Rows-only
     because the byte-level round-trips have no DuckDB counterpart; the

@@ -282,7 +282,8 @@ def test_png_sniff_and_dispatch():
 
 
 def test_synthesize_mixed_rasters_end_to_end(spark, sf_dir):
-    """The r8 q113 path: documents -> BMP/PPM/PNG by doc_id -> decode."""
+    """The q113 path: documents -> BMP/PPM/PNG/JPEG by doc_id -> decode
+    (JPEG joined the rotation in r9 when functions/jpeg.py de-gated)."""
     from franzoxide_spark.operators.multimodal import (
         decode_image_stats,
         synthesize_raster_media,
@@ -294,7 +295,7 @@ def test_synthesize_mixed_rasters_end_to_end(spark, sf_dir):
     assert len(stats) == 30
     assert all(r["ok"] for r in stats)
     fmts = {r["format"] for r in stats}
-    assert fmts == {"image/bmp", "image/ppm", "image/png"}
+    assert fmts == {"image/bmp", "image/ppm", "image/png", "image/jpeg"}
     # the decoded dims must agree with the doc_id derivation regardless
     # of which codec carried the pixels
     for r in stats:
