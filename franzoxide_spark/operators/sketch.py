@@ -411,7 +411,10 @@ def bloom_probe_report_flagged(
     # The bloom builds from its OWN eval-only subtree rather than from
     # per_g: the eval slice is small by design, Catalyst prunes the
     # non-eval union arm under the filter (two-input callers never
-    # rescan the corpus for it), and per_g then has a single consumer —
+    # rescan the corpus for it; a single-relation caller like q165 does
+    # re-scan its base table for the eval rows — still cheaper than
+    # checkpointing the shingle table, which is larger than the corpus
+    # text itself), and per_g then has a single consumer —
     # which retires the r8 localCheckpoint of the full shingle-domain
     # table (1M-row block write+read at sf0.1, corpus-token-sized at
     # 100 TB, the plan's real cost). One driver action total, corpus
