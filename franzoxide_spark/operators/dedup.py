@@ -390,6 +390,14 @@ def jaccard_pairs_prefix(
             ).alias("h"),
             F.size("s").alias("n"),
         )
+        # three consumers read this subtree (the candidate path and the
+        # two verify sides), so without a checkpoint the tokenize +
+        # shingle + per-shingle md5 pass runs three times — the r9 A/B at
+        # sf0.1 measured 7.84 s -> 4.21 s min-of-3 from this line alone.
+        # The checkpointed relation is ~8 B per shingle (hash arrays) —
+        # comparable to the corpus text itself; at real scale that is
+        # the standard materialize-once trade for a 3x-consumed subtree
+        .localCheckpoint(eager=False)
     )
     ex = sh.select(id_col, "n", F.explode("h").alias("g"))
     # global rarity: document frequency per shingle hash (one narrow agg)
