@@ -40,6 +40,15 @@ from franzoxide_spark.session import get_spark
 # item #2). Keep entries short and only for queries with a MEASURED,
 # documented floor analysis in BASELINE.md.
 PER_QUERY_NOTES = {
+    "q139_pagerank_topk": (
+        "iterative floor at sf0.1: 3 power iterations x (broadcast-join "
+        "+ combine) jobs on a 60k-edge graph are scheduler-dominated "
+        "(plan already optimal: eager edge checkpoint, broadcast rank "
+        "vector, zero per-iteration shuffles beyond the bounded "
+        "combine). Measured sub-linear slopes 5.25x at 10x and 15.7x "
+        "at 30x data (BASELINE.md) — an over_bar appearance is host "
+        "noise around the ~1.6-1.9x resting ratio, not a plan regression"
+    ),
     "q165_bloom_decontam_prefilter": (
         "floor-dominated at sf0.1: 5k short docs; 8 shapes A/B'd across "
         "r8-r9 (BASELINE.md 'q165 final position'), spread ~0.4 s vs a "
