@@ -213,3 +213,25 @@ def test_byte_stuffing_survives_round_trip():
     raw = encode_jpeg(img, 95)
     assert b"\xff\x00" in raw  # stuffing actually occurred
     assert _psnr(img, decode_jpeg(raw)) > 30
+
+
+def test_single_pixel_and_degenerate_strips():
+    """1x1, 1xN, Nx1 images pad to a full MCU internally and crop back."""
+    img = np.array([[[255, 0, 128]]], dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, 90)), img)
+    for shape in [(1, 30, 3), (30, 1, 3)]:
+        im = (np.arange(np.prod(shape)).reshape(shape) % 256).astype(np.uint8)
+        assert decode_jpeg(encode_jpeg(im, 90)).shape == shape
+
+
+def test_quality_extremes_decode():
+    """q=1 (coarsest tables, clamped to 255) and q=100 (all-ones tables,
+    near-lossless) both produce valid streams; error is monotone in q."""
+    g = (np.mgrid[0:9, 0:9][0] * 28 % 256).astype(np.uint8)
+    img = np.repeat(g[:, :, None], 3, 2)
+    mses = []
+    for q in (1, 50, 100):
+        dec = decode_jpeg(encode_jpeg(img, q))
+        mses.append(float(np.mean((dec.astype(float) - img.astype(float)) ** 2)))
+    assert mses[0] > mses[1] > mses[2]
+    assert mses[2] < 0.5  # q=100 is near-lossless on smooth content
