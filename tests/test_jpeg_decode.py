@@ -235,3 +235,26 @@ def test_quality_extremes_decode():
         mses.append(float(np.mean((dec.astype(float) - img.astype(float)) ** 2)))
     assert mses[0] > mses[1] > mses[2]
     assert mses[2] < 0.5  # q=100 is near-lossless on smooth content
+
+
+def test_handmade_422_single_mcu():
+    """4:2:2 (Y 2x1, Cb/Cr 1x1), 8x16 image = one MCU of 2 Y blocks +
+    Cb + Cr; left/right Y DCs differ so horizontal chroma upsampling and
+    the within-MCU DC predictor chain (second block diff = -3) are both
+    exercised with analytically known pixels."""
+    out = _headers(8, 16, 3, [0x21, 0x11, 0x11])
+    dc_y = _build_codes(*HUFF_DC_LUMA)
+    ac_y = _build_codes(*HUFF_AC_LUMA)
+    dc_c = _build_codes(*HUFF_DC_CHROMA)
+    ac_c = _build_codes(*HUFF_AC_CHROMA)
+    w = _BitWriter()
+    _write_dc_only_block(w, dc_y, ac_y, 5)   # left Y: 5*16=80 -> 138
+    _write_dc_only_block(w, dc_y, ac_y, -3)  # right Y: (5-3)*16=32 -> 132
+    _write_dc_only_block(w, dc_c, ac_c, 0)   # Cb neutral
+    _write_dc_only_block(w, dc_c, ac_c, 0)   # Cr neutral
+    w.flush()
+    out += w.buf + b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 16, 3)
+    assert np.all(img[:, :8] == 138), np.unique(img[:, :8])
+    assert np.all(img[:, 8:] == 132), np.unique(img[:, 8:])
