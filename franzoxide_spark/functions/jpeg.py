@@ -155,20 +155,6 @@ def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int
     return out
 
 
-def _build_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol for the decoder."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
-
-
 # --------------------------------------------------------------------------
 # Encoder
 # --------------------------------------------------------------------------
