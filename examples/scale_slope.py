@@ -141,6 +141,9 @@ SLOPE_QUERIES = (
     # r8 additions. q163: outer interval join = q114's plan + null
     # padding (disjoint-user replicas) -> linear
     "q163_interval_join_outer_conversion",
+    # r9's one addition. q176: full-outer face of the same join — same
+    # single user-key shuffle pair; outer padding adds no exchange
+    "q176_interval_join_full_reconcile",
     # q164/q167: one token-count shuffle each; replica token suffixes
     # mean each replica contributes its own term slice, rank/fold work
     # is group-bounded -> linear
