@@ -308,19 +308,25 @@ def jaccard_pairs(
     guards against is handled in this engine by the q52 boilerplate sweep
     (detect + strip ubiquitous n-grams upstream), which is the cheaper
     cure at corpus scale."""
-    sh = _with_tokens(df, text_col).select(
-        F.col(id_col), shingles("__toks", k=shingle_k).alias("s")
-    )
-    sizes = sh.select(id_col, F.size("s").alias("n"))
     # join on the 60-bit shingle hash, not the string: fixed-width shuffle
-    # key; collision odds at 2^60 are negligible and identical cross-engine
-    ex = sh.select(
-        id_col,
-        F.size("s").alias("n"),
-        F.explode(
-            F.expr("transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint))")
-        ).alias("g"),
+    # key; collision odds at 2^60 are negligible and identical cross-engine.
+    # Hash arrays + set size materialize ONCE (r9, the containment_pairs/
+    # prefix-variant trade): the size subtree otherwise re-tokenizes.
+    sh = (
+        _with_tokens(df, text_col)
+        .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
+        .select(
+            id_col,
+            F.expr(
+                "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10)"
+                " as bigint))"
+            ).alias("h"),
+            F.size("s").alias("n"),
+        )
+        .localCheckpoint(eager=False)
     )
+    sizes = sh.select(id_col, "n")
+    ex = sh.select(id_col, "n", F.explode("h").alias("g"))
     a = ex.alias("a")
     b = ex.alias("b")
     t = F.lit(threshold)
