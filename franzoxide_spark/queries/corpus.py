@@ -1384,6 +1384,7 @@ register("q112_class_balance_plan", q112, _Q112_SQL)
 #        interval bound as a join residual — never a cartesian.
 # --------------------------------------------------------------------------
 def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.numeric import dec
     from franzoxide_spark.streaming.joins import interval_join
 
     ev = table(spark, sf_dir, "events")
@@ -1409,12 +1410,18 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
             F.round(F.avg("__lag_us") / F.lit(1e6), 3).alias("avg_lag_s"),
-            F.round(F.sum("value"), 2).alias("attributed_value"),
+            # exact-decimal sum (dec()): raw double addition order differs
+            # across engines and can flap the 2-dp round (the q163 fix)
+            F.round(F.sum(dec(F.col("value"))).cast("double"), 2)
+            .alias("attributed_value"),
         )
     )
 
 
-_Q114_SQL = """
+def _q114_sql() -> str:
+    from franzoxide_spark.functions.numeric import sql_dec
+
+    return f"""
 WITH v AS (
   SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
 ),
@@ -1425,11 +1432,14 @@ SELECT strftime(date_trunc('hour', v_ts), '%Y-%m-%d %H:%M:%S') AS view_hour,
        COUNT(*) AS n_pairs,
        COUNT(DISTINCT v.user_id) AS n_users,
        ROUND(AVG(date_diff('microsecond', v_ts, p_ts)) / 1e6, 3) AS avg_lag_s,
-       ROUND(SUM(value), 2) AS attributed_value
+       ROUND(CAST(SUM({sql_dec('value')}) AS DOUBLE), 2) AS attributed_value
 FROM v JOIN p ON v.user_id = p.user_id
    AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 2 HOUR
 GROUP BY 1
 """
+
+
+_Q114_SQL = _q114_sql()
 
 
 register("q114_interval_join_attribution", q114, _Q114_SQL)
