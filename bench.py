@@ -254,9 +254,15 @@ def main() -> None:
     # scale and would otherwise dominate small-SF timings; the min also
     # rejects shared-host load spikes (observed 2x suite variance).
     timings: dict[str, float] = {}
+    # every raw sample goes to the detail artifact: on a load-spiked host
+    # (observed: two different queries spiking 4-20x in two same-day runs)
+    # the min alone can't show WHICH entries were noise — the per-run
+    # spread lets a reader separate a spiked min from a genuine slowdown
+    samples: dict[str, list[float]] = {}
     for name in sorted(q.QUERIES):
         fn = q.QUERIES[name]
         best = float("inf")
+        runs_s: list[float] = []
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
@@ -264,16 +270,19 @@ def main() -> None:
                 # transfers the result columnar (comparable to the DuckDB
                 # reference's native fetch, unlike row-at-a-time collect()).
                 fn(spark, sf_dir).toPandas()
-                best = min(best, time.perf_counter() - t0)
+                runs_s.append(round(time.perf_counter() - t0, 4))
+                best = min(best, runs_s[-1])
         except Exception as e:  # noqa: BLE001 — time the rest regardless
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             # a transient failure on a LATER run must not discard a valid
             # earlier timing — the min-of-N exists to reject load spikes
             if best != float("inf"):
                 timings[name] = round(best, 4)
+                samples[name] = runs_s
             _clear_session_state(spark)
             continue
         timings[name] = round(best, 4)
+        samples[name] = runs_s
         _clear_session_state(spark)
 
     # Measured per-query scheduling floor: the cost of pushing a near-empty
@@ -321,7 +330,9 @@ def main() -> None:
                 for _ in range(runs):
                     t0 = time.perf_counter()
                     q.QUERIES[name](spark, sf_dir).toPandas()
-                    best = min(best, time.perf_counter() - t0)
+                    samples.setdefault(name, []).append(
+                        round(time.perf_counter() - t0, 4))
+                    best = min(best, samples[name][-1])
                     _clear_session_state(spark)
             except Exception:  # noqa: BLE001 — keep the first-pass timing
                 pass
@@ -344,6 +355,7 @@ def main() -> None:
         timings, oracle_timings, errors, floor, floor_failed, sf
     )
     detail["re_measured"] = sorted(re_measured)
+    detail["query_samples"] = samples
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
