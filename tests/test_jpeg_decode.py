@@ -258,3 +258,52 @@ def test_handmade_422_single_mcu():
     assert img.shape == (8, 16, 3)
     assert np.all(img[:, :8] == 138), np.unique(img[:, :8])
     assert np.all(img[:, 8:] == 132), np.unique(img[:, 8:])
+
+
+def test_handmade_ac_coefficient_matches_textbook_idct():
+    """Single AC coefficient at zigzag position 1 (natural (v=0,u=1) —
+    a HORIZONTAL half-cycle), decoded pixels checked against the
+    textbook T.81 A.3.3 cosine-sum IDCT computed independently in this
+    test. The DC-only goldens and encoder round-trips cannot catch a
+    transposed DCT basis (it cancels between encode and decode and is
+    invisible at zero frequency); this one can — a transposed decoder
+    would render the gradient vertically."""
+    from franzoxide_spark.functions.jpeg import ZIGZAG
+
+    w = _BitWriter()
+    dc = _build_codes(*HUFF_DC_LUMA)
+    ac = _build_codes(*HUFF_AC_LUMA)
+    size, bits = _magnitude(0)  # DC diff 0
+    code, length = dc[size]
+    w.write(code, length)
+    size, bits = _magnitude(3)  # AC value 3, run 0, at zigzag pos 1
+    code, length = ac[(0 << 4) | size]
+    w.write(code, length)
+    w.write(bits, size)
+    code, length = ac[0x00]  # EOB
+    w.write(code, length)
+    w.flush()
+    raw = bytes(_headers(8, 8, 1, [0x11])) + bytes(w.buf) + b"\xff\xd9"
+    img = decode_jpeg(raw)
+
+    qnat = np.zeros(64)
+    qnat[ZIGZAG] = QUANT_LUMA
+    coeff = np.zeros((8, 8))
+    coeff[0, 1] = 3 * qnat.reshape(8, 8)[0, 1]
+    ref = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (cu * cv * coeff[v, u]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16))
+            ref[y, x] = acc / 4 + 128
+    ref = np.clip(np.round(ref), 0, 255).astype(int)
+    assert np.array_equal(img[:, :, 0].astype(int), ref)
+    # the gradient must run horizontally: rows identical, columns varying
+    assert np.array_equal(img[0], img[7])
+    assert img[0, 0, 0] != img[0, 7, 0]
