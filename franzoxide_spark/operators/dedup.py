@@ -326,7 +326,12 @@ def jaccard_pairs(
         .localCheckpoint(eager=False)
     )
     sizes = sh.select(id_col, "n")
-    ex = sh.select(id_col, "n", F.explode("h").alias("g"))
+    # MERGE hint: both sides are corpus-sized, and the checkpoint's exact
+    # stats would otherwise let the 64 MB auto-broadcast threshold build a
+    # multi-million-row hash table mid-scale (measured 1.8x slower at 3x
+    # replica and 48 s degenerate at 30x — BASELINE.md bucketed-join
+    # section); SMJ also measured faster at sf0.1 (q35 2.29 -> 2.05 s)
+    ex = sh.select(id_col, "n", F.explode("h").alias("g")).hint("merge")
     a = ex.alias("a")
     b = ex.alias("b")
     t = F.lit(threshold)
@@ -430,7 +435,7 @@ def jaccard_pairs_prefix(
         )
         .select(id_col, "n", "g")
     )
-    a = prefix.alias("a")
+    a = prefix.hint("merge").alias("a")
     b = prefix.alias("b")
     cand = (
         a.join(
@@ -448,8 +453,13 @@ def jaccard_pairs_prefix(
         )
         .distinct()
     )
-    ha = sh.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"), F.col("n").alias("na"))
-    hb = sh.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"), F.col("n").alias("nb"))
+    # the verify sides carry full hash ARRAYS — broadcasting them is the
+    # worst of both worlds (measured: q35b 4.21 -> 2.36 s at sf0.1 once
+    # pinned to SMJ)
+    ha = sh.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"),
+                   F.col("n").alias("na")).hint("merge")
+    hb = sh.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"),
+                   F.col("n").alias("nb")).hint("merge")
     inter = F.size(F.array_intersect("ha", "hb"))
     jac = F.round(
         inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double"),
@@ -850,7 +860,8 @@ def containment_pairs(
         .localCheckpoint(eager=False)
     )
     sizes = sh.select(id_col, "n")
-    ex = sh.select(id_col, F.explode("h").alias("g"))
+    # MERGE hint: same mid-scale auto-broadcast hazard as jaccard_pairs
+    ex = sh.select(id_col, F.explode("h").alias("g")).hint("merge")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (

@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # 64 MB: generous enough that every dim/vocab/sketch table in the
+        # suite goes broadcast. Caveat measured at 30x replica scale
+        # (examples/bucketed_join_demo.py): a corpus-sized relation whose
+        # ESTIMATE slips under this gets a multi-million-row broadcast
+        # hash build (48 s vs 11 s shuffled) — jobs joining two
+        # corpus-sized sides should pass autoBroadcastJoinThreshold=-1
+        # via extra_conf, as that demo does.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Repeated map keys keep the last occurrence — the reference's
         # HashMap-insert header semantics (kafka.rs:117).
