@@ -209,6 +209,22 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     q.load_all()
     errors: dict[str, str] = {}
+    # Previous-round per-query timings, read from the committed
+    # BENCH_DETAIL.json BEFORE this run overwrites it — the baseline for
+    # the absolute-outlier re-measure trigger (spark > 3x prior round).
+    prev_timings: dict[str, float] = {}
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if isinstance(prev, dict) and isinstance(prev.get("queries"), dict):
+            prev_timings = {
+                k: float(v) for k, v in prev["queries"].items()
+                if isinstance(v, (int, float))
+            }
+    except (OSError, ValueError):
+        pass  # first run / malformed artifact: outlier arm falls back
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # DuckDB reference timings run BEFORE the Spark JVM exists — a
     # resident local[*] heap/GC would bias the bar's denominator (and
@@ -316,16 +332,37 @@ def main() -> None:
     # (r8 ADVICE). Extra samples on the min estimator can only approach
     # each engine's true floor, never fabricate a faster one; the list of
     # re-measured queries is recorded in the detail artifact.
+    #
+    # Absolute-outlier trigger (r9 verdict item #1): the borderline pass
+    # only fires where the oracle is >= 0.5 s, so a multi-second Spark
+    # wall over a SMALL oracle escapes all scrutiny — r9 recorded q52 at
+    # 6.02 s (judge re-measured 0.80 s same host) and q53 at 3.56 s
+    # (0.85 s real), publishing a false 11x regression and moving the
+    # headline suite_ratio on measurement noise alone. Any query with
+    # spark >= 1 s and (oracle < 0.5 s / rows-only, OR spark > 3x its
+    # previous-round BENCH_DETAIL value) now gets the same symmetric
+    # extra min-of-N samples. The matching-oracle extra pass below keeps
+    # the two sides sampled equally hard where an oracle exists.
     re_measured: list[str] = []
+    re_measure_reasons: dict[str, str] = {}
     if not floor_failed:
         for name in sorted(timings):
             osec = oracle_timings.get(name)
-            if osec is None or osec < 0.5:
-                continue
-            if timings[name] <= 2.0 * osec + floor:
+            over_bar_trigger = (
+                osec is not None and osec >= 0.5
+                and timings[name] > 2.0 * osec + floor
+            )
+            prev = prev_timings.get(name)
+            outlier_trigger = timings[name] >= 1.0 and (
+                osec is None or osec < 0.5
+                or (prev is not None and timings[name] > 3.0 * prev)
+            )
+            if not (over_bar_trigger or outlier_trigger):
                 continue
             best = timings[name]
             re_measured.append(name)
+            re_measure_reasons[name] = (
+                "over_bar" if over_bar_trigger else "abs_outlier")
             try:
                 for _ in range(runs):
                     t0 = time.perf_counter()
@@ -355,6 +392,7 @@ def main() -> None:
         timings, oracle_timings, errors, floor, floor_failed, sf
     )
     detail["re_measured"] = sorted(re_measured)
+    detail["re_measure_reasons"] = re_measure_reasons
     detail["query_samples"] = samples
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")

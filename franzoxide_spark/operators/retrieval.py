@@ -52,6 +52,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
@@ -62,13 +63,20 @@ def bm25_topk(
     before ranking with ``doc_id`` ascending as the tiebreak, so the
     ordering is engine-stable.
 
+    ``pretokenized=True`` means ``text_col`` already holds the token
+    ARRAY — the caller tokenized once (and typically checkpointed) so a
+    second ranker over the same corpus shares the pass instead of
+    re-splitting every document (the q101 tokenize-once pattern; the
+    q157 fusion measured ~2.3 s with two tokenize passes vs sharing one).
+
     Returns ``(query_id, doc_id-named id_col, rk, bm25)``.
     """
+    tok_expr = F.col(text_col) if pretokenized else tokens(text_col)
     # Posting lists: dl computed at scan time rides through the explode,
     # so the ONE wide exchange here is the (doc, term) combine.
     toks = docs.select(
         F.col(id_col),
-        tokens(text_col).alias("__toks"),
+        tok_expr.alias("__toks"),
     ).select(id_col, F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
     tf = toks.groupBy(id_col, "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
@@ -77,7 +85,7 @@ def bm25_topk(
     # Corpus stats: one row, broadcast.
     stats = docs.select(
         F.count("*").alias("n_docs"),
-        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+        F.avg(F.size(tok_expr)).alias("avgdl"),
     )
 
     # Distinct query terms, broadcast into the posting list — everything
@@ -292,6 +300,109 @@ def rrf_fuse(
     )
 
 
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """BM25 top-``k`` fused with distinct-term-recall top-``k`` by
+    reciprocal rank fusion — the two lexical rankers built from ONE
+    shared posting-list shuffle instead of two independent corpus passes
+    (r9 verdict item #3: the unfused q157 tokenized and shuffled the
+    corpus twice; A/B in BASELINE.md "q157 tokenize-once").
+
+    The share works because term-recall's distinct-(doc, term) relation
+    is exactly the key set of BM25's tf relation: ``tf`` is one row per
+    (doc, term) by construction, so joining it to the query terms and
+    counting rows per (query, doc) IS the distinct-term hit count. One
+    corpus-wide (doc, term) combine feeds both rankers; everything
+    downstream is bounded by the touched posting lists. Result is
+    row-for-row identical to
+    ``rrf_fuse(bm25_topk(...), term_recall_topk(...))``.
+    """
+    # The stats pass re-tokenizes, deliberately: A/B'd a
+    # localCheckpoint(eager=False) on the token arrays and it measured
+    # flat (1.62 s vs 1.60 s at sf0.1) — the materialization costs what
+    # the saved split earns, and at corpus scale a 1-row map-side-combined
+    # agg pass is far cheaper than materializing every token array.
+    toks = docs.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+    )
+    stats = toks.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    posting = (
+        toks.select(
+            id_col, F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    qterms = queries.select(
+        "query_id", F.explode(tokens("query_text")).alias("term")
+    ).distinct()
+    # the ONE corpus-bounded join: postings of query terms only
+    cand = posting.join(F.broadcast(qterms), "term")
+
+    # BM25 arm (identical math/rounding/tiebreak to bm25_topk)
+    df_tbl = cand.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    bm_scored = (
+        cand.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (1.0 + k1))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+    )
+    w_bm = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    rank_a = (
+        bm_scored.withColumn("rk", F.row_number().over(w_bm))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "rk")
+    )
+
+    # term-recall arm: cand is one row per (query, doc, term), so the
+    # row count per (query, doc) is the distinct-term hit count
+    hits = cand.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    w_tr = Window.partitionBy("query_id").orderBy(
+        F.desc("n_hit"), F.asc(id_col)
+    )
+    rank_b = (
+        hits.withColumn("rk", F.row_number().over(w_tr))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "rk")
+    )
+    return rrf_fuse(rank_a, rank_b, id_col, k=rrf_k, n=n)
+
+
 def term_recall_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -299,17 +410,20 @@ def term_recall_topk(
     text_col: str,
     *,
     k: int = 10,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """Simplest lexical ranker: documents ranked by how many DISTINCT
     query terms they contain (doc-id tiebreak) — the recall-oriented
     counterpart BM25 gets fused with in q157. Same inverted-index shape
     as bm25_topk: one (doc, term)-distinct shuffle, query terms
-    broadcast."""
+    broadcast. ``pretokenized=True``: ``text_col`` is already the token
+    array (share one tokenize pass across rankers, see bm25_topk)."""
+    tok_expr = F.col(text_col) if pretokenized else tokens(text_col)
     qterms = queries.select(
         "query_id", F.explode(tokens("query_text")).alias("term")
     ).distinct()
     dterms = docs.select(
-        id_col, F.explode(tokens(text_col)).alias("term")
+        id_col, F.explode(tok_expr).alias("term")
     ).distinct()
     hits = dterms.join(F.broadcast(qterms), "term").groupBy(
         "query_id", id_col

@@ -677,10 +677,18 @@ FROM inj
 # Q52 — corpus-level repeated n-grams (boilerplate detection)
 # --------------------------------------------------------------------------
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 shingles by document frequency: explode distinct per-doc
-    shingles, count docs per shingle, rank with a total tie-break. The
-    shuffle key is the shingle hash — corpus-size-linear, the standard
-    boilerplate/contamination sweep."""
+    """Top-20 shingles by occurrence count, ranked with a total (count,
+    string) tie-break — the standard boilerplate/contamination sweep.
+
+    The shuffle key is the shingle STRING, deliberately (r9 verdict
+    item #4 A/B, BASELINE.md "q52 hash-vs-string shuffle"): aggregating
+    on xxhash64 with a threshold + broadcast join-back to recover the
+    display strings measured 1.32 s vs 0.73 s for this shape at sf0.1 —
+    the string-recovery second corpus pass costs more than the
+    fixed-width shuffle key saves while map-side combine already
+    collapses each distinct shingle to one row per map partition. The
+    hash plan is the documented handoff if shuffle BYTES (not scans)
+    become the binding term at real corpus scale."""
     from franzoxide_spark.functions.text import shingles
 
     docs = table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
@@ -2008,19 +2016,19 @@ register("q156_weak_supervision_vote", q156, _q156_sql())
 #        candidate-keyed outer join, bounded by the two top-k lists.
 # --------------------------------------------------------------------------
 def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from franzoxide_spark.operators.retrieval import (
-        bm25_topk,
-        rrf_fuse,
-        term_recall_topk,
-    )
+    from franzoxide_spark.operators.retrieval import hybrid_rrf_topk
 
+    # ONE shared posting-list shuffle feeds both rankers (r9 verdict
+    # item #3 — the unfused shape tokenized and shuffled the corpus
+    # twice; A/B at sf0.1 in BASELINE.md "q157 tokenize-once":
+    # 2.15 s unfused → 1.67 s tokenize-once → 1.60 s fused, and the
+    # fused plan halves the corpus-wide shuffles, the term that
+    # dominates past fixture scale).
     docs = table(spark, sf_dir, "documents")
     queries = spark.createDataFrame(
         _Q137_QUERIES, "query_id int, query_text string"
     )
-    a = bm25_topk(docs, queries, "doc_id", "text", k=20)
-    b = term_recall_topk(docs, queries, "doc_id", "text", k=20)
-    return rrf_fuse(a, b, "doc_id", k=60, n=10)
+    return hybrid_rrf_topk(docs, queries, "doc_id", "text", k=20, n=10)
 
 
 def _q157_sql() -> str:
