@@ -65,6 +65,27 @@ PINNED_CONTRACT = (
 )
 
 
+# Queries that share non-trivial machinery and should be driver-verified
+# TOGETHER once rotation reaches them (r9 verdict item #7: the interval
+# join family's batch faces are oracle-checked individually, but a shared
+# regression in streaming/joins.py state machinery would only surface in
+# tests unless all three hold driver slots in the same round). Members of
+# a cohort tie-break by the cohort's FIRST name, so at equal coverage
+# they sort adjacent and enter one window together — without ever
+# jumping the least-covered-first queue (individual coverage still leads
+# the sort key, so a cohort never displaces a less-covered query).
+FAMILY_COHORTS: tuple[tuple[str, ...], ...] = (
+    (
+        "q114_interval_join_attribution",
+        "q163_interval_join_outer_conversion",
+        "q176_interval_join_full_reconcile",
+    ),
+)
+_COHORT_ANCHOR: dict[str, str] = {
+    name: cohort[0] for cohort in FAMILY_COHORTS for name in cohort
+}
+
+
 def driver_coverage() -> dict[str, int]:
     """How many GREEN driver CORRECTNESS rows each query has earned so
     far, read from the recorded CORRECTNESS_r*.json artifacts at the repo
@@ -124,7 +145,9 @@ def driver_ordering(seen_counts: dict[str, int] | None = None) -> list[str]:
     pinned = [n for n in PINNED_CONTRACT if n in QUERIES]
     pool = sorted(
         (n for n in QUERIES if n in ORACLES and n not in PINNED_CONTRACT),
-        key=lambda n: (seen_counts.get(n, 0), n),
+        key=lambda n: (
+            seen_counts.get(n, 0), _COHORT_ANCHOR.get(n, n), n,
+        ),
     )
     rows_only = [n for n in QUERIES if n not in ORACLES]
     return pinned + pool + rows_only

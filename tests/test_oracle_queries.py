@@ -180,3 +180,36 @@ def test_oracle_query_schema_is_driver_canonicalizable(name, spark, sf_dir):
         f"{name} emits non-scalar driver-facing columns {bad}; "
         "array_join/explode them on BOTH engines"
     )
+
+
+def test_family_cohorts_enter_one_window_together():
+    """FAMILY_COHORTS contract (r9 verdict item #7): at equal coverage,
+    cohort members sort adjacent, so once rotation's least-covered band
+    reaches them they hold driver slots in the SAME round — while never
+    displacing a strictly-less-covered query. Simulated from the current
+    REAL coverage state: some round within the drain horizon must contain
+    all three interval-join queries at once."""
+    from franzoxide_spark.queries import (
+        DRIVER_WINDOW,
+        FAMILY_COHORTS,
+        driver_coverage,
+        driver_ordering,
+    )
+
+    for cohort in FAMILY_COHORTS:
+        assert all(n in QUERIES and n in ORACLES for n in cohort), cohort
+
+    coverage = dict(driver_coverage())
+    pool = [n for n in QUERIES if n in ORACLES]
+    together_round = {cohort: None for cohort in FAMILY_COHORTS}
+    for rnd in range(1, 2 * (-(-len(pool) // DRIVER_WINDOW)) + 2):
+        window = set(driver_ordering(coverage)[:DRIVER_WINDOW])
+        for cohort in FAMILY_COHORTS:
+            if together_round[cohort] is None and all(
+                n in window for n in cohort
+            ):
+                together_round[cohort] = rnd
+        for n in window:
+            coverage[n] = coverage.get(n, 0) + 1
+    missed = [c for c, r in together_round.items() if r is None]
+    assert not missed, f"cohorts never co-windowed: {missed}"
