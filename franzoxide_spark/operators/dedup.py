@@ -40,6 +40,82 @@ from franzoxide_spark.functions.text import (
 )
 
 
+def _shingle_hash_relation(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """The shared dedup-family input: per-doc distinct k-token shingles as
+    60-bit hashes (join on the hash, not the string: fixed-width shuffle
+    key; collision odds at 2^60 are negligible and identical
+    cross-engine), exploded to ``(id_col, n, g)`` where ``n`` is the
+    doc's shingle-set size."""
+    return (
+        _with_tokens(df, text_col)
+        .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
+        .select(
+            id_col,
+            F.expr(
+                "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10)"
+                " as bigint))"
+            ).alias("h"),
+            F.size("s").alias("n"),
+        )
+        .select(id_col, "n", F.explode("h").alias("g"))
+    )
+
+
+def land_shingle_relation(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_table: str,
+    *,
+    shingle_k: int = 3,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write-once/join-many landing for the q35/q119 dedup family: persist
+    the exploded shingle-hash relation ``(id_col, n, g)`` as a BUCKETED
+    AND IN-BUCKET-SORTED table on the join key ``g``, and return the
+    re-read table.
+
+    Every downstream self-join (jaccard_pairs / containment_pairs via
+    their ``shingle_rel=`` option) then runs exchange-free: both sides
+    expose the same bucket partitioning on ``g``, so the sort-merge join
+    needs no shuffle of the corpus-sized relation — the term that put the
+    ad-hoc q119 ~1.2x over linear at 30x (measured at 30x: 11.4 s ->
+    6.8 s with both join exchanges gone from the executed plan,
+    BASELINE.md "bucketed-join evidence"; plan-asserted in
+    tests/test_plans.py). This is the posture a 100 TB dedup corpus
+    wants: one bucketed landing pass, then containment / jaccard /
+    minhash-verify passes all join co-located.
+
+    The residual per-bucket Sort under the join is in-partition (no
+    shuffle). Spark CAN elide it too — the landing writes one file per
+    bucket and ``sortBy(g)`` exactly so the scan's ordering is usable —
+    but only with ``spark.sql.legacy.bucketedTableScan.outputOrdering=
+    true``, which lists files during PLANNING and is deliberately left
+    off: at corpus scale the planning-time listing costs more than a
+    distributed in-memory sort of pre-bucketed (already clustered) runs.
+
+    ``n_buckets`` sizes the parallelism of every downstream join — pick
+    it like shuffle partitions at the target scale (buckets ~= data /
+    executor-memory-sized chunks), not from the fixture.
+    """
+    (
+        _shingle_hash_relation(df, text_col, id_col, shingle_k)
+        # one file per bucket: repartition on the SAME hash(g) the bucket
+        # spec uses, so each write task holds exactly one bucket's rows —
+        # the sorted-bucket scan only elides the join-side Sort when a
+        # bucket is a single file (multi-file buckets would need a merge)
+        .repartition(n_buckets, "g")
+        .write.mode(mode)
+        .bucketBy(n_buckets, "g")
+        .sortBy("g")
+        .saveAsTable(out_table)
+    )
+    return df.sparkSession.table(out_table)
+
+
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep one row per distinct content value — survivor is min(id).
     Returns (survivor id, content hash, n_copies)."""
@@ -291,6 +367,8 @@ def jaccard_pairs(
     id_col: str,
     threshold: float,
     shingle_k: int = 3,
+    *,
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for every pair sharing >= 1 shingle: explode distinct
     shingles, equi-join on the shingle with a length-ratio prune
@@ -307,31 +385,44 @@ def jaccard_pairs(
     shuffles. The hot-boilerplate-shingle hazard that prefix filtering
     guards against is handled in this engine by the q52 boilerplate sweep
     (detect + strip ubiquitous n-grams upstream), which is the cheaper
-    cure at corpus scale."""
-    # join on the 60-bit shingle hash, not the string: fixed-width shuffle
-    # key; collision odds at 2^60 are negligible and identical cross-engine.
-    # Hash arrays + set size materialize ONCE (r9, the containment_pairs/
-    # prefix-variant trade): the size subtree otherwise re-tokenizes.
-    sh = (
-        _with_tokens(df, text_col)
-        .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
-        .select(
-            id_col,
-            F.expr(
-                "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10)"
-                " as bigint))"
-            ).alias("h"),
-            F.size("s").alias("n"),
+    cure at corpus scale.
+
+    ``shingle_rel``: a pre-landed exploded relation ``(id_col, n, g)`` —
+    typically ``land_shingle_relation``'s bucketed table — replaces the
+    tokenize/shingle/checkpoint subtree entirely; when the relation is
+    bucketed on ``g`` the self-join runs with NO exchange below the join
+    (plan-asserted in tests/test_plans.py), the write-once/join-many
+    posture for a corpus-scale dedup landing."""
+    if shingle_rel is not None:
+        # MERGE hint still pins SMJ (the co-located plan); a bucketed
+        # input makes that SMJ exchange- and sort-free
+        ex = shingle_rel.select(id_col, "n", "g").hint("merge")
+    else:
+        # join on the 60-bit shingle hash, not the string: fixed-width
+        # shuffle key; collision odds at 2^60 are negligible and identical
+        # cross-engine. Hash arrays + set size materialize ONCE (r9, the
+        # containment_pairs/prefix-variant trade): the size subtree
+        # otherwise re-tokenizes.
+        sh = (
+            _with_tokens(df, text_col)
+            .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
+            .select(
+                id_col,
+                F.expr(
+                    "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10)"
+                    " as bigint))"
+                ).alias("h"),
+                F.size("s").alias("n"),
+            )
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
-    sizes = sh.select(id_col, "n")
-    # MERGE hint: both sides are corpus-sized, and the checkpoint's exact
-    # stats would otherwise let the 64 MB auto-broadcast threshold build a
-    # multi-million-row hash table mid-scale (measured 1.8x slower at 3x
-    # replica and 48 s degenerate at 30x — BASELINE.md bucketed-join
-    # section); SMJ also measured faster at sf0.1 (q35 2.29 -> 2.05 s)
-    ex = sh.select(id_col, "n", F.explode("h").alias("g")).hint("merge")
+        # MERGE hint: both sides are corpus-sized, and the checkpoint's
+        # exact stats would otherwise let the 64 MB auto-broadcast
+        # threshold build a multi-million-row hash table mid-scale
+        # (measured 1.8x slower at 3x replica and 48 s degenerate at 30x —
+        # BASELINE.md bucketed-join section); SMJ also measured faster at
+        # sf0.1 (q35 2.29 -> 2.05 s)
+        ex = sh.select(id_col, "n", F.explode("h").alias("g")).hint("merge")
     a = ex.alias("a")
     b = ex.alias("b")
     t = F.lit(threshold)
@@ -348,20 +439,24 @@ def jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    # sizes ride through the pair aggregation as first(n) — n is
+    # functionally dependent on the doc id, so this replaces the two
+    # size-relation join-backs of the earlier shape (A/B in BASELINE.md
+    # "dedup size join-back retirement": flat-to-faster at sf0.1, and two
+    # fewer corpus-keyed joins at any scale)
     jac = F.round(
         F.col("inter").cast("double")
         / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
         6,
     )
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -826,6 +921,8 @@ def containment_pairs(
     id_col: str,
     threshold: float = 0.7,
     shingle_k: int = 3,
+    *,
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-containment: ``(id_inner, id_outer, containment)``
     where containment = |S(inner) ∩ S(outer)| / |S(inner)| >= threshold
@@ -840,31 +937,40 @@ def containment_pairs(
     are the operator's whole point. The candidate-volume hazard is hot
     boilerplate shingles, handled upstream by the q52 sweep exactly as
     jaccard_pairs documents.
+
+    ``shingle_rel``: pre-landed exploded ``(id_col, n, g)`` relation
+    (see jaccard_pairs / land_shingle_relation) — bucketed input makes
+    the self-join exchange- and sort-free.
     """
-    # hash arrays + set size in ONE pass, materialized once: sizes and
-    # the two self-join sides otherwise re-run tokenize + shingle + md5
-    # from parquet (ReuseExchange collapses the join sides, but the size
-    # subtree still re-tokenized) — r9 A/B at sf0.1: 3.06 s -> 2.19 s
-    # min-of-3. Same trade as jaccard_pairs_prefix's checkpoint above.
-    sh = (
-        _with_tokens(df, text_col)
-        .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
-        .select(
-            id_col,
-            F.expr(
-                "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10)"
-                " as bigint))"
-            ).alias("h"),
-            F.size("s").alias("n"),
+    if shingle_rel is not None:
+        ex = shingle_rel.select(id_col, "n", "g").hint("merge")
+    else:
+        # hash arrays + set size in ONE pass, materialized once: the two
+        # self-join sides otherwise re-run tokenize + shingle + md5
+        # from parquet (ReuseExchange collapses the join sides, but the
+        # size subtree still re-tokenized) — r9 A/B at sf0.1: 3.06 s ->
+        # 2.19 s min-of-3. Same trade as jaccard_pairs_prefix's
+        # checkpoint above.
+        sh = (
+            _with_tokens(df, text_col)
+            .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
+            .select(
+                id_col,
+                F.expr(
+                    "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10)"
+                    " as bigint))"
+                ).alias("h"),
+                F.size("s").alias("n"),
+            )
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
-    sizes = sh.select(id_col, "n")
-    # MERGE hint: same mid-scale auto-broadcast hazard as jaccard_pairs
-    ex = sh.select(id_col, F.explode("h").alias("g")).hint("merge")
+        # MERGE hint: same mid-scale auto-broadcast hazard as jaccard_pairs
+        ex = sh.select(id_col, "n", F.explode("h").alias("g")).hint("merge")
     a = ex.alias("a")
     b = ex.alias("b")
-    inter = (
+    # sizes ride through the aggregation as first(n) — replaces the two
+    # size join-backs (same retirement as jaccard_pairs, BASELINE.md)
+    both = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
@@ -873,11 +979,12 @@ def containment_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    both = inter.join(na, "id_a").join(nb, "id_b")
     t = F.lit(threshold)
     fwd = both.select(
         F.col("id_a").alias("id_inner"),

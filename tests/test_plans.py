@@ -497,3 +497,55 @@ def test_q134_weighted_sample_topk_not_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q134_weighted_sample")
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_landed_shingle_relation_joins_exchange_free(spark, sf_dir):
+    """land_shingle_relation productizes the r9 bucketed-join demo
+    (BASELINE.md: join exchanges eliminated, 11.4 -> 6.8 s at 30x): the
+    dedup-family self-join over the bucketed landing must need NO
+    exchange below the SortMergeJoin — only the pair aggregation above
+    it shuffles. (The residual per-bucket Sort is in-partition, no
+    shuffle; eliding it needs the legacy planning-time-listing conf the
+    operator docstring documents as deliberately off.) Results must
+    match the ad-hoc path row-for-row."""
+    from franzoxide_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        land_shingle_relation,
+    )
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the 100 TB regime: neither self-join side broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rel = land_shingle_relation(
+            docs, "text", "doc_id", "t_landed_shingles", n_buckets=8
+        )
+        # a join-side exchange would hash-partition on the join key g;
+        # the only exchange a landed plan may contain is the pair
+        # aggregation's (hashpartitioning on the doc-id pair)
+        j = jaccard_pairs(docs, "text", "doc_id", 0.3, shingle_rel=rel)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "hashpartitioning(g#" not in plan, plan
+        # the ad-hoc path DOES exchange on g below its join — the
+        # landing's advantage is real, and both paths agree row-for-row
+        adhoc = jaccard_pairs(docs, "text", "doc_id", 0.3)
+        adhoc_plan = adhoc._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(g#" in adhoc_plan
+        got = sorted(map(tuple, j.collect()))
+        want = sorted(map(tuple, adhoc.collect()))
+        assert got == want
+
+        c = containment_pairs(docs, "text", "doc_id", 0.5, shingle_rel=rel)
+        c_plan = c._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(g#" not in c_plan, c_plan
+        c_adhoc = containment_pairs(docs, "text", "doc_id", 0.5)
+        assert sorted(map(tuple, c.collect())) == sorted(
+            map(tuple, c_adhoc.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_landed_shingles")
