@@ -49,6 +49,17 @@ PER_QUERY_NOTES = {
         "at 30x data (BASELINE.md) — an over_bar appearance is host "
         "noise around the ~1.6-1.9x resting ratio, not a plan regression"
     ),
+    "q62_dsir_importance": (
+        "floor at sf0.1: the 1024-bucket distribution builds map-side "
+        "and broadcasts; the residual cost is the bigram explode + md5 "
+        "bucket hash over every token (the cross-engine hash contract). "
+        "r10 same-session A/B (BASELINE.md 'q62 shape A/B'): a per-doc "
+        "bucket-histogram pre-agg before the scoring join measured "
+        "1.79 s vs 1.61 s for this shape — the extra (doc,bucket) "
+        "shuffle costs more than it saves. Ratio ~1.9-2.4x against a "
+        "0.57-0.68 s oracle is the resting position, not a plan "
+        "regression"
+    ),
     "q165_bloom_decontam_prefilter": (
         "floor-dominated at sf0.1: 5k short docs; 8 shapes A/B'd across "
         "r8-r9 (BASELINE.md 'q165 final position'), spread ~0.4 s vs a "
