@@ -195,7 +195,6 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 def _encode_component(
     blocks: np.ndarray,
-    qtab: np.ndarray,
     dc_codes: dict,
     ac_codes: dict,
     writer: _BitWriter,
@@ -328,7 +327,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         for ci in range(ncomp):
             preds[ci] = _encode_component(
                 comp_blocks[ci][m: m + 1],
-                qy if ci == 0 else qc,
                 dc_y if ci == 0 else dc_c,
                 ac_y if ci == 0 else ac_c,
                 writer,
@@ -422,16 +420,24 @@ class _BitReader:
 
 
 _LUT_CACHE: dict[bytes, list[int]] = {}
+# LRU bound: real-world corpora very commonly carry per-image OPTIMIZED
+# Huffman tables (libjpeg/mozjpeg -optimize), so an unbounded
+# table-bytes-keyed cache grows ~4 x 64 Ki-entry lists per distinct image
+# for the executor's lifetime in the decode_image_stats mapInPandas path.
+# 16 entries covers the 4 Annex K tables plus a few custom sets while
+# keeping worst-case residency a few MB.
+_LUT_CACHE_MAX = 16
 
 
 def _huff_lut(bits: list[int], values: list[int]) -> list[int]:
     """16-bit-peek decode table: lut[peek] = (symbol << 5) | code_length,
-    0 for invalid prefixes. Cached — fixture corpora reuse the Annex K
-    tables across thousands of images and the 64 Ki fill would otherwise
-    dominate small-image decode."""
+    0 for invalid prefixes. LRU-cached (bounded) — fixture corpora reuse
+    the Annex K tables across thousands of images and the 64 Ki fill
+    would otherwise dominate small-image decode."""
     key = bytes(bits) + bytes([len(values)]) + bytes(values)
-    hit = _LUT_CACHE.get(key)
+    hit = _LUT_CACHE.pop(key, None)
     if hit is not None:
+        _LUT_CACHE[key] = hit  # re-insert at the MRU end (dicts are ordered)
         return hit
     lut = [0] * 65536
     code = 0
@@ -445,6 +451,8 @@ def _huff_lut(bits: list[int], values: list[int]) -> list[int]:
             lut[base: base + span] = [(sym << 5) | length] * span
             code += 1
         code <<= 1
+    while len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))  # evict LRU (insertion head)
     _LUT_CACHE[key] = lut
     return lut
 
@@ -561,11 +569,26 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     mcux = -(-frame["w"] // (8 * hmax))
     mcuy = -(-frame["h"] // (8 * vmax))
 
-    # per-component coefficient storage in block raster order
-    coeffs = {}
+    # per-component coefficient storage in block raster order — but
+    # validate the claimed geometry against the entropy data FIRST: the
+    # dimensions come from an untrusted SOF0, and a few-hundred-byte file
+    # claiming 65535x65535 would otherwise trigger a ~17 GB allocation
+    # (plus the per-MCU loop) before any entropy byte is read. A block
+    # cannot be coded in fewer than 2 bits (1-bit DC size-0 code + 1-bit
+    # EOB, the degenerate-table floor), so the claimed block count is
+    # capped by 4x the remaining payload bytes.
     for c in comps:
         c["bw"] = mcux * c["h"]
         c["bh"] = mcuy * c["v"]
+    total_blocks = sum(c["bh"] * c["bw"] for c in comps)
+    entropy_bytes = len(raw) - scan["data_pos"]
+    if total_blocks > max(entropy_bytes, 0) * 4 + 64:
+        raise ValueError(
+            "JPEG dimensions implausible for payload size "
+            f"({total_blocks} blocks, {entropy_bytes} entropy bytes)"
+        )
+    coeffs = {}
+    for c in comps:
         coeffs[c["id"]] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
 
     reader = _BitReader(raw, scan["data_pos"])

@@ -108,6 +108,8 @@ def driver_coverage() -> dict[str, int]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue  # a malformed artifact must not break query listing
+        if not isinstance(rows, dict):
+            continue  # valid JSON, wrong shape (e.g. an array) — same deal
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue

@@ -307,3 +307,40 @@ def test_handmade_ac_coefficient_matches_textbook_idct():
     # the gradient must run horizontally: rows identical, columns varying
     assert np.array_equal(img[0], img[7])
     assert img[0, 0, 0] != img[0, 7, 0]
+
+
+def test_implausible_sof_dimensions_rejected_before_allocation():
+    """A few-hundred-byte file whose SOF0 claims 65535x65535 must raise
+    BEFORE the ~17 GB coefficient allocation (r9 ADVICE: decode_raster
+    runs on arbitrary corpus bytes — untrusted geometry is a cheap DoS
+    vector). The guard cross-checks claimed blocks vs entropy bytes."""
+    raw = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 85))
+    idx = raw.index(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) height(2) width(2) ...
+    struct.pack_into(">HH", raw, idx + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(bytes(raw))
+
+
+def test_huffman_lut_cache_is_bounded():
+    """Per-image optimized Huffman tables must not grow the module-global
+    LUT cache without bound (r9 ADVICE: ~4 x 64 Ki-entry lists per
+    distinct table set, executor-lifetime residency). Synthesise more
+    distinct tables than the cap and check eviction + reuse still works."""
+    from franzoxide_spark.functions.jpeg import (
+        _LUT_CACHE,
+        _LUT_CACHE_MAX,
+        _huff_lut,
+    )
+
+    _LUT_CACHE.clear()
+    # one valid 2-symbol table per i: codes 0/1 at length 1, distinct values
+    for i in range(_LUT_CACHE_MAX + 8):
+        bits = [2] + [0] * 15
+        _huff_lut(bits, [i & 0xFF, (i + 1) & 0xFF])
+    assert len(_LUT_CACHE) <= _LUT_CACHE_MAX
+    # a hit re-inserts at the MRU end and returns the same object
+    bits = [2] + [0] * 15
+    a = _huff_lut(bits, [0xAA, 0xBB])
+    b = _huff_lut(bits, [0xAA, 0xBB])
+    assert a is b
