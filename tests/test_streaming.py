@@ -1766,3 +1766,54 @@ def test_dynamic_gap_session_streaming_matches_batch(spark, tmp_path):
     # the purchase's 30m gap actually shaped user 1's single session:
     # 10:00 view + 10:05 purchase + 10:20 view all merge, end 10:35
     assert (1, "10:00", "10:35", 3) in got
+
+
+def test_interval_join_faces_are_mutually_consistent(spark):
+    """Cross-face tripwire for the q114/q163/q176 family (r9 verdict
+    item #7: the three share this state machinery, so a shared
+    regression should trip ONE test, not wait for the driver co-window):
+    on identical inputs, inner == matched subset of left_outer ==
+    matched subset of full_outer; left_outer == full_outer minus the
+    right-orphan rows; row-count algebra holds exactly."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(t(0), 1), (t(5), 2), (t(40), 1), (t(20), 4)],
+        "v_ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(t(10), 1), (t(0), 1), (t(50), 1), (t(6), 3), (t(59), 4)],
+        "p_ts timestamp, user_id long",
+    )
+    kw = dict(on="user_id", left_ts="v_ts", right_ts="p_ts",
+              upper="30 minutes")
+    faces = {
+        how: interval_join(left, right, how=how, **kw)
+        for how in ("inner", "left_outer", "full_outer")
+    }
+    key = lambda r: (r["user_id"], r["v_ts"] and r["v_ts"].minute,
+                     r["p_ts"] and r["p_ts"].minute)
+    nsafe = lambda t: tuple((v is None, v) for v in t)  # None-safe sort
+    inner = sorted(map(key, faces["inner"].collect()), key=nsafe)
+    lo = sorted(map(key, faces["left_outer"].collect()), key=nsafe)
+    fo = sorted(map(key, faces["full_outer"].collect()), key=nsafe)
+    matched_lo = [r for r in lo if r[2] is not None]
+    matched_fo = [r for r in fo if r[1] is not None and r[2] is not None]
+    assert inner == matched_lo == matched_fo
+    # left_outer = full_outer minus right orphans
+    right_orphans = [r for r in fo if r[1] is None]
+    assert sorted(lo, key=nsafe) == sorted(
+        (r for r in fo if r[1] is not None), key=nsafe
+    )
+    # count algebra: |fo| = |lo| + right orphans; every left row appears
+    assert len(fo) == len(lo) + len(right_orphans)
+    # u2 (no purchases) and u4 (purchase outside the 30m bound) are the
+    # expected unmatched-left users on this fixture
+    assert {r[0] for r in lo if r[2] is None} == {2, 4}
+    left_unmatched = [r for r in lo if r[2] is None]
+    assert len(lo) == len(inner) + len(left_unmatched)
+    # the full_outer unified key is never null (coalesced from both sides)
+    assert all(r[0] is not None for r in fo)
