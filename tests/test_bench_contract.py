@@ -61,3 +61,28 @@ def test_summary_keeps_driver_contract_fields():
     assert 0 < len(summary["queries"]) <= 10
     slowest = max(timings, key=timings.get)
     assert slowest in summary["queries"]
+
+
+def test_re_measure_trigger_covers_the_r9_blind_spot():
+    """re_measure_reason contract: the borderline over-bar trigger AND
+    the r9-verdict absolute-outlier trigger (a multi-second Spark wall
+    over a sub-0.5 s / rows-only oracle, or >3x the prior round's
+    recorded value, must no longer escape the extra min-of-N pass —
+    r9 published q52 at 6.02 s vs 0.80 s real through that gap)."""
+    from bench import re_measure_reason as r
+
+    floor = 0.06
+    # the r9 escapees: big wall, tiny oracle / rows-only
+    assert r(6.02, 0.33, 0.55, floor) == "abs_outlier"   # q52's r9 shape
+    assert r(3.56, None, 0.70, floor) == "abs_outlier"   # q53 (rows-only)
+    # classic over-bar (oracle >= 0.5) still fires first
+    assert r(3.00, 1.0, None, floor) == "over_bar"
+    # 3x-prior arm: oracle >= 0.5 and under the bar, but tripled
+    assert r(1.9, 1.0, 0.5, floor) == "abs_outlier"
+    # sane timings don't re-measure
+    assert r(0.8, 0.33, 0.8, floor) is None              # q52's real time
+    assert r(0.4, None, 0.4, floor) is None              # fast rows-only
+    assert r(1.2, 0.9, 1.1, floor) is None               # under bar, stable
+    # no prior round: the small-oracle arm still protects
+    assert r(1.5, 0.1, None, floor) == "abs_outlier"
+    assert r(1.5, 0.9, None, floor) is None
