@@ -81,9 +81,9 @@ def land_shingle_relation(
     Every downstream self-join (jaccard_pairs / containment_pairs via
     their ``shingle_rel=`` option) then runs exchange-free: both sides
     expose the same bucket partitioning on ``g``, so the sort-merge join
-    needs no shuffle of the corpus-sized relation — the term that put the
-    ad-hoc q119 ~1.2x over linear at 30x (measured at 30x: 11.4 s ->
-    6.8 s with both join exchanges gone from the executed plan,
+    needs no shuffle of the corpus-sized relation — retiring the term
+    that put the ad-hoc q119 ~1.2x over linear at 30x (measured: 11.4 ->
+    6.8 s at 30x with both join exchanges gone from the executed plan,
     BASELINE.md "bucketed-join evidence"; plan-asserted in
     tests/test_plans.py). This is the posture a 100 TB dedup corpus
     wants: one bucketed landing pass, then containment / jaccard /
@@ -100,6 +100,12 @@ def land_shingle_relation(
     ``n_buckets`` sizes the parallelism of every downstream join — pick
     it like shuffle partitions at the target scale (buckets ~= data /
     executor-memory-sized chunks), not from the fixture.
+
+    Skew caveat: a bucketed SMJ has no exchange for AQE to re-plan, so a
+    hot shingle (boilerplate shared by millions of docs) concentrates in
+    one bucket and AQE's skew-join splitting CANNOT rescue it — the cure
+    is upstream, exactly as jaccard_pairs documents: run the q52
+    boilerplate sweep and strip ubiquitous shingles BEFORE landing.
     """
     (
         _shingle_hash_relation(df, text_col, id_col, shingle_k)
