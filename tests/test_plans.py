@@ -523,6 +523,17 @@ def test_landed_shingle_relation_joins_exchange_free(spark, sf_dir):
         rel = land_shingle_relation(
             docs, "text", "doc_id", "t_landed_shingles", n_buckets=8
         )
+        # landing contract: ONE parquet file per bucket (the repartition
+        # on hash(g) aligns write tasks with the bucket spec) — the
+        # precondition for sorted-bucket scans should a deployment turn
+        # the legacy output-ordering conf on
+        import glob as _glob
+
+        files = _glob.glob(
+            str(spark.conf.get("spark.sql.warehouse.dir"))
+            .removeprefix("file:") + "/t_landed_shingles/*.parquet"
+        )
+        assert len(files) == 8, files
         # a join-side exchange would hash-partition on the join key g;
         # the only exchange a landed plan may contain is the pair
         # aggregation's (hashpartitioning on the doc-id pair)
