@@ -139,6 +139,16 @@ def test_driver_coverage_counts_only_green_rows(tmp_path, monkeypatch):
     assert "c_mismatch" not in cov, "hash-mismatch row must not count"
     assert cov.get("d_rows_only") == 1, "weak rows-only green still counts"
 
+    # malformed artifacts must not break listing (r9 ADVICE): valid JSON
+    # of the wrong shape (array), a non-dict row, and unparseable bytes
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(["x", 1]))
+    (tmp_path / "CORRECTNESS_r97.json").write_text(
+        json.dumps({"a_green": "not-a-dict"})
+    )
+    (tmp_path / "CORRECTNESS_r96.json").write_text("{not json")
+    cov2 = qmod.driver_coverage()
+    assert cov2.get("a_green") == 1, "broken artifacts must be skipped"
+
 
 def test_spark_entry_exposes_rotated_ordering():
     """__spark_entry__.queries()/oracle_sql() must agree with
