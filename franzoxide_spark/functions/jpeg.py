@@ -434,7 +434,9 @@ def _huff_lut(bits: list[int], values: list[int]) -> list[int]:
     0 for invalid prefixes. LRU-cached (bounded) — fixture corpora reuse
     the Annex K tables across thousands of images and the 64 Ki fill
     would otherwise dominate small-image decode."""
-    key = bytes(bits) + bytes([len(values)]) + bytes(values)
+    # len as 2 bytes: a spec-legal DHT may carry up to 256 symbols, and
+    # bytes([256]) would raise an unrelated ValueError
+    key = bytes(bits) + len(values).to_bytes(2, "big") + bytes(values)
     hit = _LUT_CACHE.pop(key, None)
     if hit is not None:
         _LUT_CACHE[key] = hit  # re-insert at the MRU end (dicts are ordered)
@@ -521,6 +523,18 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 raise ValueError("truncated JPEG SOF0 segment")
             if prec != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
+            # Absolute pixel cap (64 Mpx): the entropy-bytes plausibility
+            # check below bounds blocks-per-byte, but a crafted file with
+            # degenerate 2-bit/block tables still reaches ~4 blocks/byte —
+            # a 10 MB body could otherwise claim ~40M blocks and force
+            # ~10 GB of coefficient storage plus minutes of per-MCU loop.
+            # 64 Mpx covers any sane corpus image (8K video frames are
+            # 33 Mpx); beyond it, refuse rather than allocate.
+            if fh * fw > 64 * 1024 * 1024:
+                raise ValueError(
+                    f"JPEG dimensions implausible: {fw}x{fh} exceeds the"
+                    " 64 Mpx decode cap"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i: 9 + 3 * i]

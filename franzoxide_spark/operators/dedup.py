@@ -40,14 +40,17 @@ from franzoxide_spark.functions.text import (
 )
 
 
-def _shingle_hash_relation(
+def _shingle_hash_arrays(
     df: DataFrame, text_col: str, id_col: str, shingle_k: int
 ) -> DataFrame:
-    """The shared dedup-family input: per-doc distinct k-token shingles as
-    60-bit hashes (join on the hash, not the string: fixed-width shuffle
-    key; collision odds at 2^60 are negligible and identical
-    cross-engine), exploded to ``(id_col, n, g)`` where ``n`` is the
-    doc's shingle-set size."""
+    """The shared dedup-family input, ONE definition of the cross-engine
+    hash contract: per-doc distinct k-token shingles as 60-bit md5-derived
+    hashes (join on the hash, not the string: fixed-width shuffle key;
+    collision odds at 2^60 are negligible and identical cross-engine),
+    as ``(id_col, h array<bigint>, n)`` with ``n`` the shingle-set size.
+    jaccard_pairs / containment_pairs / jaccard_pairs_prefix and the
+    bucketed landing all build from this — a contract change here is a
+    contract change everywhere, never a silent divergence."""
     return (
         _with_tokens(df, text_col)
         .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
@@ -59,7 +62,15 @@ def _shingle_hash_relation(
             ).alias("h"),
             F.size("s").alias("n"),
         )
-        .select(id_col, "n", F.explode("h").alias("g"))
+    )
+
+
+def _shingle_hash_relation(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """:func:`_shingle_hash_arrays` exploded to ``(id_col, n, g)``."""
+    return _shingle_hash_arrays(df, text_col, id_col, shingle_k).select(
+        id_col, "n", F.explode("h").alias("g")
     )
 
 
@@ -404,24 +415,11 @@ def jaccard_pairs(
         # input makes that SMJ exchange- and sort-free
         ex = shingle_rel.select(id_col, "n", "g").hint("merge")
     else:
-        # join on the 60-bit shingle hash, not the string: fixed-width
-        # shuffle key; collision odds at 2^60 are negligible and identical
-        # cross-engine. Hash arrays + set size materialize ONCE (r9, the
+        # Hash arrays + set size materialize ONCE (r9, the
         # containment_pairs/prefix-variant trade): the size subtree
         # otherwise re-tokenizes.
-        sh = (
-            _with_tokens(df, text_col)
-            .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
-            .select(
-                id_col,
-                F.expr(
-                    "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10)"
-                    " as bigint))"
-                ).alias("h"),
-                F.size("s").alias("n"),
-            )
+        sh = _shingle_hash_arrays(df, text_col, id_col, shingle_k)\
             .localCheckpoint(eager=False)
-        )
         # MERGE hint: both sides are corpus-sized, and the checkpoint's
         # exact stats would otherwise let the 64 MB auto-broadcast
         # threshold build a multi-million-row hash table mid-scale
@@ -492,25 +490,15 @@ def jaccard_pairs_prefix(
     frequency is skewed and a handful of hot shingles dominate the
     baseline's join (the classic ppjoin regime); it is the variant to
     reach for when q52's boilerplate sweep cannot run upstream."""
-    sh = (
-        _with_tokens(df, text_col)
-        .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
-        .select(
-            id_col,
-            F.expr(
-                "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint))"
-            ).alias("h"),
-            F.size("s").alias("n"),
-        )
-        # three consumers read this subtree (the candidate path and the
-        # two verify sides), so without a checkpoint the tokenize +
-        # shingle + per-shingle md5 pass runs three times — the r9 A/B at
-        # sf0.1 measured 7.84 s -> 4.21 s min-of-3 from this line alone.
-        # The checkpointed relation is ~8 B per shingle (hash arrays) —
-        # comparable to the corpus text itself; at real scale that is
-        # the standard materialize-once trade for a 3x-consumed subtree
+    # three consumers read this subtree (the candidate path and the
+    # two verify sides), so without a checkpoint the tokenize +
+    # shingle + per-shingle md5 pass runs three times — the r9 A/B at
+    # sf0.1 measured 7.84 s -> 4.21 s min-of-3 from the checkpoint alone.
+    # The checkpointed relation is ~8 B per shingle (hash arrays) —
+    # comparable to the corpus text itself; at real scale that is
+    # the standard materialize-once trade for a 3x-consumed subtree
+    sh = _shingle_hash_arrays(df, text_col, id_col, shingle_k)\
         .localCheckpoint(eager=False)
-    )
     ex = sh.select(id_col, "n", F.explode("h").alias("g"))
     # global rarity: document frequency per shingle hash (one narrow agg)
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -957,19 +945,8 @@ def containment_pairs(
         # size subtree still re-tokenized) — r9 A/B at sf0.1: 3.06 s ->
         # 2.19 s min-of-3. Same trade as jaccard_pairs_prefix's
         # checkpoint above.
-        sh = (
-            _with_tokens(df, text_col)
-            .select(F.col(id_col), shingles("__toks", k=shingle_k).alias("s"))
-            .select(
-                id_col,
-                F.expr(
-                    "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10)"
-                    " as bigint))"
-                ).alias("h"),
-                F.size("s").alias("n"),
-            )
+        sh = _shingle_hash_arrays(df, text_col, id_col, shingle_k)\
             .localCheckpoint(eager=False)
-        )
         # MERGE hint: same mid-scale auto-broadcast hazard as jaccard_pairs
         ex = sh.select(id_col, "n", F.explode("h").alias("g")).hint("merge")
     a = ex.alias("a")

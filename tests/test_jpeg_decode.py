@@ -344,3 +344,32 @@ def test_huffman_lut_cache_is_bounded():
     a = _huff_lut(bits, [0xAA, 0xBB])
     b = _huff_lut(bits, [0xAA, 0xBB])
     assert a is b
+
+
+def test_pixel_cap_rejects_degenerate_table_amplification():
+    """The entropy-bytes check alone still admits ~4 blocks/byte with
+    degenerate 2-bit/block Huffman tables (review finding): a moderate
+    file could claim tens of millions of blocks. The absolute 64 Mpx cap
+    closes that — and must fire from the SOF0 marker, before any
+    allocation."""
+    raw = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 85))
+    idx = raw.index(b"\xff\xc0")
+    struct.pack_into(">HH", raw, idx + 5, 9000, 9000)  # 81 Mpx claim
+    # pad the body so the blocks-vs-entropy check alone would NOT fire
+    raw = raw[:-2] + bytes(8_000_000) + raw[-2:]
+    with pytest.raises(ValueError, match="64 Mpx"):
+        decode_jpeg(bytes(raw))
+
+
+def test_huff_lut_accepts_spec_max_256_symbol_table():
+    """T.81 allows a DHT with up to 256 symbols; the cache key must not
+    crash on len(values)==256 (bytes([256]) raised ValueError)."""
+    from franzoxide_spark.functions.jpeg import _huff_lut
+
+    # per-length counts are single DHT bytes (<=255), so 256 symbols
+    # arrive as e.g. 255 length-8 codes + 1 length-9 code (Kraft < 1)
+    bits = [0] * 7 + [255, 1] + [0] * 7
+    lut = _huff_lut(bits, list(range(256)))
+    assert len(lut) == 65536
+    # first code (length 8, value 0) decodes symbol 0
+    assert lut[0] == (0 << 5) | 8

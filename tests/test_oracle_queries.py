@@ -209,10 +209,17 @@ def test_family_cohorts_enter_one_window_together():
     for cohort in FAMILY_COHORTS:
         assert all(n in QUERIES and n in ORACLES for n in cohort), cohort
 
+    from franzoxide_spark.queries import PINNED_CONTRACT
+
     coverage = dict(driver_coverage())
-    pool = [n for n in QUERIES if n in ORACLES]
+    pool = [n for n in QUERIES if n in ORACLES and n not in PINNED_CONTRACT]
+    # horizon: the rotation only has DRIVER_WINDOW - len(pinned) FREE
+    # slots per round (using DRIVER_WINDOW here would under-count the
+    # drain time ~3x and fail spuriously once coverage state straddles a
+    # cohort across a window boundary); allow two full cycles plus slack
+    slots = DRIVER_WINDOW - len(PINNED_CONTRACT)
     together_round = {cohort: None for cohort in FAMILY_COHORTS}
-    for rnd in range(1, 2 * (-(-len(pool) // DRIVER_WINDOW)) + 2):
+    for rnd in range(1, 2 * (-(-len(pool) // slots)) + 3):
         window = set(driver_ordering(coverage)[:DRIVER_WINDOW])
         for cohort in FAMILY_COHORTS:
             if together_round[cohort] is None and all(

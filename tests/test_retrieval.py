@@ -214,3 +214,31 @@ def test_hybrid_rrf_equals_unfused_composition(spark, sf_dir):
     assert sorted(map(tuple, fused.collect())) == sorted(
         map(tuple, unfused.collect())
     )
+
+
+def test_pretokenized_paths_match_raw_text_paths(spark, sf_dir):
+    """bm25_topk/term_recall_topk's pretokenized=True (share one
+    tokenize pass across rankers, the q101 pattern) must produce
+    byte-identical rankings to the raw-text path — locked so a future
+    tokens() change can't silently diverge the two."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.functions.text import tokens
+    from franzoxide_spark.operators.retrieval import (
+        bm25_topk,
+        term_recall_topk,
+    )
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("__toks"))
+    queries = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "data spark engine")],
+        "query_id int, query_text string",
+    )
+    for fn in (bm25_topk, term_recall_topk):
+        raw = fn(docs, queries, "doc_id", "text", k=15)
+        pre = fn(toks, queries, "doc_id", "__toks", k=15, pretokenized=True)
+        assert sorted(map(tuple, raw.collect())) == sorted(
+            map(tuple, pre.collect())
+        ), fn.__name__
