@@ -49,6 +49,16 @@ PER_QUERY_NOTES = {
         "at 30x data (BASELINE.md) — an over_bar appearance is host "
         "noise around the ~1.6-1.9x resting ratio, not a plan regression"
     ),
+    "q101_decontam_k_sweep": (
+        "decontam-family floor at sf0.1 (BASELINE.md 'q101 shape A/B' + "
+        "'q101 tokenize-once'): three A/B'd shapes across r8; the per-k "
+        "loop over checkpointed token arrays won (1.63 -> 1.32 s; the "
+        "single-pass (k,gram) rewrite measured 2.31 s and is the "
+        "documented handoff when input stops fitting cache). Resting "
+        "ratio ~1.5-2.3x against a 0.55-0.85 s oracle — an over_bar "
+        "appearance is host noise around that floor, not a plan "
+        "regression"
+    ),
     "q62_dsir_importance": (
         "floor at sf0.1: the 1024-bucket distribution builds map-side "
         "and broadcasts; the residual cost is the bigram explode + md5 "
