@@ -49,6 +49,18 @@ PER_QUERY_NOTES = {
         "at 30x data (BASELINE.md) — an over_bar appearance is host "
         "noise around the ~1.6-1.9x resting ratio, not a plan regression"
     ),
+    "q61_trigram_lm_quality": (
+        "data-dominated floor at sf0.1 (the suite's worst such ratio, "
+        "~1.9x against a ~0.65 s oracle): the char-trigram LM is one "
+        "explode + map-side-combined count shuffle to build, and the "
+        "scoring join stays broadcast (the LM is charset-bounded — vocab "
+        "grows with the suffix alphabet, not the corpus). Slopes "
+        "MEASURED at both decades in r9 (BASELINE.md 'Round-9 second "
+        "decade'): 2.06x wall at 10x data and 4.28x at 30x — strongly "
+        "sub-linear, the trigram-count shuffle amortizing its floor. An "
+        "over_bar appearance is host noise around the ~1.9x resting "
+        "ratio, not a plan regression"
+    ),
     "q101_decontam_k_sweep": (
         "decontam-family floor at sf0.1 (BASELINE.md 'q101 shape A/B' + "
         "'q101 tokenize-once'): three A/B'd shapes across r8; the per-k "
@@ -148,15 +160,23 @@ def re_measure_reason(
     - ``abs_outlier`` (r9 verdict item #1): spark >= 1 s with a small
       (< 0.5 s) or absent oracle, or > 3x its previous-round recorded
       value — the class where r9 published q52 at 6.02 s (0.80 s real)
-      because the borderline pass could never fire on it.
+      because the borderline pass could never fire on it. A same-sf
+      prior within 1.5x mutes the small-oracle arm (r10 ADVICE: a
+      STABLE >= 1 s query over a tiny oracle would otherwise pay the
+      extra min-of-N every round forever; the trigger exists to catch
+      measurements that DISAGREE with history, and a within-1.5x prior
+      is history agreeing). The no-prior case keeps the unconditional
+      trigger — a first-ever multi-second wall has nothing to agree with.
     """
     if osec is not None and osec >= 0.5 and timing > 2.0 * osec + floor:
         return "over_bar"
-    if timing >= 1.0 and (
-        osec is None or osec < 0.5
-        or (prev is not None and timing > 3.0 * prev)
-    ):
-        return "abs_outlier"
+    if timing >= 1.0:
+        if prev is not None and timing > 3.0 * prev:
+            return "abs_outlier"
+        if (osec is None or osec < 0.5) and (
+            prev is None or timing > 1.5 * prev
+        ):
+            return "abs_outlier"
     return None
 
 

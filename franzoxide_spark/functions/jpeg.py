@@ -428,6 +428,18 @@ _LUT_CACHE: dict[bytes, list[int]] = {}
 # keeping worst-case residency a few MB.
 _LUT_CACHE_MAX = 16
 
+# Default decode-size guard (pixels). The entropy-bytes plausibility
+# check bounds blocks-per-byte, but a crafted file with degenerate
+# 2-bit/block tables still reaches ~4 blocks/byte — a 10 MB body could
+# claim ~40M blocks and force ~10 GB of coefficient storage plus minutes
+# of per-MCU loop. 64 Mpx covers any sane corpus image (8K video frames
+# are 33 Mpx) while refusing that attack; corpora with legitimately
+# larger images (stitched panoramas, flatbed scans) raise it per call via
+# ``decode_jpeg(raw, max_pixels=...)`` or module-wide here (r10 ADVICE:
+# the cap is a DoS guard, not a format limit — valid oversized images
+# must stay decodable by deliberate choice).
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
 
 def _huff_lut(bits: list[int], values: list[int]) -> list[int]:
     """16-bit-peek decode table: lut[peek] = (symbol << 5) | code_length,
@@ -465,12 +477,17 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg(raw: bytes) -> np.ndarray:
+def decode_jpeg(raw: bytes, max_pixels: int | None = None) -> np.ndarray:
     """Decode a baseline sequential JPEG to (h, w, 3) uint8 RGB.
 
     Raises ``ValueError`` on non-baseline frames (progressive,
     arithmetic, 12-bit), malformed streams, or unsupported sampling
-    factors (only 1 and 2 are allowed, the 4:4:4/4:2:2/4:2:0 family)."""
+    factors (only 1 and 2 are allowed, the 4:4:4/4:2:2/4:2:0 family).
+
+    ``max_pixels`` overrides the module-level :data:`MAX_DECODE_PIXELS`
+    DoS guard for corpora with legitimately oversized images."""
+    if max_pixels is None:
+        max_pixels = MAX_DECODE_PIXELS
     if len(raw) < 4 or raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -523,17 +540,14 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 raise ValueError("truncated JPEG SOF0 segment")
             if prec != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
-            # Absolute pixel cap (64 Mpx): the entropy-bytes plausibility
-            # check below bounds blocks-per-byte, but a crafted file with
-            # degenerate 2-bit/block tables still reaches ~4 blocks/byte —
-            # a 10 MB body could otherwise claim ~40M blocks and force
-            # ~10 GB of coefficient storage plus minutes of per-MCU loop.
-            # 64 Mpx covers any sane corpus image (8K video frames are
-            # 33 Mpx); beyond it, refuse rather than allocate.
-            if fh * fw > 64 * 1024 * 1024:
+            # Absolute pixel cap (MAX_DECODE_PIXELS, see its comment):
+            # refuse rather than allocate for crafted SOF geometry.
+            if fh * fw > max_pixels:
                 raise ValueError(
                     f"JPEG dimensions implausible: {fw}x{fh} exceeds the"
-                    " 64 Mpx decode cap"
+                    f" {max_pixels / (1024 * 1024):g} Mpx decode cap"
+                    " (raise max_pixels / MAX_DECODE_PIXELS for"
+                    " legitimately oversized images)"
                 )
             comps = []
             for i in range(nc):

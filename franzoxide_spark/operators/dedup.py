@@ -74,6 +74,36 @@ def _shingle_hash_relation(
     )
 
 
+def _landed_shingle_k(rel: DataFrame) -> int | None:
+    """The ``shingle_k`` a landed relation was built with, read from the
+    ``g`` column's field metadata (stamped by :func:`land_shingle_relation`
+    and persisted through the catalog), or None for an ad-hoc relation
+    that carries no stamp."""
+    try:
+        meta = rel.schema["g"].metadata
+    except KeyError:
+        return None
+    k = (meta or {}).get("shingle_k")
+    return int(k) if k is not None else None
+
+
+def _check_shingle_rel_k(rel: DataFrame, shingle_k: int, caller: str) -> None:
+    """Refuse a k-mismatched pre-landed relation (r10 ADVICE): a relation
+    landed with a different k than the caller expects yields PLAUSIBLE but
+    wrong jaccard/containment scores with no error. Unstamped (ad-hoc)
+    relations pass through — matching k is then the caller's contract,
+    documented on the ``shingle_rel`` parameter."""
+    landed_k = _landed_shingle_k(rel)
+    if landed_k is not None and landed_k != shingle_k:
+        raise ValueError(
+            f"{caller}: shingle_rel was landed with shingle_k={landed_k} "
+            f"but the caller expects shingle_k={shingle_k} — scores from a "
+            "k-mismatched relation are plausible but wrong; re-land with "
+            f"land_shingle_relation(..., shingle_k={shingle_k}) or pass "
+            f"shingle_k={landed_k}"
+        )
+
+
 def land_shingle_relation(
     df: DataFrame,
     text_col: str,
@@ -83,6 +113,7 @@ def land_shingle_relation(
     shingle_k: int = 3,
     n_buckets: int = 64,
     mode: str = "overwrite",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Write-once/join-many landing for the q35/q119 dedup family: persist
     the exploded shingle-hash relation ``(id_col, n, g)`` as a BUCKETED
@@ -115,11 +146,41 @@ def land_shingle_relation(
     Skew caveat: a bucketed SMJ has no exchange for AQE to re-plan, so a
     hot shingle (boilerplate shared by millions of docs) concentrates in
     one bucket and AQE's skew-join splitting CANNOT rescue it — the cure
-    is upstream, exactly as jaccard_pairs documents: run the q52
-    boilerplate sweep and strip ubiquitous shingles BEFORE landing.
+    is upstream: strip ubiquitous shingles BEFORE landing. ``max_df``
+    productizes exactly that (the q52 boilerplate sweep as a landing
+    option): shingles whose document frequency exceeds it are dropped in
+    the landing pass (one extra map-side-combined frequency aggregate +
+    a broadcast anti-join — the hot set is tiny by definition), which
+    bounds both the largest bucket and the hot shingle's O(df²)
+    candidate-pair blowup downstream. Deliberate trade, stamped in the
+    relation's metadata: scores computed over a stripped relation treat
+    the stripped boilerplate shingles as absent from every document
+    (the standard near-dup posture — boilerplate shared by everything
+    carries no dedup signal). Skew-bound asserted in tests/test_plans.py.
     """
+    rel = _shingle_hash_relation(df, text_col, id_col, shingle_k)
+    if max_df is not None:
+        hot = (
+            rel.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("g")
+        )
+        rel = rel.join(F.broadcast(hot), "g", "left_anti")
     (
-        _shingle_hash_relation(df, text_col, id_col, shingle_k)
+        rel
+        # stamp the build parameter on the join key's field metadata —
+        # persisted through the catalog schema, so every consumer can
+        # verify the relation's k against its own (r10 ADVICE: silent
+        # k-mismatch = plausible-but-wrong scores)
+        .withColumn(
+            "g",
+            F.col("g").alias(
+                "g",
+                metadata={"shingle_k": shingle_k}
+                | ({} if max_df is None else {"max_df": max_df}),
+            ),
+        )
         # one file per bucket: repartition on the SAME hash(g) the bucket
         # spec uses, so each write task holds exactly one bucket's rows —
         # the sorted-bucket scan only elides the join-side Sort when a
@@ -131,6 +192,75 @@ def land_shingle_relation(
         .saveAsTable(out_table)
     )
     return df.sparkSession.table(out_table)
+
+
+# Session-level write-once switch (r10 verdict item #3): the first
+# dedup-family call per (session, source, contract) lands the bucketed
+# relation; later calls in the SAME session reuse the landed table, so
+# q35/q35b/q119-style passes over one corpus share one landing write.
+# Keyed by applicationId because the default in-memory catalog dies with
+# the session — a new session must re-land (and first clear the stale
+# managed location the old session's warehouse left behind, or
+# saveAsTable fails LOCATION_ALREADY_EXISTS).
+_SESSION_LANDINGS: dict[tuple, str] = {}
+
+
+def _clear_stale_table_location(spark, name: str) -> None:
+    """Remove a managed-table directory orphaned by a previous session
+    (files on disk, no catalog entry). Uses the Hadoop FileSystem API so
+    the path scheme (local/HDFS/S3A) doesn't matter."""
+    if spark.catalog.tableExists(name):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(wh + "/" + name)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def shared_shingle_relation(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_key: str,
+    *,
+    shingle_k: int = 3,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Land-once/reuse-many wrapper over :func:`land_shingle_relation`.
+
+    ``source_key`` identifies the corpus (e.g. ``f"{sf_dir}/documents"``)
+    — the landing is keyed by (session, source_key, text_col, id_col,
+    shingle_k, n_buckets), so every dedup-family query over the same
+    corpus in one session shares ONE bucketed landing write and all
+    downstream self-joins run exchange-free. This is the engine-level
+    switch that makes the registry's q35/q35b/q119 measure the landed
+    path: the write-once cost amortizes across the family exactly as the
+    100 TB posture argues (land the shingle relation once per corpus
+    snapshot, then containment / jaccard / prefix passes all join
+    co-located).
+
+    The table name is a digest of the key, deterministic across sessions
+    at the same source — a fresh session re-lands over the old files
+    (stale-location cleared first; the in-memory catalog cannot vouch
+    for another session's write being complete or current).
+    """
+    import hashlib
+
+    spark = df.sparkSession
+    ident = (source_key, text_col, id_col, shingle_k, n_buckets)
+    key = (spark.sparkContext.applicationId,) + ident
+    name = "shingle_rel_" + hashlib.md5(repr(ident).encode()).hexdigest()[:12]
+    if _SESSION_LANDINGS.get(key) == name and spark.catalog.tableExists(name):
+        return spark.table(name)
+    _clear_stale_table_location(spark, name)
+    rel = land_shingle_relation(
+        df, text_col, id_col, name,
+        shingle_k=shingle_k, n_buckets=n_buckets,
+    )
+    _SESSION_LANDINGS[key] = name
+    return rel
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -409,8 +539,13 @@ def jaccard_pairs(
     tokenize/shingle/checkpoint subtree entirely; when the relation is
     bucketed on ``g`` the self-join runs with NO exchange below the join
     (plan-asserted in tests/test_plans.py), the write-once/join-many
-    posture for a corpus-scale dedup landing."""
+    posture for a corpus-scale dedup landing. A landed relation carries
+    its build ``shingle_k`` in the ``g`` field metadata and a mismatch
+    with this call's ``shingle_k`` raises (plausible-but-wrong-score
+    guard); an ad-hoc relation without the stamp is accepted and matching
+    k is the caller's contract."""
     if shingle_rel is not None:
+        _check_shingle_rel_k(shingle_rel, shingle_k, "jaccard_pairs")
         # MERGE hint still pins SMJ (the co-located plan); a bucketed
         # input makes that SMJ exchange- and sort-free
         ex = shingle_rel.select(id_col, "n", "g").hint("merge")
@@ -470,6 +605,8 @@ def jaccard_pairs_prefix(
     id_col: str,
     threshold: float,
     shingle_k: int = 3,
+    *,
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Opt-in ppjoin-style prefix-filter variant of :func:`jaccard_pairs`.
 
@@ -489,17 +626,41 @@ def jaccard_pairs_prefix(
     wins as ``t`` rises (prefix shrinks to ``1-t``) or when shingle
     frequency is skewed and a handful of hot shingles dominate the
     baseline's join (the classic ppjoin regime); it is the variant to
-    reach for when q52's boilerplate sweep cannot run upstream."""
-    # three consumers read this subtree (the candidate path and the
-    # two verify sides), so without a checkpoint the tokenize +
-    # shingle + per-shingle md5 pass runs three times — the r9 A/B at
-    # sf0.1 measured 7.84 s -> 4.21 s min-of-3 from the checkpoint alone.
-    # The checkpointed relation is ~8 B per shingle (hash arrays) —
-    # comparable to the corpus text itself; at real scale that is
-    # the standard materialize-once trade for a 3x-consumed subtree
-    sh = _shingle_hash_arrays(df, text_col, id_col, shingle_k)\
-        .localCheckpoint(eager=False)
-    ex = sh.select(id_col, "n", F.explode("h").alias("g"))
+    reach for when q52's boilerplate sweep cannot run upstream.
+
+    ``shingle_rel``: pre-landed exploded ``(id_col, n, g)`` relation (see
+    land_shingle_relation; same shingle_k-stamp check as jaccard_pairs).
+    It replaces the tokenize/shingle/md5 pass entirely: the candidate
+    side reads it directly (bucketed on ``g``, the document-frequency
+    aggregate below the global rarity order becomes a map-side combine
+    over co-located buckets), and the verify-side hash ARRAYS are
+    rebuilt with one ``collect_list`` shuffle on the doc id — the trade
+    is one id-keyed exchange against re-hashing the whole corpus text.
+    """
+    if shingle_rel is not None:
+        _check_shingle_rel_k(shingle_rel, shingle_k, "jaccard_pairs_prefix")
+        ex = shingle_rel.select(id_col, "n", "g")
+        # verify sides need per-doc hash arrays; rebuild from the landed
+        # relation (partial-aggregating collect_list, one id-keyed
+        # shuffle) instead of re-tokenizing + re-hashing the corpus.
+        # Checkpointed for the same 3-consumer reason as the ad-hoc path.
+        sh = (
+            shingle_rel.groupBy(id_col)
+            .agg(F.first("n").alias("n"), F.collect_list("g").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        # three consumers read this subtree (the candidate path and the
+        # two verify sides), so without a checkpoint the tokenize +
+        # shingle + per-shingle md5 pass runs three times — the r9 A/B at
+        # sf0.1 measured 7.84 s -> 4.21 s min-of-3 from the checkpoint
+        # alone. The checkpointed relation is ~8 B per shingle (hash
+        # arrays) — comparable to the corpus text itself; at real scale
+        # that is the standard materialize-once trade for a 3x-consumed
+        # subtree
+        sh = _shingle_hash_arrays(df, text_col, id_col, shingle_k)\
+            .localCheckpoint(eager=False)
+        ex = sh.select(id_col, "n", F.explode("h").alias("g"))
     # global rarity: document frequency per shingle hash (one narrow agg)
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     t = F.lit(threshold)
@@ -934,9 +1095,12 @@ def containment_pairs(
 
     ``shingle_rel``: pre-landed exploded ``(id_col, n, g)`` relation
     (see jaccard_pairs / land_shingle_relation) — bucketed input makes
-    the self-join exchange- and sort-free.
+    the self-join exchange- and sort-free. Same ``shingle_k``-stamp
+    check as jaccard_pairs: a landed relation built with a different k
+    raises instead of scoring plausibly-but-wrong.
     """
     if shingle_rel is not None:
+        _check_shingle_rel_k(shingle_rel, shingle_k, "containment_pairs")
         ex = shingle_rel.select(id_col, "n", "g").hint("merge")
     else:
         # hash arrays + set size in ONE pass, materialized once: the two

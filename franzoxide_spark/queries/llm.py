@@ -251,9 +251,31 @@ SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor FROM cc
 # --------------------------------------------------------------------------
 # Q35 — exact n-gram Jaccard pairs (shingle-join)
 # --------------------------------------------------------------------------
+def _docs_shingle_rel(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Session-shared bucketed shingle landing for the dedup family
+    (r10 verdict item #3): the registry's q35/q35b/q119 all route their
+    self-joins through ONE landed relation per (session, corpus), so the
+    bench measures the landed (exchange-free-join) path and the write-once
+    cost amortizes across the family — the 100 TB land-once/join-many
+    posture BASELINE.md argues. ``SPARK_GRAFT_DEDUP_LANDING=0`` opts out
+    (returns None -> the operators' ad-hoc tokenize/shingle path), which
+    is also the measurement lever for the landed-vs-ad-hoc A/Bs."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_DEDUP_LANDING", "1") == "0":
+        return None
+    from franzoxide_spark.operators.dedup import shared_shingle_relation
+
+    return shared_shingle_relation(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        source_key=f"{sf_dir}/documents",
+    )
+
+
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(
-        table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3
+        table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3,
+        shingle_rel=_docs_shingle_rel(spark, sf_dir),
     )
 
 
@@ -267,7 +289,8 @@ def q35b(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.dedup import jaccard_pairs_prefix
 
     return jaccard_pairs_prefix(
-        table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3
+        table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3,
+        shingle_rel=_docs_shingle_rel(spark, sf_dir),
     )
 
 
@@ -1573,6 +1596,7 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         table(spark, sf_dir, "documents"), "text", "doc_id",
         threshold=_Q119_T,
+        shingle_rel=_docs_shingle_rel(spark, sf_dir),
     )
 
 

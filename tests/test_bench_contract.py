@@ -86,3 +86,11 @@ def test_re_measure_trigger_covers_the_r9_blind_spot():
     # no prior round: the small-oracle arm still protects
     assert r(1.5, 0.1, None, floor) == "abs_outlier"
     assert r(1.5, 0.9, None, floor) is None
+    # r10 ADVICE: a STABLE >= 1 s small-oracle query (within 1.5x of its
+    # same-sf prior) no longer pays the extra min-of-N every round —
+    # history agrees with the measurement, so there is nothing to re-check
+    assert r(1.5, 0.1, 1.4, floor) is None
+    assert r(1.5, None, 1.45, floor) is None
+    # ...but a small-oracle query that DRIFTED past 1.5x its prior still
+    # re-measures even below the 3x hard arm
+    assert r(1.5, 0.1, 0.9, floor) == "abs_outlier"

@@ -361,6 +361,21 @@ def test_pixel_cap_rejects_degenerate_table_amplification():
         decode_jpeg(bytes(raw))
 
 
+def test_pixel_cap_is_configurable_for_legit_oversized_images():
+    """The cap is a DoS guard, not a format limit (r10 ADVICE): a corpus
+    with valid >64 Mpx panoramas/scans raises it per call via
+    ``max_pixels=`` (or module-wide via MAX_DECODE_PIXELS) and decoding
+    proceeds — round-trip checked on a small image under a tiny cap to
+    prove the parameter actually gates the SOF check, both directions."""
+    img = bytes(encode_jpeg(np.full((16, 16, 3), 128, dtype=np.uint8), 85))
+    # tighten: a 256 px image must REJECT under a 100 px cap...
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_jpeg(img, max_pixels=100)
+    # ...and decode under a cap that admits it (the "raised cap" path)
+    out = decode_jpeg(img, max_pixels=256)
+    assert out.shape == (16, 16, 3)
+
+
 def test_huff_lut_accepts_spec_max_256_symbol_table():
     """T.81 allows a DHT with up to 256 symbols; the cache key must not
     crash on len(values)==256 (bytes([256]) raised ValueError)."""

@@ -560,3 +560,148 @@ def test_landed_shingle_relation_joins_exchange_free(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_landed_shingles")
+
+
+def test_shared_shingle_relation_lands_once_per_session(spark, sf_dir):
+    """The engine-level switch (r10 verdict item #3): the first
+    dedup-family call per (session, corpus) pays the landing write, every
+    later call reuses the landed table — checked via warehouse file
+    mtimes (a re-land would rewrite the bucket files). A k-mismatched
+    consumer must refuse the shared relation (the r10 ADVICE stamp),
+    including the prefix variant."""
+    import glob as _glob
+    import os as _os
+
+    import pytest as _pytest
+
+    from franzoxide_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        shared_shingle_relation,
+    )
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    key = f"{sf_dir}/documents#test_shared_once"
+    rel1 = shared_shingle_relation(
+        docs, "text", "doc_id", source_key=key, n_buckets=8
+    )
+    import hashlib as _hashlib
+
+    ident = (key, "text", "doc_id", 3, 8)
+    tbl = "shingle_rel_" + _hashlib.md5(repr(ident).encode()).hexdigest()[:12]
+    assert spark.catalog.tableExists(tbl), "landing did not create the table"
+    wh = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:")
+    land_dir = _os.path.join(wh, tbl)
+    assert _os.path.isdir(land_dir), land_dir
+    before = {
+        p: _os.path.getmtime(p)
+        for p in _glob.glob(land_dir + "/*.parquet")
+    }
+    assert len(before) == 8  # one file per bucket, the landing contract
+    rel2 = shared_shingle_relation(
+        docs, "text", "doc_id", source_key=key, n_buckets=8
+    )
+    after = {
+        p: _os.path.getmtime(p)
+        for p in _glob.glob(land_dir + "/*.parquet")
+    }
+    try:
+        assert after == before, "second call re-landed instead of reusing"
+        assert rel2.count() == rel1.count()
+        # the k-stamp travels with the shared relation; a mismatched
+        # consumer raises instead of producing plausible-but-wrong scores
+        with _pytest.raises(ValueError, match="shingle_k=3"):
+            jaccard_pairs_prefix(
+                docs, "text", "doc_id", 0.5, shingle_k=4, shingle_rel=rel2
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_shared_shingle_relation_recovers_stale_warehouse_dir(spark, sf_dir):
+    """A previous session's landing leaves files in the warehouse that the
+    (in-memory) catalog has forgotten; saveAsTable would then fail
+    LOCATION_ALREADY_EXISTS. The shared landing must clear the orphaned
+    managed location and land cleanly — simulated by planting a stale
+    directory at the exact digest-derived location before the call."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from franzoxide_spark.operators.dedup import shared_shingle_relation
+    from franzoxide_spark.tables import table
+
+    key = f"{sf_dir}/documents#test_stale_recovery"
+    ident = (key, "text", "doc_id", 3, 8)
+    name = "shingle_rel_" + _hashlib.md5(
+        repr(ident).encode()).hexdigest()[:12]
+    assert not spark.catalog.tableExists(name)
+    wh = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:")
+    stale = _os.path.join(wh, name)
+    _os.makedirs(stale, exist_ok=True)
+    with open(_os.path.join(stale, "part-orphan.parquet"), "wb") as f:
+        f.write(b"stale")
+    try:
+        rel = shared_shingle_relation(
+            table(spark, sf_dir, "documents"), "text", "doc_id",
+            source_key=key, n_buckets=8,
+        )
+        assert rel.count() > 0
+        assert not _os.path.exists(_os.path.join(stale, "part-orphan.parquet"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_landing_max_df_strip_bounds_the_largest_bucket(spark):
+    """The bucketed-landing skew mitigation, exercised instead of prose
+    (r10 verdict item #6): a bucketed SMJ has no exchange for AQE's
+    skew-join splitting to re-plan, so a q52-scale boilerplate shingle
+    (one shared by EVERY doc) concentrates its rows in one bucket and
+    its O(df²) pair blowup in one task. Landing with ``max_df`` strips
+    it upstream; the largest bucket must then be bounded near the mean
+    instead of boilerplate-dominated."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.operators.dedup import land_shingle_relation
+
+    n_docs, n_buckets = 400, 8
+    # every doc shares one boilerplate sentence (4 tokens -> 2 hot
+    # 3-shingles in all 400 docs) + 8 unique tokens of its own
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (i, boiler + " " + " ".join(f"tok{i}_{j}" for j in range(8)))
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def bucket_counts(rel):
+        return dict(
+            rel.groupBy(F.pmod(F.hash("g"), F.lit(n_buckets)).alias("b"))
+            .count().collect()
+        )
+
+    try:
+        unstripped = land_shingle_relation(
+            docs, "text", "doc_id", "t_skew_unstripped", n_buckets=n_buckets
+        )
+        hot = bucket_counts(unstripped)
+        # the hazard is real: the boilerplate shingles put ~n_docs extra
+        # rows into their buckets — largest bucket >> mean
+        assert max(hot.values()) > 2.5 * (sum(hot.values()) / n_buckets)
+
+        stripped = land_shingle_relation(
+            docs, "text", "doc_id", "t_skew_stripped",
+            n_buckets=n_buckets, max_df=50,
+        )
+        cold = bucket_counts(stripped)
+        # mitigation bounds the largest bucket near the mean (unique
+        # shingles hash ~uniformly; 2x is a generous bound that a
+        # surviving hot shingle would blow straight through)
+        assert max(cold.values()) <= 2.0 * (sum(cold.values()) / n_buckets), cold
+        # and the strip is stamped on the relation's metadata
+        assert stripped.schema["g"].metadata.get("max_df") == 50
+        # exactly the over-threshold shingles are gone: no surviving
+        # shingle has df > max_df
+        assert stripped.groupBy("g").count().filter("count > 50").count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_skew_unstripped")
+        spark.sql("DROP TABLE IF EXISTS t_skew_stripped")
