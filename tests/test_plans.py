@@ -664,11 +664,14 @@ def test_landing_max_df_strip_bounds_the_largest_bucket(spark):
     from franzoxide_spark.operators.dedup import land_shingle_relation
 
     n_docs, n_buckets = 400, 8
-    # every doc shares one boilerplate sentence (4 tokens -> 2 hot
-    # 3-shingles in all 400 docs) + 8 unique tokens of its own
-    boiler = "subscribe to our newsletter"
+    # every doc shares ONE boilerplate 3-shingle (a 3-token banner in all
+    # 400 docs) + 2 unique tokens -> 3 shingles/doc, 1 of them hot: the
+    # hot shingle's bucket carries ~n_docs rows vs a ~n_total/n_buckets
+    # mean, the exact concentration a bucketed (exchange-free) join
+    # cannot re-plan around
+    boiler = "accept cookie banner"
     rows = [
-        (i, boiler + " " + " ".join(f"tok{i}_{j}" for j in range(8)))
+        (i, f"{boiler} u{i}a u{i}b")
         for i in range(n_docs)
     ]
     docs = spark.createDataFrame(rows, "doc_id int, text string")
