@@ -167,6 +167,16 @@ def land_shingle_relation(
             .select("g")
         )
         rel = rel.join(F.broadcast(hot), "g", "left_anti")
+        # n must be the POST-strip set size or every downstream
+        # jaccard/containment denominator still counts the stripped
+        # boilerplate (scores biased low vs the documented "stripped ==
+        # absent from every document" semantics). One id-keyed window in
+        # the landing pass; docs losing ALL shingles drop out entirely
+        # (they can't pair, which is the point of the strip).
+        rel = rel.withColumn(
+            "n",
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).cast("int"),
+        )
     (
         rel
         # stamp the build parameter on the join key's field metadata —
@@ -244,7 +254,12 @@ def shared_shingle_relation(
     The table name is a digest of the key, deterministic across sessions
     at the same source — a fresh session re-lands over the old files
     (stale-location cleared first; the in-memory catalog cannot vouch
-    for another session's write being complete or current).
+    for another session's write being complete or current), so the
+    warehouse holds at most one landing per corpus instead of
+    accumulating one per session. The deterministic location assumes
+    ONE writer per warehouse at a time (standard managed-table
+    semantics): concurrent jobs over the same corpus should use
+    distinct warehouses or distinct ``source_key`` values.
     """
     import hashlib
 

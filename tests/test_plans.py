@@ -562,6 +562,28 @@ def test_landed_shingle_relation_joins_exchange_free(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_landed_shingles")
 
 
+def test_registry_dedup_family_runs_the_landed_plan(spark, sf_dir):
+    """The REGISTRY entries (not just the operators) must execute the
+    landed, exchange-free-join plan (r10 verdict item #3 'done'
+    criterion): q35/q119 through __spark_entry__'s registry may not
+    hash-partition on the join key g below their self-join — the landing
+    provides the co-location. Also locks the default-on switch: if
+    _docs_shingle_rel silently stopped landing (env regression, key
+    drift), the ad-hoc plan's g-exchange would reappear here."""
+    import os as _os
+
+    assert _os.environ.get("SPARK_GRAFT_DEDUP_LANDING", "1") != "0"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("q35_ngram_jaccard_pairs", "q119_containment_pairs"):
+            plan = _plan(spark, sf_dir, name)
+            assert "SortMergeJoin" in plan, name
+            assert "hashpartitioning(g#" not in plan, f"{name}:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_shared_shingle_relation_lands_once_per_session(spark, sf_dir):
     """The engine-level switch (r10 verdict item #3): the first
     dedup-family call per (session, corpus) pays the landing write, every
@@ -705,6 +727,12 @@ def test_landing_max_df_strip_bounds_the_largest_bucket(spark):
         # exactly the over-threshold shingles are gone: no surviving
         # shingle has df > max_df
         assert stripped.groupBy("g").count().filter("count > 50").count() == 0
+        # n is recomputed POST-strip (stripped == absent from every doc):
+        # every doc had 3 shingles, lost exactly the 1 hot one -> n == 2
+        # everywhere; the pre-strip n=3 would bias every downstream
+        # jaccard/containment denominator low
+        assert stripped.filter("n != 2").count() == 0
+        assert stripped.count() == n_docs * 2
     finally:
         spark.sql("DROP TABLE IF EXISTS t_skew_unstripped")
         spark.sql("DROP TABLE IF EXISTS t_skew_stripped")
