@@ -179,6 +179,7 @@ def re_measure_reason(
     osec: float | None,
     prev: float | None,
     floor: float,
+    anchor: float | None = None,
 ) -> str | None:
     """Why a first-pass timing earns symmetric extra min-of-N samples
     (None = it doesn't). Two triggers:
@@ -189,12 +190,17 @@ def re_measure_reason(
       (< 0.5 s) or absent oracle, or > 3x its previous-round recorded
       value — the class where r9 published q52 at 6.02 s (0.80 s real)
       because the borderline pass could never fire on it. A same-sf
-      prior within 1.5x mutes the small-oracle arm (r10 ADVICE: a
-      STABLE >= 1 s query over a tiny oracle would otherwise pay the
-      extra min-of-N every round forever; the trigger exists to catch
-      measurements that DISAGREE with history, and a within-1.5x prior
-      is history agreeing). The no-prior case keeps the unconditional
-      trigger — a first-ever multi-second wall has nothing to agree with.
+      VALIDATED anchor within 1.5x mutes the small-oracle arm (r10
+      ADVICE: a STABLE >= 1 s query over a tiny oracle would otherwise
+      pay the extra min-of-N every round forever). ``anchor`` is the
+      timing at the query's LAST extra-sampled round (carried forward in
+      BENCH_DETAIL ``validated``, ratcheted down to any faster published
+      min since) — NOT merely last round's published value: muting
+      against the drifting prior would let a slow creep of <= 1.5x per
+      round compound forever without a single re-measure (r11 review
+      finding), whereas the fixed anchor re-validates as soon as
+      CUMULATIVE drift exceeds 1.5x. No anchor (first sight of a >= 1 s
+      wall) keeps the unconditional trigger.
     """
     if osec is not None and osec >= 0.5 and timing > 2.0 * osec + floor:
         return "over_bar"
@@ -202,7 +208,7 @@ def re_measure_reason(
         if prev is not None and timing > 3.0 * prev:
             return "abs_outlier"
         if (osec is None or osec < 0.5) and (
-            prev is None or timing > 1.5 * prev
+            anchor is None or timing > 1.5 * anchor
         ):
             return "abs_outlier"
     return None
@@ -308,6 +314,10 @@ def main() -> None:
     # BENCH_DETAIL.json BEFORE this run overwrites it — the baseline for
     # the absolute-outlier re-measure trigger (spark > 3x prior round).
     prev_timings: dict[str, float] = {}
+    # last VALIDATED (extra-sampled) timing per query — the fixed anchor
+    # the small-oracle mute measures cumulative drift against (see
+    # re_measure_reason); carried in BENCH_DETAIL across rounds
+    prev_validated: dict[str, float] = {}
     try:
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -326,6 +336,11 @@ def main() -> None:
                 k: float(v) for k, v in prev["queries"].items()
                 if isinstance(v, (int, float))
             }
+            if isinstance(prev.get("validated"), dict):
+                prev_validated = {
+                    k: float(v) for k, v in prev["validated"].items()
+                    if isinstance(v, (int, float))
+                }
     except (OSError, ValueError):
         pass  # first run / malformed artifact: outlier arm falls back
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -453,6 +468,7 @@ def main() -> None:
             reason = re_measure_reason(
                 timings[name], oracle_timings.get(name),
                 prev_timings.get(name), floor,
+                anchor=prev_validated.get(name),
             )
             if reason is None:
                 continue
@@ -493,6 +509,18 @@ def main() -> None:
     detail["re_measured"] = sorted(re_measured)
     detail["re_measure_reasons"] = re_measure_reasons
     detail["query_samples"] = samples
+    # Validated-anchor ledger: a re-measured query's final min becomes
+    # its new anchor; a muted query carries its old anchor forward,
+    # RATCHETED DOWN to this round's published min (a faster measurement
+    # is itself evidence — downward recovery is free, upward movement
+    # beyond 1.5x cumulative must earn re-validation).
+    validated = {}
+    for name, t in timings.items():
+        if name in re_measure_reasons:
+            validated[name] = t
+        elif name in prev_validated:
+            validated[name] = round(min(prev_validated[name], t), 4)
+    detail["validated"] = validated
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

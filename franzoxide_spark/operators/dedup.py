@@ -158,6 +158,19 @@ def land_shingle_relation(
     (the standard near-dup posture — boilerplate shared by everything
     carries no dedup signal). Skew-bound asserted in tests/test_plans.py.
     """
+    if max_df is not None and mode != "overwrite":
+        # df counts and the post-strip n recompute are BATCH-local: under
+        # append, a table-wide-hot shingle with a small in-batch df would
+        # survive the strip (re-creating the skew the option prevents)
+        # and a re-appearing doc id would carry batch-dependent n values
+        # into the first(n) denominators — silent wrong scores. Strip
+        # landings are rebuild-only.
+        raise ValueError(
+            "land_shingle_relation: max_df requires mode='overwrite' — "
+            "document frequency is computed over this batch only, so an "
+            "append would strip against partial counts and write "
+            "inconsistent post-strip n values"
+        )
     rel = _shingle_hash_relation(df, text_col, id_col, shingle_k)
     if max_df is not None:
         hot = (
@@ -217,13 +230,20 @@ _SESSION_LANDINGS: dict[tuple, str] = {}
 
 def _clear_stale_table_location(spark, name: str) -> None:
     """Remove a managed-table directory orphaned by a previous session
-    (files on disk, no catalog entry). Uses the Hadoop FileSystem API so
-    the path scheme (local/HDFS/S3A) doesn't matter."""
+    (files on disk, no catalog entry). The location is resolved from the
+    CURRENT database's locationUri (for the default database that is the
+    warehouse dir; for any other it is <warehouse>/<db>.db/ or wherever
+    the db was created) — a plain <warehouse>/<name> concat would
+    silently miss the stale dir in a non-default database and the
+    saveAsTable would still crash LOCATION_ALREADY_EXISTS. Uses the
+    Hadoop FileSystem API so the path scheme (local/HDFS/S3A) doesn't
+    matter."""
     if spark.catalog.tableExists(name):
         return
-    wh = spark.conf.get("spark.sql.warehouse.dir")
+    db_loc = spark.catalog.getDatabase(
+        spark.catalog.currentDatabase()).locationUri
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(wh + "/" + name)
+    path = jvm.org.apache.hadoop.fs.Path(db_loc.rstrip("/") + "/" + name)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)
@@ -267,7 +287,7 @@ def shared_shingle_relation(
     ident = (source_key, text_col, id_col, shingle_k, n_buckets)
     key = (spark.sparkContext.applicationId,) + ident
     name = "shingle_rel_" + hashlib.md5(repr(ident).encode()).hexdigest()[:12]
-    if _SESSION_LANDINGS.get(key) == name and spark.catalog.tableExists(name):
+    if key in _SESSION_LANDINGS and spark.catalog.tableExists(name):
         return spark.table(name)
     _clear_stale_table_location(spark, name)
     rel = land_shingle_relation(

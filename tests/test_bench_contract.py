@@ -87,10 +87,16 @@ def test_re_measure_trigger_covers_the_r9_blind_spot():
     assert r(1.5, 0.1, None, floor) == "abs_outlier"
     assert r(1.5, 0.9, None, floor) is None
     # r10 ADVICE: a STABLE >= 1 s small-oracle query (within 1.5x of its
-    # same-sf prior) no longer pays the extra min-of-N every round —
-    # history agrees with the measurement, so there is nothing to re-check
-    assert r(1.5, 0.1, 1.4, floor) is None
-    assert r(1.5, None, 1.45, floor) is None
-    # ...but a small-oracle query that DRIFTED past 1.5x its prior still
-    # re-measures even below the 3x hard arm
-    assert r(1.5, 0.1, 0.9, floor) == "abs_outlier"
+    # VALIDATED anchor — the timing at its last extra-sampled round) no
+    # longer pays the extra min-of-N every round
+    assert r(1.5, 0.1, 1.4, floor, anchor=1.4) is None
+    assert r(1.5, None, 1.45, floor, anchor=1.45) is None
+    # ...but cumulative drift past 1.5x of the ANCHOR re-measures even
+    # when each round-over-round step stays under 1.5x — the creep
+    # scenario (1.0 -> 1.45 -> 2.1, every step < 1.5x prior) must not
+    # compound unvalidated (r11 review finding)
+    assert r(2.1, 0.1, 1.45, floor, anchor=1.0) == "abs_outlier"
+    assert r(1.5, 0.1, 1.4, floor, anchor=0.9) == "abs_outlier"
+    # a prior-round value alone (no anchor yet) never mutes: the first
+    # >= 1 s sighting always earns the extra pass that seeds the anchor
+    assert r(1.5, 0.1, 1.4, floor) == "abs_outlier"

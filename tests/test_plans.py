@@ -572,7 +572,12 @@ def test_registry_dedup_family_runs_the_landed_plan(spark, sf_dir):
     drift), the ad-hoc plan's g-exchange would reappear here."""
     import os as _os
 
-    assert _os.environ.get("SPARK_GRAFT_DEDUP_LANDING", "1") != "0"
+    import pytest as _pytest
+
+    if _os.environ.get("SPARK_GRAFT_DEDUP_LANDING", "1") == "0":
+        # the documented A/B opt-out is a legitimate environment, not a
+        # code defect — skip rather than fail the suite under it
+        _pytest.skip("dedup landing disabled via SPARK_GRAFT_DEDUP_LANDING=0")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -733,6 +738,16 @@ def test_landing_max_df_strip_bounds_the_largest_bucket(spark):
         # jaccard/containment denominator low
         assert stripped.filter("n != 2").count() == 0
         assert stripped.count() == n_docs * 2
+        # max_df + append refused: df counts and the n recompute are
+        # batch-local, so appending would strip against partial counts
+        # and write batch-inconsistent n values (r11 review finding)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="mode='overwrite'"):
+            land_shingle_relation(
+                docs, "text", "doc_id", "t_skew_stripped",
+                n_buckets=n_buckets, max_df=50, mode="append",
+            )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_skew_unstripped")
         spark.sql("DROP TABLE IF EXISTS t_skew_stripped")
