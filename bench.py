@@ -214,6 +214,27 @@ def re_measure_reason(
     return None
 
 
+def update_validated(
+    timings: dict[str, float],
+    re_measure_reasons: dict[str, str],
+    prev_validated: dict[str, float],
+) -> dict[str, float]:
+    """Next round's validated-anchor ledger (see re_measure_reason):
+    a re-measured query's final min becomes its new anchor; a muted
+    query carries its old anchor forward RATCHETED DOWN to this round's
+    published min (a faster measurement is itself evidence — downward
+    recovery is free, upward movement beyond 1.5x cumulative must earn
+    re-validation). Queries never re-measured and never anchored get no
+    entry: their first >= 1 s sighting triggers the seeding pass."""
+    validated: dict[str, float] = {}
+    for name, t in timings.items():
+        if name in re_measure_reasons:
+            validated[name] = t
+        elif name in prev_validated:
+            validated[name] = round(min(prev_validated[name], t), 4)
+    return validated
+
+
 def build_summary(
     timings: dict[str, float],
     oracle_timings: dict[str, float],
@@ -509,18 +530,9 @@ def main() -> None:
     detail["re_measured"] = sorted(re_measured)
     detail["re_measure_reasons"] = re_measure_reasons
     detail["query_samples"] = samples
-    # Validated-anchor ledger: a re-measured query's final min becomes
-    # its new anchor; a muted query carries its old anchor forward,
-    # RATCHETED DOWN to this round's published min (a faster measurement
-    # is itself evidence — downward recovery is free, upward movement
-    # beyond 1.5x cumulative must earn re-validation).
-    validated = {}
-    for name, t in timings.items():
-        if name in re_measure_reasons:
-            validated[name] = t
-        elif name in prev_validated:
-            validated[name] = round(min(prev_validated[name], t), 4)
-    detail["validated"] = validated
+    detail["validated"] = update_validated(
+        timings, re_measure_reasons, prev_validated
+    )
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

@@ -100,3 +100,21 @@ def test_re_measure_trigger_covers_the_r9_blind_spot():
     # a prior-round value alone (no anchor yet) never mutes: the first
     # >= 1 s sighting always earns the extra pass that seeds the anchor
     assert r(1.5, 0.1, 1.4, floor) == "abs_outlier"
+
+
+def test_validated_ledger_seeds_carries_and_ratchets():
+    """update_validated contract: re-measured queries seed/refresh their
+    anchor at the final min; muted queries carry the old anchor forward
+    ratcheted DOWN to this round's published min (downward recovery is
+    free); unanchored, un-re-measured queries stay absent so their first
+    >= 1 s sighting seeds via the unconditional trigger."""
+    from bench import update_validated as u
+
+    timings = {"a": 1.2, "b": 0.9, "c": 2.0, "d": 1.1}
+    reasons = {"a": "abs_outlier"}           # a re-measured this round
+    prev = {"b": 1.3, "c": 1.8}              # b,c anchored earlier
+    out = u(timings, reasons, prev)
+    assert out["a"] == 1.2                   # seeded at the re-measured min
+    assert out["b"] == 0.9                   # ratcheted down (0.9 < 1.3)
+    assert out["c"] == 1.8                   # carried (2.0 > 1.8, no ratchet up)
+    assert "d" not in out                    # never anchored, never re-measured
