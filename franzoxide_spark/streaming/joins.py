@@ -28,6 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _lit_col(name: str):
+    """A column reference that treats ``name`` fully literally: plain
+    ``F.col`` (like ``F.expr``) parses dots as struct-field access, so a
+    legal column literally named ``"event.ts"`` would mis-resolve (or
+    resolve against an unrelated struct). Backtick-quoting (with Spark's
+    double-backtick escape) makes every validated-by-membership name
+    resolve as itself."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -58,10 +68,17 @@ def interval_join(
     documented outer stream-stream contract): an unmatched row CANNOT
     emit as soon as it's seen — a match might still arrive — so it emits
     null-padded only after the watermark passes its interval bound and
-    its state is evicted. That makes ``watermark`` REQUIRED for any
-    streaming outer interval join (Spark enforces it at analysis); batch
-    outer joins need no watermark and emit unmatched rows immediately,
-    and the two faces agree on the final relation.
+    its state is evicted. That makes ``watermark`` REQUIRED for a
+    STREAM-STREAM outer interval join (Spark enforces it at analysis);
+    a stream-static ``left_outer`` (streaming left, static right) needs
+    none — the static side is fully known per micro-batch. Batch outer
+    joins need no watermark and emit unmatched rows immediately; the two
+    faces agree on every row whose interval bound the watermark has
+    passed. On a FINITE stream the tail diverges by construction:
+    unmatched rows within ``upper + watermark`` of the last event never
+    see the watermark cross their bound, so they are never emitted —
+    drain with a closing punctuation event (the q176 test does exactly
+    this) before comparing against the batch relation.
     """
     if left_ts == right_ts:
         raise ValueError(
@@ -70,35 +87,84 @@ def interval_join(
         )
     if on not in left.columns or on not in right.columns:
         raise ValueError(f"join key {on!r} missing from an input")
+    if left_ts not in left.columns:
+        raise ValueError(f"left_ts {left_ts!r} missing from the left input")
+    if right_ts not in right.columns:
+        raise ValueError(f"right_ts {right_ts!r} missing from the right input")
+    # any OTHER shared name would silently duplicate in the output (both
+    # survive the join under one name) and poison every downstream
+    # reference with AMBIGUOUS_REFERENCE — refuse up front, same as the
+    # left_ts == right_ts case above
+    overlap = sorted((set(left.columns) & set(right.columns)) - {on})
+    if overlap:
+        raise ValueError(
+            f"left and right share non-key column names {overlap}; rename"
+            " them before joining (the output carries both sides' columns)"
+        )
     if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(
             f"how must be 'inner', 'left_outer' or 'full_outer', got {how!r}"
         )
-    if (
-        how in ("left_outer", "full_outer")
-        and watermark is None
-        and (left.isStreaming or right.isStreaming)
+    if how in ("left_outer", "full_outer") and (
+        left.isStreaming or right.isStreaming
     ):
-        raise ValueError(
-            f"streaming {how} interval join requires a watermark"
-            " (state for unmatched rows must be evictable)"
-        )
+        if left.isStreaming and right.isStreaming:
+            if watermark is None:
+                raise ValueError(
+                    f"stream-stream {how} interval join requires a"
+                    " watermark (state for unmatched rows must be"
+                    " evictable)"
+                )
+        elif how == "full_outer":
+            # stream-static full outer is unsupported by Spark outright —
+            # fail here with the real reason instead of letting a
+            # confusing AnalysisException surface downstream
+            raise ValueError(
+                "full_outer interval join needs both sides streaming (or"
+                " both batch): Spark does not support stream-static full"
+                " outer joins — stage the static side as a stream or use"
+                " left_outer"
+            )
+        elif right.isStreaming:
+            raise ValueError(
+                "left_outer interval join with a STATIC left and"
+                " STREAMING right is not supported by Spark (static rows"
+                " cannot be null-padded against unbounded stream state);"
+                " swap the sides or stage the stream"
+            )
+        # streaming left + static right left_outer: supported, no
+        # watermark required
     if watermark is not None:
         left = left.withWatermark(left_ts, watermark)
         right = right.withWatermark(right_ts, watermark)
-    lower_op = ">" if strict_after else ">="
-    # the only shared column name is the key — rename the right side's so
-    # the join condition and the output are unambiguous
+    # the key is the only shared column name (validated above) — rename
+    # the right side's so the join condition and the output are
+    # unambiguous; guard the synthesized name against a (pathological)
+    # pre-existing column rather than silently duplicating it
     right_key = f"__{on}_r"
+    if right_key in right.columns:
+        raise ValueError(
+            f"right input already has a column named {right_key!r} (the"
+            " synthesized right-key name); rename it before joining"
+        )
     right = right.withColumnRenamed(on, right_key)
+    # Backtick-quoted column comparisons, not f-string SQL: interpolating
+    # names into F.expr mis-resolves dotted names as struct access and
+    # breaks on spaces/hyphens; only the interval literal (a grammar
+    # keyword argument, validated by the parser at this very call) goes
+    # through expr
+    lts, rts = _lit_col(left_ts), _lit_col(right_ts)
+    lo = rts > lts if strict_after else rts >= lts
     cond = (
-        (F.col(on) == F.col(right_key))
-        & F.expr(f"{right_ts} {lower_op} {left_ts}")
-        & F.expr(f"{right_ts} <= {left_ts} + interval {upper}")
+        (_lit_col(on) == _lit_col(right_key))
+        & lo
+        & (rts <= lts + F.expr(f"interval {upper}"))
     )
     joined = left.join(right, cond, how)
     if how == "full_outer":
         # an unmatched RIGHT row carries its key only in the renamed right
         # column — surface one unified key instead of dropping it
-        joined = joined.withColumn(on, F.coalesce(F.col(on), F.col(right_key)))
+        joined = joined.withColumn(
+            on, F.coalesce(_lit_col(on), _lit_col(right_key))
+        )
     return joined.drop(right_key)

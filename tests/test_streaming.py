@@ -1386,6 +1386,83 @@ def test_interval_join_rejects_bad_inputs(spark):
             df, df.withColumnRenamed("user_id", "uid"),
             on="user_id", left_ts="ts", right_ts="ts2",
         )
+    right = spark.createDataFrame([], "ts2 timestamp, user_id long")
+    # ts args referencing absent columns fail in THIS error layer, not as
+    # a raw AnalysisException from withWatermark/join (r11 review)
+    with pytest.raises(ValueError, match="left_ts 'nope' missing"):
+        interval_join(df, right, on="user_id", left_ts="nope", right_ts="ts2")
+    with pytest.raises(ValueError, match="right_ts 'nope' missing"):
+        interval_join(df, right, on="user_id", left_ts="ts", right_ts="nope")
+    # non-key name overlap would silently duplicate in the output and
+    # poison downstream references — refused up front (r11 review)
+    lval = spark.createDataFrame([], "ts timestamp, user_id long, value double")
+    rval = spark.createDataFrame([], "ts2 timestamp, user_id long, value double")
+    with pytest.raises(ValueError, match=r"share non-key column names \['value'\]"):
+        interval_join(lval, rval, on="user_id", left_ts="ts", right_ts="ts2")
+    # pathological collision with the synthesized right-key name
+    coll = right.withColumn("__user_id_r", F.lit(1))
+    with pytest.raises(ValueError, match="__user_id_r"):
+        interval_join(df, coll, on="user_id", left_ts="ts", right_ts="ts2")
+
+
+def test_interval_join_stream_static_guard_matrix(spark, tmp_path):
+    """Streaming-combination guards (r11 review): stream-stream outer
+    still demands a watermark; stream-static left_outer (streaming left,
+    static right — a combination Spark supports with NO watermark) is
+    accepted; the two combinations Spark cannot run (stream-static
+    full_outer, static-left/streaming-right left_outer) fail in OUR error
+    layer with the real reason instead of a downstream AnalysisException."""
+    from franzoxide_spark.streaming.joins import interval_join
+
+    v_dir = str(tmp_path / "v_in")
+    os.makedirs(v_dir)
+    stream = spark.readStream.schema("v_ts timestamp, user_id long").parquet(v_dir)
+    static = spark.createDataFrame([], "p_ts timestamp, user_id long")
+
+    # stream-stream outer without watermark: still refused
+    s2 = spark.readStream.schema("p_ts timestamp, user_id long").parquet(v_dir)
+    with pytest.raises(ValueError, match="stream-stream left_outer .* watermark"):
+        interval_join(stream, s2, on="user_id", left_ts="v_ts",
+                      right_ts="p_ts", how="left_outer")
+    # stream-static left_outer needs NO watermark — plan builds, stays
+    # streaming (this was wrongly rejected before the r11 fix)
+    out = interval_join(stream, static, on="user_id", left_ts="v_ts",
+                        right_ts="p_ts", how="left_outer")
+    assert out.isStreaming
+    # unsupported-by-Spark combinations die here with the real reason
+    with pytest.raises(ValueError, match="full_outer .* both sides streaming"):
+        interval_join(stream, static, on="user_id", left_ts="v_ts",
+                      right_ts="p_ts", how="full_outer")
+    with pytest.raises(ValueError, match="STATIC left and STREAMING right"):
+        interval_join(static.withColumnRenamed("p_ts", "s_ts"), stream,
+                      on="user_id", left_ts="s_ts", right_ts="v_ts",
+                      how="left_outer")
+
+
+def test_interval_join_quotes_nonstandard_column_names(spark):
+    """The join condition must treat column names literally: a column
+    named 'event.ts' (legal, needs backticks) previously mis-parsed as
+    struct access inside the f-string F.expr condition (r11 review).
+    Same relation as the plain-name batch test, dotted/spaced names."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(t(0), 1), (t(40), 1)], ["event.ts", "user id"]
+    )
+    right = spark.createDataFrame(
+        [(t(10), 1), (t(0), 1), (t(50), 1)], ["pay ts", "user id"]
+    )
+    got = sorted(
+        (r["user id"], r["event.ts"].minute, r["pay ts"].minute)
+        for r in interval_join(
+            left, right, on="user id", left_ts="event.ts",
+            right_ts="pay ts", upper="30 minutes",
+        ).collect()
+    )
+    assert got == [(1, 0, 10), (1, 40, 50)], got
 
 
 def test_foreachbatch_quarantine_side_output(spark, tmp_path):
