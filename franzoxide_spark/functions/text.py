@@ -29,6 +29,14 @@ def sql_hash60(expr: str) -> str:
     return f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15) AS BIGINT)"
 
 
+# The same contract as a Spark SQL-expr fragment, for use inside
+# higher-order-function lambdas (transform(...)) where a Column can't
+# reach: ONE definition shared by the dedup shingle relation and the
+# streaming near-dup verifier — a contract change here changes both,
+# never a silent batch/stream divergence (r11 review).
+HASH60_SPARK = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+
+
 # seeded variant: h_i(s) = hash60(i || ':' || s)
 HASH60_SEEDED_SPARK = (
     "cast(conv(substr(md5(concat(cast({i} as string), ':', {s})), 1, 15), 16, 10)"

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from franzoxide_spark.functions.text import (
     HASH60_SEEDED_SPARK,
+    HASH60_SPARK,
     shingles,
     tokens,
 )
@@ -57,8 +58,7 @@ def _shingle_hash_arrays(
         .select(
             id_col,
             F.expr(
-                "transform(s, g -> cast(conv(substr(md5(g), 1, 15), 16, 10)"
-                " as bigint))"
+                f"transform(s, g -> {HASH60_SPARK.format(s='g')})"
             ).alias("h"),
             F.size("s").alias("n"),
         )
@@ -368,8 +368,8 @@ def minhash_signatures(
         .withColumn(
             "bh",
             F.expr(
-                "transform(shingle_set, s -> cast(conv(substr(md5(s), 1, 15),"
-                f" 16, 10) as bigint) % {MINHASH_P})"
+                "transform(shingle_set, s -> "
+                f"{HASH60_SPARK.format(s='s')} % {MINHASH_P})"
             ),
         )
         .withColumn("sig", F.expr(f"array({perms})"))

@@ -79,22 +79,37 @@ BLOOM_STATE_SCHEMA = "bits binary, n bigint"
 def bloom_params(capacity: int, fpp: float) -> tuple[int, int]:
     """Standard Bloom sizing: m bits for ``capacity`` insertions at false-
     positive rate ``fpp``, k hash functions. m is rounded up to whole
-    bytes so the state blob has a fixed, predictable size."""
+    bytes so the state blob has a fixed, predictable size. Degenerate
+    parameters are refused HERE, on the driver, where the message points
+    at the argument — fpp >= 1 yields m <= 0, which would otherwise
+    surface as a ZeroDivisionError/ValueError crash-loop inside the
+    executor on the first record (r11 review)."""
     import math
 
+    if capacity <= 0:
+        raise ValueError(f"bloom capacity must be positive, got {capacity}")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"bloom fpp must be in (0, 1), got {fpp}")
     m = math.ceil(-capacity * math.log(fpp) / (math.log(2) ** 2))
     m = ((m + 7) // 8) * 8
     k = max(1, round(m / capacity * math.log(2)))
     return m, k
 
 
-def _bloom_positions(member: str, m: int, k: int) -> list[int]:
+def _bloom_positions(member: str | None, m: int, k: int) -> list[int]:
     """k bit positions via double hashing over one md5 digest — fully
     deterministic (no process-salted ``hash()``) so state survives
-    checkpoint recovery on a different executor/process."""
+    checkpoint recovery on a different executor/process. A null member
+    hashes under a sentinel byte (a poison record must dedup like any
+    other value, matching the exact variant's set semantics — it may
+    NOT crash-loop the query on checkpoint replay, r11 review)."""
     import hashlib
 
-    d = hashlib.md5(member.encode("utf-8")).digest()
+    # None or float('nan') — Arrow surfaces SQL NULL as either depending
+    # on the column's pandas dtype
+    null = member is None or member != member
+    raw = b"\x00<null>" if null else member.encode("utf-8")
+    d = hashlib.md5(raw).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:16], "big") | 1
     return [(h1 + i * h2) % m for i in range(k)]
@@ -308,6 +323,7 @@ def streaming_neardup(
     deployments add TTL via the transformWithState API (see
     running_counts_tws) to expire cold buckets.
     """
+    from franzoxide_spark.functions.text import HASH60_SPARK
     from franzoxide_spark.operators.dedup import (
         _with_tokens,
         minhash_signatures,
@@ -319,10 +335,10 @@ def streaming_neardup(
         _with_tokens(docs, text_col), text_col, id_col, num_hashes, shingle_k
     ).withColumn(
         "sh60",
-        F.expr(
-            "transform(shingle_set, s ->"
-            " cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
-        ),
+        # the shared cross-engine hash contract (functions/text.py) — the
+        # batch dedup family computes the same expression, so the
+        # streaming verifier can never silently desync from it
+        F.expr(f"transform(shingle_set, s -> {HASH60_SPARK.format(s='s')})"),
     )
     banded = sig.select(
         F.col(id_col).alias("doc_id"),
@@ -370,9 +386,21 @@ def make_session_update(gap_s: int):
             state.remove()
             yield pd.DataFrame([(key[0], st, lt, n)], columns=cols)
             return
+        # epoch seconds come PRE-COMPUTED from Spark (unix_timestamp in
+        # streaming_sessionize): pandas delivers event-time columns
+        # localized to spark.sql.session.timeZone then stripped of tz, so
+        # deriving epoch here via Timestamp.timestamp() is off by the
+        # session-tz offset in any non-UTC session — which desyncs the
+        # timeout against getCurrentWatermarkMs() (true UTC) and shifts
+        # every emitted start_s/end_s (r11 review). Null event times are
+        # skipped: one poison row must not crash-loop the query on
+        # checkpoint replay.
         ev: list[int] = []
         for pdf in pdf_iter:
-            ev.extend(int(t.timestamp()) for t in pdf["ts"])
+            # pd.isna covers every null face Arrow may deliver for a
+            # nullable bigint (None, float NaN, pd.NA — the latter makes
+            # a bare `s == s` guard raise on ambiguous truth value)
+            ev.extend(int(s) for s in pdf["es"] if not pd.isna(s))
         ev.sort()
         st, lt, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple] = []
@@ -397,13 +425,16 @@ def make_session_update(gap_s: int):
             else:
                 closed.append((key[0], st, lt, n))
                 st, lt, n = t, t, 1
-        state.update((st, lt, n))
-        # the timeout must sit strictly past the current watermark or
-        # Spark rejects it — clamp for sessions already older than the
-        # watermark (they then time out on the very next batch)
-        state.setTimeoutTimestamp(
-            max((lt + gap_s) * 1000, state.getCurrentWatermarkMs() + 1)
-        )
+        if st is not None:
+            # (st is None only when every row in the batch had a null
+            # event time and no session was open — nothing to track)
+            state.update((st, lt, n))
+            # the timeout must sit strictly past the current watermark or
+            # Spark rejects it — clamp for sessions already older than the
+            # watermark (they then time out on the very next batch)
+            state.setTimeoutTimestamp(
+                max((lt + gap_s) * 1000, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(closed, columns=cols)
 
     return _update
@@ -432,9 +463,23 @@ def streaming_sessionize(
     active keys, not stream history; the shuffle is the standard per-key
     state partitioning.
     """
-    keyed = events.select(
-        F.col(ts_col).alias("ts"), F.col(key_col).cast("string").alias("key")
-    ).withWatermark("ts", watermark)
+    keyed = (
+        events
+        # a null event time can neither extend nor open a session, and a
+        # NaT reaching the state fn would fail the batch and crash-loop
+        # on checkpoint replay (r11 review)
+        .filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(ts_col).alias("ts"),
+            # true-UTC epoch seconds, computed ENGINE-side: the pandas
+            # face of a timestamp is session-tz-localized, so epoch math
+            # inside the state fn would shift by the tz offset in any
+            # non-UTC session (see make_session_update)
+            F.unix_timestamp(F.col(ts_col)).alias("es"),
+            F.col(key_col).cast("string").alias("key"),
+        )
+        .withWatermark("ts", watermark)
+    )
     return keyed.groupBy("key").applyInPandasWithState(
         make_session_update(gap_s),
         outputStructType=SESSION_OUTPUT_SCHEMA,
@@ -460,6 +505,10 @@ def make_spacesaving_update(capacity: int):
     (err). Guarantees: count_max ≥ true ≥ count_max − err = count_min,
     and any item with true count > N/capacity is tracked — the same
     never-undercount contract as q72's CMS, in O(capacity) state."""
+    if capacity < 1:
+        # fail on the driver, not as min()-of-empty inside the executor's
+        # first eviction (r11 review; same pattern as make_quantile_update)
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
 
     def _update(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -569,6 +618,14 @@ def make_quantile_update(capacity: int, qs=(0.25, 0.5, 0.75)):
     error O(1/sqrt(capacity)), not data-dependent drift."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    if len(qs) != 3:
+        # the output schema is fixed at p25/p50/p75 — a shorter qs would
+        # IndexError in the executor on the first non-empty batch and a
+        # longer one would silently drop entries (r11 review)
+        raise ValueError(
+            f"qs must have exactly 3 entries (output schema is fixed at"
+            f" p25/p50/p75), got {len(qs)}"
+        )
 
     def _update(key, pdf_iter, state: GroupState):
         import numpy as np
@@ -620,7 +677,12 @@ def streaming_quantiles(
         f"cast({key_col} as string) as key",
         f"cast({id_col} as bigint) as rid",
         f"cast({value_col} as double) as value",
-    )
+        # a null rid makes Arrow deliver the bigint column as float64
+        # (int(nan) crash-loops the query) and a null value would poison
+        # np.quantile with NaN permanently once sampled; drop both —
+        # mirrored in batch_bottomk_quantiles so the parity oracle sees
+        # the same relation (r11 review)
+    ).filter("rid IS NOT NULL AND value IS NOT NULL")
     return keyed.groupBy("key").applyInPandasWithState(
         make_quantile_update(capacity),
         outputStructType=QUANTILE_OUTPUT_SCHEMA,
@@ -644,11 +706,16 @@ def batch_bottomk_quantiles(
 
     from pyspark.sql import Window
 
-    keyed = events.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.col(id_col).cast("bigint").alias("rid"),
-        F.col(value_col).cast("double").alias("value"),
-    ).withColumn("__h", hash60(F.col("rid").cast("string")))
+    keyed = (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(id_col).cast("bigint").alias("rid"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        # same null policy as the streaming face (see streaming_quantiles)
+        .filter(F.col("rid").isNotNull() & F.col("value").isNotNull())
+        .withColumn("__h", hash60(F.col("rid").cast("string")))
+    )
     w = Window.partitionBy("key").orderBy("__h", "rid")
     sample = keyed.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= capacity

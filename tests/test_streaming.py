@@ -1262,7 +1262,11 @@ def test_sessionize_update_fn_late_events_never_regress_frontier(spark):
     st = FakeState()
 
     def run(ts_list):
-        pdf = pd.DataFrame({"ts": pd.to_datetime(ts_list, unit="s", utc=True)})
+        # the update fn consumes PRE-COMPUTED epoch seconds ("es", from
+        # unix_timestamp in streaming_sessionize) — pandas timestamps are
+        # session-tz-localized, so epoch math in the fn was tz-unsafe
+        # (r11 review)
+        pdf = pd.DataFrame({"es": pd.array(ts_list, dtype="int64")})
         return list(fn(("1",), iter([pdf]), st))[0]
 
     base = 43200
@@ -1280,6 +1284,80 @@ def test_sessionize_update_fn_late_events_never_regress_frontier(spark):
         ("1", base - 3600 - 1801, base - 3600 - 1801, 1)
     ]
     assert st.get == (base - 600, base, 2)
+
+
+def test_stateful_factories_validate_on_the_driver():
+    """Degenerate sketch parameters must fail at factory time with a
+    message naming the argument — not as an opaque ZeroDivisionError /
+    min()-of-empty / IndexError crash-loop inside the executor on the
+    first record (r11 review)."""
+    from franzoxide_spark.streaming.stateful import (
+        bloom_params,
+        make_quantile_update,
+        make_spacesaving_update,
+    )
+
+    with pytest.raises(ValueError, match="fpp"):
+        bloom_params(100, 1.0)
+    with pytest.raises(ValueError, match="fpp"):
+        bloom_params(100, 0.0)
+    with pytest.raises(ValueError, match="capacity"):
+        bloom_params(0, 0.01)
+    with pytest.raises(ValueError, match="capacity"):
+        make_spacesaving_update(0)
+    with pytest.raises(ValueError, match="exactly 3"):
+        make_quantile_update(16, qs=(0.5,))
+
+
+def test_stateful_update_fns_survive_null_rows():
+    """Poison-record robustness (r11 review): a null member/event-time
+    reaching a state update fn must behave like data (bloom: dedup the
+    null like any member, matching the exact variant's set semantics) or
+    be skipped (sessionize) — never raise, because a failed micro-batch
+    replays from the checkpoint and the query crash-loops forever on one
+    bad record."""
+    import pandas as pd
+
+    from franzoxide_spark.streaming.stateful import (
+        make_bloom_dedup_update,
+        make_session_update,
+    )
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    # bloom dedup: None dedups like a value — first occurrence emits,
+    # repeats (same batch or later) do not
+    bloom = make_bloom_dedup_update(1000, 0.01)
+    st = FakeState()
+    out1 = list(bloom(("k",), iter([pd.DataFrame({"member": ["a", None, None, "a"]})]), st))[0]
+    assert len(out1) == 2  # 'a' once, null once
+    out2 = list(bloom(("k",), iter([pd.DataFrame({"member": [None, "b"]})]), st))[0]
+    assert list(out2["member"]) == ["b"]
+
+    # sessionize: null epoch rows are skipped; an ALL-null batch with no
+    # open session tracks nothing and sets no timeout
+    sess = make_session_update(gap_s=1800)
+    st2 = FakeState()
+    out3 = list(sess(("k",), iter([pd.DataFrame({"es": pd.array([None, None], dtype="Int64")})]), st2))[0]
+    assert len(out3) == 0 and not st2.exists
+    out4 = list(sess(("k",), iter([pd.DataFrame({"es": pd.array([1000, None], dtype="Int64")})]), st2))[0]
+    assert len(out4) == 0 and st2.get == (1000, 1000, 1)
 
 
 def test_stream_stream_interval_join_late_pair_dropped(spark, tmp_path):
