@@ -225,13 +225,19 @@ def update_validated(
     published min (a faster measurement is itself evidence — downward
     recovery is free, upward movement beyond 1.5x cumulative must earn
     re-validation). Queries never re-measured and never anchored get no
-    entry: their first >= 1 s sighting triggers the seeding pass."""
+    entry: their first >= 1 s sighting triggers the seeding pass. A
+    previously-anchored query ABSENT from this round's timings (e.g. a
+    transient error) keeps its anchor unchanged — it cannot drift while
+    unmeasured, and dropping it would force the full min-of-N re-seed
+    on recovery that the mute exists to avoid (r11 ADVICE)."""
     validated: dict[str, float] = {}
     for name, t in timings.items():
         if name in re_measure_reasons:
             validated[name] = t
         elif name in prev_validated:
             validated[name] = round(min(prev_validated[name], t), 4)
+    for name, t in prev_validated.items():
+        validated.setdefault(name, t)
     return validated
 
 

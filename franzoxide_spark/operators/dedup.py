@@ -227,26 +227,81 @@ def land_shingle_relation(
 # saveAsTable fails LOCATION_ALREADY_EXISTS).
 _SESSION_LANDINGS: dict[tuple, str] = {}
 
+# Write-completion marker (r11 ADVICE): a landing that finished its
+# saveAsTable drops this file into the table directory. A stale dir
+# WITH the marker is a dead session's completed landing — safe to
+# reclaim. A stale dir WITHOUT it is either a concurrent session's
+# in-progress write (must NOT be deleted silently — the failure mode
+# would be the other job's dedup rows going missing with no error) or
+# a crashed writer's debris; the two are told apart by modification
+# age against a grace window.
+_LANDING_MARKER = "_LANDING_COMPLETE"
+_LANDING_GRACE_SECS = 3600.0
 
-def _clear_stale_table_location(spark, name: str) -> None:
-    """Remove a managed-table directory orphaned by a previous session
-    (files on disk, no catalog entry). The location is resolved from the
-    CURRENT database's locationUri (for the default database that is the
-    warehouse dir; for any other it is <warehouse>/<db>.db/ or wherever
-    the db was created) — a plain <warehouse>/<name> concat would
-    silently miss the stale dir in a non-default database and the
-    saveAsTable would still crash LOCATION_ALREADY_EXISTS. Uses the
-    Hadoop FileSystem API so the path scheme (local/HDFS/S3A) doesn't
-    matter."""
-    if spark.catalog.tableExists(name):
-        return
+
+def _table_fs_path(spark, name: str):
+    """(fs, path) for the managed-table location of ``name``. Resolved
+    from the CURRENT database's locationUri (for the default database
+    that is the warehouse dir; for any other it is <warehouse>/<db>.db/
+    or wherever the db was created) — a plain <warehouse>/<name> concat
+    would silently miss a non-default database. Hadoop FileSystem API so
+    the path scheme (local/HDFS/S3A) doesn't matter."""
     db_loc = spark.catalog.getDatabase(
         spark.catalog.currentDatabase()).locationUri
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(db_loc.rstrip("/") + "/" + name)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
+    return fs, path
+
+
+def _clear_stale_table_location(
+    spark, name: str, *, grace_secs: float = _LANDING_GRACE_SECS,
+) -> None:
+    """Reclaim a managed-table directory orphaned by a previous session
+    (files on disk, no catalog entry — saveAsTable would otherwise fail
+    LOCATION_ALREADY_EXISTS). Deletion is gated on the write-completion
+    marker: a marked dir is a finished landing from a dead session and
+    is removed; an UNMARKED dir modified within ``grace_secs`` may be a
+    live concurrent writer mid-landing, so this raises loudly instead of
+    silently removing its files (r11 ADVICE). An unmarked dir older than
+    the grace window is a crashed writer's debris and is reclaimed so a
+    crash cannot permanently wedge the corpus."""
+    if spark.catalog.tableExists(name):
+        return
+    fs, path = _table_fs_path(spark, name)
+    if not fs.exists(path):
+        return
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(path, _LANDING_MARKER)
+    if not fs.exists(marker):
+        import time
+
+        newest_ms = fs.getFileStatus(path).getModificationTime()
+        for st in fs.listStatus(path):
+            newest_ms = max(newest_ms, st.getModificationTime())
+        age = time.time() - newest_ms / 1000.0
+        if age <= grace_secs:
+            raise RuntimeError(
+                f"shingle-landing location for table {name!r} exists "
+                f"without a {_LANDING_MARKER} marker and was modified "
+                f"{age:.0f}s ago — another session may be landing this "
+                "corpus right now. Concurrent jobs over one warehouse "
+                "must use distinct source_key values (or distinct "
+                "warehouses); if the other writer is known dead, remove "
+                f"the directory or wait out the {grace_secs:.0f}s grace "
+                f"window: {path}"
+            )
+    fs.delete(path, True)
+
+
+def _mark_landing_complete(spark, name: str) -> None:
+    """Drop the write-completion marker into the landed table dir —
+    the handshake `_clear_stale_table_location` keys safe reclaim on."""
+    fs, path = _table_fs_path(spark, name)
+    jvm = spark._jvm
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path, _LANDING_MARKER),
+                    True)
+    out.close()
 
 
 def shared_shingle_relation(
@@ -276,9 +331,12 @@ def shared_shingle_relation(
     (stale-location cleared first; the in-memory catalog cannot vouch
     for another session's write being complete or current), so the
     warehouse holds at most one landing per corpus instead of
-    accumulating one per session. The deterministic location assumes
-    ONE writer per warehouse at a time (standard managed-table
-    semantics): concurrent jobs over the same corpus should use
+    accumulating one per session. Cross-session safety is enforced by a
+    write-completion marker (r11 ADVICE): only a MARKED stale dir (a
+    dead session's finished landing) is reclaimed silently; an unmarked
+    recently-modified dir — possibly a concurrent session mid-write —
+    raises loudly instead of deleting files that may belong to a live
+    writer. Concurrent jobs over the same corpus should still use
     distinct warehouses or distinct ``source_key`` values.
     """
     import hashlib
@@ -294,6 +352,7 @@ def shared_shingle_relation(
         df, text_col, id_col, name,
         shingle_k=shingle_k, n_buckets=n_buckets,
     )
+    _mark_landing_complete(spark, name)
     _SESSION_LANDINGS[key] = name
     return rel
 

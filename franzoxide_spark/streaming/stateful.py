@@ -102,13 +102,18 @@ def _bloom_positions(member: str | None, m: int, k: int) -> list[int]:
     checkpoint recovery on a different executor/process. A null member
     hashes under a sentinel byte (a poison record must dedup like any
     other value, matching the exact variant's set semantics — it may
-    NOT crash-loop the query on checkpoint replay, r11 review)."""
+    NOT crash-loop the query on checkpoint replay, r11 review). Real
+    members carry a 0x01 tag byte so no utf-8 string can alias the
+    0x00 null sentinel (r11 ADVICE: the old "\\x00<null>" sentinel
+    collided with a literal member of the same text)."""
     import hashlib
 
-    # None or float('nan') — Arrow surfaces SQL NULL as either depending
-    # on the column's pandas dtype
-    null = member is None or member != member
-    raw = b"\x00<null>" if null else member.encode("utf-8")
+    # Arrow surfaces SQL NULL as None, float('nan'), or pd.NA depending
+    # on the column's pandas dtype; a bare `member != member` raises on
+    # pd.NA (ambiguous truth value — the sessionizer's crash class).
+    # Anything that is not a str IS a null face for a string column.
+    null = not isinstance(member, str)
+    raw = b"\x00" if null else b"\x01" + member.encode("utf-8")
     d = hashlib.md5(raw).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:16], "big") | 1

@@ -118,3 +118,9 @@ def test_validated_ledger_seeds_carries_and_ratchets():
     assert out["b"] == 0.9                   # ratcheted down (0.9 < 1.3)
     assert out["c"] == 1.8                   # carried (2.0 > 1.8, no ratchet up)
     assert "d" not in out                    # never anchored, never re-measured
+
+    # an anchored query ABSENT from this round's timings (transient
+    # error) keeps its anchor — it cannot drift while unmeasured, and
+    # dropping it would force a full re-seed on recovery (r11 ADVICE)
+    out2 = u({"a": 1.0}, {}, {"a": 0.8, "gone": 2.5})
+    assert out2["gone"] == 2.5

@@ -646,15 +646,19 @@ def test_shared_shingle_relation_lands_once_per_session(spark, sf_dir):
 
 
 def test_shared_shingle_relation_recovers_stale_warehouse_dir(spark, sf_dir):
-    """A previous session's landing leaves files in the warehouse that the
-    (in-memory) catalog has forgotten; saveAsTable would then fail
-    LOCATION_ALREADY_EXISTS. The shared landing must clear the orphaned
-    managed location and land cleanly — simulated by planting a stale
-    directory at the exact digest-derived location before the call."""
+    """A previous session's COMPLETED landing (marker present) leaves
+    files in the warehouse that the (in-memory) catalog has forgotten;
+    saveAsTable would then fail LOCATION_ALREADY_EXISTS. The shared
+    landing must clear the marked orphan and land cleanly — simulated by
+    planting a marked stale directory at the exact digest-derived
+    location before the call."""
     import hashlib as _hashlib
     import os as _os
 
-    from franzoxide_spark.operators.dedup import shared_shingle_relation
+    from franzoxide_spark.operators.dedup import (
+        _LANDING_MARKER,
+        shared_shingle_relation,
+    )
     from franzoxide_spark.tables import table
 
     key = f"{sf_dir}/documents#test_stale_recovery"
@@ -667,6 +671,8 @@ def test_shared_shingle_relation_recovers_stale_warehouse_dir(spark, sf_dir):
     _os.makedirs(stale, exist_ok=True)
     with open(_os.path.join(stale, "part-orphan.parquet"), "wb") as f:
         f.write(b"stale")
+    with open(_os.path.join(stale, _LANDING_MARKER), "wb"):
+        pass
     try:
         rel = shared_shingle_relation(
             table(spark, sf_dir, "documents"), "text", "doc_id",
@@ -674,8 +680,49 @@ def test_shared_shingle_relation_recovers_stale_warehouse_dir(spark, sf_dir):
         )
         assert rel.count() > 0
         assert not _os.path.exists(_os.path.join(stale, "part-orphan.parquet"))
+        # the fresh landing re-marked itself complete
+        assert _os.path.exists(_os.path.join(stale, _LANDING_MARKER))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_landing_guard_refuses_unmarked_fresh_dir_reclaims_old(spark):
+    """The concurrent-writer guard (r11 ADVICE): an UNMARKED landing dir
+    modified inside the grace window may be another live session
+    mid-write — `_clear_stale_table_location` must raise loudly, not
+    silently delete its files. Past the grace window the same dir is a
+    crashed writer's debris and IS reclaimed, so a crash cannot
+    permanently wedge the corpus."""
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from franzoxide_spark.operators.dedup import _clear_stale_table_location
+
+    name = "shingle_rel_guardtest000"
+    wh = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:")
+    loc = _os.path.join(wh, name)
+    _os.makedirs(loc, exist_ok=True)
+    part = _os.path.join(loc, "part-inprogress.parquet")
+    with open(part, "wb") as f:
+        f.write(b"mid-write")
+    try:
+        # fresh + unmarked -> possibly live writer -> loud refusal
+        with _pytest.raises(RuntimeError, match="another session"):
+            _clear_stale_table_location(spark, name)
+        assert _os.path.exists(part), "guard deleted a fresh unmarked dir"
+        # age everything past the grace window -> crashed-writer reclaim
+        old = _time.time() - 7200
+        for p in (loc, part):
+            _os.utime(p, (old, old))
+        _clear_stale_table_location(spark, name)
+        assert not _os.path.exists(loc)
+    finally:
+        if _os.path.exists(loc):
+            import shutil as _shutil
+
+            _shutil.rmtree(loc, ignore_errors=True)
 
 
 def test_landing_max_df_strip_bounds_the_largest_bucket(spark):

@@ -1350,6 +1350,24 @@ def test_stateful_update_fns_survive_null_rows():
     out2 = list(bloom(("k",), iter([pd.DataFrame({"member": [None, "b"]})]), st))[0]
     assert list(out2["member"]) == ["b"]
 
+    # pd.NA face (string[python]/Arrow-backed dtypes deliver NA, not
+    # NaN): same dedup-like-a-value semantics, no ambiguous-truth-value
+    # TypeError (r11 ADVICE — the _bloom_positions crash class)
+    out_na = list(bloom(("k",), iter(
+        [pd.DataFrame({"member": pd.array([pd.NA, "c"], dtype="string")})]
+    ), st))[0]
+    assert list(out_na["member"]) == ["c"]  # NA deduped against earlier null
+
+    # a literal member equal to the old sentinel text must NOT alias the
+    # null slot — tag-byte separation (r11 ADVICE): fresh state sees
+    # both the weird-but-real string and a null as distinct members
+    bloom2 = make_bloom_dedup_update(1000, 0.01)
+    st3 = FakeState()
+    out_alias = list(bloom2(("k",), iter(
+        [pd.DataFrame({"member": ["\x00<null>", None]})]
+    ), st3))[0]
+    assert len(out_alias) == 2
+
     # sessionize: null epoch rows are skipped; an ALL-null batch with no
     # open session tracks nothing and sets no timeout
     sess = make_session_update(gap_s=1800)
