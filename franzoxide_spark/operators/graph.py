@@ -40,6 +40,7 @@ def pagerank(
     *,
     iters: int = 3,
     damping: float = 0.85,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank over ``edges (src bigint, dst bigint)``.
 
@@ -82,8 +83,10 @@ def pagerank(
     # and an iteration costs ZERO shuffles beyond the bounded in-mass
     # combine (measured 1.6 s -> 0.4 s for 3 iterations at sf0.1). Above
     # the threshold, fall back to the shuffle join — the classic BSP
-    # PageRank, one O(|E|) exchange per iteration.
-    small = n_nodes <= 5_000_000
+    # PageRank, one O(|E|) exchange per iteration. The threshold is a
+    # caller-injectable parameter so the BSP branch is testable on small
+    # fixtures (r11 verdict item #2) and tunable to executor memory.
+    small = n_nodes <= broadcast_threshold
     b = F.broadcast if small else (lambda df: df)
 
     ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))

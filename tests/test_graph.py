@@ -46,3 +46,56 @@ def test_mass_is_conserved_without_dangling_nodes(spark):
     df = spark.createDataFrame(e, "src long, dst long")
     total = pagerank(df, iters=5).agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_bsp_fallback_equals_broadcast_path(spark):
+    """Both physical strategies compute the same recurrence: forcing the
+    shuffle-join (BSP) branch via broadcast_threshold=0 must reproduce
+    the broadcast path's ranks exactly-ish (FP summation order is the
+    only wobble) on an asymmetric graph where a plan bug would show.
+    Until r12 the 5M-node fallback had never executed (r11 verdict
+    item #2 — an untested branch is a 100 TB-only surprise)."""
+    e = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (1, 4), (4, 1),
+         (1, 3), (3, 1), (5, 1), (1, 5)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    fast = {r["node"]: r["rank"] for r in pagerank(df, iters=4).collect()}
+    bsp = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=4, broadcast_threshold=0).collect()
+    }
+    assert set(fast) == set(bsp)
+    for node, rank in fast.items():
+        assert bsp[node] == pytest.approx(rank, rel=1e-12), node
+
+
+def test_bsp_fallback_plan_has_no_broadcast_join(spark, monkeypatch):
+    """The threshold actually routes the physical plan: below it the
+    rank-vector join is a BroadcastHashJoin (the explicit hint wins even
+    with autoBroadcast disabled); forcing the fallback, the iteration
+    plan must carry NO broadcast join — asserting the plan, not just the
+    numbers, so a silently-ignored hint can't pass. localCheckpoint is
+    no-op'd for the test (it truncates the visible plan to a Scan
+    ExistingRDD; it is a lineage/perf device, not semantics)."""
+    import pyspark.sql.classic.dataframe as _D  # the concrete class —
+    # patching the pyspark.sql.dataframe ABC does not intercept calls
+
+    monkeypatch.setattr(
+        _D.DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    e = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fast_plan = (
+            pagerank(df, iters=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        bsp_plan = (
+            pagerank(df, iters=1, broadcast_threshold=0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in fast_plan
+        assert "BroadcastHashJoin" not in bsp_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
