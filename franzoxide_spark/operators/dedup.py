@@ -693,6 +693,18 @@ def jaccard_pairs(
     )
 
 
+# The prefix subtree (df-frequency join + per-doc rarity window) is
+# consumed by BOTH candidate-join sides; a localCheckpoint collapses it
+# to one compute at the price of materialization. Same-session A/Bs
+# (BASELINE.md "q35b prefix-subtree checkpoint A/B"): sf0.1 checkpoint
+# LOSES (4.15 vs 3.43 s, relation ~1.7 MB), 10x it WINS (6.27 vs
+# 7.13 s, ~17 MB) — ~15% margins both ways. 6 MiB is the geometric
+# middle of the two measured decades: below it the duplicated subtree
+# is cheaper than writing the checkpoint, above it the saved compute
+# grows with data while the write stays one pass.
+_PREFIX_CHECKPOINT_MIN_BYTES = 6 << 20
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str,
@@ -701,6 +713,7 @@ def jaccard_pairs_prefix(
     shingle_k: int = 3,
     *,
     shingle_rel: DataFrame | None = None,
+    prefix_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Opt-in ppjoin-style prefix-filter variant of :func:`jaccard_pairs`.
 
@@ -730,6 +743,13 @@ def jaccard_pairs_prefix(
     over co-located buckets), and the verify-side hash ARRAYS are
     rebuilt with one ``collect_list`` shuffle on the doc id — the trade
     is one id-keyed exchange against re-hashing the whole corpus text.
+
+    ``prefix_checkpoint``: checkpoint the twice-consumed prefix subtree.
+    ``None`` (default) decides by size — the optimizer's byte estimate
+    of the exploded relation against ``_PREFIX_CHECKPOINT_MIN_BYTES``,
+    the measured scale-dependent crossover (r11 A/B: materialization
+    loses at sf0.1, wins at 10×; see the constant's note). Both branches
+    are row-identical by construction (pinned in test_plans.py).
     """
     if shingle_rel is not None:
         _check_shingle_rel_k(shingle_rel, shingle_k, "jaccard_pairs_prefix")
@@ -779,6 +799,13 @@ def jaccard_pairs_prefix(
         )
         .select(id_col, "n", "g")
     )
+    if prefix_checkpoint is None:
+        est = int(
+            ex._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        prefix_checkpoint = est >= _PREFIX_CHECKPOINT_MIN_BYTES
+    if prefix_checkpoint:
+        prefix = prefix.localCheckpoint(eager=False)
     a = prefix.hint("merge").alias("a")
     b = prefix.alias("b")
     cand = (

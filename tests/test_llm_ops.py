@@ -346,6 +346,48 @@ def test_jaccard_prefix_variant_matches_default(spark):
     assert len(sorted(map(tuple, jaccard_pairs(docs, "text", "doc_id", 0.3).collect()))) >= 2
 
 
+def test_prefix_checkpoint_branches_row_identical_and_size_routed(
+    spark, sf_dir, monkeypatch
+):
+    """The prefix-subtree checkpoint is a physical choice only (r11
+    verdict item #5): forcing it on and off must give the identical pair
+    set on the real fixture corpus, and the ``None`` default must route
+    by the optimizer's size estimate of the exploded relation — below
+    the measured crossover no checkpoint (bench-SF shape), above it the
+    10×-winning materialization."""
+    import franzoxide_spark.operators.dedup as dd
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    on = sorted(map(tuple, dd.jaccard_pairs_prefix(
+        docs, "text", "doc_id", 0.6, prefix_checkpoint=True).collect()))
+    off = sorted(map(tuple, dd.jaccard_pairs_prefix(
+        docs, "text", "doc_id", 0.6, prefix_checkpoint=False).collect()))
+    assert on == off and len(on) > 0
+
+    # auto-routing: count localCheckpoint calls through a recorder; the
+    # ad-hoc path always checkpoints the shingle-hash subtree once, so
+    # the prefix checkpoint shows as a SECOND call when the size
+    # estimate clears the threshold
+    import pyspark.sql.classic.dataframe as _D
+
+    calls = []
+    orig = _D.DataFrame.localCheckpoint
+
+    def _rec(self, eager=True):
+        calls.append(eager)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(_D.DataFrame, "localCheckpoint", _rec)
+    monkeypatch.setattr(dd, "_PREFIX_CHECKPOINT_MIN_BYTES", 1 << 60)
+    dd.jaccard_pairs_prefix(docs, "text", "doc_id", 0.6)
+    below = len(calls)
+    calls.clear()
+    monkeypatch.setattr(dd, "_PREFIX_CHECKPOINT_MIN_BYTES", 0)
+    dd.jaccard_pairs_prefix(docs, "text", "doc_id", 0.6)
+    assert len(calls) == below + 1, (below, len(calls))
+
+
 def test_repetition_gate_matches_duckdb_oracle(spark, sf_dir):
     """q58 registers past the driver's 50-record correctness window, so
     its cross-engine proof lives here: run the exact registered oracle
