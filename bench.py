@@ -110,6 +110,68 @@ PER_QUERY_NOTES = {
         "0.57-0.68 s oracle is the resting position, not a plan "
         "regression"
     ),
+    "q67_crossdoc_span_coverage": (
+        "floor-dominated: one gram-hash shuffle with map-side combine, "
+        "dup side bounded by distinct duplicated grams. Measured FLAT "
+        "across three decades (BASELINE.md r12 slope: 0.65/0.72/0.56 s "
+        "same-session min-of-2 at sf0.1/10x/30x) — the wall is Spark "
+        "job/codegen floor, not data; the ratio vs a ~0.33 s oracle is "
+        "the resting position, not a plan regression"
+    ),
+    "q137_bm25_topk": (
+        "posting-list build is the only corpus-sized pass (round-7 "
+        "slope: 1.65x wall at 10x data, sub-linear); the ~3x resting "
+        "ratio vs a ~0.34 s oracle is scheduler/codegen floor around "
+        "a 1 s query, not a plan regression"
+    ),
+    "q157_hybrid_rrf": (
+        "fused single-pass posting retrieval (r10 A/B: fused beats "
+        "unfused at 10x; slope sf0.1 1.60 -> 10x 2.82 -> 30x 8.12 s, "
+        "sub-linear end-to-end); ~2.7x vs a ~0.47 s oracle is floor, "
+        "not a plan regression"
+    ),
+    "q58_repetition_gate": (
+        "gram stats projected once per stats struct (r7 rewrite "
+        "1.9 -> 1.15 s); r12 warm re-measure 0.24/0.20/0.20 s at "
+        "sf0.1/10x/30x — flat, floor-dominated; an in-suite ~1.2 s "
+        "sighting is cold-session overhead around that floor"
+    ),
+    "q132_type_inference": (
+        "per-column regex sweep is one map-side pass; r12 slope "
+        "1.32/1.51/1.82 s at sf0.1/10x/30x (strongly sub-linear). "
+        "The ratio vs a ~0.09 s oracle is the cross-engine constant "
+        "of regex evaluation over every cell, floor-amortized with "
+        "scale"
+    ),
+    "q156_weak_supervision_vote": (
+        "label functions apply map-side, vote agg is key-bounded; r12 "
+        "slope FLAT (0.83/0.82/0.89 s at sf0.1/10x/30x) — pure floor"
+    ),
+    "q54_curation_pipeline": (
+        "4-stage end-to-end chain (dedup -> gate -> decontam -> "
+        "split): the ratio is the sum of four stage floors; round-5 "
+        "slope 3.8x at 10x data with broadcast decontam joins "
+        "sub-linear (BASELINE.md), no quadratic term"
+    ),
+    "q72_cms_heavy_hitters": (
+        "sketch build is ONE md5 per word + integer strides after the "
+        "r12 Kirsch-Mitzenmacher rewrite (BASELINE.md: build leg -33/"
+        "-49/-56% at sf0.1/10x/30x); remaining wall is the linear "
+        "hash-the-stream term both engines pay — d*w sketch state is "
+        "corpus-size-invariant, the 100 TB point of the operator"
+    ),
+    "q78_table_profile": (
+        "multi-NDV profile: NDVs split into their own job after the "
+        "r7 Expand fix (15.6 -> ~1.4 s in-bench); resting ratio vs a "
+        "~0.08 s oracle is the multi-aggregate floor"
+    ),
+    "q91_correlation_matrix": (
+        "r12 int64 hi/lo co-moment kernel (BASELINE.md: 2.16/8.74/"
+        "14.28 s decimal -> 1.08/1.38/1.59 s int64 at sf0.1/10x/30x, "
+        "near-flat): exact-integer contract now runs in codegen long "
+        "arithmetic; residual ratio vs a ~0.11 s oracle is scan + "
+        "job floor"
+    ),
     "q165_bloom_decontam_prefilter": (
         "floor-dominated at sf0.1: 5k short docs; 8 shapes A/B'd across "
         "r8-r9 (BASELINE.md 'q165 final position'), spread ~0.4 s vs a "

@@ -86,7 +86,25 @@ FROM {table}"""
 # --------------------------------------------------------------------------
 
 
-def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+# int64 co-moment kernel constants: products are hi/lo-split at 2³¹ so
+# every accumulator is a plain BIGINT sum (whole-stage codegen long
+# arithmetic) instead of decimal(38,0) (interpreted BigDecimal — the
+# measured 6-10x constant vs DuckDB's native int128, BASELINE.md "q91
+# int64 kernel A/B"). Exactness is preserved: Σxy = Σhi·2³¹ + Σlo with
+# every term integer-exact, reconstructed in one fixed double
+# expression identical on both engines.
+_B31 = 2147483648  # 2^31, the hi/lo split radix
+# conservative guard bounds (engine-side raise_error when violated):
+# checked in doubles with ~2x margin under int64 max, using only n and
+# M = max|s| — both computed overflow-free in the same pass, so the
+# check stays sound even when the guarded sums themselves would wrap.
+_M_SAFE = 3.0e9      # per-row product s_a*s_b must fit int64 (√(2⁶³) ≈ 3.04e9)
+_I64_SAFE = 4.6e18   # every Σ bound (n·M, n·M²/2³¹, n·2³¹) kept under this
+
+
+def correlation_matrix(
+    df: DataFrame, cols: Sequence[str], *, kernel: str = "int64"
+) -> DataFrame:
     """Pairwise Pearson correlation for every unordered column pair,
     one row per pair: (col_x, col_y, corr) with corr rounded to 6 dp.
 
@@ -94,15 +112,100 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     co-moment updates accumulate in different orders, which flaps the
     low bits. Instead ONE aggregation pass collects EXACT INTEGER sums
     over the deterministically scaled values s = floor(x·10⁴ + 0.5)
-    (same quantization as functions/numeric.py, but left unscaled —
-    Pearson is scale-invariant, so rescaling would only reintroduce the
-    decimal-width headaches; duckdb overflows DECIMAL(18,4)² products).
-    Sums accumulate in DECIMAL(38,0)/HUGEINT (order-independent), and
-    the textbook n·Σxy − Σx·Σy formula then runs as an identical double
-    expression on both engines. Single scan, map-side partial
-    aggregation, #cols² agg buffers — no shuffle beyond the 1-row
-    final merge.
+    (same quantization as functions/numeric.py), and the textbook
+    n·Σxy − Σx·Σy formula then runs as an identical double expression
+    on both engines. Single scan, map-side partial aggregation,
+    #cols² agg buffers — no shuffle beyond the 1-row final merge.
+
+    ``kernel="int64"`` (default): each product s_a·s_b is split
+    exactly into (hi, lo) at radix 2³¹ — lo = pmod(p, 2³¹) ∈ [0, 2³¹),
+    hi = (p − lo) div 2³¹ — and both halves accumulate as BIGINT sums
+    (codegen long arithmetic; the r12 A/B measured 9.27 s → 0.95 s at
+    the 10× replica vs the decimal kernel). Validity needs the guard
+    bounds above; they are checked ENGINE-SIDE from n and max|s|
+    (computed overflow-free in the same pass) and violation raises
+    with a pointer at ``kernel="decimal"`` rather than returning
+    silently-wrapped sums. For lineitem-magnitude data (|x| ≤ ~10⁵,
+    so M ≤ ~10⁹) the bounds hold to ~10⁹ rows.
+
+    ``kernel="decimal"``: the original DECIMAL(38,0)/HUGEINT sums —
+    no magnitude bounds, ~6-10× slower on the Spark side; the path for
+    data beyond the int64 guard.
     """
+    if kernel not in ("int64", "decimal"):
+        raise ValueError(f"kernel must be 'int64' or 'decimal', got {kernel!r}")
+    if kernel == "decimal":
+        return _correlation_matrix_decimal(df, cols)
+
+    def _sci(c: str) -> F.Column:
+        return F.floor(F.col(c).cast("double") * 10000 + F.lit(0.5)).cast(
+            "bigint"
+        )
+
+    scaled = df.select(*[_sci(c).alias(c) for c in cols])
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).cast("double").alias(f"__s_{c}"))
+        aggs.append(F.max(F.abs(F.col(c))).alias(f"__m_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            lo = f"pmod(`{a}` * `{b}`, {_B31})"
+            hi = f"((`{a}` * `{b}`) - {lo}) div {_B31}"
+            aggs.append(
+                F.sum(F.expr(hi)).cast("double").alias(f"__ph_{a}_{b}")
+            )
+            aggs.append(
+                F.sum(F.expr(lo)).cast("double").alias(f"__pl_{a}_{b}")
+            )
+    one = scaled.agg(*aggs)
+    n = F.col("__n").cast("double")
+    m = F.greatest(*[F.col(f"__m_{c}") for c in cols]).cast("double") \
+        if len(cols) > 1 else F.col(f"__m_{cols[0]}").cast("double")
+    bad = (
+        (m > F.lit(_M_SAFE))
+        | (n * m > F.lit(_I64_SAFE))
+        | (n * m * m / F.lit(float(_B31)) > F.lit(_I64_SAFE))
+        | (n * F.lit(float(_B31)) > F.lit(_I64_SAFE))
+    )
+    guard = F.expr(
+        "cast(raise_error('correlation_matrix int64 kernel bounds "
+        "exceeded (n or max|x| too large for exact BIGINT co-moments); "
+        "re-run with kernel=\"decimal\"') as double)"
+    )
+
+    def _p(a: str, b: str) -> F.Column:
+        return (
+            F.col(f"__ph_{a}_{b}") * F.lit(float(_B31))
+            + F.col(f"__pl_{a}_{b}")
+        )
+
+    def _corr(a: str, b: str) -> F.Column:
+        num = n * _p(a, b) - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+        va = n * _p(a, a) - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+        vb = n * _p(b, b) - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+        return F.when(bad, guard).otherwise(
+            F.round(num / F.sqrt(va * vb), 6)
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                _corr(a, b).alias("corr"),
+            )
+            for i, a in enumerate(cols)
+            for b in cols[i + 1 :]
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+def _correlation_matrix_decimal(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """The DECIMAL(38,0) co-moment kernel (see correlation_matrix):
+    order-independent exact sums with no magnitude bounds; duckdb
+    overflows DECIMAL(18,4)² products, hence the unscaled quantized
+    integers here too."""
 
     def _sc(c: str) -> F.Column:
         return F.floor(F.col(c).cast("double") * 10000 + F.lit(0.5)).cast(
@@ -140,31 +243,68 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return one.select(F.explode(pairs).alias("p")).select("p.*")
 
 
-def sql_correlation_matrix(table: str, cols: Sequence[str]) -> str:
-    def _sc(c: str) -> str:
-        return f"CAST(FLOOR(CAST({c} AS DOUBLE) * 10000 + 0.5) AS HUGEINT)"
+def sql_correlation_matrix(
+    table: str, cols: Sequence[str], *, kernel: str = "int64"
+) -> str:
+    """DuckDB mirror of :func:`correlation_matrix`. The int64 kernel's
+    hi/lo split is reproduced EXACTLY (products in HUGEINT — exact and
+    native there — then the same floor-consistent pmod decomposition
+    and the same Σhi·2³¹ + Σlo double reconstruction, term order
+    identical to the Spark expression so the 6-dp rounding cannot
+    diverge). No guard in the mirror: it runs on the same rows, so the
+    Spark side raises first if bounds are exceeded."""
+    if kernel == "decimal":
+        def _sc(c: str) -> str:
+            return f"CAST(FLOOR(CAST({c} AS DOUBLE) * 10000 + 0.5) AS HUGEINT)"
 
-    sums = ["COUNT(*) AS n"]
-    for c in cols:
-        sums.append(f"CAST(SUM({_sc(c)}) AS DOUBLE) AS s_{c}")
-    for i, a in enumerate(cols):
-        for b in cols[i:]:
-            sums.append(
-                f"CAST(SUM({_sc(a)} * {_sc(b)}) AS DOUBLE) AS p_{a}_{b}"
-            )
+        sums = ["COUNT(*) AS n"]
+        for c in cols:
+            sums.append(f"CAST(SUM({_sc(c)}) AS DOUBLE) AS s_{c}")
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                sums.append(
+                    f"CAST(SUM({_sc(a)} * {_sc(b)}) AS DOUBLE) AS p_{a}_{b}"
+                )
+        parts = [f"s AS (SELECT * FROM {table})"]
+
+        def _p(a: str, b: str) -> str:
+            return f"p_{a}_{b}"
+    else:
+        sums = ["COUNT(*) AS n"]
+        for c in cols:
+            sums.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                prod = f"(CAST({a} AS HUGEINT) * {b})"
+                lo = f"((({prod} % {_B31}) + {_B31}) % {_B31})"
+                sums.append(
+                    f"CAST(SUM(({prod} - {lo}) // {_B31}) AS DOUBLE)"
+                    f" AS ph_{a}_{b}"
+                )
+                sums.append(f"CAST(SUM({lo}) AS DOUBLE) AS pl_{a}_{b}")
+        scaled = ", ".join(
+            f"CAST(FLOOR(CAST({c} AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
+            f" AS {c}"
+            for c in cols
+        )
+        parts = [f"s AS (SELECT {scaled} FROM {table})"]
+        def _p(a: str, b: str) -> str:
+            return f"(ph_{a}_{b} * {_B31}.0 + pl_{a}_{b})"
+
+    parts.append(f"agg AS (SELECT {', '.join(sums)} FROM s)")
     arms = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
             arms.append(
                 f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
-       ROUND((CAST(n AS DOUBLE) * p_{a}_{b} - s_{a} * s_{b})
-             / SQRT((CAST(n AS DOUBLE) * p_{a}_{a} - s_{a} * s_{a})
-                    * (CAST(n AS DOUBLE) * p_{b}_{b} - s_{b} * s_{b})), 6)
+       ROUND((CAST(n AS DOUBLE) * {_p(a, b)} - s_{a} * s_{b})
+             / SQRT((CAST(n AS DOUBLE) * {_p(a, a)} - s_{a} * s_{a})
+                    * (CAST(n AS DOUBLE) * {_p(b, b)} - s_{b} * s_{b})), 6)
          AS corr
 FROM agg"""
             )
     union = "\nUNION ALL\n".join(arms)
-    return f"WITH agg AS (SELECT {', '.join(sums)} FROM {table})\n{union}"
+    return f"WITH {', '.join(parts)}\n{union}"
 
 
 # --------------------------------------------------------------------------

@@ -25,31 +25,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from franzoxide_spark.functions.text import HASH60_SEEDED_SPARK, HASH60_SEEDED_SQL
+# Kirsch–Mitzenmacher double hashing (2006, public): the d row hashes
+# are h1 + d·h2 from ONE md5 digest instead of d independent seeded
+# md5 calls. md5 over the item stream is the corpus-sized cost of the
+# build (everything after it is integer arithmetic), so this cuts the
+# dominant term by the depth factor — same-session A/B in BASELINE.md
+# ("q72 double-hash rewrite"). h2 is forced odd so the per-depth
+# stride never degenerates to a constant bucket. Both 60-bit halves
+# come from disjoint digest substrings; the CMS overcount bound holds
+# under K-M with the usual constants.
+_H1_SPARK = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+_H2_SPARK = "(cast(conv(substr(md5({s}), 17, 15), 16, 10) as bigint) | 1)"
+_H1_SQL = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+# parenthesized: `|` binds looser than `*`/`+`, so an inlined unwrapped
+# `... | 1` would OR the whole bucket arithmetic, not the hash half
+_H2_SQL = "(CAST('0x' || substr(md5({s}), 17, 15) AS BIGINT) | 1)"
 
 
-def _bucket(depth_idx: int, item_expr: str, width: int) -> F.Column:
-    h = HASH60_SEEDED_SPARK.format(i=depth_idx, s=item_expr)
-    return F.expr(f"pmod({h}, {width})")
+def _with_bucket_rows(items: DataFrame, item_col: str, depth: int,
+                      width: int, keep_item: bool) -> DataFrame:
+    """(item?, d, b) rows: one md5 per input row (whole-stage codegen
+    subexpression elimination computes the shared digest once for both
+    halves), then depth strides derived arithmetically."""
+    hashed = items.select(
+        *([F.col(item_col)] if keep_item else []),
+        F.expr(_H1_SPARK.format(s=item_col)).alias("__h1"),
+        F.expr(_H2_SPARK.format(s=item_col)).alias("__h2"),
+    )
+    return hashed.select(
+        *([F.col(item_col)] if keep_item else []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(f"pmod(__h1 + {d} * __h2, {width})").alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__db"),
+    ).select(*([item_col] if keep_item else []), "__db.d", "__db.b")
 
 
 def cms_build(
     items: DataFrame, item_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:
     """(d, b, cnt) sketch rows from an item stream — d×w rows total."""
-    rows = items.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _bucket(d, item_col, width).alias("b"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("__db")
-    ).select("__db.d", "__db.b")
+    rows = _with_bucket_rows(items, item_col, depth, width, keep_item=False)
     return rows.groupBy("d", "b").agg(F.count("*").alias("cnt"))
 
 
@@ -65,20 +88,8 @@ def cms_estimate(
     The sketch (d×w rows) broadcasts; candidates fan out ×depth and
     hash-join it — no shuffle of anything corpus-sized.
     """
-    fanned = candidates.select(
-        F.col(item_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _bucket(d, item_col, width).alias("b"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("__db"),
-    ).select(item_col, "__db.d", "__db.b")
+    fanned = _with_bucket_rows(candidates, item_col, depth, width,
+                               keep_item=True)
     return (
         fanned.join(F.broadcast(sketch), ["d", "b"])
         .groupBy(item_col)
@@ -120,20 +131,25 @@ def cms_heavy_hitters(
 def sql_cms_heavy_hitters(
     table: str, item_col: str, k: int = 10, depth: int = 4, width: int = 256
 ) -> str:
-    bucket_rows = " UNION ALL ".join(
-        f"SELECT {item_col} AS item, {d} AS d,"
-        f" {HASH60_SEEDED_SQL.format(i=d, s=item_col)} % {width} AS b"
-        f" FROM {table}"
-        for d in range(depth)
-    )
+    # same K-M double hash as the Spark side: one md5 scan (no UNION ALL
+    # re-scan per depth), strides derived arithmetically
     return f"""
-WITH db AS ({bucket_rows}),
+WITH h AS (
+  SELECT {_H1_SQL.format(s=item_col)} AS h1,
+         {_H2_SQL.format(s=item_col)} AS h2
+  FROM {table}
+),
+db AS (
+  SELECT x.d, (h1 + x.d * h2) % {width} AS b
+  FROM h, (SELECT UNNEST(range(0, {depth})) AS d) x
+),
 sketch AS (SELECT d, b, COUNT(*) AS cnt FROM db GROUP BY d, b),
 exact AS (SELECT {item_col} AS item, COUNT(*) AS exact_cnt
           FROM {table} GROUP BY {item_col}),
 cand AS (
   SELECT e.item, x.d,
-         {HASH60_SEEDED_SQL.format(i="x.d", s="e.item")} % {width} AS b
+         ({_H1_SQL.format(s="e.item")} + x.d * {_H2_SQL.format(s="e.item")})
+           % {width} AS b
   FROM exact e, (SELECT UNNEST(range(0, {depth})) AS d) x
 ),
 est AS (

@@ -124,3 +124,37 @@ def test_validated_ledger_seeds_carries_and_ratchets():
     # dropping it would force a full re-seed on recovery (r11 ADVICE)
     out2 = u({"a": 1.0}, {}, {"a": 0.8, "gone": 2.5})
     assert out2["gone"] == 2.5
+
+
+def test_every_expensive_exempt_ratio_carries_a_note():
+    """r11 verdict item #6: the set of bar-exempt-but-expensive queries
+    kept drifting out of PER_QUERY_NOTES (q61 in r10, q67/q137/q157 in
+    r11). Contract: every query in the committed BENCH_DETAIL whose
+    Spark time is >= 1.0 s while its ratio to the DuckDB oracle exceeds
+    2.5x (ANY oracle size — including oracles under the 0.5 s over_bar
+    threshold, where the bar itself never fires) must carry a
+    PER_QUERY_NOTES entry explaining the resting position. Cheap
+    queries below 1 s are pure floor arithmetic and stay exempt."""
+    import json
+    import os
+
+    from bench import PER_QUERY_NOTES
+
+    detail_path = os.path.join(os.path.dirname(__file__), "..",
+                               "BENCH_DETAIL.json")
+    with open(detail_path) as f:
+        d = json.load(f)
+    qs, oracles = d["queries"], d["oracle_queries"]
+    missing = sorted(
+        name
+        for name, t in qs.items()
+        if t >= 1.0
+        and oracles.get(name)
+        and t / oracles[name] > 2.5
+        and name not in PER_QUERY_NOTES
+    )
+    assert not missing, (
+        f"expensive bar-exempt queries without a PER_QUERY_NOTES entry: "
+        f"{missing} — measure the slope (examples/scale_slope.py "
+        f"replicas), explain the floor or fix the plan, then add the note"
+    )

@@ -57,6 +57,50 @@ def test_correlation_matrix_known_values(spark):
     assert len(out) == 3
 
 
+def test_correlation_matrix_kernels_agree_and_guard_raises(spark, sf_dir):
+    """The int64 hi/lo co-moment kernel (r12) must reproduce the decimal
+    kernel's 6-dp correlations on real data, and its engine-side
+    overflow guard must raise loudly — not return silently-wrapped
+    sums — when max|s| breaks the per-row-product bound."""
+    import pytest as _pytest
+
+    from franzoxide_spark.operators.profile import correlation_matrix
+    from franzoxide_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    fast = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(li, cols).collect()
+    }
+    exact = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(li, cols, kernel="decimal").collect()
+    }
+    assert set(fast) == set(exact)
+    for k, v in exact.items():
+        # identical to the last double bit in practice; the kernels'
+        # double reconstructions may differ by 1 ulp pre-rounding, so
+        # compare at the 6-dp contract
+        assert abs(fast[k] - v) <= 1e-6, k
+
+    # |x·10⁴| ~ 1e15 > √(2⁶³): per-row product would overflow int64.
+    # Under ANSI mode (Spark 4 default) the multiply itself raises
+    # ARITHMETIC_OVERFLOW before the kernel's raise_error guard runs;
+    # with ANSI off the guard fires. Either way the failure is LOUD —
+    # never silently-wrapped sums.
+    big = spark.createDataFrame(
+        [(1.0e11, 2.0e11), (2.0e11, 3.0e11)], "x double, y double"
+    )
+    with _pytest.raises(
+        Exception, match="bounds exceeded|ARITHMETIC_OVERFLOW"
+    ):
+        correlation_matrix(big, ("x", "y")).collect()
+    # the decimal kernel handles the same data fine
+    out = correlation_matrix(big, ("x", "y"), kernel="decimal").collect()
+    assert out[0]["corr"] == 1.0
+
+
 def test_numeric_histogram_bins_and_closed_top(spark):
     from franzoxide_spark.operators.profile import numeric_histogram
 
