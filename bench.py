@@ -110,6 +110,55 @@ PER_QUERY_NOTES = {
         "0.57-0.68 s oracle is the resting position, not a plan "
         "regression"
     ),
+    "q94_vocab_encode": (
+        "BPE-ish encode over every doc; r12 slope 0.99/1.12/1.58 s at "
+        "sf0.1/10x/30x — strongly sub-linear, the broadcast vocab table "
+        "is corpus-size-invariant; ratio vs a ~0.11 s oracle is floor"
+    ),
+    "q02_agg_pricing_summary": (
+        "TPC-H Q1 shape: one scan, map-side partial agg; r12 slope "
+        "0.50/0.88/0.99 s at sf0.1/10x/30x (sub-linear) — ratio vs a "
+        "~0.10 s oracle is job/codegen floor on a tiny fact table"
+    ),
+    "q43_asof_join": (
+        "composition path (range join + window prune) kept as the "
+        "bench-SF default; r12 slope 0.85/6.59/19.70 s vs the merge "
+        "twin q43b's 0.57/2.30/5.69 s — the measured crossover proves "
+        "q43b (asof_join_pandas, co-partitioned merge_asof) IS the "
+        "documented scale path; both oracle-check against the same SQL"
+    ),
+    "q43b_asof_merge_scale_path": (
+        "co-partitioned pd.merge_asof (no row inflation): r12 slope "
+        "0.57/2.30/5.69 s at sf0.1/10x/30x — 3.5x faster than the "
+        "composition path at 30x and flattening; the sf0.1 ratio vs a "
+        "~0.27 s oracle is Arrow batch floor"
+    ),
+    "q128_data_contracts": (
+        "per-row contract checks are one map-side pass (linear by "
+        "construction); r12 slope 0.76/2.64/6.93 s — ~linear with a "
+        "small constant, ratio at sf0.1 is floor over a ~0.12 s oracle"
+    ),
+    "q70_oov_rate": (
+        "token explode + broadcast vocab probe; r12 slope 0.67/0.92/"
+        "1.28 s at sf0.1/10x/30x — strongly sub-linear, floor-dominated"
+    ),
+    "q23_envelope_encode": (
+        "envelope build is map-only; r12 warm slope FLAT (0.24/0.23/"
+        "0.23 s) — pure floor; in-suite ~0.8 s is cold-session overhead"
+    ),
+    "q172_benford_audit": (
+        "digit derivation rewritten r12 to quantized-integer rendering "
+        "(BASELINE.md 'q172 digit derivation': 5.33 -> 0.95 s at 30x; "
+        "format_number+regex per value was the whole linear constant); "
+        "one map-side digit pass + (group, digit) combine"
+    ),
+    "q131_nested_roundtrip": (
+        "ratio is DEFINITIONAL: the oracle side is the flat relation "
+        "itself (the point — a hash match proves nest/unnest is "
+        "lossless), so DuckDB just scans while Spark pays a real "
+        "orderkey shuffle + collect_list + inline; r12 slope 0.71/"
+        "6.48/13.99 s is that shuffle term, linear as expected"
+    ),
     "q67_crossdoc_span_coverage": (
         "floor-dominated: one gram-hash shuffle with map-side combine, "
         "dup side bounded by distinct duplicated grams. Measured FLAT "

@@ -14,6 +14,13 @@ deterministic tie-break by the right id):
   key, ``applyInPandas`` with a per-group sort + ``pd.merge_asof``
   (linear merge instead of fan-out+window). One shuffle per side, no
   row inflation. Same results; compared against the first path in tests.
+
+Measured crossover (r12, BASELINE.md borderline-ratio sweep): the
+composition path wins at bench SF (0.85 vs 0.57 s is within Arrow-batch
+floor) but its inflation term is the linear one — 6.59 vs 2.30 s at
+10x, 19.70 vs 5.69 s at 30x. Choose the merge path once per-key
+fan-out times data size stops being floor-dominated (~10x the bench
+fixture); both registry faces (q43/q43b) oracle-check against ONE SQL.
 """
 
 from __future__ import annotations

@@ -371,24 +371,29 @@ def benford_audit(
     Scale shape: one map-side digit derivation + a (group, digit)
     map-side-combined aggregate — count-domain after that.
     """
-    # first significant digit: strip sign/zeros/dot from the plain
-    # (non-scientific) decimal rendering. format_number handles the
-    # Spark side; values are positive prices in the fixtures but abs()
-    # keeps the operator total.
+    # first significant digit via the codebase's standard quantization:
+    # n = floor(|x|·10⁶ + 0.5) as BIGINT, whose INTEGER rendering is
+    # exact and byte-identical on both engines (double→string printing
+    # is NOT, which is why the naive cast can't be used) — the leading
+    # char of an integer IS its first significant digit, and scaling by
+    # a power of 10 preserves it. r12 rewrite of the previous
+    # format_number+regexp derivation: digit-identical on the fixtures
+    # (mismatch_rows=0 asserted same-session) and 0.66→0.32 s at sf0.1,
+    # 5.33→0.95 s at 30× (string formatting + regex per value was the
+    # whole linear constant; see BASELINE.md "q172 digit derivation").
     #
-    # MAGNITUDE ASSUMPTION (enforced by the >= 1e-6 guard below, mirrored
-    # in sql_benford_audit): the digit comes from a 6-dp rounded
-    # rendering, so magnitudes in [5e-7, 1e-6) would carry-round to
-    # 0.000001 and miscount as digit 1 — the guard drops them on BOTH
-    # engines instead. Residual caveat for general inputs: a value within
-    # 5e-7 of a leading-digit boundary (e.g. 9.9999996) still rounds
-    # across the boundary, and Spark's format_number (HALF_UP) vs
-    # DuckDB's format (half-even) can disagree on an exact 6th-decimal
-    # tie; impossible for scale-2 currency, the documented input class.
+    # MAGNITUDE ASSUMPTION (the >= 1e-6 guard below, mirrored in
+    # sql_benford_audit): magnitudes in [5e-7, 1e-6) would carry-round
+    # to 1 and miscount as digit 1 — dropped on BOTH engines. Same
+    # half-up rounding class as the old rendering (a value within 5e-7
+    # of a leading-digit boundary, e.g. 9.9999996, rounds across it;
+    # impossible for scale-2 currency, the documented input class).
+    # Upper bound: |x| beyond ~9.2e12 overflows the 10⁶-scaled BIGINT —
+    # LOUD under ANSI mode (Spark 4 default), never a silent wrap.
     d = F.substring(
-        F.regexp_replace(
-            F.format_number(F.abs(F.col(value_col)), 6), "[0.,]+", ""
-        ),
+        F.floor(F.abs(F.col(value_col)) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .cast("string"),
         1,
         1,
     )
@@ -443,9 +448,9 @@ def sql_benford_audit(table: str, value_col: str, group_col: str) -> str:
     return f"""
 WITH digits AS (
   SELECT {group_col},
-         TRY_CAST(substr(regexp_replace(
-              format('{{:.6f}}', ABS({value_col})), '[0.,]+', '', 'g'),
-              1, 1) AS INT) AS d
+         TRY_CAST(substr(CAST(
+              CAST(FLOOR(ABS({value_col}) * 1000000 + 0.5) AS BIGINT)
+              AS VARCHAR), 1, 1) AS INT) AS d
   FROM {table}
   WHERE {value_col} IS NOT NULL AND ABS({value_col}) >= 1e-6
 ),
