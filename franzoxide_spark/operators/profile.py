@@ -90,9 +90,11 @@ FROM {table}"""
 # every accumulator is a plain BIGINT sum (whole-stage codegen long
 # arithmetic) instead of decimal(38,0) (interpreted BigDecimal — the
 # measured 6-10x constant vs DuckDB's native int128, BASELINE.md "q91
-# int64 kernel A/B"). Exactness is preserved: Σxy = Σhi·2³¹ + Σlo with
-# every term integer-exact, reconstructed in one fixed double
-# expression identical on both engines.
+# int64 kernel A/B"). Exactness is fully preserved: Σxy = Σhi·2³¹ + Σlo
+# with every term integer-exact, reconstructed in decimal(38,0) on the
+# single agg row — so the kernel's doubles are BIT-IDENTICAL to the
+# decimal kernel's and to DuckDB's native HUGEINT sum (one mirror
+# serves all paths, and the oracle keeps its cheap natural form).
 _B31 = 2147483648  # 2^31, the hi/lo split radix
 # conservative guard bounds (engine-side raise_error when violated):
 # checked in doubles with ~2x margin under int64 max, using only n and
@@ -151,12 +153,8 @@ def correlation_matrix(
         for b in cols[i:]:
             lo = f"pmod(`{a}` * `{b}`, {_B31})"
             hi = f"((`{a}` * `{b}`) - {lo}) div {_B31}"
-            aggs.append(
-                F.sum(F.expr(hi)).cast("double").alias(f"__ph_{a}_{b}")
-            )
-            aggs.append(
-                F.sum(F.expr(lo)).cast("double").alias(f"__pl_{a}_{b}")
-            )
+            aggs.append(F.sum(F.expr(hi)).alias(f"__ph_{a}_{b}"))
+            aggs.append(F.sum(F.expr(lo)).alias(f"__pl_{a}_{b}"))
     one = scaled.agg(*aggs)
     n = F.col("__n").cast("double")
     m = F.greatest(*[F.col(f"__m_{c}") for c in cols]).cast("double") \
@@ -174,9 +172,16 @@ def correlation_matrix(
     )
 
     def _p(a: str, b: str) -> F.Column:
-        return (
-            F.col(f"__ph_{a}_{b}") * F.lit(float(_B31))
-            + F.col(f"__pl_{a}_{b}")
+        # EXACT reconstruction of Σxy on the single agg row: Σhi·2³¹ +
+        # Σlo in decimal(38,0) (one row — the decimal cost that was
+        # retired from the per-row hot path is negligible here), THEN
+        # one cast to double. double(exact integer) is the same value
+        # the decimal kernel and DuckDB's native HUGEINT sum produce,
+        # so all three paths are bit-identical and the DuckDB mirror
+        # stays the natural cheap SUM(a*b) — no pessimized oracle.
+        return F.expr(
+            f"cast((cast(__ph_{a}_{b} as decimal(38,0)) * {_B31}"
+            f" + __pl_{a}_{b}) as double)"
         )
 
     def _corr(a: str, b: str) -> F.Column:
@@ -243,53 +248,31 @@ def _correlation_matrix_decimal(df: DataFrame, cols: Sequence[str]) -> DataFrame
     return one.select(F.explode(pairs).alias("p")).select("p.*")
 
 
-def sql_correlation_matrix(
-    table: str, cols: Sequence[str], *, kernel: str = "int64"
-) -> str:
-    """DuckDB mirror of :func:`correlation_matrix`. The int64 kernel's
-    hi/lo split is reproduced EXACTLY (products in HUGEINT — exact and
-    native there — then the same floor-consistent pmod decomposition
-    and the same Σhi·2³¹ + Σlo double reconstruction, term order
-    identical to the Spark expression so the 6-dp rounding cannot
-    diverge). No guard in the mirror: it runs on the same rows, so the
-    Spark side raises first if bounds are exceeded."""
-    if kernel == "decimal":
-        def _sc(c: str) -> str:
-            return f"CAST(FLOOR(CAST({c} AS DOUBLE) * 10000 + 0.5) AS HUGEINT)"
+def sql_correlation_matrix(table: str, cols: Sequence[str]) -> str:
+    """DuckDB mirror of :func:`correlation_matrix` — ONE mirror serves
+    both Spark kernels: the natural HUGEINT product-sums (exact, native
+    int128, the cheap form for DuckDB) cast to double. The int64
+    kernel's final Σhi·2³¹ + Σlo reconstruction and the decimal
+    kernel's Σ(a·b) are the SAME exact integer, so both cast to the
+    identical double and the 6-dp rounding cannot diverge."""
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            sums.append(
+                f"CAST(SUM(CAST({a} AS HUGEINT) * {b}) AS DOUBLE)"
+                f" AS p_{a}_{b}"
+            )
+    scaled = ", ".join(
+        f"CAST(FLOOR(CAST({c} AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
+        f" AS {c}"
+        for c in cols
+    )
+    parts = [f"s AS (SELECT {scaled} FROM {table})"]
 
-        sums = ["COUNT(*) AS n"]
-        for c in cols:
-            sums.append(f"CAST(SUM({_sc(c)}) AS DOUBLE) AS s_{c}")
-        for i, a in enumerate(cols):
-            for b in cols[i:]:
-                sums.append(
-                    f"CAST(SUM({_sc(a)} * {_sc(b)}) AS DOUBLE) AS p_{a}_{b}"
-                )
-        parts = [f"s AS (SELECT * FROM {table})"]
-
-        def _p(a: str, b: str) -> str:
-            return f"p_{a}_{b}"
-    else:
-        sums = ["COUNT(*) AS n"]
-        for c in cols:
-            sums.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
-        for i, a in enumerate(cols):
-            for b in cols[i:]:
-                prod = f"(CAST({a} AS HUGEINT) * {b})"
-                lo = f"((({prod} % {_B31}) + {_B31}) % {_B31})"
-                sums.append(
-                    f"CAST(SUM(({prod} - {lo}) // {_B31}) AS DOUBLE)"
-                    f" AS ph_{a}_{b}"
-                )
-                sums.append(f"CAST(SUM({lo}) AS DOUBLE) AS pl_{a}_{b}")
-        scaled = ", ".join(
-            f"CAST(FLOOR(CAST({c} AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
-            f" AS {c}"
-            for c in cols
-        )
-        parts = [f"s AS (SELECT {scaled} FROM {table})"]
-        def _p(a: str, b: str) -> str:
-            return f"(ph_{a}_{b} * {_B31}.0 + pl_{a}_{b})"
+    def _p(a: str, b: str) -> str:
+        return f"p_{a}_{b}"
 
     parts.append(f"agg AS (SELECT {', '.join(sums)} FROM s)")
     arms = []

@@ -79,10 +79,10 @@ def test_correlation_matrix_kernels_agree_and_guard_raises(spark, sf_dir):
     }
     assert set(fast) == set(exact)
     for k, v in exact.items():
-        # identical to the last double bit in practice; the kernels'
-        # double reconstructions may differ by 1 ulp pre-rounding, so
-        # compare at the 6-dp contract
-        assert abs(fast[k] - v) <= 1e-6, k
+        # EXACTLY equal: both kernels cast the same exact integer Σxy
+        # to double (the int64 kernel reconstructs it in decimal on the
+        # single agg row), so not even the last bit may differ
+        assert fast[k] == v, k
 
     # |x·10⁴| ~ 1e15 > √(2⁶³): per-row product would overflow int64.
     # Under ANSI mode (Spark 4 default) the multiply itself raises
