@@ -49,6 +49,26 @@ def dec(c: Column | str) -> Column:
     return scaled * F.lit(_SHIFT).cast("decimal(5,4)")
 
 
+def scaled_int(
+    c: Column | str, scale: int = _S, out_type: str = "bigint"
+) -> Column:
+    """floor(x·scale + 0.5) as an exact integer column — the RAW
+    (unshifted) half-up quantization underlying :func:`dec`. The one
+    definition shared by the correlation co-moment kernels
+    (operators/profile.py) and the Benford digit derivation
+    (operators/stats.py), so the rounding contract and its tie
+    semantics live in exactly one place per engine (r12 review:
+    five copies had accumulated)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col.cast("double") * scale + F.lit(0.5)).cast(out_type)
+
+
+def sql_scaled_int(c: str, scale: int = _S, out_type: str = "BIGINT") -> str:
+    """DuckDB mirror of :func:`scaled_int` — identical expression text
+    modulo the engine's cast spelling."""
+    return f"CAST(FLOOR(CAST({c} AS DOUBLE) * {scale} + 0.5) AS {out_type})"
+
+
 def dsum(expr: Column, alias: str) -> Column:
     """Exact decimal SUM, surfaced as double."""
     return F.sum(expr).cast("double").alias(alias)

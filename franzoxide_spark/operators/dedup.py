@@ -276,9 +276,19 @@ def _clear_stale_table_location(
     if not fs.exists(marker):
         import time
 
+        # Liveness must be judged RECURSIVELY: a live saveAsTable writes
+        # task output under <dir>/_temporary/<job>/<attempt>/, which
+        # never bumps the mtimes of <dir> or its direct children after
+        # job start — a top-level-only scan would age out a >1h landing
+        # mid-write and reclaim it, the exact loss the marker protocol
+        # exists to prevent (r12 review). listFiles(recursive) walks the
+        # attempt files, whose mtimes advance as the writer writes.
         newest_ms = fs.getFileStatus(path).getModificationTime()
         for st in fs.listStatus(path):
             newest_ms = max(newest_ms, st.getModificationTime())
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            newest_ms = max(newest_ms, it.next().getModificationTime())
         age = time.time() - newest_ms / 1000.0
         if age <= grace_secs:
             raise RuntimeError(

@@ -136,19 +136,24 @@ def correlation_matrix(
     """
     if kernel not in ("int64", "decimal"):
         raise ValueError(f"kernel must be 'int64' or 'decimal', got {kernel!r}")
+    if not cols:
+        raise ValueError("cols must be non-empty")
     if kernel == "decimal":
         return _correlation_matrix_decimal(df, cols)
 
-    def _sci(c: str) -> F.Column:
-        return F.floor(F.col(c).cast("double") * 10000 + F.lit(0.5)).cast(
-            "bigint"
-        )
+    from franzoxide_spark.functions.numeric import scaled_int
 
-    scaled = df.select(*[_sci(c).alias(c) for c in cols])
+    scaled = df.select(*[scaled_int(c).alias(c) for c in cols])
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c)).cast("double").alias(f"__s_{c}"))
-        aggs.append(F.max(F.abs(F.col(c))).alias(f"__m_{c}"))
+        # magnitude via max/min cast to double THEN negated — never
+        # abs() on the bigint: with ANSI off, a huge negative x clamps
+        # s to Long.MIN and abs(Long.MIN) WRAPS back negative, hiding
+        # the clamp from the guard (r12 review); double(Long.MIN)
+        # negates safely and trips m > _M_SAFE as intended
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i:]:
             lo = f"pmod(`{a}` * `{b}`, {_B31})"
@@ -157,8 +162,10 @@ def correlation_matrix(
             aggs.append(F.sum(F.expr(lo)).alias(f"__pl_{a}_{b}"))
     one = scaled.agg(*aggs)
     n = F.col("__n").cast("double")
-    m = F.greatest(*[F.col(f"__m_{c}") for c in cols]).cast("double") \
-        if len(cols) > 1 else F.col(f"__m_{cols[0]}").cast("double")
+    m_terms = [F.col(f"__mx_{c}") for c in cols] + [
+        -F.col(f"__mn_{c}") for c in cols
+    ]
+    m = F.greatest(*m_terms) if len(m_terms) > 1 else m_terms[0]
     bad = (
         (m > F.lit(_M_SAFE))
         | (n * m > F.lit(_I64_SAFE))
@@ -211,11 +218,10 @@ def _correlation_matrix_decimal(df: DataFrame, cols: Sequence[str]) -> DataFrame
     order-independent exact sums with no magnitude bounds; duckdb
     overflows DECIMAL(18,4)² products, hence the unscaled quantized
     integers here too."""
+    from franzoxide_spark.functions.numeric import scaled_int
 
     def _sc(c: str) -> F.Column:
-        return F.floor(F.col(c).cast("double") * 10000 + F.lit(0.5)).cast(
-            "decimal(38,0)"
-        )
+        return scaled_int(c, out_type="decimal(38,0)")
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
@@ -255,6 +261,8 @@ def sql_correlation_matrix(table: str, cols: Sequence[str]) -> str:
     kernel's final Σhi·2³¹ + Σlo reconstruction and the decimal
     kernel's Σ(a·b) are the SAME exact integer, so both cast to the
     identical double and the 6-dp rounding cannot diverge."""
+    from franzoxide_spark.functions.numeric import sql_scaled_int
+
     sums = ["COUNT(*) AS n"]
     for c in cols:
         sums.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
@@ -265,9 +273,7 @@ def sql_correlation_matrix(table: str, cols: Sequence[str]) -> str:
                 f" AS p_{a}_{b}"
             )
     scaled = ", ".join(
-        f"CAST(FLOOR(CAST({c} AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
-        f" AS {c}"
-        for c in cols
+        f"{sql_scaled_int(c)} AS {c}" for c in cols
     )
     parts = [f"s AS (SELECT {scaled} FROM {table})"]
 

@@ -42,11 +42,28 @@ _H1_SQL = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
 _H2_SQL = "(CAST('0x' || substr(md5({s}), 17, 15) AS BIGINT) | 1)"
 
 
+def _check_km_params(depth: int, width: int) -> None:
+    """Driver-side bound for the K-M stride: h1 + d·h2 with h1,h2 ≤
+    2⁶⁰−1 stays under 2⁶³−1 iff d ≤ 7, i.e. depth ≤ 8 — beyond that the
+    sum overflows int64 for large h2 values, a DATA-DEPENDENT failure
+    (ANSI/DuckDB raise mid-scan only for corpora containing such items;
+    non-ANSI Spark would wrap silently and diverge from the erroring
+    mirror — r12 review). Refused here with the bound in the message."""
+    if not 1 <= depth <= 8:
+        raise ValueError(
+            f"depth must be in [1, 8] (K-M stride h1 + d*h2 over 60-bit "
+            f"halves overflows int64 beyond depth 8), got {depth}"
+        )
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+
+
 def _with_bucket_rows(items: DataFrame, item_col: str, depth: int,
                       width: int, keep_item: bool) -> DataFrame:
     """(item?, d, b) rows: one md5 per input row (whole-stage codegen
     subexpression elimination computes the shared digest once for both
     halves), then depth strides derived arithmetically."""
+    _check_km_params(depth, width)
     hashed = items.select(
         *([F.col(item_col)] if keep_item else []),
         F.expr(_H1_SPARK.format(s=item_col)).alias("__h1"),
@@ -133,6 +150,7 @@ def sql_cms_heavy_hitters(
 ) -> str:
     # same K-M double hash as the Spark side: one md5 scan (no UNION ALL
     # re-scan per depth), strides derived arithmetically
+    _check_km_params(depth, width)
     return f"""
 WITH h AS (
   SELECT {_H1_SQL.format(s=item_col)} AS h1,

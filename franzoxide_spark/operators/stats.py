@@ -382,18 +382,23 @@ def benford_audit(
     # 5.33→0.95 s at 30× (string formatting + regex per value was the
     # whole linear constant; see BASELINE.md "q172 digit derivation").
     #
-    # MAGNITUDE ASSUMPTION (the >= 1e-6 guard below, mirrored in
-    # sql_benford_audit): magnitudes in [5e-7, 1e-6) would carry-round
-    # to 1 and miscount as digit 1 — dropped on BOTH engines. Same
-    # half-up rounding class as the old rendering (a value within 5e-7
-    # of a leading-digit boundary, e.g. 9.9999996, rounds across it;
-    # impossible for scale-2 currency, the documented input class).
-    # Upper bound: |x| beyond ~9.2e12 overflows the 10⁶-scaled BIGINT —
-    # LOUD under ANSI mode (Spark 4 default), never a silent wrap.
+    # MAGNITUDE DOMAIN [1e-6, 9e12), enforced symmetrically on BOTH
+    # engines (the two guards below, mirrored in sql_benford_audit):
+    # magnitudes in [5e-7, 1e-6) would carry-round to 1 and miscount as
+    # digit 1, and |x| ≥ ~9.2e12 overflows the 10⁶-scaled BIGINT — an
+    # ANSI abort on Spark vs an erroring CAST in DuckDB, i.e. a crash
+    # on legit large inputs (and a silent digit-9 skew with ANSI off,
+    # r12 review). Both tails are EXCLUDED rather than crashed on:
+    # n_values reflects the drop, so the audit stays honest about what
+    # it counted; callers with heavier-tailed data rescale upstream.
+    # Same half-up rounding class as the old format_number rendering
+    # (a value within 5e-7 of a leading-digit boundary, e.g. 9.9999996,
+    # rounds across it; impossible for scale-2 currency, the documented
+    # input class).
+    from franzoxide_spark.functions.numeric import scaled_int
+
     d = F.substring(
-        F.floor(F.abs(F.col(value_col)) * 1000000 + F.lit(0.5))
-        .cast("bigint")
-        .cast("string"),
+        scaled_int(F.abs(F.col(value_col)), scale=1_000_000).cast("string"),
         1,
         1,
     )
@@ -401,6 +406,7 @@ def benford_audit(
         df.filter(
             F.col(value_col).isNotNull()
             & (F.abs(F.col(value_col)) >= 1e-6)
+            & (F.abs(F.col(value_col)) < 9e12)
         )
         .withColumn("__d", d.cast("int"))
         .filter(F.col("__d").between(1, 9))
@@ -445,14 +451,16 @@ def sql_benford_audit(table: str, value_col: str, group_col: str) -> str:
         )
         chi_terms.append(f"(({o} - {e}) * ({o} - {e}) / {e})")
     chi2 = " + ".join(chi_terms)
+    from franzoxide_spark.functions.numeric import sql_scaled_int
+
+    scaled = sql_scaled_int(f"ABS({value_col})", scale=1_000_000)
     return f"""
 WITH digits AS (
   SELECT {group_col},
-         TRY_CAST(substr(CAST(
-              CAST(FLOOR(ABS({value_col}) * 1000000 + 0.5) AS BIGINT)
-              AS VARCHAR), 1, 1) AS INT) AS d
+         TRY_CAST(substr(CAST({scaled} AS VARCHAR), 1, 1) AS INT) AS d
   FROM {table}
-  WHERE {value_col} IS NOT NULL AND ABS({value_col}) >= 1e-6
+  WHERE {value_col} IS NOT NULL
+    AND ABS({value_col}) >= 1e-6 AND ABS({value_col}) < 9e12
 ),
 cnt AS (
   SELECT {group_col}, d, COUNT(*) AS n

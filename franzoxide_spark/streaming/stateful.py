@@ -73,7 +73,16 @@ def stateful_dedup(events: DataFrame, key_col: str, member_col: str) -> DataFram
     )
 
 
-BLOOM_STATE_SCHEMA = "bits binary, n bigint"
+# `enc` stamps the member-encoding version into state so an encoding
+# change can never be REPLAYED silently: recovery from a checkpoint
+# written under a different encoding must fail loudly (the r12 tag-byte
+# change would otherwise re-emit every previously-deduped member — the
+# old bits are unreachable under new hash positions). Schema changes
+# (v1 had no `enc` field) fail at Spark's state-schema validation;
+# same-schema encoding bumps fail at the explicit check in the update
+# fn. Bump _BLOOM_ENC whenever _bloom_positions' encoding changes.
+BLOOM_STATE_SCHEMA = "bits binary, n bigint, enc int"
+_BLOOM_ENC = 2  # v2: 0x01 tag-byte members, 0x00 null sentinel (r12)
 
 
 def bloom_params(capacity: int, fpp: float) -> tuple[int, int]:
@@ -133,7 +142,15 @@ def make_bloom_dedup_update(capacity: int, fpp: float):
         import pandas as pd
 
         if state.exists:
-            raw, n = state.get
+            raw, n, enc = state.get
+            if enc != _BLOOM_ENC:
+                raise ValueError(
+                    f"bloom dedup state was checkpointed under member "
+                    f"encoding v{enc}, this build hashes v{_BLOOM_ENC} — "
+                    "recovered bits are unreachable under the new "
+                    "positions and replay would re-emit every deduped "
+                    "member. Restart from a fresh checkpoint."
+                )
             bits = bytearray(raw)
         else:
             bits, n = bytearray(m // 8), 0
@@ -147,7 +164,7 @@ def make_bloom_dedup_update(capacity: int, fpp: float):
                     bits[p >> 3] |= 1 << (p & 7)
                 n += 1
                 fresh.append(member)
-        state.update((bytes(bits), n))
+        state.update((bytes(bits), n, _BLOOM_ENC))
         yield pd.DataFrame({"key": [key[0]] * len(fresh), "member": fresh})
 
     return _update

@@ -254,3 +254,22 @@ def test_bloom_probe_report_preserves_group_dtype(spark):
     out = bloom_probe_report(pool, eval_docs, "text", "grp")
     assert out.schema["grp"].dataType.simpleString() == "bigint"
     assert {r["grp"] for r in out.collect()} == {1, 2}
+
+
+def test_cms_depth_bound_refused_on_the_driver():
+    """r12 review: the K-M stride h1 + d*h2 overflows int64 beyond
+    depth 8 — a DATA-DEPENDENT mid-scan failure. Refused up front with
+    the bound in the message, on both the Spark and mirror builders."""
+    import pytest
+
+    from franzoxide_spark.operators.sketch import (
+        cms_build,
+        sql_cms_heavy_hitters,
+    )
+
+    with pytest.raises(ValueError, match=r"\[1, 8\]"):
+        cms_build(None, "x", depth=9)
+    with pytest.raises(ValueError, match=r"\[1, 8\]"):
+        sql_cms_heavy_hitters("t", "x", depth=0)
+    with pytest.raises(ValueError, match="width"):
+        sql_cms_heavy_hitters("t", "x", width=0)

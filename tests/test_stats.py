@@ -371,3 +371,42 @@ def test_gini_closed_forms(spark):
     assert got["one"]["gini"] == round(9 / 10, 6)
     assert got["one"]["top1pct_share"] == 1.0  # the single holder is the top 1%
     assert got["seq"]["gini"] == round(9 / 30, 6)
+
+
+def test_correlation_guard_catches_negative_clamp_with_ansi_off(spark):
+    """r12 review: with ANSI off, a huge NEGATIVE outlier clamps the
+    scaled value to Long.MIN and abs(Long.MIN) wraps negative — the
+    magnitude guard must still fire (it derives M from max/min cast to
+    double, never integer abs), raising loudly instead of returning
+    silently-wrapped correlations."""
+    import pytest as _pytest
+
+    from franzoxide_spark.operators.profile import correlation_matrix
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        big = spark.createDataFrame(
+            [(-1.0e20, 2.0), (1.0, 3.0), (2.0, 5.0)], "x double, y double"
+        )
+        with _pytest.raises(Exception, match="bounds exceeded"):
+            correlation_matrix(big, ("x", "y")).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        correlation_matrix(big, ())
+
+
+def test_benford_excludes_out_of_domain_magnitudes_symmetrically(spark):
+    """r12 review: |x| >= 9e12 is outside the quantized-digit domain —
+    excluded on BOTH engines (n_values reflects it) instead of an ANSI
+    abort on legit large inputs."""
+    from franzoxide_spark.operators.stats import benford_audit
+
+    rows = [(1.0e13, "g"), (2.0e15, "g")] + [
+        (float(10 + i), "g") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    out = benford_audit(df, "v", "g").collect()
+    assert out[0]["n_values"] == 20  # the two >= 9e12 rows are excluded

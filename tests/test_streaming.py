@@ -1990,3 +1990,41 @@ def test_interval_join_faces_are_mutually_consistent(spark):
     assert len(lo) == len(inner) + len(left_unmatched)
     # the full_outer unified key is never null (coalesced from both sides)
     assert all(r[0] is not None for r in fo)
+
+
+def test_bloom_state_encoding_version_mismatch_fails_loudly():
+    """r12 review: the tag-byte encoding change makes bits from an old
+    checkpoint unreachable — recovery must FAIL LOUDLY (the enc stamp),
+    never silently re-emit every previously-deduped member."""
+    import pandas as pd
+    import pytest
+
+    from franzoxide_spark.streaming.stateful import (
+        _BLOOM_ENC,
+        bloom_params,
+        make_bloom_dedup_update,
+    )
+
+    class FakeState:
+        exists = True
+        hasTimedOut = False
+
+        def __init__(self, v):
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    m, _k = bloom_params(1000, 0.01)
+    update = make_bloom_dedup_update(1000, 0.01)
+    stale = FakeState((bytes(m // 8), 5, _BLOOM_ENC - 1))
+    with pytest.raises(ValueError, match="encoding"):
+        list(update(("k",), iter([pd.DataFrame({"member": ["a"]})]), stale))
+    # current-encoding state replays fine
+    ok = FakeState((bytes(m // 8), 0, _BLOOM_ENC))
+    out = list(update(("k",), iter([pd.DataFrame({"member": ["a"]})]), ok))[0]
+    assert list(out["member"]) == ["a"]
