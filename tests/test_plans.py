@@ -712,10 +712,24 @@ def test_landing_guard_refuses_unmarked_fresh_dir_reclaims_old(spark):
         with _pytest.raises(RuntimeError, match="another session"):
             _clear_stale_table_location(spark, name)
         assert _os.path.exists(part), "guard deleted a fresh unmarked dir"
-        # age everything past the grace window -> crashed-writer reclaim
+        # liveness is judged RECURSIVELY (r12 review): a live saveAsTable
+        # writes under _temporary/ without bumping top-level mtimes, so
+        # an old-looking dir with a FRESH nested attempt file is still a
+        # live writer -> must refuse
         old = _time.time() - 7200
-        for p in (loc, part):
+        attempt = _os.path.join(loc, "_temporary", "0", "attempt_0")
+        _os.makedirs(attempt, exist_ok=True)
+        fresh_part = _os.path.join(attempt, "part-00000")
+        with open(fresh_part, "wb") as f:
+            f.write(b"live task output")
+        for p in (loc, part, _os.path.dirname(attempt),
+                  _os.path.dirname(_os.path.dirname(attempt))):
             _os.utime(p, (old, old))
+        with _pytest.raises(RuntimeError, match="another session"):
+            _clear_stale_table_location(spark, name)
+        # age the nested file too -> crashed-writer reclaim
+        _os.utime(attempt, (old, old))
+        _os.utime(fresh_part, (old, old))
         _clear_stale_table_location(spark, name)
         assert not _os.path.exists(loc)
     finally:
