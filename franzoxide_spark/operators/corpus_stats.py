@@ -885,11 +885,19 @@ def heaps_fit(
     # try_divide: one group (or groups with equal N) -> denom 0; ANSI
     # mode would abort, DuckDB yields NULL — match it (review r8)
     beta = F.try_divide(n * F.col("__sxy") - F.col("__sx") * F.col("__sy"), denom)
+    # `+ 0.0` after rounding normalizes IEEE signed zero: the engines'
+    # ln() implementations (JVM vs libm) differ in the last ulp, so a
+    # fit whose true slope is 0 can round to -0.0 on one engine and
+    # +0.0 on the other — numerically equal, rendered differently
+    # (r12 sf0.1 sweep finding; mirrored in sql_heaps_fit)
     return folded.select(
         F.col("n_groups").cast("int").alias("n_groups"),
-        F.round(beta, 6).alias("heaps_beta"),
-        F.round(
-            F.try_divide(F.col("__sy") - beta * F.col("__sx"), n), 6
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        (
+            F.round(
+                F.try_divide(F.col("__sy") - beta * F.col("__sx"), n), 6
+            )
+            + F.lit(0.0)
         ).alias("ln_k"),
     )
 
@@ -923,9 +931,11 @@ folded AS (
 )
 SELECT CAST(n_groups AS INT) AS n_groups,
        ROUND((CAST(n_groups AS DOUBLE) * sxy - sx * sy)
-             / (CAST(n_groups AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta,
+             / (CAST(n_groups AS DOUBLE) * sxx - sx * sx), 6)
+         + 0.0 AS heaps_beta,
        ROUND((sy - (CAST(n_groups AS DOUBLE) * sxy - sx * sy)
                    / (CAST(n_groups AS DOUBLE) * sxx - sx * sx) * sx)
-             / CAST(n_groups AS DOUBLE), 6) AS ln_k
+             / CAST(n_groups AS DOUBLE), 6)
+         + 0.0 AS ln_k
 FROM folded
 """

@@ -509,8 +509,16 @@ _TYPE_CHECKS = (
      " AND TRY_CAST({c} AS BIGINT) IS NOT NULL"),
     ("double", "try_cast({c} as double) is not null",
      "TRY_CAST({c} AS DOUBLE) IS NOT NULL"),
-    ("date", "try_cast({c} as date) is not null",
-     "TRY_CAST({c} AS DATE) IS NOT NULL"),
+    # date = full ISO yyyy-MM-dd shape AND castable. The shape guard
+    # matters at scale (r12 sf0.1 sweep finding): Spark's try_cast
+    # accepts bare 'yyyy' / 'yyyy-MM' prefixes ('2024' -> 2024-01-01)
+    # while DuckDB returns NULL — so 4-digit numeric ids silently
+    # inflate frac_date on one engine only. A suggestion must mean the
+    # unambiguous full-date rendering, not a year-shaped integer.
+    ("date", "{c} rlike '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$'"
+             " and try_cast({c} as date) is not null",
+     "regexp_matches({c}, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')"
+     " AND TRY_CAST({c} AS DATE) IS NOT NULL"),
     ("bool", "lower({c}) in ('true', 'false')",
      "LOWER({c}) IN ('true', 'false')"),
 )

@@ -35,7 +35,12 @@ def _canon_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        return f"{round(v, 6):.6f}"
+        r = round(v, 6)
+        if r == 0:
+            r = 0.0  # IEEE -0.0 == 0.0: never render a signed zero —
+            # a value straddling ±ε rounds to -0.0 on one engine and
+            # +0.0 on the other (libm last-ulp noise, r12 sf0.1 sweep)
+        return f"{r:.6f}"
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
     if isinstance(v, pd.Timestamp):

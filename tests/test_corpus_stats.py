@@ -312,3 +312,25 @@ def test_zipf_and_heaps_degenerate_inputs_yield_null_not_crash(spark):
     )
     row = heaps_fit(one_group, "text", "source").collect()[0]
     assert row["n_groups"] == 1 and row["heaps_beta"] is None
+
+
+def test_heaps_fit_zero_slope_never_renders_signed_zero(spark):
+    """r12 sf0.1 sweep: a fit whose true slope is 0 rounded to -0.0 on
+    one engine and +0.0 on the other (ln() last-ulp noise) — the
+    operator now normalizes signed zero after rounding, so a flat
+    corpus yields exactly +0.0, never -0.0."""
+    import math
+
+    from franzoxide_spark.operators.corpus_stats import heaps_fit
+
+    # varying N, constant V: ln V is constant so the OLS numerator is
+    # exactly 0 while the denominator is positive — slope ±0.0, the FP
+    # sign depending on summation noise (identical N would instead hit
+    # the NULL-denominator degenerate branch)
+    docs = spark.createDataFrame(
+        [(f"s{i}", " ".join(["alpha beta"] * (i + 2))) for i in range(5)],
+        "source string, text string",
+    )
+    out = heaps_fit(docs, "text", "source").collect()[0]
+    assert out["heaps_beta"] == 0.0
+    assert math.copysign(1.0, out["heaps_beta"]) == 1.0, "signed zero leaked"

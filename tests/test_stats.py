@@ -246,6 +246,15 @@ def test_infer_column_types_edges(spark):
     d2 = spark.createDataFrame([("87.0",), ("1.5",)], "v string")
     o2 = infer_column_types(d2, ["v"]).collect()[0]
     assert o2["frac_int"] == 0.0 and o2["suggested_type"] == "double"
+    # a bare year is NOT date-shaped (r12 sf0.1 sweep: Spark's try_cast
+    # accepts '2024' -> 2024-01-01 while DuckDB nulls it, so 4-digit
+    # numeric ids inflated frac_date on one engine only; the full
+    # yyyy-MM-dd shape guard pins the cross-engine contract)
+    d3 = spark.createDataFrame(
+        [("2024",), ("2024-06",), ("2024-06-15",), ("9999",)], "v string"
+    )
+    o3 = infer_column_types(d3, ["v"]).collect()[0]
+    assert o3["frac_date"] == 0.25  # only the full ISO rendering counts
 
 
 def test_welch_report_matches_textbook(spark):
