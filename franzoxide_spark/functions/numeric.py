@@ -58,9 +58,19 @@ def scaled_int(
     (operators/profile.py) and the Benford digit derivation
     (operators/stats.py), so the rounding contract and its tie
     semantics live in exactly one place per engine (r12 review:
-    five copies had accumulated)."""
+    five copies had accumulated).
+
+    Decimal outputs route the floor through the DECIMAL domain:
+    Spark's floor(double) returns LONG and silently SATURATES at
+    ±2⁶³ even under ANSI (it is floor's internal conversion, not a
+    cast) — a decimal(38,0) consumer advertising "no magnitude
+    bounds" would otherwise return clamped values while the DuckDB
+    mirror raises (r12 review #2, reproduced)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.floor(col.cast("double") * scale + F.lit(0.5)).cast(out_type)
+    shifted = col.cast("double") * scale + F.lit(0.5)
+    if out_type.strip().lower().startswith("decimal"):
+        return F.floor(shifted.cast("decimal(38,6)")).cast(out_type)
+    return F.floor(shifted).cast(out_type)
 
 
 def sql_scaled_int(c: str, scale: int = _S, out_type: str = "BIGINT") -> str:

@@ -284,11 +284,20 @@ def _clear_stale_table_location(
         # exists to prevent (r12 review). listFiles(recursive) walks the
         # attempt files, whose mtimes advance as the writer writes.
         newest_ms = fs.getFileStatus(path).getModificationTime()
-        for st in fs.listStatus(path):
-            newest_ms = max(newest_ms, st.getModificationTime())
-        it = fs.listFiles(path, True)
-        while it.hasNext():
-            newest_ms = max(newest_ms, it.next().getModificationTime())
+        try:
+            for st in fs.listStatus(path):
+                newest_ms = max(newest_ms, st.getModificationTime())
+            it = fs.listFiles(path, True)
+            while it.hasNext():
+                newest_ms = max(newest_ms, it.next().getModificationTime())
+        except Exception:  # noqa: BLE001 — the lazy recursive iterator
+            # races a live writer's task-commit renames (files move out
+            # of _temporary/ between fetch and visit -> FileNotFound).
+            # A walk that can't complete because files are moving IS
+            # evidence of a live writer — fall through to the loud
+            # refusal instead of dying with a raw Py4J trace (r12
+            # review #2).
+            newest_ms = int(time.time() * 1000)
         age = time.time() - newest_ms / 1000.0
         if age <= grace_secs:
             raise RuntimeError(

@@ -131,13 +131,19 @@ def correlation_matrix(
     so M ≤ ~10⁹) the bounds hold to ~10⁹ rows.
 
     ``kernel="decimal"``: the original DECIMAL(38,0)/HUGEINT sums —
-    no magnitude bounds, ~6-10× slower on the Spark side; the path for
-    data beyond the int64 guard.
+    ~6-10× slower on the Spark side; the path for data beyond the
+    int64 guard. Its own honest ceiling is the decimal(38,0) product
+    width (n·s_a·s_b < 10³⁸), hit LOUDLY under ANSI — and scaled_int
+    floors decimal outputs in the decimal domain, so values past 2⁶³
+    stay exact instead of silently saturating through floor's LONG
+    return (r12 review).
     """
     if kernel not in ("int64", "decimal"):
         raise ValueError(f"kernel must be 'int64' or 'decimal', got {kernel!r}")
-    if not cols:
-        raise ValueError("cols must be non-empty")
+    if len(cols) < 2:
+        raise ValueError(
+            f"pairwise correlation needs at least 2 cols, got {len(cols)}"
+        )
     if kernel == "decimal":
         return _correlation_matrix_decimal(df, cols)
 
@@ -162,10 +168,10 @@ def correlation_matrix(
             aggs.append(F.sum(F.expr(lo)).alias(f"__pl_{a}_{b}"))
     one = scaled.agg(*aggs)
     n = F.col("__n").cast("double")
-    m_terms = [F.col(f"__mx_{c}") for c in cols] + [
-        -F.col(f"__mn_{c}") for c in cols
-    ]
-    m = F.greatest(*m_terms) if len(m_terms) > 1 else m_terms[0]
+    m = F.greatest(
+        *[F.col(f"__mx_{c}") for c in cols],
+        *[-F.col(f"__mn_{c}") for c in cols],
+    )
     bad = (
         (m > F.lit(_M_SAFE))
         | (n * m > F.lit(_I64_SAFE))

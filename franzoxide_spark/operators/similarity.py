@@ -780,9 +780,9 @@ def centroid_outliers(
     ex = emb.select(
         id_col, label_col, F.posexplode(vec_col).alias("__pos", "__v")
     )
-    sc = F.floor(F.col("__v").cast("double") * 1000000 + F.lit(0.5)).cast(
-        "long"
-    )
+    from franzoxide_spark.functions.numeric import scaled_int
+
+    sc = scaled_int("__v", scale=1_000_000)
     comp = ex.groupBy(label_col, "__pos").agg(
         F.round(
             F.sum(sc).cast("double") / F.count("*").cast("double") / 1000000,
@@ -817,10 +817,13 @@ def centroid_outliers(
 def sql_centroid_outliers(
     table: str, id_col: str, vec_col: str, label_col: str, k: int = 5
 ) -> str:
+    from franzoxide_spark.functions.numeric import sql_scaled_int
+
+    s_expr = sql_scaled_int(f"{vec_col}[i]", scale=1_000_000)
     return f"""
 WITH ex AS (
   SELECT {id_col}, {label_col}, i AS pos,
-         CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         {s_expr}
            AS s
   FROM {table}, UNNEST(range(1, len({vec_col}) + 1)) AS t(i)
 ),

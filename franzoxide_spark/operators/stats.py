@@ -506,9 +506,9 @@ def gini_concentration(
     Gini is order-statistics, same family as q49's exact percentiles)
     and one map-side-combined aggregate; nothing crosses groups.
     """
-    x = F.floor(F.abs(F.col(value_col)).cast("double") * 10000 + 0.5).cast(
-        "long"
-    )
+    from franzoxide_spark.functions.numeric import scaled_int
+
+    x = scaled_int(F.abs(F.col(value_col)))
     w = Window.partitionBy(group_col).orderBy(x)
     ranked = df.filter(F.col(value_col).isNotNull()).select(
         group_col,
@@ -546,13 +546,15 @@ def gini_concentration(
 
 def sql_gini_concentration(table: str, value_col: str, group_col: str) -> str:
     """DuckDB mirror — identical exact-integer rank formula."""
+    from franzoxide_spark.functions.numeric import sql_scaled_int
+
+    sx = sql_scaled_int(f"ABS({value_col})")
     return f"""
 WITH ranked AS (
   SELECT {group_col},
-         CAST(FLOOR(ABS({value_col}) * 10000 + 0.5) AS BIGINT) AS x,
+         {sx} AS x,
          ROW_NUMBER() OVER (PARTITION BY {group_col}
-                            ORDER BY CAST(FLOOR(ABS({value_col}) * 10000 + 0.5)
-                                          AS BIGINT)) AS i,
+                            ORDER BY {sx}) AS i,
          COUNT(*) OVER (PARTITION BY {group_col}) AS nn
   FROM {table} WHERE {value_col} IS NOT NULL
 ),

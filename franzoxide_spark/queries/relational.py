@@ -604,7 +604,9 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = (1 << 20) - 1
 
     def limbs(c: str, p: str):
-        s = F.floor(F.col(c).cast("double") * 10000 + 0.5).cast("long")
+        from franzoxide_spark.functions.numeric import scaled_int
+
+        s = scaled_int(c)
         return [
             F.sum(F.shiftright(s, 20)).alias(f"__{p}_hi"),
             F.sum(s.bitwiseAND(F.lit(mask))).alias(f"__{p}_lo"),

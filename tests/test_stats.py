@@ -99,6 +99,18 @@ def test_correlation_matrix_kernels_agree_and_guard_raises(spark, sf_dir):
     # the decimal kernel handles the same data fine
     out = correlation_matrix(big, ("x", "y"), kernel="decimal").collect()
     assert out[0]["corr"] == 1.0
+    # ...including magnitudes just past 2^63, where floor(double)->LONG
+    # silently SATURATED in the old decimal kernel (r12 review #2:
+    # clamped values -> wrong corr with no error). scaled_int now floors
+    # in the DECIMAL domain for decimal outputs, so s = 9.5e18 stays
+    # exact and a perfectly-correlated pair comes back exactly 1.0.
+    # (The decimal kernel's honest ceiling is the decimal(38,0) product
+    # width — beyond THAT it raises loudly under ANSI, never clamps.)
+    huge = spark.createDataFrame(
+        [(9.5e14, 4.75e14), (1.0, 0.5), (2.0, 1.0)], "x double, y double"
+    )
+    out2 = correlation_matrix(huge, ("x", "y"), kernel="decimal").collect()
+    assert out2[0]["corr"] == 1.0
 
 
 def test_numeric_histogram_bins_and_closed_top(spark):
@@ -403,8 +415,10 @@ def test_correlation_guard_catches_negative_clamp_with_ansi_off(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
-    with _pytest.raises(ValueError, match="non-empty"):
+    with _pytest.raises(ValueError, match="at least 2"):
         correlation_matrix(big, ())
+    with _pytest.raises(ValueError, match="at least 2"):
+        correlation_matrix(big, ("x",))
 
 
 def test_benford_excludes_out_of_domain_magnitudes_symmetrically(spark):
