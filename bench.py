@@ -190,7 +190,9 @@ PER_QUERY_NOTES = {
         "1.32/1.51/1.82 s at sf0.1/10x/30x (strongly sub-linear). "
         "The ratio vs a ~0.09 s oracle is the cross-engine constant "
         "of regex evaluation over every cell, floor-amortized with "
-        "scale"
+        "scale; +~0.4 s at sf0.1 from the r12 date-shape guard (the "
+        "sf0.1-sweep correctness fix — a second rlike per cell, "
+        "same sub-linear shape)"
     ),
     "q156_weak_supervision_vote": (
         "label functions apply map-side, vote agg is key-bounded; r12 "
