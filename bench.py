@@ -77,17 +77,34 @@ PER_QUERY_NOTES = {
         "routed through the session-shared bucketed shingle landing "
         "(r11; BASELINE.md 'Registry routed through the shared "
         "landing'): the alphabetically-first dedup-family query in the "
-        "bench loop, so ITS run 1 pays the one-time landing write (~4 s "
-        "at sf0.1, visible in query_samples); later runs and the rest "
-        "of the family (q35/q35b) reuse it — min-of-N reports the "
-        "amortized path, the write-once/join-many posture the landing "
-        "exists to measure. A/B'd -19% vs ad-hoc at sf0.1 (q35 -40%, "
-        "q35b flat); SPARK_GRAFT_DEDUP_LANDING=0 is the ad-hoc lever"
+        "bench loop pays the per-session landing setup on ITS run 1 — "
+        "since r13 that is normally just ADOPTION of the previous "
+        "session's completed landing (external bucketed declaration "
+        "over the marked files, fingerprint-checked; BASELINE.md r13 "
+        "post-mortem), the full ~4 s write only on a genuine corpus "
+        "change. Later runs and the rest of the family (q35/q35b) "
+        "reuse it — min-of-N reports the amortized path, the "
+        "write-once/join-many posture the landing exists to measure. "
+        "A/B'd -19% vs ad-hoc at sf0.1 (q35 -40%, q35b flat); "
+        "SPARK_GRAFT_DEDUP_LANDING=0 is the ad-hoc lever"
     ),
     "q35_ngram_jaccard_pairs": (
         "landed path (see q119 note): -40% vs ad-hoc at sf0.1, reuses "
         "the session-shared shingle landing paid by the first family "
         "member in the run"
+    ),
+    "q48_python_udtf_shingles": (
+        "API-coverage entry: the row-at-a-time Python UDTF cost IS the "
+        "operator under test (lateral-join UDTF surface — eval() per "
+        "input row by contract, no Arrow batching in the UDTF protocol "
+        "itself). The Arrow-batched equivalents of the same shingle "
+        "computation are the production paths and are benched as such: "
+        "q41's expression-only fingerprint shingles and q35's "
+        "explode+md5 pipeline (both JVM-side, zero Python in the hot "
+        "loop). Resting ratio ~1.5-2x against a ~0.65 s oracle; an "
+        "over_bar appearance is the documented UDTF protocol floor, "
+        "not a plan regression — rewriting it Arrow-side would delete "
+        "the API the query exists to exercise"
     ),
     "q101_decontam_k_sweep": (
         "decontam-family floor at sf0.1 (BASELINE.md 'q101 shape A/B' + "
@@ -249,9 +266,58 @@ def _clear_session_state(spark) -> None:
         pass
 
 
+class _LoadSentinel:
+    """Raw host-load probe (r12 post-mortem): a fixed ~100 ms DuckDB
+    aggregate on a dedicated single-threaded connection, sampled at
+    intervals through BOTH phases and recorded RAW (no min-of-N — the
+    point is to SEE spikes, not reject them). The r12 driver artifact
+    showed +25 s Spark-only drift with an IMPROVED DuckDB denominator;
+    because the two phases run sequentially (oracle first, JVM-free by
+    design), a load window confined to the later Spark phase produces
+    exactly that asymmetric signature, and nothing in the artifact could
+    prove or disprove it. The sentinel series (phase, suite-relative
+    offset, seconds) makes the next such artifact self-diagnosing:
+    same-shape sentinel across phases = code regression; sentinel rising
+    in one phase = host window."""
+
+    def __init__(self, sf_dir: str) -> None:
+        import duckdb
+
+        self._con = duckdb.connect()
+        # single-threaded on purpose: a 32-thread probe would measure
+        # its own scheduling luck; one pinned thread measures the host
+        self._con.execute("SET threads=1")
+        self._con.execute(
+            "CREATE VIEW __sentinel AS "
+            f"SELECT * FROM '{sf_dir}/orders.parquet'"
+        )
+        self._t0 = time.perf_counter()
+        self.series: list[list] = []
+
+    def probe(self, phase: str) -> None:
+        try:
+            t0 = time.perf_counter()
+            self._con.execute(
+                "SELECT count(*), sum(o_totalprice) FROM __sentinel"
+            ).fetchall()
+            self.series.append(
+                [phase, round(t0 - self._t0, 2),
+                 round(time.perf_counter() - t0, 4)]
+            )
+        except Exception:  # noqa: BLE001 — diagnostics must never fail
+            pass            # the bench
+
+    def close(self) -> None:
+        try:
+            self._con.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def _time_oracles(
     sf_dir: str, runs: int, errors: dict[str, str],
     names: list[str] | None = None,
+    sentinel: "_LoadSentinel | None" = None,
 ) -> dict[str, float]:
     """Per-query DuckDB reference timings on the same files, same protocol
     (warm connection, min-of-runs, pandas materialization) — the apples-to-
@@ -266,9 +332,12 @@ def _time_oracles(
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         out: dict[str, float] = {}
-        for name in sorted(q.ORACLES) if names is None else names:
+        loop = sorted(q.ORACLES) if names is None else names
+        for i, name in enumerate(loop):
             if name not in q.ORACLES:
                 continue
+            if sentinel is not None and i % 30 == 0:
+                sentinel.probe("oracle")
             sql = q.ORACLES[name]
             best = float("inf")
             try:
@@ -488,7 +557,12 @@ def main() -> None:
     # resident local[*] heap/GC would bias the bar's denominator (and
     # break comparability with prior rounds' post-shutdown measurements)
     try:
-        oracle_timings = _time_oracles(sf_dir, runs, errors)
+        sentinel = _LoadSentinel(sf_dir)
+    except Exception:  # noqa: BLE001 — diagnostics must never fail the bench
+        sentinel = None
+    try:
+        oracle_timings = _time_oracles(sf_dir, runs, errors,
+                                       sentinel=sentinel)
     except Exception as e:  # noqa: BLE001
         errors["oracle_suite"] = f"{type(e).__name__}: {e}"[:300]
         oracle_timings = {}
@@ -533,8 +607,15 @@ def main() -> None:
     # the min alone can't show WHICH entries were noise — the per-run
     # spread lets a reader separate a spiked min from a genuine slowdown
     samples: dict[str, list[float]] = {}
-    for name in sorted(q.QUERIES):
+    # suite-relative start offset per query: with the sentinel series
+    # this localizes a host-load window to the queries it hit
+    starts: dict[str, float] = {}
+    t_suite0 = time.perf_counter()
+    for qi, name in enumerate(sorted(q.QUERIES)):
+        if sentinel is not None and qi % 30 == 0:
+            sentinel.probe("spark")
         fn = q.QUERIES[name]
+        starts[name] = round(time.perf_counter() - t_suite0, 2)
         best = float("inf")
         runs_s: list[float] = []
         try:
@@ -615,6 +696,8 @@ def main() -> None:
             best = timings[name]
             re_measured.append(name)
             re_measure_reasons[name] = reason
+            if sentinel is not None:
+                sentinel.probe("re_measure")
             try:
                 for _ in range(runs):
                     t0 = time.perf_counter()
@@ -638,7 +721,8 @@ def main() -> None:
     # against the engine under test, never for it.
     if re_measured:
         try:
-            extra = _time_oracles(sf_dir, runs, {}, names=re_measured)
+            extra = _time_oracles(sf_dir, runs, {}, names=re_measured,
+                                  sentinel=sentinel)
         except Exception:  # noqa: BLE001 — keep the first-pass timings
             extra = {}
         for name, osec in extra.items():
@@ -646,9 +730,14 @@ def main() -> None:
     summary, detail = build_summary(
         timings, oracle_timings, errors, floor, floor_failed, sf
     )
+    if sentinel is not None:
+        sentinel.probe("final")
+        detail["load_sentinel"] = sentinel.series
+        sentinel.close()
     detail["re_measured"] = sorted(re_measured)
     detail["re_measure_reasons"] = re_measure_reasons
     detail["query_samples"] = samples
+    detail["query_starts"] = starts
     detail["validated"] = update_validated(
         timings, re_measure_reasons, prev_validated
     )

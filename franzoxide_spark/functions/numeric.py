@@ -60,16 +60,23 @@ def scaled_int(
     semantics live in exactly one place per engine (r12 review:
     five copies had accumulated).
 
-    Decimal outputs route the floor through the DECIMAL domain:
-    Spark's floor(double) returns LONG and silently SATURATES at
-    ±2⁶³ even under ANSI (it is floor's internal conversion, not a
-    cast) — a decimal(38,0) consumer advertising "no magnitude
-    bounds" would otherwise return clamped values while the DuckDB
-    mirror raises (r12 review #2, reproduced)."""
+    Decimal outputs must still floor in the DOUBLE domain (a native
+    double->decimal(38,6) cast rounds HALF_UP at the 6th decimal
+    BEFORE the floor, so a shifted double in (k-5e-7, k) would floor
+    to k here while the SQL mirror floors the raw double to k-1 —
+    the r12 ADVICE boundary class). The split below keeps both
+    hazards closed: below 2⁵³ ``floor(double)`` is exact and its
+    LONG return cannot saturate (2⁵³ < 2⁶³); at or beyond 2⁵³ every
+    double is already an integer, so flooring is the identity and a
+    value-preserving decimal cast suffices — floor's silently-
+    saturating LONG conversion (r12 review #2) is never reached."""
     col = F.col(c) if isinstance(c, str) else c
     shifted = col.cast("double") * scale + F.lit(0.5)
     if out_type.strip().lower().startswith("decimal"):
-        return F.floor(shifted.cast("decimal(38,6)")).cast(out_type)
+        return F.when(
+            F.abs(shifted) < F.lit(2.0**53),
+            F.floor(shifted).cast(out_type),
+        ).otherwise(shifted.cast(out_type))
     return F.floor(shifted).cast(out_type)
 
 

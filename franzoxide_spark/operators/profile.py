@@ -229,22 +229,54 @@ def _correlation_matrix_decimal(df: DataFrame, cols: Sequence[str]) -> DataFrame
     def _sc(c: str) -> F.Column:
         return scaled_int(c, out_type="decimal(38,0)")
 
+    # Overflow must be LOUD without relying on ANSI mode: with
+    # spark.sql.ansi.enabled=false a scaled value past decimal(38,0)
+    # range (or a product past the decimal multiply width) casts to
+    # NULL per row, SUM silently skips it while __n still counts the
+    # row — a plausible-but-wrong correlation with no error, the same
+    # silent class the int64 kernel's guard closes (r12 ADVICE #3).
+    # Cheap engine-side detection in the SAME pass: the non-null count
+    # of each scaled column must equal the source column's, and each
+    # product's non-null count must equal the count of rows where both
+    # operands are non-null (count(a+b) — a double add never nulls a
+    # non-null pair).
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(_sc(c)).cast("double").alias(f"__s_{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"__cv_{c}"))
+        aggs.append(F.count(_sc(c)).alias(f"__cs_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i:]:
             aggs.append(
                 F.sum(_sc(a) * _sc(b)).cast("double").alias(f"__p_{a}_{b}")
             )
+            aggs.append(F.count(_sc(a) * _sc(b)).alias(f"__cp_{a}_{b}"))
+            aggs.append(
+                F.count(
+                    F.col(a).cast("double") + F.col(b).cast("double")
+                ).alias(f"__cb_{a}_{b}")
+            )
     one = df.agg(*aggs)
     n = F.col("__n").cast("double")
+    bad = F.lit(False)
+    for c in cols:
+        bad = bad | (F.col(f"__cs_{c}") != F.col(f"__cv_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            bad = bad | (F.col(f"__cp_{a}_{b}") != F.col(f"__cb_{a}_{b}"))
+    guard = F.expr(
+        "cast(raise_error('correlation_matrix decimal kernel overflow: "
+        "a scaled value or co-moment product exceeded decimal range and "
+        "would be silently dropped from the sums (non-ANSI null cast); "
+        "the input magnitudes are beyond even the decimal kernel') "
+        "as double)"
+    )
 
     def _corr(a: str, b: str) -> F.Column:
         num = n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
         va = n * F.col(f"__p_{a}_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
         vb = n * F.col(f"__p_{b}_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
-        return F.round(num / F.sqrt(va * vb), 6)
+        return F.when(bad, guard).otherwise(F.round(num / F.sqrt(va * vb), 6))
 
     pairs = F.array(
         *[

@@ -120,8 +120,32 @@ def _bloom_positions(member: str | None, m: int, k: int) -> list[int]:
     # Arrow surfaces SQL NULL as None, float('nan'), or pd.NA depending
     # on the column's pandas dtype; a bare `member != member` raises on
     # pd.NA (ambiguous truth value — the sessionizer's crash class).
-    # Anything that is not a str IS a null face for a string column.
-    null = not isinstance(member, str)
+    # ONLY those null faces hash to the 0x00 sentinel. Any other
+    # non-str member (int, bytes, Decimal delivered by Arrow for a
+    # mistyped column) is a contract violation and must raise LOUDLY:
+    # hashing real values into the single null slot would emit the
+    # first row and silently drop every later distinct member as a
+    # "duplicate" — near-total data loss with no error (r12 ADVICE #2).
+    if isinstance(member, str):
+        null = False
+    elif member is None:
+        null = True
+    else:
+        import pandas as pd
+
+        try:
+            null = bool(pd.isna(member))
+        except (TypeError, ValueError):
+            # pd.isna on an array-like returns an array (ambiguous
+            # truth) — an array member is not a null face
+            null = False
+        if not null:
+            raise TypeError(
+                "bloom dedup member column must be string (or null); got "
+                f"{type(member).__name__}: {member!r} — cast the member "
+                "column to string upstream, values of other types would "
+                "all alias the null sentinel and be dropped as duplicates"
+            )
     raw = b"\x00" if null else b"\x01" + member.encode("utf-8")
     d = hashlib.md5(raw).digest()
     h1 = int.from_bytes(d[:8], "big")

@@ -388,6 +388,58 @@ def test_prefix_checkpoint_branches_row_identical_and_size_routed(
     assert len(calls) == below + 1, (below, len(calls))
 
 
+def test_prefix_checkpoint_not_taken_on_landed_bench_sf(spark, monkeypatch):
+    """r12 verdict item #1: the driver bench routes q35b through the
+    LANDED bucketed relation, whose stats are EXACT file sizes — a
+    different stat source than the ad-hoc optimizer estimate the r12
+    calibration table was read from. This pins the production decision
+    at the bench SF against the stat source the production path actually
+    sees: the sf0.1 landed relation must report below
+    ``_PREFIX_CHECKPOINT_MIN_BYTES`` (measured 1.65 MiB — the two
+    sources substantially AGREE at this SF; the ~17 MB figure floated in
+    the r12 verdict is the 10x replica's directory) and the auto path
+    must take the no-checkpoint branch, proven by the recorder: the
+    landed path owns exactly ONE localCheckpoint (the collect_list
+    verify-side rebuild), a prefix checkpoint would be a second."""
+    import os as _os
+
+    import pytest as _pytest
+
+    sf01 = "/root/testdata/sf0.1"
+    if not _os.path.isdir(sf01):
+        _pytest.skip("sf0.1 fixtures absent")
+    import franzoxide_spark.operators.dedup as dd
+    import franzoxide_spark.queries.llm as llm
+    from franzoxide_spark.tables import table
+
+    rel = llm._docs_shingle_rel(spark, sf01)
+    if rel is None:
+        _pytest.skip("dedup landing disabled via env")
+    ex = rel.select("doc_id", "n", "g")
+    est = int(ex._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est < dd._PREFIX_CHECKPOINT_MIN_BYTES, (
+        f"landed sf0.1 relation reports {est} bytes >= threshold "
+        f"{dd._PREFIX_CHECKPOINT_MIN_BYTES} — the bench SF would pay the "
+        "checkpoint materialization per cache-reset sample (the r12 "
+        "driver-bench regression class)"
+    )
+    import pyspark.sql.classic.dataframe as _D
+
+    calls = []
+    orig = _D.DataFrame.localCheckpoint
+
+    def _rec(self, eager=True):
+        calls.append(eager)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(_D.DataFrame, "localCheckpoint", _rec)
+    docs = table(spark, sf01, "documents")
+    dd.jaccard_pairs_prefix(docs, "text", "doc_id", 0.6, shingle_rel=rel)
+    assert len(calls) == 1, (
+        f"expected only the verify-side rebuild checkpoint, got {calls}"
+    )
+
+
 def test_repetition_gate_matches_duckdb_oracle(spark, sf_dir):
     """q58 registers past the driver's 50-record correctness window, so
     its cross-engine proof lives here: run the exact registered oracle

@@ -686,6 +686,160 @@ def test_shared_shingle_relation_recovers_stale_warehouse_dir(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_shared_shingle_relation_adopts_fresh_marked_landing(spark, sf_dir):
+    """Cross-session adoption (r12 ADVICE #4): a fresh session finding a
+    MARKED completed landing whose source fingerprint still matches the
+    corpus must ADOPT it — external bucketed declaration over the
+    existing files, no re-land, k-stamp restored, self-join still
+    exchange-free — instead of deleting files a live sibling session may
+    be scanning. Simulated in-process by copying a completed landing to
+    the digest location of a second source_key (same corpus, so the
+    fingerprint in the copied marker still matches)."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.operators.dedup import (
+        _LANDING_MARKER,
+        jaccard_pairs,
+        shared_shingle_relation,
+    )
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(500)
+    key_a = f"{sf_dir}/documents#adopt_writer"
+    key_b = f"{sf_dir}/documents#adopt_reader"
+
+    def _name(k):
+        ident = (k, "text", "doc_id", 3, 8)
+        return "shingle_rel_" + _hashlib.md5(
+            repr(ident).encode()).hexdigest()[:12]
+
+    wh = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:")
+    name_a, name_b = _name(key_a), _name(key_b)
+    dir_a, dir_b = _os.path.join(wh, name_a), _os.path.join(wh, name_b)
+    try:
+        rel_a = shared_shingle_relation(
+            docs, "text", "doc_id", source_key=key_a, n_buckets=8
+        )
+        want = sorted(map(tuple, rel_a.collect()))
+        # the marker carries writer identity + schema + fingerprint
+        with open(_os.path.join(dir_a, _LANDING_MARKER)) as fh:
+            marker = _json.load(fh)
+        assert marker["app_id"] == spark.sparkContext.applicationId
+        assert marker["fingerprint"] and marker["n_buckets"] == 8
+        # simulate a dead session's completed landing for key_b
+        _shutil.copytree(dir_a, dir_b)
+        assert not spark.catalog.tableExists(name_b)
+        before = {
+            p: _os.path.getmtime(p)
+            for p in _glob.glob(dir_b + "/*.parquet")
+        }
+        rel_b = shared_shingle_relation(
+            docs, "text", "doc_id", source_key=key_b, n_buckets=8
+        )
+        after = {
+            p: _os.path.getmtime(p)
+            for p in _glob.glob(dir_b + "/*.parquet")
+        }
+        assert after == before, "adoption re-landed instead of reusing"
+        # k-stamp restored through the external declaration
+        assert rel_b.schema["g"].metadata.get("shingle_k") == 3
+        assert sorted(map(tuple, rel_b.collect())) == want
+        # the adopted relation keeps the exchange-free self-join property
+        j = rel_b.alias("a").hint("merge").join(rel_b.alias("b"), "g")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and consumers accept it (k check passes) with identical output
+        pa = sorted(map(tuple, jaccard_pairs(
+            docs, "text", "doc_id", 0.5, shingle_rel=rel_a).collect()))
+        pb = sorted(map(tuple, jaccard_pairs(
+            docs, "text", "doc_id", 0.5, shingle_rel=rel_b).collect()))
+        assert pa == pb
+        # repeat call returns the SAME stamped relation (session cache)
+        rel_b2 = shared_shingle_relation(
+            docs, "text", "doc_id", source_key=key_b, n_buckets=8
+        )
+        assert rel_b2.schema["g"].metadata.get("shingle_k") == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name_a}")
+        spark.sql(f"DROP TABLE IF EXISTS {name_b}")
+        for d in (dir_a, dir_b):
+            _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_shared_shingle_relation_relands_on_fingerprint_mismatch(
+    spark, sf_dir, caplog
+):
+    """A marked landing whose source fingerprint no longer matches the
+    corpus is stale for every reader: it must be reclaimed and re-landed
+    (not adopted), with a warning naming the recorded writer."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import json as _json
+    import logging as _logging
+    import os as _os
+    import shutil as _shutil
+
+    from franzoxide_spark.operators.dedup import (
+        _LANDING_MARKER,
+        shared_shingle_relation,
+    )
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(500)
+    key_a = f"{sf_dir}/documents#stale_writer"
+    key_b = f"{sf_dir}/documents#stale_reader"
+
+    def _name(k):
+        ident = (k, "text", "doc_id", 3, 8)
+        return "shingle_rel_" + _hashlib.md5(
+            repr(ident).encode()).hexdigest()[:12]
+
+    wh = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:")
+    name_a, name_b = _name(key_a), _name(key_b)
+    dir_a, dir_b = _os.path.join(wh, name_a), _os.path.join(wh, name_b)
+    try:
+        shared_shingle_relation(
+            docs, "text", "doc_id", source_key=key_a, n_buckets=8
+        )
+        _shutil.copytree(dir_a, dir_b)
+        mpath = _os.path.join(dir_b, _LANDING_MARKER)
+        with open(mpath) as fh:
+            marker = _json.load(fh)
+        marker["fingerprint"] = "0" * 32  # the corpus "changed"
+        marker["app_id"] = "app-now-dead-123"
+        with open(mpath, "w") as fh:
+            _json.dump(marker, fh)
+        # drop Hadoop LocalFileSystem's CRC sidecar — the out-of-band
+        # rewrite above invalidates it and the marker read must see the
+        # new fingerprint, not a ChecksumException
+        crc = _os.path.join(dir_b, "." + _LANDING_MARKER + ".crc")
+        if _os.path.exists(crc):
+            _os.remove(crc)
+        before = set(_glob.glob(dir_b + "/*.parquet"))
+        with caplog.at_level(_logging.WARNING,
+                             logger="franzoxide_spark.operators.dedup"):
+            rel_b = shared_shingle_relation(
+                docs, "text", "doc_id", source_key=key_b, n_buckets=8
+            )
+        assert rel_b.count() > 0
+        assert any("app-now-dead-123" in r.message for r in caplog.records)
+        after = set(_glob.glob(dir_b + "/*.parquet"))
+        assert after != before or {
+            p: _os.path.getmtime(p) for p in after
+        } != {p: _os.path.getmtime(p) for p in before}, "stale dir reused"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name_a}")
+        spark.sql(f"DROP TABLE IF EXISTS {name_b}")
+        for d in (dir_a, dir_b):
+            _shutil.rmtree(d, ignore_errors=True)
+
+
 def test_landing_guard_refuses_unmarked_fresh_dir_reclaims_old(spark):
     """The concurrent-writer guard (r11 ADVICE): an UNMARKED landing dir
     modified inside the grace window may be another live session

@@ -203,6 +203,59 @@ def test_decimal_sum_cross_engine_exact(spark, values):
     assert spark_sum == duck_sum, (spark_sum, duck_sum)
 
 
+def test_scaled_int_decimal_branch_floors_in_double_domain(spark):
+    """The r12 ADVICE boundary class: for shifted doubles in
+    (k - 5e-7, k) a native double->decimal(38,6) cast rounds HALF_UP to
+    k BEFORE the floor, so the decimal branch would return k while the
+    bigint branch / DuckDB mirror floor the raw double to k-1. The
+    decimal branch must floor in the double domain (exact below 2^53)
+    and agree bit-for-bit with both."""
+    import math
+
+    import pandas as pd
+
+    from franzoxide_spark.functions.numeric import scaled_int, sql_scaled_int
+
+    vals = []
+    for k in (1, 7, 123456, -3):
+        x = (k - 0.5) / 10000.0
+        # step down ulps until the shifted value strictly undershoots k —
+        # the exact class where premature decimal rounding flips the floor
+        while not (x * 10000.0 + 0.5 < k):
+            x = math.nextafter(x, -math.inf)
+        vals.append(x)
+        vals.append(math.nextafter(x, math.inf))
+    # plain values + the >= 2^53 regime (already-integral doubles, where
+    # the decimal branch must be a value-preserving cast, never a
+    # saturating floor(double)->LONG)
+    vals += [0.0, 1.90625, -2.5, 3.14159, 9.5e14, -9.5e14, 1.0e30]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = (
+        df.select(
+            scaled_int("x").alias("b"),
+            scaled_int("x", out_type="decimal(38,0)").alias("d"),
+        )
+        .collect()
+    )
+    pdf = pd.DataFrame({"x": pd.array(vals, dtype="float64")})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_scaled_int('x', out_type='HUGEINT')} FROM t"
+        ).fetchall()
+    ]
+    con.close()
+    for v, row, w in zip(vals, got, want):
+        assert int(row["d"]) == int(w), (v, row["d"], w)
+        if abs(v * 10000.0 + 0.5) < 2.0**53:
+            assert int(row["b"]) == int(row["d"]) == int(w), (
+                v, row["b"], row["d"], w,
+            )
+
+
 # -- EP2 proto3 wire codec round-trips (ingest/protowire.py) ----------------
 
 _proto_str = st.text(max_size=40)

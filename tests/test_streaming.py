@@ -1368,6 +1368,28 @@ def test_stateful_update_fns_survive_null_rows():
     ), st3))[0]
     assert len(out_alias) == 2
 
+    # a REAL non-string member (mistyped column — ints, bytes, Decimal
+    # delivered by Arrow) must raise loudly, not hash into the null
+    # sentinel: aliasing every value to one slot would emit the first
+    # row and silently drop all later distinct members as "duplicates"
+    # (r12 ADVICE #2 — silent near-total data loss)
+    import pytest as _pytest
+
+    for bad_val in (7, b"bytes", 3.5):
+        bloom3 = make_bloom_dedup_update(1000, 0.01)
+        st4 = FakeState()
+        with _pytest.raises(TypeError, match="must be string"):
+            list(bloom3(("k",), iter(
+                [pd.DataFrame({"member": pd.array([bad_val], dtype=object)})]
+            ), st4))
+    # while float('nan') stays a null FACE (float64 member column)
+    bloom4 = make_bloom_dedup_update(1000, 0.01)
+    st5 = FakeState()
+    out_nan = list(bloom4(("k",), iter(
+        [pd.DataFrame({"member": [float("nan"), float("nan")]})]
+    ), st5))[0]
+    assert len(out_nan) == 1
+
     # sessionize: null epoch rows are skipped; an ALL-null batch with no
     # open session tracks nothing and sets no timeout
     sess = make_session_update(gap_s=1800)
