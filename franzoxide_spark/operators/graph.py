@@ -41,6 +41,8 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     broadcast_threshold: int = 5_000_000,
+    symmetric: bool = False,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Power-iteration PageRank over ``edges (src bigint, dst bigint)``.
 
@@ -56,6 +58,23 @@ def pagerank(
     with two vocabulary-sized broadcast joins before doubling the
     directions — profiled: the edge build, not the iterations, dominates
     PageRank wall-clock, so cheapening it is what matters).
+
+    ``symmetric``: the caller vouches every edge appears in BOTH
+    directions (trusted, like ``deg``). Then every node has in-degree
+    >= 1, so the per-iteration dangling-teleport left-join against the
+    node table is the identity and is SKIPPED: an iteration collapses
+    to join + aggregate, and the node set is just ``distinct dst``.
+    At the bench SF this halves the per-iteration job count — the
+    scheduler floor, not the O(|E|) work, dominates small-graph
+    iteration cost (r12 verdict item #3).
+
+    ``checkpoint_every``: lineage-flattening cadence. The rank vector
+    is consumed ONCE per iteration, so the lazy plan grows LINEARLY
+    (not the doubling hazard q57's label propagation has, where each
+    round reads its input twice) — a handful of iterations run as one
+    chained job, and the checkpoint only exists to bound optimizer
+    time on long runs. Every iteration (the old behavior) paid one
+    materialization barrier per round for no reuse benefit.
     """
     if "deg" in edges.columns:
         pre = edges.select("src", "dst", "deg")
@@ -63,18 +82,28 @@ def pagerank(
         edges = edges.select("src", "dst").distinct()
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         pre = edges.join(deg, "src")
-    # Materialize the edge table ONCE (eager): nodes, degrees, and every
+    # Materialize the edge table ONCE: nodes, degrees, and every
     # iteration's joins all read this checkpoint. Deriving them from the
     # raw `edges` plan instead re-executed the upstream edge construction
     # (a fact-fact join + distinct in q139) once per iteration — measured
-    # 6.4 s -> 2.1 s at sf0.1 for 3 iterations.
-    ed = pre.localCheckpoint()
-    nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # 6.4 s -> 2.1 s at sf0.1 for 3 iterations. Lazy (eager=False): the
+    # n_nodes count below is the first consumer and materializes it in
+    # the same job, one scheduling round fewer per invocation.
+    ed = pre.localCheckpoint(eager=False)
+    if symmetric:
+        # both directions present -> the dst side already names every node
+        nodes = (
+            ed.select(F.col("dst").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        nodes = (
+            ed.select(F.col("src").alias("node"))
+            .union(ed.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     n_nodes = nodes.count()
 
     # The rank vector is |nodes| rows. When that fits a broadcast (the
@@ -91,24 +120,30 @@ def pagerank(
 
     ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
-    for _ in range(iters):
+    for i in range(1, iters + 1):
         contribs = (
             ed.join(b(ranks), ed["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        # nodes with no in-edges still hold the teleport mass
-        ranks = (
-            nodes.join(b(contribs), "node", "left")
-            .select(
+        if symmetric:
+            # every node received mass — base + d*in_mass IS the full
+            # recurrence, no dangling-teleport join needed
+            ranks = contribs.select(
+                "node",
+                (F.lit(base) + damping * F.col("in_mass")).alias("rank"),
+            )
+        else:
+            # nodes with no in-edges still hold the teleport mass
+            ranks = nodes.join(b(contribs), "node", "left").select(
                 "node",
                 (F.lit(base) + damping * F.coalesce("in_mass", F.lit(0.0))).alias(
                     "rank"
                 ),
             )
-            .localCheckpoint(eager=False)
-        )
+        if i % checkpoint_every == 0 and i < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

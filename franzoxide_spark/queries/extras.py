@@ -238,7 +238,7 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__dc").alias("deg"),
         )
     )
-    ranks = pagerank(edges, iters=3, damping=0.85).select(
+    ranks = pagerank(edges, iters=3, damping=0.85, symmetric=True).select(
         "node", F.round("rank", 9).alias("rank")
     )
     w = Window.orderBy(F.desc("rank"), F.asc("node"))

@@ -68,6 +68,21 @@ def test_bsp_fallback_equals_broadcast_path(spark):
         assert bsp[node] == pytest.approx(rank, rel=1e-12), node
 
 
+def test_symmetric_fast_path_equals_general_path(spark):
+    """``symmetric=True`` (r13: skip the per-iteration dangling-teleport
+    join — every node of a both-directions edge list has in-degree >= 1)
+    must reproduce the general path's ranks exactly on an undirected
+    graph, across iteration counts straddling the checkpoint cadence."""
+    e = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (1, 4), (4, 1),
+         (1, 3), (3, 1), (5, 1), (1, 5)]
+    for iters in (1, 3, 5, 9):
+        general = _ranks(spark, e, iters=iters)
+        fast = _ranks(spark, e, iters=iters, symmetric=True)
+        assert set(general) == set(fast), iters
+        for node, rank in general.items():
+            assert fast[node] == pytest.approx(rank, rel=1e-12), (iters, node)
+
+
 def test_bsp_fallback_plan_has_no_broadcast_join(spark, monkeypatch):
     """The threshold actually routes the physical plan: below it the
     rank-vector join is a BroadcastHashJoin (the explicit hint wins even
