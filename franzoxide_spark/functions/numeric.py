@@ -67,16 +67,47 @@ def scaled_int(
     the r12 ADVICE boundary class). The split below keeps both
     hazards closed: below 2⁵³ ``floor(double)`` is exact and its
     LONG return cannot saturate (2⁵³ < 2⁶³); at or beyond 2⁵³ every
-    double is already an integer, so flooring is the identity and a
-    value-preserving decimal cast suffices — floor's silently-
-    saturating LONG conversion (r12 review #2) is never reached."""
+    double is already an integer, so flooring is the identity — but
+    Spark's native double->decimal cast is NOT value-preserving
+    there (it renders via the shortest-repr string, 17 significant
+    digits, while DuckDB's HUGEINT cast converts the exact binary
+    value — 1e30 diverges by ~4e17). So the wide branch rebuilds the
+    exact binary value from three base-2³² limbs, every step exact
+    in IEEE double arithmetic: power-of-two scales/products shift
+    the exponent only, each limb is < 2⁵³ so floor + LONG cast are
+    exact, and each remainder's true difference is representable
+    (|a| ≥ 2⁵³ ⇒ ulp(a) ≥ 2, so a mod 2⁶⁴ and rem mod 2³² carry ≤ 53
+    significant bits), making the IEEE subtraction exact. The limbs
+    are recombined in scale-0 decimal arithmetic (exact; the result
+    < 2¹²⁶ fits decimal(38,0)); inputs past ~10³⁸ overflow both
+    engines and are out of contract."""
     col = F.col(c) if isinstance(c, str) else c
     shifted = col.cast("double") * scale + F.lit(0.5)
     if out_type.strip().lower().startswith("decimal"):
+        a = F.abs(shifted)
+        l2 = F.floor(a / F.lit(2.0**64)).cast("bigint")
+        rem = a - l2.cast("double") * F.lit(2.0**64)
+        l1 = F.floor(rem / F.lit(2.0**32)).cast("bigint")
+        l0 = (rem - l1.cast("double") * F.lit(2.0**32)).cast("bigint")
+        magnitude = (
+            l2.cast("decimal(19,0)")
+            * F.lit("18446744073709551616").cast("decimal(20,0)")
+            + l1.cast("decimal(10,0)")
+            * F.lit("4294967296").cast("decimal(10,0)")
+            + l0.cast("decimal(10,0)")
+        )
+        # negation via 0 - x, NOT unary minus: Spark's UnaryMinus on a
+        # wide DecimalType is observably inexact (measured here:
+        # negate(...75136) -> -...75140 on decimal(38,0), both
+        # interpreted and codegen), while decimal subtraction and
+        # multiply are exact. Pinned by the ±1e30 pair in
+        # tests/test_properties.py.
+        exact_wide = F.when(
+            shifted < 0, F.lit(0).cast("decimal(38,0)") - magnitude
+        ).otherwise(magnitude)
         return F.when(
-            F.abs(shifted) < F.lit(2.0**53),
-            F.floor(shifted).cast(out_type),
-        ).otherwise(shifted.cast(out_type))
+            a < F.lit(2.0**53), F.floor(shifted).cast(out_type)
+        ).otherwise(exact_wide.cast(out_type))
     return F.floor(shifted).cast(out_type)
 
 

@@ -229,6 +229,17 @@ def test_scaled_int_decimal_branch_floors_in_double_domain(spark):
     # the decimal branch must be a value-preserving cast, never a
     # saturating floor(double)->LONG)
     vals += [0.0, 1.90625, -2.5, 3.14159, 9.5e14, -9.5e14, 1.0e30]
+    # regime boundaries for the exact limb decomposition: the 2^53
+    # branch point itself, a two-limb value (< 2^64), a three-limb
+    # value with a full 53-bit significand, and their negatives
+    vals += [
+        2.0**53 / 10000.0,
+        math.nextafter(2.0**53, math.inf) / 10000.0,
+        1.2345678901234567e15,
+        1.2345678901234567e25,
+        -1.2345678901234567e25,
+        -1.0e30,
+    ]
 
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     got = (
