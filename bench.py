@@ -42,12 +42,15 @@ from franzoxide_spark.session import get_spark
 PER_QUERY_NOTES = {
     "q139_pagerank_topk": (
         "iterative floor at sf0.1: 3 power iterations x (broadcast-join "
-        "+ combine) jobs on a 60k-edge graph are scheduler-dominated "
-        "(plan already optimal: eager edge checkpoint, broadcast rank "
-        "vector, zero per-iteration shuffles beyond the bounded "
-        "combine). Measured sub-linear slopes 5.25x at 10x and 15.7x "
-        "at 30x data (BASELINE.md) — an over_bar appearance is host "
-        "noise around the ~1.6-1.9x resting ratio, not a plan regression"
+        "+ combine) jobs on a 60k-edge graph are scheduler-dominated. "
+        "r13 symmetric fast path (BASELINE.md 'q139 symmetric'): the "
+        "caller vouches both edge directions, so the per-iteration "
+        "dangling-teleport left-join and the node-union build are "
+        "skipped and the per-round checkpoint became a cadence "
+        "(linearly-growing lineage, consumed once) — in-bench 3.72 -> "
+        "1.89 s, under the per-query bar. Slopes stay sub-linear "
+        "(BASELINE.md) — an over_bar appearance is host noise around "
+        "the ~1.6x resting ratio, not a plan regression"
     ),
     "q61_trigram_lm_quality": (
         "data-dominated floor at sf0.1 (the suite's worst such ratio, "
