@@ -779,3 +779,53 @@ def test_jpeg_any_single_bitflip_never_crashes(flip, seed):
         assert out.dtype == np.uint8 and out.ndim == 3
     except ValueError:
         pass
+
+
+# --------------------------------------------------------------------------
+# scaled_int decimal output: Spark limb decomposition == DuckDB HUGEINT
+# on arbitrary finite doubles across the whole contract range
+# --------------------------------------------------------------------------
+@SET
+@given(
+    st.lists(
+        st.one_of(
+            # full contract range: |shifted| = |x|*1e4 stays under the
+            # decimal(38,0) / HUGEINT ceiling (~1e38)
+            st.floats(-1e33, 1e33, allow_nan=False, allow_infinity=False),
+            # dense around the 2^53 branch point (the exactness regime
+            # change for the limb decomposition)
+            st.floats(2.0**53 / 1e4 * 0.5, 2.0**53 / 1e4 * 2.0),
+            st.floats(-(2.0**53) / 1e4 * 2.0, -(2.0**53) / 1e4 * 0.5),
+            # half-up tie neighborhoods below the branch point
+            st.integers(-(10**9), 10**9).map(lambda n: n / 1e4 + 5e-5),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_scaled_int_decimal_matches_duckdb_random(spark, values):
+    import pandas as pd
+
+    from franzoxide_spark.functions.numeric import scaled_int, sql_scaled_int
+
+    df = spark.createDataFrame([Row(i=i, x=float(v)) for i, v in enumerate(values)])
+    got = {
+        r["i"]: int(r["d"])
+        for r in df.select(
+            "i", scaled_int("x", out_type="decimal(38,0)").alias("d")
+        ).collect()
+    }
+    pdf = pd.DataFrame(
+        {"x": pd.array([float(v) for v in values], dtype="float64")}
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_scaled_int('x', out_type='HUGEINT')} FROM t"
+        ).fetchall()
+    ]
+    con.close()
+    for i, (v, w) in enumerate(zip(values, want)):
+        assert got[i] == int(w), (v, got[i], w)
