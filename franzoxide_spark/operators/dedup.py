@@ -344,13 +344,29 @@ def _mark_landing_complete(spark, name: str, info: dict | None = None) -> None:
 
     fs, path = _table_fs_path(spark, name)
     jvm = spark._jvm
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(path, _LANDING_MARKER),
-                    True)
     payload = dict(info or {})
     payload.setdefault("app_id", spark.sparkContext.applicationId)
     payload.setdefault("ts", time.time())
+    # data-file census at completion time: adoption's integrity check.
+    # A marked dir that later LOSES part-files (crashed cleanup, manual
+    # tampering) must re-land, not be adopted as a silently-short table.
+    payload.setdefault("n_files", _landing_data_file_count(fs, path))
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path, _LANDING_MARKER),
+                    True)
     out.write(bytearray(json.dumps(payload).encode("utf-8")))
     out.close()
+
+
+def _landing_data_file_count(fs, path) -> int:
+    """Count the landing's DATA files (parquet parts) — everything that
+    is not a hidden/bookkeeping entry (``_SUCCESS``, the marker itself,
+    ``.crc`` shadows)."""
+    n = 0
+    for st in fs.listStatus(path):
+        base = st.getPath().getName()
+        if st.isFile() and not base.startswith(("_", ".")):
+            n += 1
+    return n
 
 
 def _read_landing_marker(spark, name: str) -> dict | None:
@@ -426,6 +442,22 @@ def _adopt_landing(spark, name: str, marker: dict) -> DataFrame | None:
         return None
     schema = T.StructType.fromJson(schema_json)
     fs, path = _table_fs_path(spark, name)
+    # integrity gate: the marker recorded the data-file census at write
+    # completion; a dir that has since lost (or grown) part-files is not
+    # the landing the marker vouches for — adopting it would register a
+    # silently-short bucketed table whose missing rows surface as wrong
+    # dedup scores, not errors. Decline; the caller re-lands.
+    n_files = marker.get("n_files")
+    if n_files is not None and _landing_data_file_count(fs, path) != n_files:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "shingle landing %s (written by %s) fails its file census "
+            "(marker says %s data files) — declining adoption and "
+            "re-landing.",
+            name, marker.get("app_id", "<unknown>"), n_files,
+        )
+        return None
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
     )

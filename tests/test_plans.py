@@ -840,6 +840,65 @@ def test_shared_shingle_relation_relands_on_fingerprint_mismatch(
             _shutil.rmtree(d, ignore_errors=True)
 
 
+def test_shared_shingle_relation_relands_on_file_census_mismatch(
+    spark, sf_dir, caplog
+):
+    """A MARKED landing that has since LOST a data file (crashed cleanup,
+    manual tampering) is not the landing the marker vouches for: adopting
+    it would register a silently-short bucketed table whose missing rows
+    surface as wrong dedup scores, not errors. The census recorded in the
+    marker must make adoption DECLINE and the caller re-land."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import logging as _logging
+    import os as _os
+    import shutil as _shutil
+
+    from franzoxide_spark.operators.dedup import shared_shingle_relation
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(500)
+    key_a = f"{sf_dir}/documents#census_writer"
+    key_b = f"{sf_dir}/documents#census_reader"
+
+    def _name(k):
+        ident = (k, "text", "doc_id", 3, 8)
+        return "shingle_rel_" + _hashlib.md5(
+            repr(ident).encode()).hexdigest()[:12]
+
+    wh = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:")
+    name_a, name_b = _name(key_a), _name(key_b)
+    dir_a, dir_b = _os.path.join(wh, name_a), _os.path.join(wh, name_b)
+    try:
+        rel_a = shared_shingle_relation(
+            docs, "text", "doc_id", source_key=key_a, n_buckets=8
+        )
+        want_rows = rel_a.count()
+        _shutil.copytree(dir_a, dir_b)
+        # damage the copy: drop one bucket file (+ its CRC shadow)
+        victim = sorted(_glob.glob(dir_b + "/part-*.parquet"))[0]
+        _os.remove(victim)
+        crc = _os.path.join(
+            _os.path.dirname(victim), "." + _os.path.basename(victim) + ".crc"
+        )
+        if _os.path.exists(crc):
+            _os.remove(crc)
+        with caplog.at_level(_logging.WARNING,
+                             logger="franzoxide_spark.operators.dedup"):
+            rel_b = shared_shingle_relation(
+                docs, "text", "doc_id", source_key=key_b, n_buckets=8
+            )
+        assert any("file census" in r.message for r in caplog.records)
+        # re-landed, not adopted-short: the full row set is back
+        assert rel_b.count() == want_rows
+        assert len(_glob.glob(dir_b + "/part-*.parquet")) == 8
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name_a}")
+        spark.sql(f"DROP TABLE IF EXISTS {name_b}")
+        for d in (dir_a, dir_b):
+            _shutil.rmtree(d, ignore_errors=True)
+
+
 def test_landing_guard_refuses_unmarked_fresh_dir_reclaims_old(spark):
     """The concurrent-writer guard (r11 ADVICE): an UNMARKED landing dir
     modified inside the grace window may be another live session
