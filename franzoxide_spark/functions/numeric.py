@@ -105,9 +105,21 @@ def scaled_int(
         exact_wide = F.when(
             shifted < 0, F.lit(0).cast("decimal(38,0)") - magnitude
         ).otherwise(magnitude)
+        # non-finite shifted values must stay NULL, matching the
+        # pre-limb native-cast behavior: NaN orders ABOVE every double
+        # in Spark, so it would otherwise take the wide branch where
+        # non-ANSI cast(NaN as bigint) yields 0 for every limb and the
+        # result would be a silent Decimal('0') — a non-null that
+        # defeats the correlation kernel's null-count overflow guard
+        # (operators/profile.py) and diverges from the DuckDB mirror,
+        # which raises on CAST(NaN AS HUGEINT). An unmatched WHEN chain
+        # returns NULL, so NaN/±Infinity fall through both branches.
+        finite = ~(
+            F.isnan(shifted) | (F.abs(shifted) == F.lit(float("inf")))
+        )
         return F.when(
             a < F.lit(2.0**53), F.floor(shifted).cast(out_type)
-        ).otherwise(exact_wide.cast(out_type))
+        ).when(finite, exact_wide.cast(out_type))
     return F.floor(shifted).cast(out_type)
 
 

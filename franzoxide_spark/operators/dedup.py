@@ -405,10 +405,23 @@ def _read_landing_marker(spark, name: str) -> dict | None:
 
 
 def _source_fingerprint(df: DataFrame) -> str | None:
-    """Digest of the corpus' input files (path, length, mtime) — the
-    currency check for cross-session landing adoption. ``None`` when the
-    plan has no stable file inputs (in-memory/test frames): adoption is
-    then disabled and the session re-lands, the safe default."""
+    """Digest of the corpus' input files (path, length, mtime) PLUS the
+    frame's canonicalized plan hash — the currency check for
+    cross-session landing adoption. ``None`` when the plan has no stable
+    file inputs (in-memory/test frames): adoption is then disabled and
+    the session re-lands, the safe default.
+
+    Why the plan hash (r13 review): file stats alone cannot tell
+    ``docs`` from ``docs.limit(500)`` — ``inputFiles()`` lists the same
+    parquet parts for both, so a landing built from a row SUBSET of the
+    files would be silently adopted by a caller passing the full frame
+    under the same source_key (wrong scores, no error). The analyzed
+    CANONICALIZED plan string has expression ids and names normalized,
+    so identically-constructed frames render alike across sessions
+    (verified cross-process; semanticHash does NOT — HadoopFsRelation's
+    hashCode mixes in per-JVM identity) while any filter/limit/
+    projection difference re-lands. A false mismatch only costs a
+    re-land — the safe direction."""
     import hashlib
 
     files = sorted(df.inputFiles())
@@ -416,14 +429,38 @@ def _source_fingerprint(df: DataFrame) -> str | None:
         return None
     spark = df.sparkSession
     jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
     h = hashlib.md5()
+    # one listStatus per parent directory instead of one getFileStatus
+    # round-trip per file (r13 review: O(n_files) serial driver RPC)
+    by_parent: dict[str, list[str]] = {}
     for f in files:
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        st = fs.getFileStatus(p)
-        h.update(
-            f"{f}|{st.getLen()}|{st.getModificationTime()}\n".encode()
-        )
+        parent = f.rsplit("/", 1)[0]
+        by_parent.setdefault(parent, []).append(f)
+    stats: dict[str, tuple[int, int]] = {}
+    for parent, members in by_parent.items():
+        p = jvm.org.apache.hadoop.fs.Path(parent)
+        fs = p.getFileSystem(conf)
+        # match by basename within the parent (names are unique in a
+        # directory) — plan URIs and listStatus URIs can render the
+        # same path with different scheme spellings (file:/ vs file:///)
+        listed = {
+            st.getPath().getName(): (st.getLen(), st.getModificationTime())
+            for st in fs.listStatus(p)
+            if st.isFile()
+        }
+        for f in members:
+            base = f.rsplit("/", 1)[1]
+            if base not in listed:  # listed by the plan but gone on
+                return None         # disk — nothing current to adopt
+            stats[f] = listed[base]
+    for f in files:
+        ln, mt = stats[f]
+        h.update(f"{f}|{ln}|{mt}\n".encode())
+    h.update(
+        df._jdf.queryExecution().analyzed().canonicalized().toString()
+        .encode("utf-8")
+    )
     return h.hexdigest()
 
 
@@ -521,6 +558,13 @@ def shared_shingle_relation(
     spark = df.sparkSession
     ident = (source_key, text_col, id_col, shingle_k, n_buckets)
     key = (spark.sparkContext.applicationId,) + ident
+    # evict entries from OTHER (stopped) sessions: they hold DataFrames
+    # whose py4j proxies pin the dead session's objects for the process
+    # lifetime (r13 review) — a restart-heavy process (tests, notebooks)
+    # would otherwise grow one dead DataFrame per (session, corpus)
+    for cache in (_SESSION_LANDING_DFS, _SESSION_LANDINGS):
+        for stale in [k for k in cache if k[0] != key[0]]:
+            cache.pop(stale, None)
     name = "shingle_rel_" + hashlib.md5(repr(ident).encode()).hexdigest()[:12]
     if key in _SESSION_LANDINGS and spark.catalog.tableExists(name):
         cached = _SESSION_LANDING_DFS.get(key)

@@ -840,6 +840,56 @@ def test_shared_shingle_relation_relands_on_fingerprint_mismatch(
             _shutil.rmtree(d, ignore_errors=True)
 
 
+def test_shared_shingle_relation_relands_on_plan_mismatch(spark, sf_dir):
+    """File stats alone cannot tell ``docs`` from ``docs.limit(500)`` —
+    ``inputFiles()`` lists the same parquet parts for both (r13 review).
+    A landing built from a row SUBSET must NOT be adopted by a caller
+    passing a different frame under the same source_key: the fingerprint
+    folds in the canonicalized plan, so the mismatched caller re-lands
+    from its own frame and gets the full row set."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from franzoxide_spark.operators.dedup import shared_shingle_relation
+    from franzoxide_spark.tables import table
+
+    full = table(spark, sf_dir, "documents")
+    subset = full.limit(200)
+    key_a = f"{sf_dir}/documents#plan_writer"
+    key_b = f"{sf_dir}/documents#plan_reader"
+
+    def _name(k):
+        ident = (k, "text", "doc_id", 3, 8)
+        return "shingle_rel_" + _hashlib.md5(
+            repr(ident).encode()).hexdigest()[:12]
+
+    wh = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix("file:")
+    name_a, name_b = _name(key_a), _name(key_b)
+    dir_a, dir_b = _os.path.join(wh, name_a), _os.path.join(wh, name_b)
+    try:
+        rel_a = shared_shingle_relation(
+            subset, "text", "doc_id", source_key=key_a, n_buckets=8
+        )
+        subset_rows = rel_a.count()
+        # simulate a dead session's completed SUBSET landing under B's key
+        _shutil.copytree(dir_a, dir_b)
+        rel_b = shared_shingle_relation(
+            full, "text", "doc_id", source_key=key_b, n_buckets=8
+        )
+        # adopted-short would return subset_rows; a correct re-land from
+        # the caller's OWN frame returns the full corpus' shingles
+        assert rel_b.count() > subset_rows
+        # and the mtimes prove a re-land actually happened
+        assert _glob.glob(dir_b + "/part-*.parquet"), "no landing written"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name_a}")
+        spark.sql(f"DROP TABLE IF EXISTS {name_b}")
+        for d in (dir_a, dir_b):
+            _shutil.rmtree(d, ignore_errors=True)
+
+
 def test_shared_shingle_relation_relands_on_file_census_mismatch(
     spark, sf_dir, caplog
 ):

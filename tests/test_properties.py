@@ -240,6 +240,11 @@ def test_scaled_int_decimal_branch_floors_in_double_domain(spark):
         -1.2345678901234567e25,
         -1.0e30,
     ]
+    # non-finite inputs must stay NULL on the decimal path (r13 review:
+    # NaN orders above every double in Spark, so it would take the wide
+    # branch where non-ANSI cast(NaN as bigint) fabricates limb zeros —
+    # a silent Decimal('0') that defeats profile.py's null-count guard)
+    nonfinite = [float("nan"), float("inf"), float("-inf")]
 
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     got = (
@@ -265,6 +270,11 @@ def test_scaled_int_decimal_branch_floors_in_double_domain(spark):
             assert int(row["b"]) == int(row["d"]) == int(w), (
                 v, row["b"], row["d"], w,
             )
+    nf = spark.createDataFrame([(v,) for v in nonfinite], "x double")
+    for r in nf.select(
+        scaled_int("x", out_type="decimal(38,0)").alias("d")
+    ).collect():
+        assert r["d"] is None, r
 
 
 # -- EP2 proto3 wire codec round-trips (ingest/protowire.py) ----------------

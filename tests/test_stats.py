@@ -111,6 +111,16 @@ def test_correlation_matrix_kernels_agree_and_guard_raises(spark, sf_dir):
     )
     out2 = correlation_matrix(huge, ("x", "y"), kernel="decimal").collect()
     assert out2[0]["corr"] == 1.0
+    # NaN must be LOUD in the decimal kernel too (r13 review): NaN
+    # orders above 2^53 so it takes scaled_int's wide branch, which now
+    # yields NULL (never a fabricated 0) — the null-count guard then
+    # sees count(value) != count(scaled) and raises instead of
+    # returning a correlation computed with NaN silently dropped
+    nanful = spark.createDataFrame(
+        [(float("nan"), 1.0), (2.0, 1.0), (3.0, 1.5)], "x double, y double"
+    )
+    with _pytest.raises(Exception, match="decimal kernel overflow"):
+        correlation_matrix(nanful, ("x", "y"), kernel="decimal").collect()
 
 
 def test_numeric_histogram_bins_and_closed_top(spark):
