@@ -40,7 +40,17 @@ def frequent_pairs(
     ``(item_a, item_b, n_keys, support, lift)``, 6dp-rounded, item_a <
     item_b. Baskets are the distinct ``key_col`` values; an item counts
     once per basket regardless of repetition."""
-    ut = events.select(key_col, item_col).distinct()
+    # NULL baskets/items can never PAIR (collect_set skips NULL items;
+    # the SQL mirror's a.k = b.k never matches NULL keys) — but they
+    # WOULD leak into n_total/singles asymmetrically (groupBy keeps the
+    # null group while countDistinct skips it), making support/lift
+    # internally inconsistent and engine-divergent (r13 review). Exclude
+    # them from every count, in both engines.
+    ut = (
+        events.select(key_col, item_col)
+        .filter(F.col(key_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
     totals = ut.agg(
         F.countDistinct(key_col).alias("n_total"),
     )
@@ -95,7 +105,8 @@ def sql_frequent_pairs(
     table: str, key_col: str, item_col: str, *, min_support: float = 0.05
 ) -> str:
     return f"""
-WITH ut AS (SELECT DISTINCT {key_col} AS k, {item_col} AS it FROM {table}),
+WITH ut AS (SELECT DISTINCT {key_col} AS k, {item_col} AS it FROM {table}
+           WHERE {key_col} IS NOT NULL AND {item_col} IS NOT NULL),
 nk AS (SELECT COUNT(DISTINCT k) AS n_total FROM ut),
 ic AS (SELECT it, COUNT(*) AS c1 FROM ut GROUP BY it),
 p AS (

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from franzoxide_spark.functions.numeric import scaled_int
+
 # numpy/pandas are imported at module scope (not inside the UDF builders)
 # because pandas_udf resolves the postponed 'pd.Series' type-hint strings
 # against the function's globals — a local import leaves them unresolvable
@@ -92,12 +94,23 @@ def kmeans_fit(
         assigned = emb.withColumn(
             "cluster_id", _assign_udf(centroids)(F.col(vec_col))
         )
+        # exact integer partial sums (the q92 centroid pattern): a plain
+        # double SUM accumulates in shuffle-partition order, so the same
+        # corpus under a different partition layout drifts in the last
+        # ulps and a boundary point can flip clusters — violating the
+        # module's "no RNG; same corpus -> same clustering" contract
+        # (r13 review). scaled_int quantizes each coordinate to 6dp and
+        # sums in int64 — order-independent, exact to ~9e12 summed
+        # magnitude per (cluster, dim) cell
         sums = (
             assigned.select(
                 "cluster_id", F.posexplode(vec_col).alias("pos", "x")
             )
             .groupBy("cluster_id", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(scaled_int("x", scale=1_000_000)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         # the partial-sum relation is grouped on (cluster, pos): at most
@@ -110,7 +123,7 @@ def kmeans_fit(
             counts[r["cluster_id"]] = r["n"]
         dim = len(centroids[0])
         centroids = [
-            [by_cluster[c][p] / counts[c] for p in range(dim)]
+            [by_cluster[c][p] / counts[c] / 1_000_000.0 for p in range(dim)]
             if c in by_cluster
             else centroids[c]  # empty cluster keeps its centroid
             for c in range(k)
@@ -129,8 +142,9 @@ def kmeans_summary(
     iters: int = 5,
 ) -> DataFrame:
     """Bounded clustering report: per cluster, size and mean squared
-    distance to its centroid (rounded — FP sums across partitions are
-    not bit-stable, the report is)."""
+    distance to its centroid. mean_sq_dist averages 6dp-quantized
+    per-row distances in exact int64 (the q92 pattern) so the report is
+    bit-stable under any partition layout, like the fit it describes."""
     centroids, assigned = kmeans_fit(emb, vec_col, id_col, k, iters)
     from pyspark.sql.functions import pandas_udf
 
@@ -150,6 +164,11 @@ def kmeans_summary(
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_points"),
-            F.round(F.avg("__d2"), 4).alias("mean_sq_dist"),
+            F.round(
+                F.sum(scaled_int("__d2", scale=1_000_000)).cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000.0,
+                4,
+            ).alias("mean_sq_dist"),
         )
     )

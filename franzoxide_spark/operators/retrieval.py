@@ -83,9 +83,13 @@ def bm25_topk(
     )
 
     # Corpus stats: one row, broadcast.
+    # avgdl must skip NULL-text docs the way the SQL mirror's AVG
+    # skips NULLs: with ANSI off Spark's legacy size(NULL) is -1, which
+    # would silently pollute the average (r13 review) — gate on the
+    # token array being non-null so both engines average the same rows
     stats = docs.select(
         F.count("*").alias("n_docs"),
-        F.avg(F.size(tok_expr)).alias("avgdl"),
+        F.avg(F.when(tok_expr.isNotNull(), F.size(tok_expr))).alias("avgdl"),
     )
 
     # Distinct query terms, broadcast into the posting list — everything
@@ -338,7 +342,11 @@ def hybrid_rrf_topk(
     )
     stats = toks.select(
         F.count("*").alias("n_docs"),
-        F.avg(F.size("__toks")).alias("avgdl"),
+        # NULL-text docs skipped, matching the SQL mirror's AVG (legacy
+        # size(NULL) is -1 with ANSI off — see bm25_topk, r13 review)
+        F.avg(
+            F.when(F.col("__toks").isNotNull(), F.size("__toks"))
+        ).alias("avgdl"),
     )
     posting = (
         toks.select(

@@ -13,7 +13,10 @@ topic-partition):
 - join on (key, salt): the hot key's rows spread over ``salt`` reducers.
 
 Cost: right side inflated x salt — use for big-x-small-but-hot or
-moderate salt factors; results identical to the plain join.
+moderate salt factors; results identical to the plain join for the
+SUPPORTED join types (inner and the left-sided family — right/full
+outer are rejected loudly, since the exploded right side would emit
+unmatched right rows once per replica).
 """
 
 from __future__ import annotations
@@ -30,7 +33,41 @@ def salted_join(
     salt: int = 16,
     fingerprint_cols: list[str] | None = None,
 ) -> DataFrame:
-    fp_cols = fingerprint_cols or [c for c in left.columns if c != key]
+    # right/full outer are NOT expressible under this salting scheme: the
+    # right side is exploded into `salt` replicas, so a right row whose
+    # key never matches the left would survive the outer join once PER
+    # REPLICA — `salt` duplicate null-padded rows where the plain join
+    # emits one (r13 review). Inner and left-sided joins are safe: the
+    # left side carries exactly one salt per row, and unmatched RIGHT
+    # replicas are dropped by construction.
+    if how.lower().replace("_", "") not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti",
+    ):
+        raise ValueError(
+            f"salted_join: how={how!r} is not supported — the exploded "
+            "right side would emit unmatched right rows once per salt "
+            "replica. Use the plain join (AQE skew handling) for "
+            "right/full outer."
+        )
+    fp_cols = (
+        fingerprint_cols
+        if fingerprint_cols is not None
+        else [c for c in left.columns if c != key]
+    )
+    if not fp_cols:
+        # a keys-only left has nothing row-distinguishing to salt on —
+        # every deterministic function of row content is CONSTANT per
+        # key, so the hot key would land in one salt bucket and the
+        # salting would be a no-op that still pays the x-salt right
+        # inflation (and xxhash64() with zero args is an analysis
+        # error, r13 review). Fail with the actionable message.
+        raise ValueError(
+            "salted_join: the left side has no columns besides the join "
+            "key to fingerprint — a deterministic salt cannot spread a "
+            "hot key without a row-distinguishing column. Pass "
+            "fingerprint_cols or keep a distinguishing column in the "
+            "left projection."
+        )
     l = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in fp_cols]), F.lit(salt)).cast("int"),

@@ -477,7 +477,6 @@ def holt_linear_trend(
     per-user fold over that user's (bounded) day span — no cross-user
     state, no corpus-wide pass.
     """
-    from franzoxide_spark.functions.numeric import dec
 
     daily = events.filter(F.col(value_col).isNotNull()).groupBy(
         user_col, F.date_format(ts_col, "yyyy-MM-dd").alias("__day")
@@ -518,7 +517,6 @@ def sql_holt_linear_trend(
 ) -> str:
     """DuckDB mirror — the identical fold with a [level, trend] list
     accumulator (the q159 encoding)."""
-    from franzoxide_spark.functions.numeric import sql_dec
 
     a, g = alpha, gamma
     return f"""

@@ -35,3 +35,45 @@ def test_min_support_filters(spark):
         for r in frequent_pairs(df, "k", "it", min_support=0.5).collect()
     }
     assert got == {("a", "b")}  # 2/3 >= 0.5; (a,c) at 1/3 is out
+
+
+def test_null_keys_and_items_excluded_consistently(spark):
+    """NULL baskets/items can never pair (the SQL mirror's a.k = b.k
+    never matches NULL), so they must not leak into n_total or the
+    singleton counts either — pre-r13 a NULL-key basket's pairs WERE
+    counted while countDistinct skipped the basket, yielding support >
+    1 and a cross-engine mismatch."""
+    import duckdb
+    import pandas as pd
+
+    from franzoxide_spark.operators.basket import sql_frequent_pairs
+
+    rows = [
+        (None, "a"), (None, "b"),  # NULL basket: must not pair
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, None),       # NULL item: must not count
+    ]
+    df = spark.createDataFrame(rows, "k long, it string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_keys"], r["support"], r["lift"])
+        for r in frequent_pairs(df, "k", "it", min_support=0.0).collect()
+    }
+    # only basket 1 pairs (a,b); n_total=2 (baskets 1 and 2);
+    # lift = n_keys*n_total/(ca*cb) = 1*2/(2*1) = 1.0
+    assert got == {("a", "b"): (1, 0.5, pytest.approx(1.0, abs=5e-7))}
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(
+            {"k": pd.array([r[0] for r in rows], dtype="Int64"),
+             "it": [r[1] for r in rows]}
+        ),
+    )
+    oracle = con.execute(
+        sql_frequent_pairs("t", "k", "it", min_support=0.0)
+    ).df()
+    con.close()
+    assert len(oracle) == 1
+    r = oracle.iloc[0]
+    assert (r["item_a"], r["item_b"], r["n_keys"]) == ("a", "b", 1)
+    assert r["support"] == pytest.approx(0.5)

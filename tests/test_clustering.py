@@ -101,3 +101,25 @@ def test_kmeans_rejects_unbounded_driver_traffic(spark):
     # an in-bounds k still runs
     cents, assigned = kmeans_fit(emb, k=2, iters=1)
     assert len(cents) == 2 and assigned.count() == 8
+
+
+def test_kmeans_bit_stable_across_partition_layouts(spark):
+    """The module contract is 'no RNG; same corpus -> same clustering'.
+    A plain double SUM accumulates in shuffle-partition order, so the
+    same corpus under a different partitioning could drift in the last
+    ulps and flip a boundary point's cluster (r13 review); the exact
+    int64 update (the q92 pattern) makes centroids BIT-identical under
+    any layout."""
+    import random
+
+    from franzoxide_spark.operators.clustering import kmeans_fit
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1, _ = kmeans_fit(df.repartition(1), k=4, iters=3)
+    c32, _ = kmeans_fit(df.repartition(32, "vec_id"), k=4, iters=3)
+    c7, _ = kmeans_fit(df.repartition(7), k=4, iters=3)
+    assert c1 == c32 == c7

@@ -671,3 +671,31 @@ def test_incremental_dedup_verdicts(spark):
     assert out[10]["verdict"] == "exact_dup" and out[10]["best_jaccard"] == 1.0
     assert out[11]["verdict"] == "near_dup" and out[11]["best_jaccard"] >= 0.5
     assert out[12]["verdict"] == "new"
+
+
+def test_salted_join_rejects_unsupported_shapes(spark, sf_dir):
+    """Right/full outer are inexpressible under salting (unmatched right
+    rows would emit once per replica) and a keys-only left has nothing
+    row-distinguishing to salt on — both must fail LOUDLY, not return
+    silently-duplicated or silently-unsalted results (r13 review)."""
+    from franzoxide_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    c = table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey as user_id", "c_mktsegment"
+    )
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="once per salt replica"):
+            salted_join(ev, c, "user_id", how=how)
+    with pytest.raises(ValueError, match="fingerprint"):
+        salted_join(ev.select("user_id"), c, "user_id")
+    # left outer IS safe: unmatched LEFT rows carry one salt each
+    plain = ev.join(c, "user_id", "left").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(ev, c, "user_id", how="left", salt=8)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )

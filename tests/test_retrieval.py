@@ -242,3 +242,52 @@ def test_pretokenized_paths_match_raw_text_paths(spark, sf_dir):
         assert sorted(map(tuple, raw.collect())) == sorted(
             map(tuple, pre.collect())
         ), fn.__name__
+
+
+def test_bm25_avgdl_skips_null_text(spark):
+    """With ANSI off, Spark's legacy size(NULL) is -1: a NULL-text doc
+    must not drag avgdl down (the SQL mirror's AVG skips NULLs), or
+    every score diverges cross-engine (r13 review). A corpus with and
+    without a NULL doc must produce identical scores."""
+    from franzoxide_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "duckdb scans parquet"),
+         (3, "spark broadcasts small tables")],
+        "doc_id long, text string",
+    )
+    docs_with_null = docs.unionAll(
+        spark.createDataFrame([(4, None)], "doc_id long, text string")
+    )
+    queries = spark.createDataFrame([(1, "spark tables")],
+                                    "query_id long, query_text string")
+    import duckdb
+    import pandas as pd
+
+    from franzoxide_spark.operators.retrieval import sql_bm25_topk
+
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["rk"], r["bm25"])
+        for r in bm25_topk(
+            docs_with_null, queries, "doc_id", "text", k=10
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4],
+             "text": ["spark shuffles data", "duckdb scans parquet",
+                      "spark broadcasts small tables", None]}
+        ),
+    )
+    want = sorted(
+        map(tuple, con.execute(
+            sql_bm25_topk("t", [(1, "spark tables")], "doc_id", "text",
+                          k=10)
+        ).fetchall())
+    )
+    con.close()
+    assert got == want, (got, want)
+    # and the NULL doc itself never ranks
+    assert all(d != 4 for (_, d, _, _) in got)
