@@ -29,10 +29,17 @@ def cdc_apply(
     """Latest surviving row per key: highest (seq, op-precedence) wins;
     keys whose winner is a delete are absent from the output. Returns the
     changelog's payload columns (op/seq/rank dropped)."""
+    # malformed events (NULL or unrecognized op) are dropped BEFORE the
+    # rank: a NULL-op row would otherwise win the rank at the highest
+    # seq and then fail the `op != 'D'` filter as NULL — silently
+    # ERASING the key (including its earlier valid state) from the
+    # materialized table (r13 review). Filtering first keeps the last
+    # VALID state; the SQL mirror applies the identical pre-filter.
+    clean = changelog.filter(F.col(op_col).isin("I", "U", "D"))
     w = Window.partitionBy(key_col).orderBy(
         F.col(seq_col).desc(), F.expr(_OP_RANK.replace("op", op_col)).desc()
     )
-    ranked = changelog.withColumn("__rn", F.row_number().over(w))
+    ranked = clean.withColumn("__rn", F.row_number().over(w))
     latest = ranked.filter(F.col("__rn") == 1).drop("__rn")
     return latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
 
@@ -54,6 +61,7 @@ WITH ranked AS (
     ORDER BY {seq_col} DESC, {rank} DESC
   ) AS rn
   FROM {changelog_rel}
+  WHERE {op_col} IN ('I', 'U', 'D')
 )
 SELECT {cols} FROM ranked WHERE rn = 1 AND {op_col} <> 'D'
 """

@@ -85,6 +85,20 @@ def validate_contracts(df: DataFrame, rules: list[Rule]) -> DataFrame:
     passed boolean)`` ordered as given."""
     if not rules:
         raise ValueError("rules must be non-empty")
+    # an unrecognized kind must fail LOUDLY up front: the Rule dataclass
+    # is public, and a typo'd kind previously contributed NO report row
+    # — the admission gate passed every other rule while the typo'd
+    # check simply never ran (r13 review)
+    known = {
+        "not_null", "accepted_values", "in_range", "expression",
+        "unique", "foreign_key",
+    }
+    unknown = [r.name for r in rules if r.kind not in known]
+    if unknown:
+        raise ValueError(
+            f"validate_contracts: unknown rule kind for {unknown!r} — "
+            f"supported kinds: {sorted(known)}"
+        )
     spark = df.sparkSession
     reports: list[DataFrame] = []
 

@@ -129,7 +129,15 @@ def decontaminate_stream(
     @F.pandas_udf("boolean")
     def _clean(hs: pd.Series) -> pd.Series:
         ev = eval_hashes.value if hasattr(eval_hashes, "value") else eval_hashes
-        return hs.map(lambda arr: all(h not in ev for h in arr))
+        # NULL text -> NULL shingle array: a doc with no shingles cannot
+        # be contaminated, so KEEP it — matching the batch path, where
+        # explode(NULL) simply contributes no contaminated id. Iterating
+        # None raised TypeError and stalled the whole micro-batch, the
+        # exact failure this streaming-legal variant exists to avoid
+        # (r13 review).
+        return hs.map(
+            lambda arr: arr is None or all(h not in ev for h in arr)
+        )
 
     with_hashes = (
         docs.withColumn("__toks", tokens(text_col))
@@ -165,7 +173,12 @@ def compression_ratio_gate(
 
     @F.pandas_udf("long")
     def _z_bytes(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: len(zlib.compress(t.encode("utf-8"), level)))
+        # na_action: a NULL text row must yield NULL bytes, not crash
+        # the Arrow batch on None.encode (r13 review)
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level)),
+            na_action="ignore",
+        )
 
     n_bytes = F.octet_length(F.col(text_col))
     out = docs.select(
@@ -181,7 +194,11 @@ def compression_ratio_gate(
         F.col("n_bytes").cast("int").alias("n_bytes"),
         F.col("z_bytes").cast("int").alias("z_bytes"),
         ratio.alias("ratio"),
-        ((ratio >= lo) & (ratio <= hi)).alias("keep"),
+        # NULL text -> NULL ratio -> keep must be a definite False, not
+        # a NULL that silently drops out of both keep and ~keep filters
+        F.coalesce((ratio >= lo) & (ratio <= hi), F.lit(False)).alias(
+            "keep"
+        ),
     )
 
 
@@ -357,15 +374,16 @@ def weighted_sample(
     ).cast("double") / F.lit(float(1 << 60))
     w = F.col(weight_col).cast("double")
     key = F.round(F.log(u) / w, 12)
-    from pyspark.sql import Window
-
-    win = Window.orderBy(F.desc("__wkey"), F.asc(id_col))
+    # orderBy + limit plans as TakeOrderedAndProject — per-partition
+    # top-k then a driver merge of k-row heads. The previous
+    # unpartitioned row_number window funnelled every surviving row
+    # through ONE task for a global sort, the exact shape the docstring
+    # promises to avoid (r13 review).
     return (
         df.filter(w > 0)
         .withColumn("__wkey", key)
-        .withColumn("__rk", F.row_number().over(win))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
+        .orderBy(F.desc("__wkey"), F.asc(id_col))
+        .limit(k)
         .withColumnRenamed("__wkey", "sample_key")
     )
 

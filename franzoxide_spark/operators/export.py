@@ -70,7 +70,9 @@ def dataset_checksum(df: DataFrame) -> str:
         .agg(F.sum(_row_fingerprint("value")).cast("decimal(38,0)").alias("c"))
         .first()
     )
-    return str(row["c"])
+    # SUM over zero rows is NULL -> str(None) == 'None' would spuriously
+    # mismatch an empty manifest's sum of 0 (r13 review)
+    return str(row["c"]) if row["c"] is not None else "0"
 
 
 def export_tfrecord_shards(
@@ -114,6 +116,14 @@ def export_tfrecord_shards(
     if n_shards is not None:
         df = df.repartition(n_shards, F.col(payload_col))
     os.makedirs(out_path, exist_ok=True)
+    # clear prior shards: a re-export with fewer partitions would
+    # otherwise leave stale part-NNNNN.tfrecord files that
+    # read_tfrecord_shards globs up alongside the new data while the
+    # returned manifest lists only the new shards (r13 review) — the
+    # jsonl path gets this from mode('overwrite'); mirror it here
+    for stale in os.listdir(out_path):
+        if stale.endswith(".tfrecord") or stale.endswith(".inprogress"):
+            os.remove(os.path.join(out_path, stale))
 
     def write_shard(batches):
         import pandas as pd

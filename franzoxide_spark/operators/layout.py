@@ -94,8 +94,13 @@ def compact_output(
     ``(partition, n_files)`` of what was written.
 
     File counts derive from the ACTUAL input bytes (driver-side file
-    listing — metadata only, never data), so the rewrite is one read +
-    one write with an exchange only when partitioning requires it."""
+    listing — metadata only, never data). The partitioned path writes
+    one job per partition value for EXACT per-partition file counts;
+    each job's filter prunes to that partition's files when the input
+    is itself hive-partitioned on ``partition_cols`` (the normal
+    compaction input). On an UNPARTITIONED input every job re-scans the
+    full relation — acceptable for the handful-of-partitions case, and
+    the single-partition path below stays one read + one write."""
     import math
     import os
 
@@ -109,28 +114,30 @@ def compact_output(
         # per-partition sizes approximated by row share of total bytes
         rows = df.groupBy(*partition_cols).count().collect()
         all_rows = sum(r["count"] for r in rows) or 1
-        writer = None
+        report = []
+        first = True
         for r in rows:
             part_df = df
             for c in partition_cols:
-                part_df = part_df.filter(F.col(c) == r[c])
+                # eqNullSafe: a NULL partition value is a real group
+                # (groupBy keeps it) and `col == None` is never true —
+                # a plain == silently wrote ZERO rows for the NULL
+                # partition while still reporting it (r13 review)
+                part_df = part_df.filter(F.col(c).eqNullSafe(F.lit(r[c])))
             n = max(
                 1,
                 math.ceil(total * (r["count"] / all_rows) / target_bytes),
             )
-            mode = "overwrite" if writer is None else "append"
-            writer = True
             (
                 part_df.repartition(n)
-                .write.mode(mode)
+                .write.mode("overwrite" if first else "append")
                 .partitionBy(*partition_cols)
                 .parquet(out_path)
             )
-        report = [
-            ("/".join(str(r[c]) for c in partition_cols),
-             max(1, math.ceil(total * (r["count"] / all_rows) / target_bytes)))
-            for r in rows
-        ]
+            first = False
+            report.append(
+                ("/".join(str(r[c]) for c in partition_cols), n)
+            )
     else:
         n = max(1, math.ceil(total / target_bytes))
         df.repartition(n).write.mode("overwrite").parquet(out_path)

@@ -4,7 +4,7 @@ q104 answers "are these two copies identical?" with two numbers; when
 they are NOT, this operator answers "which rows differ, and how" —
 the audit a 100 TB migration/replication/backfill needs before anyone
 trusts the new copy. Rows are compared by a canonical fingerprint
-(null-sentinel ``'|'``-joined rendering -> md5 prefix, the same
+(injective tag+length-prefixed rendering -> md5 prefix, the same
 canonicalization q104 sums), keyed on a unique id column.
 
 Scale shape: each side computes its fingerprint MAP-SIDE (the document
@@ -21,16 +21,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def canon_expr_spark(c: str) -> str:
+    """Injective per-column rendering (Spark-SQL text): ``N`` for NULL,
+    else ``V<len>:<value>``. The old ``'|'``-joined COALESCE rendering
+    was delimiter-ambiguous — ('x|y', 'z') and ('x', 'y|z') both became
+    ``x|y|z``, and a real ``'<null>'`` string collided with NULL — so
+    the very audit meant to certify a migration could report "no
+    change" for changed rows (r13 review). The tag separates NULL from
+    every value; the length prefix makes the joined string parseable
+    left-to-right, so no two distinct column tuples render alike."""
+    v = f"cast({c} as string)"
+    return (
+        f"case when {c} is null then 'N' "
+        f"else concat('V', cast(length({v}) as string), ':', {v}) end"
+    )
+
+
+def canon_expr_duckdb(c: str) -> str:
+    """DuckDB mirror of :func:`canon_expr_spark` — identical rendering."""
+    v = f"CAST({c} AS VARCHAR)"
+    return (
+        f"CASE WHEN {c} IS NULL THEN 'N' "
+        f"ELSE 'V' || CAST(LENGTH({v}) AS VARCHAR) || ':' || {v} END"
+    )
+
+
 def _fingerprint(cols: Sequence[str]):
     return F.substring(
         F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
-                    for c in cols
-                ],
-            )
+            F.concat_ws("|", *[F.expr(canon_expr_spark(c)) for c in cols])
         ),
         1,
         16,
@@ -80,9 +99,7 @@ def sql_snapshot_diff(
     or parenthesized subqueries)."""
     fp = (
         "substr(md5("
-        + " || '|' || ".join(
-            f"COALESCE(CAST({c} AS VARCHAR), '<null>')" for c in compare_cols
-        )
+        + " || '|' || ".join(canon_expr_duckdb(c) for c in compare_cols)
         + "), 1, 16)"
     )
     return f"""
@@ -117,8 +134,8 @@ def scd2_merge(
     version at ``t_new``. The dimension-history pattern a warehouse
     maintains so facts can join the attributes as-of their event time.
 
-    Same canonical fingerprint as snapshot_diff/q104 (NULL-sentinel
-    rendering); ``id_col`` must be unique per snapshot. Scale shape:
+    Same canonical fingerprint as snapshot_diff/q104 (injective
+    tag+length rendering); ``id_col`` must be unique per snapshot. Scale shape:
     map-side fingerprints, ONE full-outer join on the id, map-side
     version construction — the attribute payload never shuffles.
     """
@@ -171,9 +188,7 @@ def sql_scd2_merge(
     """DuckDB mirror of scd2_merge."""
     fp = (
         "substr(md5("
-        + " || '|' || ".join(
-            f"COALESCE(CAST({c} AS VARCHAR), '<null>')" for c in compare_cols
-        )
+        + " || '|' || ".join(canon_expr_duckdb(c) for c in compare_cols)
         + "), 1, 16)"
     )
     return f"""
@@ -218,10 +233,19 @@ def pit_join(
     history), so the join fans out by history depth, not quadratically;
     a broadcastable dimension keeps the fact side shuffle-free.
     """
+    # a NULL to_col is the OPEN-ENDED current version (exactly what
+    # scd2_merge emits for current rows) — `ts < NULL` is NULL/false, so
+    # without the isNull arm every fact landing in an entity's current
+    # period would silently vanish from the inner join (r13 review; the
+    # in-repo q154 caller only dodged this by hand-building a 9999-01-01
+    # sentinel instead of consuming scd2_merge output)
     cond = (
         (facts[key_col] == dim_history[key_col])
         & (facts[ts_col] >= dim_history[from_col])
-        & (facts[ts_col] < dim_history[to_col])
+        & (
+            dim_history[to_col].isNull()
+            | (facts[ts_col] < dim_history[to_col])
+        )
     )
     # Drop the dimension-side key: when callers rename the dim key to the
     # fact key name (q154), keeping both would make every later name-based

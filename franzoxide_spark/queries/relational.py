@@ -770,11 +770,11 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat_ws SKIPS nulls while a '||' chain propagates them (md5(NULL)
     # = NULL, so SUM would silently drop the row from the very tool meant
     # to detect divergence) — coalesce to a sentinel on BOTH sides.
+    from franzoxide_spark.operators.snapshot import canon_expr_spark
+
     fp = F.expr(
         f"cast(conv(substr(md5(concat_ws('|', "
-        + ", ".join(
-            f"coalesce(cast({c} as string), '<null>')" for c in _Q104_COLS
-        )
+        + ", ".join(canon_expr_spark(c) for c in _Q104_COLS)
         + ")), 1, 15), 16, 10) as bigint)"
     )
     # Per-row decimal(38,0) accumulation dominated the old runtime; sum
@@ -802,10 +802,12 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from franzoxide_spark.operators.snapshot import canon_expr_duckdb as _canon_dd
+
 _Q104_SQL = f"""
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST('0x' || substr(md5(
-             {" || '|' || ".join(f"COALESCE(CAST({c} AS VARCHAR), '<null>')" for c in _Q104_COLS)}
+             {" || '|' || ".join(_canon_dd(c) for c in _Q104_COLS)}
            ), 1, 15) AS BIGINT)) AS VARCHAR) AS checksum
 FROM lineitem
 """

@@ -438,3 +438,52 @@ def test_pit_join_drops_dimension_side_key(spark):
     # name-based select on the key works post-join (the AMBIGUOUS repro)
     got = {(r["k"], r["seg"]) for r in j.select("k", "seg").collect()}
     assert got == {(1, "a"), (2, "c")}
+
+
+def test_stream_decontaminate_and_gate_tolerate_null_text(spark):
+    """One NULL-text row must neither crash the Arrow batch (the
+    streaming stall the operators exist to avoid) nor be silently
+    contaminated: no shingles -> keep, matching the batch path; the
+    compression gate yields NULL bytes/ratio and a definite keep=False
+    (r13 review)."""
+    from franzoxide_spark.operators.curation import (
+        compression_ratio_gate,
+        decontaminate_stream,
+        eval_shingle_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, None),
+         (3, "completely unrelated text with different words here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    hashes = eval_shingle_hashes(ev, "text", k=4)
+    kept = {r["doc_id"] for r in
+            decontaminate_stream(docs, hashes, "text", k=4).collect()}
+    assert kept == {2, 3}  # 1 contaminated; NULL doc kept, no crash
+    rows = {r["doc_id"]: r for r in
+            compression_ratio_gate(docs, "doc_id", "text").collect()}
+    assert rows[2]["z_bytes"] is None and rows[2]["keep"] is False
+    assert rows[1]["keep"] in (True, False)
+
+
+def test_cdc_null_op_keeps_last_valid_state(spark):
+    """A malformed (NULL or unknown op) changelog event is a no-op, not
+    an eraser: previously a NULL-op row won the rank at the highest seq
+    and then failed `op != 'D'` as NULL, silently deleting the key AND
+    its earlier valid state (r13 review)."""
+    from franzoxide_spark.operators.cdc import cdc_apply
+
+    log = spark.createDataFrame(
+        [(1, "I", 1, "v1"), (1, None, 2, "junk"),
+         (2, "I", 1, "a"), (2, "X", 2, "b"),
+         (3, "I", 1, "x"), (3, "D", 2, "x")],
+        "k long, op string, seq long, payload string",
+    )
+    got = {r["k"]: r["payload"] for r in cdc_apply(log, "k", "seq").collect()}
+    assert got == {1: "v1", 2: "a"}  # 3 deleted; malformed rows ignored

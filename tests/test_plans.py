@@ -1075,3 +1075,62 @@ def test_landing_max_df_strip_bounds_the_largest_bucket(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_skew_unstripped")
         spark.sql("DROP TABLE IF EXISTS t_skew_stripped")
+
+
+def test_pit_join_matches_open_ended_current_version(spark):
+    """pit_join must match facts falling in an entity's CURRENT (NULL
+    valid_to) version — exactly what scd2_merge emits — instead of
+    evaluating ts < NULL to false and silently dropping them (r13
+    review)."""
+    from franzoxide_spark.operators.snapshot import pit_join
+
+    dim = spark.createDataFrame(
+        [(1, "old", "2024-01-01", "2024-06-01"),
+         (1, "new", "2024-06-01", None)],
+        "id long, attr string, valid_from string, valid_to string",
+    )
+    facts = spark.createDataFrame(
+        [(1, "2024-03-15"), (1, "2024-09-01")], "id long, ts string"
+    )
+    got = sorted(
+        (r["ts"], r["attr"]) for r in pit_join(facts, dim, "id", "ts").collect()
+    )
+    assert got == [("2024-03-15", "old"), ("2024-09-01", "new")]
+
+
+def test_snapshot_fingerprint_is_injective_across_delimiters(spark):
+    """('x|y','z') vs ('x','y|z') and NULL vs the literal '<null>' must
+    fingerprint DIFFERENTLY — the old '|'-joined COALESCE rendering
+    collided on both, so the migration audit reported 'no change' for
+    changed rows (r13 review)."""
+    from franzoxide_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x|y", "z"), (2, None, "p")], "id long, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", "y|z"), (2, "<null>", "p")], "id long, a string, b string"
+    )
+    got = {r["id"]: r["change"] for r in
+           snapshot_diff(old, new, "id", ["a", "b"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_compact_output_preserves_null_partition_rows(spark, tmp_path):
+    """A NULL partition value is a real group: the per-partition filter
+    must be null-safe or the compaction rewrite silently loses every
+    NULL-keyed row while still reporting the partition (r13 review)."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.operators.layout import compact_output
+
+    src, dst = str(tmp_path / "in"), str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 3)], "k string, v int"
+    )
+    df.write.parquet(src)
+    report = compact_output(spark, src, dst, 10**9, partition_cols=["k"])
+    assert report.count() == 2
+    back = spark.read.parquet(dst)
+    assert back.count() == 3
+    assert back.filter(F.col("k").isNull()).count() == 2
