@@ -109,9 +109,18 @@ def _json_or_base64(field: str, payload: Column) -> Column:
         F.regexp_replace(F.base64(payload), "[\\r\\n]", ""),
         F.lit(f'","{field}_format":"base64"'),
     )
+    # Raw newlines/CRs make the embed arm span multiple PHYSICAL lines,
+    # breaking every JSON-lines consumer of the text sink (r13 review).
+    # Strict JSON admits them only as inter-token whitespace (raw control
+    # chars inside strings are rejected by the sniff), so such payloads
+    # are rare — route them through base64, which is line-safe. Deviation
+    # from the reference (which re-serializes through serde_json and so
+    # never emits raw newlines) documented alongside the keep-raw-bytes
+    # deviation; the q23 oracle applies the identical rule.
+    line_safe = ~(txt.contains("\n") | txt.contains("\r"))
     return (
         F.when(payload.isNull() | (F.length(payload) == 0), F.lit(None).cast("string"))
-        .when(json_strict_valid(payload), as_json)
+        .when(json_strict_valid(payload) & line_safe, as_json)
         .otherwise(as_b64)
     )
 
@@ -130,16 +139,22 @@ def envelope_json(
     ``key``/``value`` are binary; ``headers_json`` is an already-rendered
     JSON object string (or NULL to omit).
     """
+    # a NULL in any header field would NULL the whole concat segment and
+    # concat_ws would then DROP it — emitting a line without its opening
+    # '{' or header fields, silently-malformed JSON in the sink (r13
+    # review). Render NULLs as JSON null instead.
     parts = [
         F.concat(
-            F.lit('{"topic":"'),
-            topic,
-            F.lit('","partition":'),
-            partition.cast("string"),
+            F.lit('{"topic":'),
+            F.when(topic.isNull(), F.lit("null")).otherwise(
+                F.concat(F.lit('"'), topic, F.lit('"'))
+            ),
+            F.lit(',"partition":'),
+            F.coalesce(partition.cast("string"), F.lit("null")),
             F.lit(',"offset":'),
-            offset.cast("string"),
+            F.coalesce(offset.cast("string"), F.lit("null")),
             F.lit(',"timestamp":'),
-            timestamp_ms.cast("string"),
+            F.coalesce(timestamp_ms.cast("string"), F.lit("null")),
         ),
         _json_or_base64("key", key),
         _json_or_base64("value", value),
@@ -164,8 +179,21 @@ def normalize_headers(headers: Column) -> Column:
         lambda h: h["value"].isNotNull()
         & (F.encode(h["value"].cast("string"), "UTF-8") == h["value"]),
     )
+    # keep-last enforced EXPLICITLY (drop an entry when any LATER entry
+    # repeats its key): map_from_entries alone only honors the contract
+    # under spark.sql.mapKeyDedupPolicy=LAST_WIN — on Spark's default
+    # (EXCEPTION) a repeated header key would kill the query instead
+    # (r13 review; session.py sets LAST_WIN, but this function must not
+    # depend on the caller's session factory).
+    deduped = F.filter(
+        valid,
+        lambda h, i: ~F.exists(
+            F.slice(valid, i + F.lit(2), F.size(valid)),
+            lambda h2: h2["key"] == h["key"],
+        ),
+    )
     return F.map_from_entries(
-        F.transform(valid, lambda h: F.struct(h["key"], h["value"].cast("string")))
+        F.transform(deduped, lambda h: F.struct(h["key"], h["value"].cast("string")))
     )
 
 

@@ -27,15 +27,30 @@ def plan_summary(df: DataFrame) -> dict:
             "formatted"
         )
     )
-    # "formatted" mode names each node once in the tree and once in the
-    # details section — divide by 2 to count NODES
-    def nodes(name: str) -> int:
-        return plan.count(name) // 2
+    # Count nodes from the DETAILS section headers — exactly one
+    # `(N) NodeName` line per node, with or without a codegen suffix.
+    # The old substring-count//2 heuristic double-counted nodes whose
+    # name appears once per section but not in both (r13 review:
+    # n_scans/n_python_stages counted 2 per node; "Sort " missed the
+    # AQE details header entirely, flooring n_sorts to 0).
+    from collections import Counter
+
+    headers = Counter(
+        m.strip()
+        for m in re.findall(
+            r"^\(\d+\) ([^\n\[]+?)(?: \[codegen id : \d+\])?\s*$",
+            plan,
+            re.M,
+        )
+    )
+
+    def nodes(prefix: str) -> int:
+        return sum(v for k, v in headers.items() if k.startswith(prefix))
 
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     read_schemas = re.findall(r"ReadSchema: [^\n]*struct<([^>]*)>", plan)
     return {
-        "n_scans": plan.count("Scan parquet") or plan.count("BatchScan"),
+        "n_scans": nodes("Scan parquet") + nodes("BatchScan"),
         "n_pushed_filters": sum(
             len([f for f in p.split(",") if f.strip()]) for p in pushed
         ),
@@ -52,11 +67,12 @@ def plan_summary(df: DataFrame) -> dict:
         "n_aggregates": nodes("HashAggregate")
         + nodes("SortAggregate")
         + nodes("ObjectHashAggregate"),
-        "n_sorts": nodes("Sort "),
-        "n_python_stages": plan.count("ArrowEvalPython")
-        + plan.count("FlatMapGroupsInPandas")
-        + plan.count("MapInPandas")
-        + plan.count("BatchEvalPython"),
+        # exact name: SortAggregate / SortMergeJoin must not count here
+        "n_sorts": headers.get("Sort", 0),
+        "n_python_stages": nodes("ArrowEvalPython")
+        + nodes("FlatMapGroupsInPandas")
+        + nodes("MapInPandas")
+        + nodes("BatchEvalPython"),
         # NOTE: whole-stage-codegen span ids are only assigned in the FINAL
         # adaptive plan (post-execution) — under AQE the static explain
         # carries none, so a codegen count is deliberately absent here

@@ -78,11 +78,13 @@ SELECT "offset",
   ',"offset":' || "offset" ||
   ',"timestamp":' || ts_ms ||
   CASE WHEN key_s = '' THEN ''
-       WHEN json_valid(key_s) THEN ',"key":' || key_s
+       WHEN json_valid(key_s) AND NOT contains(key_s, chr(10))
+            AND NOT contains(key_s, chr(13)) THEN ',"key":' || key_s
        ELSE ',"key":"' || to_base64(encode(key_s)) || '","key_format":"base64"'
   END ||
   CASE WHEN value_s = '' THEN ''
-       WHEN json_valid(value_s) THEN ',"value":' || value_s
+       WHEN json_valid(value_s) AND NOT contains(value_s, chr(10))
+            AND NOT contains(value_s, chr(13)) THEN ',"value":' || value_s
        ELSE ',"value":"' || to_base64(encode(value_s)) || '","value_format":"base64"'
   END ||
   ',"headers":{"content-type":"application/json"}}' AS envelope

@@ -76,6 +76,20 @@ class ObjectSink:
                 f"connector {connector.name!r}: field partitioner needs"
                 " 'partition.field'"
             )
+        # a partition.field named like a KafkaRecord envelope column would
+        # make _prepare's withColumn REPLACE that column — corrupting the
+        # written envelope and the layout keys (r13 review; the custom
+        # time pattern already validates its reserved name the same way)
+        if self.partitioner == "field" and self.partition_field in {
+            "topic", "partition", "offset", "timestamp",
+            "key", "value", "headers",
+        }:
+            raise ConfigError(
+                f"connector {connector.name!r}: partition.field"
+                f" {self.partition_field!r} collides with a KafkaRecord"
+                " envelope column — rename the payload field or use a"
+                " different partitioner"
+            )
         # B4: custom time partition pattern (time_partition_pattern,
         # connector.proto:210) — only meaningful for the time partitioner
         self.time_pattern = cfg.get("time.partition.pattern")
@@ -100,6 +114,18 @@ class ObjectSink:
                 f"connector {connector.name!r}: format.class=bytes supports"
                 f" local paths, file://, and s3a://'s3:// targets, not"
                 f" {self.path!r}"
+            )
+        # the bytes writer lays out {topic}/{partition}_{minoffset}.bin
+        # itself — a configured time/field partitioner would be silently
+        # ignored (while still paying _prepare + a per-batch shuffle on
+        # the unused columns): fail fast like the other config
+        # contradictions above (r13 review)
+        if self.format == "bytes" and self.partitioner != "default":
+            raise ConfigError(
+                f"connector {connector.name!r}: format.class=bytes writes"
+                " fixed {topic}/{partition}_{offset}.bin objects and"
+                f" supports partitioner.class=default only, not"
+                f" {self.partitioner!r}"
             )
         self.trigger_ms = cfg.get("rotate.interval.ms")
 
@@ -178,8 +204,14 @@ class ObjectSink:
         """Fail fast (before touching the stream) when the format needs a
         jar/catalog this deployment doesn't have."""
         if self.format == "avro":
+            # py4j resolves a MISSING class path to a JavaPackage object
+            # without raising (it only errors on call), so attribute
+            # probing was a no-op check (r13 review) — Class.forName
+            # genuinely throws when the jar is absent
             try:
-                self.spark._jvm.org.apache.spark.sql.avro.functions  # noqa: B018
+                self.spark._jvm.java.lang.Class.forName(
+                    "org.apache.spark.sql.avro.AvroFileFormat"
+                )
             except Exception as e:
                 raise SinkError(
                     "avro format requires the spark-avro package on the"
@@ -279,7 +311,12 @@ class ObjectSink:
             topic = pdf["topic"].iloc[0]
             part = int(pdf["partition"].iloc[0])
             key = f"{topic}/{part}_{int(pdf['offset'].min())}.bin"
-            _put_object(base, key, b"".join(bytes(v) for v in pdf["value"]), cfg)
+            # tombstones (value IS NULL) contribute zero bytes — bytes(None)
+            # raised TypeError and killed the micro-batch (r13 review)
+            payload = b"".join(
+                bytes(v) for v in pdf["value"] if v is not None
+            )
+            _put_object(base, key, payload, cfg)
             return pd.DataFrame({"key": [key], "n": [len(pdf)]})
 
         (

@@ -121,9 +121,22 @@ def _read_range(rng: _OffsetRange):
 
 def _partition_ends(path: str) -> dict[str, int]:
     """Per-partition end offset (max+1) of the staged log as it exists
-    NOW — re-read per call so appended data advances the frontier."""
+    NOW — re-read per call so appended data advances the frontier.
+
+    An empty/not-yet-created log is a VALID start state (a real Kafka
+    consumer streams an empty topic fine and picks data up as it
+    arrives, r13 review): report no partitions; the next trigger's
+    re-scan sees whatever has been staged since."""
+    import os
+
     import pyarrow.parquet as pq
 
+    if not os.path.exists(path):
+        return {}
+    if os.path.isdir(path) and not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return {}
     tbl = pq.read_table(path, columns=["partition", "offset"])
     grouped = tbl.group_by("partition").aggregate([("offset", "max")])
     return {

@@ -246,3 +246,58 @@ def test_custom_pattern_quoted_slash_and_validation(spark):
         custom_time_partition_cols(F.lit(0), "'a'=yyyy/'a'=MM")
     with _pytest.raises(ConfigError, match="topic"):
         custom_time_partition_cols(F.lit(0), "'topic'=yyyy")
+
+
+def test_envelope_newline_json_goes_base64_and_stays_one_line(spark):
+    """Strictly-valid JSON with a raw inter-token newline must NOT be
+    embedded verbatim — the envelope would span two physical lines and
+    break every JSON-lines consumer of the text sink (r13 review).
+    Documented deviation: such payloads take the base64 arm."""
+    val = b'{"a":\n1}'
+    json.loads(val)  # sanity: genuinely valid JSON
+    env = _envelope_for(spark, b"k", val)
+    assert env["value_format"] == "base64"
+    assert base64.b64decode(env["value"]) == val
+    out = spark.range(1).select(
+        envelope_json(
+            F.lit("t"), F.lit(0), F.lit(1), F.lit(2),
+            F.lit(b"k"), F.lit(val), F.lit(None).cast("string"),
+        ).alias("out")
+    )
+    assert "\n" not in _one(out)
+
+
+def test_envelope_null_header_fields_render_json_null(spark):
+    """A NULL timestamp (or topic/partition/offset) must render as JSON
+    null — previously it NULLed the whole first concat segment, which
+    concat_ws silently DROPPED, writing a line missing its opening '{'
+    (r13 review)."""
+    out = spark.range(1).select(
+        envelope_json(
+            F.lit("t"), F.lit(0), F.lit(7),
+            F.lit(None).cast("long"),
+            F.lit(b"k"), F.lit(b'{"a":1}'), F.lit(None).cast("string"),
+        ).alias("out")
+    )
+    env = json.loads(_one(out))
+    assert env["timestamp"] is None and env["offset"] == 7
+
+
+def test_normalize_headers_keeps_last_without_session_policy(spark):
+    """The keep-last contract must hold WITHOUT relying on
+    spark.sql.mapKeyDedupPolicy=LAST_WIN from the session factory — on
+    Spark's default (EXCEPTION) a repeated key previously crashed the
+    query (r13 review)."""
+    from franzoxide_spark.functions.envelope import normalize_headers
+
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        df = spark.createDataFrame(
+            [([("h", b"first"), ("h", b"last"), ("x", b"v")],)],
+            "headers array<struct<key:string,value:binary>>",
+        )
+        row = df.select(normalize_headers(F.col("headers")).alias("m")).first()
+        assert row["m"] == {"h": "last", "x": "v"}
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)

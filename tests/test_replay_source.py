@@ -193,3 +193,16 @@ def test_connector_pipeline_through_replay_source(spark, sf_dir, tmp_path):
     env = json.loads(lines[0])
     assert env["topic"] == "events"
     assert "offset" in env and "headers" in env
+
+
+def test_stream_starts_against_empty_log(spark, tmp_path):
+    """A real Kafka consumer streams an empty topic fine and picks up
+    data as it arrives; the replay source must do the same instead of
+    failing initialOffset on a missing/empty staging dir (r13 review)."""
+    from franzoxide_spark.sources.replay import _partition_ends
+
+    missing = str(tmp_path / "not_created_yet")
+    assert _partition_ends(missing) == {}
+    empty = tmp_path / "empty_log"
+    empty.mkdir()
+    assert _partition_ends(str(empty)) == {}

@@ -2050,3 +2050,54 @@ def test_bloom_state_encoding_version_mismatch_fails_loudly():
     ok = FakeState((bytes(m // 8), 0, _BLOOM_ENC))
     out = list(update(("k",), iter([pd.DataFrame({"member": ["a"]})]), ok))[0]
     assert list(out["member"]) == ["a"]
+
+
+def test_bytes_sink_tolerates_tombstone_values(spark, tmp_path):
+    """A NULL record value (Kafka tombstone) must contribute zero bytes
+    to the concatenated object — bytes(None) previously raised inside
+    the group writer and killed the micro-batch (r13 review)."""
+    from franzoxide_spark.config import ConnectorConfig
+    from franzoxide_spark.sinks.object_sink import ObjectSink
+
+    out_base = str(tmp_path / "out")
+    sink = ObjectSink(
+        spark,
+        ConnectorConfig(
+            name="tomb", connector_class="S3SinkConnector",
+            connector_type="sink", topics=["t"],
+            config={"format.class": "bytes", "path.base": out_base},
+        ),
+        str(tmp_path / "ckpt"),
+    )
+    batch = spark.createDataFrame(
+        [("t", 0, 1, b"abc"), ("t", 0, 2, None), ("t", 0, 3, b"def")],
+        "topic string, partition int, offset long, value binary",
+    )
+    sink._write_bytes_batch(batch, epoch_id=0)
+    objs = glob.glob(os.path.join(out_base, "data", "t", "*.bin"))
+    assert len(objs) == 1
+    assert open(objs[0], "rb").read() == b"abcdef"
+
+
+def test_bytes_sink_rejects_configured_partitioner(spark, tmp_path):
+    """format.class=bytes writes fixed {topic}/{partition}_{offset}.bin
+    objects — a configured time/field partitioner was silently ignored
+    while its column build + per-batch shuffle were still paid (r13
+    review): must fail fast at config time."""
+    import pytest as _pytest
+
+    from franzoxide_spark.config import ConnectorConfig
+    from franzoxide_spark.errors import ConfigError
+    from franzoxide_spark.sinks.object_sink import ObjectSink
+
+    with _pytest.raises(ConfigError, match="partitioner.class=default"):
+        ObjectSink(
+            spark,
+            ConnectorConfig(
+                name="badb", connector_class="S3SinkConnector",
+                connector_type="sink", topics=["t"],
+                config={"format.class": "bytes", "path.base": str(tmp_path),
+                        "partitioner.class": "time"},
+            ),
+            str(tmp_path / "ckpt"),
+        )
