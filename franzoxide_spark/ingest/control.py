@@ -57,10 +57,18 @@ class ControlPlaneHandler:
     def update_config(self, req: pw.ConfigUpdateRequest) -> pw.ConfigResponse:
         if req.config is None:
             raise ValueError("Missing connector configuration")
+        # missing connector -> NOT_FOUND; a ConfigError from validating
+        # the NEW options is an INVALID_ARGUMENT, not "not found" — the
+        # old blanket mapping hid real config errors behind a misleading
+        # NOT_FOUND for a connector that exists (r13 review)
         try:
-            self.manager.restart(req.config.name, dict(req.config.config))
+            self.manager.config.connector(req.config.name)
         except ConfigError:
             raise KeyError(f"Connector not found: {req.config.name}")
+        try:
+            self.manager.restart(req.config.name, dict(req.config.config))
+        except ConfigError as e:
+            raise ValueError(str(e))
         return self.get_config(pw.ConfigRequest(connector_name=req.config.name))
 
     def get_status(self, req: pw.StatusRequest) -> pw.StatusResponse:
@@ -68,9 +76,9 @@ class ControlPlaneHandler:
             c = self.manager.config.connector(req.connector_name)
         except ConfigError:
             raise KeyError(f"Connector not found: {req.connector_name}")
-        state = _STATE_MAP[
-            self.manager._states.get(c.name, ConnectorState.UNINITIALIZED)
-        ]
+        # live health, not the start-time snapshot: a crashed query must
+        # surface as FAILED here, not RUNNING forever (r13 review)
+        state = _STATE_MAP[self.manager.connector_state(c.name)]
         return pw.StatusResponse(
             state=state,
             worker_id="spark-driver",

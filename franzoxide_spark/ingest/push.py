@@ -35,6 +35,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from franzoxide_spark.config import ConnectorConfig
+from franzoxide_spark.errors import ConfigError, SinkError
 from franzoxide_spark.ingest import protowire as pw
 from franzoxide_spark.sinks.object_sink import ObjectSink, _headers_json
 from franzoxide_spark.functions.envelope import envelope_json
@@ -56,9 +57,15 @@ class PushBatchSink:
         self.spark = spark
         self.sink = ObjectSink(spark, connector, checkpoint_root)
         if self.sink.format not in ("json", "parquet", "bytes"):
-            # avro/iceberg gating is handled by ObjectSink at start(); the
-            # push path supports the formats with batch writers
-            self.sink._check_format_available()
+            # flush() has batch writers for json/parquet/bytes ONLY —
+            # avro/iceberg previously fell through to the bytes branch
+            # and landed pushed data as raw .bin concatenations silently
+            # unreadable in the configured format (r13 review)
+            raise ConfigError(
+                f"connector {connector.name!r}: push ingest supports"
+                " format.class json/parquet/bytes, not"
+                f" {self.sink.format!r}"
+            )
         self._buffer: list[pw.KafkaRecord] = []
 
     def put(self, records: list[pw.KafkaRecord]) -> None:
@@ -73,10 +80,31 @@ class PushBatchSink:
             for r in self._buffer
         ]
         n = len(rows)
-        self._buffer = []
+        # the buffer clears only AFTER a successful write: clearing first
+        # meant a failed write dropped every buffered record while the
+        # client's flush RETRY acked success over an empty buffer —
+        # silent loss under the at-least-once contract (r13 review)
         df = self.spark.createDataFrame(rows, _RECORD_SCHEMA)
         sink = self.sink
-        df = sink._prepare(df)
+        if sink.format in ("json", "parquet"):
+            # a streaming FileStreamSink governs its directory through
+            # _spark_metadata: batch-appended files there are INVISIBLE
+            # to Spark readers (the log filters them out), so pushed
+            # records would ack success yet never be readable (r13
+            # review). Refuse loudly — a push connector must own its
+            # path (distinct path.base/s3.prefix from any streaming
+            # sink).
+            import os as _os
+
+            meta = _os.path.join(sink.path, "_spark_metadata")
+            if "://" not in sink.path and _os.path.exists(meta):
+                raise SinkError(
+                    f"connector {sink.connector.name!r}: target"
+                    f" {sink.path!r} is governed by a streaming sink's"
+                    " _spark_metadata log — batch-pushed files would be"
+                    " invisible to Spark readers. Give the push"
+                    " connector its own path.base/s3.prefix."
+                )
         parts = sink._partition_cols()
         if parts:
             df = df.repartition(*[F.col(c) for c in parts])
@@ -104,6 +132,7 @@ class PushBatchSink:
             writer.parquet(sink.path)
         else:  # bytes
             sink._write_bytes_batch(df, epoch_id=int(time.time() * 1000))
+        self._buffer = []
         return n
 
 

@@ -45,8 +45,17 @@ class ConnectorManager:
         self.spark = spark
         self.config = config
         self.checkpoint_root = checkpoint_root
-        self._pipelines: list[tuple[ConnectorConfig, ConnectorConfig]] = []
+        # (feeder sources, sink) — ONE streaming query per sink, its
+        # feeders UNIONed (the Kafka Connect shape: a sink subscribes to
+        # several topics through one consumer). Separate queries per
+        # (source, sink) cannot share the sink's output path anyway —
+        # Spark's FileStreamSink refuses concurrent writers on one
+        # _spark_metadata log.
+        self._pipelines: list[
+            tuple[tuple[ConnectorConfig, ...], ConnectorConfig]
+        ] = []
         self._queries: dict[str, object] = {}
+        self._query_members: dict[str, set[str]] = {}
         self._states: dict[str, ConnectorState] = {}
 
     def initialize(self) -> None:
@@ -57,13 +66,22 @@ class ConnectorManager:
                 raise ConfigError(
                     f"unknown sink connector_class {snk.connector_class!r}"
                 )
+            # a topic-less SOURCE feeds every sink; a topic-less SINK
+            # consumes every source. A sink whose topics match NO source
+            # is a config error — the old `or sources` fallback silently
+            # wired it to ALL sources instead (r13 review: a topic typo
+            # wrote the wrong stream under the sink's layout, and the
+            # ConfigError below was unreachable).
             feeders = [
-                src for src in sources if set(src.topics) & set(snk.topics)
-            ] or sources  # topic-less sources feed everything
+                src
+                for src in sources
+                if not src.topics
+                or not snk.topics
+                or set(src.topics) & set(snk.topics)
+            ]
             if not feeders:
                 raise ConfigError(f"sink {snk.name!r}: no source covers its topics")
-            for src in feeders:
-                self._pipelines.append((src, snk))
+            self._pipelines.append((tuple(feeders), snk))
         for c in self.config.connectors:
             self._states[c.name] = ConnectorState.UNINITIALIZED
 
@@ -99,22 +117,41 @@ class ConnectorManager:
             src, config={**src.config, "batch.size": flush}
         )
 
-    def _start_pipeline(self, src: ConnectorConfig, snk: ConnectorConfig) -> None:
-        records = build_source(
-            self.spark, self.config.kafka, self._fold_flush_size(src, snk)
+    @staticmethod
+    def _pipe_key(srcs: tuple[ConnectorConfig, ...], snk: ConnectorConfig) -> str:
+        return "+".join(s.name for s in srcs) + "->" + snk.name
+
+    def _start_pipeline(
+        self,
+        srcs: tuple[ConnectorConfig, ...],
+        snk: ConnectorConfig,
+    ) -> None:
+        from functools import reduce
+
+        records = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                build_source(
+                    self.spark, self.config.kafka, self._fold_flush_size(src, snk)
+                )
+                for src in srcs
+            ],
         )
         if snk.connector_class in DEBUG_SINK_CLASSES:
             query = self._start_debug_sink(records, snk)
         else:
             sink = ObjectSink(self.spark, snk, self.checkpoint_root)
             query = sink.start(records)
-        self._queries[f"{src.name}->{snk.name}"] = query
-        self._states[src.name] = ConnectorState.RUNNING
+        key = self._pipe_key(srcs, snk)
+        self._queries[key] = query
+        self._query_members[key] = {s.name for s in srcs} | {snk.name}
+        for src in srcs:
+            self._states[src.name] = ConnectorState.RUNNING
         self._states[snk.name] = ConnectorState.RUNNING
 
     def start(self) -> None:
-        for src, snk in self._pipelines:
-            self._start_pipeline(src, snk)
+        for srcs, snk in self._pipelines:
+            self._start_pipeline(srcs, snk)
 
     def restart(self, name: str, new_options: dict[str, str]) -> None:
         """B14 UpdateConfig (connector.proto:23,106-108 — declared but never
@@ -131,34 +168,68 @@ class ConnectorManager:
 
         old = self.config.connector(name)  # raises ConfigError if unknown
         updated = dataclasses.replace(old, config={**old.config, **new_options})
+        # VALIDATE the new options BEFORE stopping anything: a bad option
+        # previously surfaced only from _start_pipeline AFTER the old
+        # pipeline was stopped and the config swapped — leaving the
+        # pipeline dead and the invalid config persisted (r13 review)
+        if (
+            updated.connector_type == "sink"
+            and updated.connector_class in SINK_CLASSES
+        ):
+            ObjectSink(self.spark, updated, self.checkpoint_root)
         # stop only the pipelines this connector participates in
         affected = [
-            (src, snk)
-            for src, snk in self._pipelines
-            if name in (src.name, snk.name)
+            (srcs, snk)
+            for srcs, snk in self._pipelines
+            if name == snk.name or any(name == s.name for s in srcs)
         ]
         was_running: set[str] = set()
-        for src, snk in affected:
-            pipe = f"{src.name}->{snk.name}"
+        for srcs, snk in affected:
+            pipe = self._pipe_key(srcs, snk)
             query = self._queries.pop(pipe, None)
+            self._query_members.pop(pipe, None)
             if query is not None:
                 was_running.add(pipe)
                 query.stop()
-                query.awaitTermination()
+                try:
+                    query.awaitTermination()
+                except Exception:  # noqa: BLE001 — a query that already
+                    # FAILED rethrows its streaming exception here; the
+                    # restart must still proceed to bring it back up
+                    pass
+        old_config = list(self.config.connectors)
+        old_pipelines = list(self._pipelines)
         # swap the connector config everywhere it is referenced
         self.config.connectors = [
             updated if c.name == name else c for c in self.config.connectors
         ]
         self._pipelines = [
             (
-                updated if src.name == name else src,
+                tuple(updated if s.name == name else s for s in srcs),
                 updated if snk.name == name else snk,
             )
-            for src, snk in self._pipelines
+            for srcs, snk in self._pipelines
         ]
-        for src, snk in self._pipelines:
-            if f"{src.name}->{snk.name}" in was_running:
-                self._start_pipeline(src, snk)
+        try:
+            for srcs, snk in self._pipelines:
+                if self._pipe_key(srcs, snk) in was_running:
+                    self._start_pipeline(srcs, snk)
+        except Exception:
+            # roll back: restore the old config and bring the old
+            # pipelines back up (best effort) so a failed restart never
+            # leaves the connector dead with a corrupted config
+            self.config.connectors = old_config
+            self._pipelines = old_pipelines
+            for srcs, snk in old_pipelines:
+                pipe = self._pipe_key(srcs, snk)
+                if pipe in was_running and pipe not in self._queries:
+                    try:
+                        self._start_pipeline(srcs, snk)
+                    except Exception:  # noqa: BLE001 — best-effort
+                        for s_ in srcs:
+                            self._states[s_.name] = ConnectorState.FAILED
+                        self._states[snk.name] = ConnectorState.FAILED
+            raise
 
     def process_all_available(self) -> None:
         """Drain everything currently readable — the reference's manual
@@ -171,8 +242,8 @@ class ConnectorManager:
             try:
                 q.stop()
             except Exception:
-                # mark both endpoints of the failed pipeline
-                for conn_name in pipe.split("->"):
+                # mark every endpoint of the failed pipeline
+                for conn_name in self._query_members.get(pipe, set()):
                     if conn_name in self._states:
                         self._states[conn_name] = ConnectorState.FAILED
                 raise
@@ -180,12 +251,36 @@ class ConnectorManager:
             if self._states[name] == ConnectorState.RUNNING:
                 self._states[name] = ConnectorState.STOPPED
 
+    def connector_state(self, name: str) -> ConnectorState:
+        """Current state with LIVE query health folded in: a connector
+        whose streaming query died at runtime must not keep reporting
+        RUNNING off the stale start-time map (r13 review) — monitoring
+        would see a healthy connector while no data flows."""
+        state = self._states.get(name, ConnectorState.UNINITIALIZED)
+        if state != ConnectorState.RUNNING:
+            return state
+        involved = [
+            (pipe, q)
+            for pipe, q in self._queries.items()
+            if name in self._query_members.get(pipe, set())
+        ]
+        if not involved:
+            return state
+        for _pipe, q in involved:
+            if q.isActive:
+                return ConnectorState.RUNNING
+        return (
+            ConnectorState.FAILED
+            if any(q.exception() is not None for _p, q in involved)
+            else ConnectorState.STOPPED
+        )
+
     def status(self) -> dict[str, dict]:
         """Per-connector state + live query progress (A25 + B15, replacing
         the reference's startup-only snapshot and unimplemented GetStatus)."""
         out: dict[str, dict] = {}
-        for name, state in self._states.items():
-            out[name] = {"state": state.value}
+        for name in self._states:
+            out[name] = {"state": self.connector_state(name).value}
         for pipe, q in self._queries.items():
             out[pipe] = {
                 "state": ConnectorState.RUNNING.value if q.isActive else ConnectorState.STOPPED.value,

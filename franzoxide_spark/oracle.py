@@ -32,6 +32,17 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 def _canon_value(v) -> str:
     if v is None:
         return "NULL"
+    # Spark's toPandas yields BYTEARRAY for binary columns while DuckDB
+    # yields BYTES — str() rendered them differently ("bytearray(b'x')"
+    # vs "b'x'"), failing the compare on byte-identical results (r13
+    # review). numpy float scalars (float32 never subclasses float)
+    # must also take the rounding path, not str().
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return "0x" + bytes(v).hex()
+    if type(v).__module__ == "numpy" and type(v).__name__.startswith(
+        "float"
+    ):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"

@@ -58,9 +58,18 @@ def _session_key(spark: SparkSession) -> str:
     applicationId is unique per SparkContext lifetime.
     """
     try:
-        return spark.sparkContext.applicationId
+        app = spark.sparkContext.applicationId
     except Exception:  # Spark Connect or stopped context: degrade per-object
         return f"py-id-{id(spark)}"
+    # applicationId alone conflates spark.newSession() children with their
+    # parent (same SparkContext, FRESH SQLConf) — the conf assertion would
+    # be skipped for the child and nanosAsLong/UTC silently unset (r13
+    # review). The py4j target id names the JVM SparkSession object
+    # (monotonic per gateway, never reused while live).
+    try:
+        return f"{app}/{spark._jsparkSession._target_id}"
+    except Exception:
+        return app
 
 
 def ensure_session_confs(spark: SparkSession) -> None:

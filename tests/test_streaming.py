@@ -2101,3 +2101,59 @@ def test_bytes_sink_rejects_configured_partitioner(spark, tmp_path):
             ),
             str(tmp_path / "ckpt"),
         )
+
+
+def test_sink_with_unmatched_topics_raises(spark, tmp_path):
+    """A sink whose topics match NO source must be a ConfigError — the
+    old `or sources` fallback silently wired it to ALL sources, writing
+    the wrong stream under the sink's layout on a topic typo (r13
+    review)."""
+    import pytest as _pytest
+
+    from franzoxide_spark.errors import ConfigError
+    from franzoxide_spark.manager import ConnectorManager
+
+    cfg = _pipeline_config(str(tmp_path / "in"), str(tmp_path / "out"))
+    cfg.connectors[1].topics = ["typo-topic"]
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    with _pytest.raises(ConfigError, match="no source covers"):
+        mgr.initialize()
+
+
+def test_fan_in_sink_runs_both_sources(spark, sf_dir, tmp_path):
+    """Two sources feeding one sink must deliver BOTH streams: the
+    feeders union into one query per sink — previously each (source,
+    sink) pair started its own query sharing the sink's checkpoint,
+    query name AND _spark_metadata log, so the second start either
+    failed or silently stopped the first (r13 review)."""
+    import dataclasses
+
+    from franzoxide_spark.manager import ConnectorManager
+
+    in1, total1, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in1"))
+    in2, total2, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in2"))
+    cfg = _pipeline_config(in1, str(tmp_path / "out"))
+    src2 = dataclasses.replace(
+        cfg.connectors[0], name="file-source-2",
+        config={**cfg.connectors[0].config, "path": in2},
+    )
+    cfg.connectors.insert(1, src2)
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    try:
+        # ONE query per sink, feeders unioned (FileStreamSink refuses two
+        # concurrent writers on one _spark_metadata log anyway)
+        assert len(mgr._queries) == 1
+        assert all(q.isActive for q in mgr._queries.values())
+        mgr.process_all_available()
+    finally:
+        mgr.stop()
+    lines = []
+    for f in glob.glob(os.path.join(str(tmp_path / "out"), "data", "**", "*.txt"),
+                       recursive=True) + glob.glob(
+            os.path.join(str(tmp_path / "out"), "data", "**", "part-*"),
+            recursive=True):
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln.strip()]
+    assert len(lines) == total1 + total2
