@@ -94,10 +94,25 @@ class PushBatchSink:
             # review). Refuse loudly — a push connector must own its
             # path (distinct path.base/s3.prefix from any streaming
             # sink).
-            import os as _os
+            # probe through the Hadoop FileSystem API so the guard also
+            # covers s3a://, file://, hdfs:// targets — the local
+            # os.path check silently skipped object stores, the exact
+            # silent-loss mode this guard exists to prevent (r14 advice)
+            meta_exists: bool
+            try:
+                jvm = self.spark._jvm
+                hconf = self.spark._jsc.hadoopConfiguration()
+                jpath = jvm.org.apache.hadoop.fs.Path(
+                    sink.path, "_spark_metadata"
+                )
+                meta_exists = jpath.getFileSystem(hconf).exists(jpath)
+            except Exception:
+                import os as _os
 
-            meta = _os.path.join(sink.path, "_spark_metadata")
-            if "://" not in sink.path and _os.path.exists(meta):
+                meta_exists = "://" not in sink.path and _os.path.exists(
+                    _os.path.join(sink.path, "_spark_metadata")
+                )
+            if meta_exists:
                 raise SinkError(
                     f"connector {sink.connector.name!r}: target"
                     f" {sink.path!r} is governed by a streaming sink's"
@@ -105,6 +120,13 @@ class PushBatchSink:
                     " invisible to Spark readers. Give the push"
                     " connector its own path.base/s3.prefix."
                 )
+        # _prepare derives the time/field partition columns (year/month/
+        # day/hour or the JSON-extracted partition.field) that
+        # _partition_cols references — without it every non-default
+        # partitioner flush failed with an unresolved-column
+        # AnalysisException (r14 advice: the call was dropped when the
+        # _spark_metadata guard was inserted)
+        df = sink._prepare(df)
         parts = sink._partition_cols()
         if parts:
             df = df.repartition(*[F.col(c) for c in parts])

@@ -119,7 +119,18 @@ class ConnectorManager:
 
     @staticmethod
     def _pipe_key(srcs: tuple[ConnectorConfig, ...], snk: ConnectorConfig) -> str:
-        return "+".join(s.name for s in srcs) + "->" + snk.name
+        # percent-escape the separator characters so connector names
+        # containing '+' or '->' cannot map distinct pipelines to one key
+        # (sources {'a','b+c'} vs {'a+b','c'}) and cross-wire the
+        # _queries/_query_members state used by restart and
+        # connector_state (r14 advice). Normal names are unchanged, so
+        # the key stays the human-readable status() label.
+        def esc(name: str) -> str:
+            return (
+                name.replace("%", "%25").replace("+", "%2B").replace(">", "%3E")
+            )
+
+        return "+".join(esc(s.name) for s in srcs) + "->" + esc(snk.name)
 
     def _start_pipeline(
         self,
@@ -210,16 +221,33 @@ class ConnectorManager:
             )
             for srcs, snk in self._pipelines
         ]
+        started_this_call: list[str] = []
         try:
             for srcs, snk in self._pipelines:
-                if self._pipe_key(srcs, snk) in was_running:
+                pipe = self._pipe_key(srcs, snk)
+                if pipe in was_running:
                     self._start_pipeline(srcs, snk)
+                    started_this_call.append(pipe)
         except Exception:
             # roll back: restore the old config and bring the old
             # pipelines back up (best effort) so a failed restart never
-            # leaves the connector dead with a corrupted config
+            # leaves the connector dead with a corrupted config.
             self.config.connectors = old_config
             self._pipelines = old_pipelines
+            # FIRST stop every query that already restarted with the NEW
+            # config in this call — leaving them running while the config
+            # rolls back would make get_config report options that differ
+            # from what the live query actually runs (r14 advice)
+            for pipe in started_this_call:
+                query = self._queries.pop(pipe, None)
+                self._query_members.pop(pipe, None)
+                if query is not None:
+                    try:
+                        query.stop()
+                        query.awaitTermination()
+                    except Exception:  # noqa: BLE001 — best-effort stop;
+                        # the old pipeline restart below still runs
+                        pass
             for srcs, snk in old_pipelines:
                 pipe = self._pipe_key(srcs, snk)
                 if pipe in was_running and pipe not in self._queries:

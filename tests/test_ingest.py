@@ -98,7 +98,7 @@ def test_decoder_skips_unknown_fields():
 
 # -- protocol state machine -------------------------------------------------
 
-def _push_sink(spark, tmp_path, fmt="json"):
+def _push_sink(spark, tmp_path, fmt="json", extra=None):
     snk = ConnectorConfig(
         name="s3-sink",
         connector_class="object",
@@ -109,6 +109,7 @@ def _push_sink(spark, tmp_path, fmt="json"):
             "s3.prefix": "data",
             "format.class": fmt,
             "partitioner.class": "default",
+            **(extra or {}),
         },
     )
     return PushBatchSink(spark, snk, str(tmp_path / "ckpt"))
@@ -168,6 +169,66 @@ def test_push_flush_empty_and_error_paths(spark, tmp_path):
     # empty request -> ConnectorError response, not an exception
     resp = handler.handle(pw.SinkRequest())
     assert resp.error is not None and resp.error.error_code == "BAD_REQUEST"
+
+
+def test_push_flush_time_and_field_partitioners(spark, tmp_path):
+    """flush() must run the sink's _prepare so time/field partition
+    columns exist before repartition/partitionBy — the call was dropped
+    when the _spark_metadata guard landed, breaking every non-default
+    partitioner push with an unresolved-column error (r14 advice)."""
+    # time partitioner: 2024-01-15T12:xx UTC epoch-millis
+    sink = _push_sink(
+        spark, tmp_path / "t", extra={"partitioner.class": "time"}
+    )
+    handler = SinkStreamHandler(sink)
+    recs = [
+        pw.KafkaRecord(
+            "test-topic", 0, i, 1705320000000, b"", b'{"id": 1}', {}
+        )
+        for i in range(3)
+    ]
+    handler.handle(pw.SinkRequest(record_batch=pw.RecordBatch(records=recs)))
+    resp = handler.handle(pw.SinkRequest(flush=pw.FlushRequest(request_id="t")))
+    assert resp.flush_response.success, resp.flush_response.message
+    files = glob.glob(
+        os.path.join(
+            str(tmp_path / "t" / "out"), "data", "topic=test-topic",
+            "year=2024", "month=01", "day=15", "hour=*", "*.txt",
+        )
+    )
+    assert files, "time-partitioned push flush wrote nothing"
+    assert sum(1 for f in files for ln in open(f) if ln.strip()) == 3
+
+    # field partitioner: directory from the JSON payload field
+    sink = _push_sink(
+        spark, tmp_path / "f",
+        extra={"partitioner.class": "field", "partition.field": "region"},
+    )
+    handler = SinkStreamHandler(sink)
+    recs = [
+        pw.KafkaRecord(
+            "test-topic", 0, i, 1700000000000, b"",
+            json.dumps({"region": r}).encode(), {},
+        )
+        for i, r in enumerate(["eu", "us", "eu"])
+    ]
+    handler.handle(pw.SinkRequest(record_batch=pw.RecordBatch(records=recs)))
+    resp = handler.handle(pw.SinkRequest(flush=pw.FlushRequest(request_id="f")))
+    assert resp.flush_response.success, resp.flush_response.message
+    eu = glob.glob(
+        os.path.join(
+            str(tmp_path / "f" / "out"), "data", "topic=test-topic",
+            "region=eu", "*.txt",
+        )
+    )
+    us = glob.glob(
+        os.path.join(
+            str(tmp_path / "f" / "out"), "data", "topic=test-topic",
+            "region=us", "*.txt",
+        )
+    )
+    assert sum(1 for f in eu for ln in open(f) if ln.strip()) == 2
+    assert sum(1 for f in us for ln in open(f) if ln.strip()) == 1
 
 
 def test_push_parquet_format_and_streamed_equivalence(spark, tmp_path):
