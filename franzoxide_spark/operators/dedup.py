@@ -233,6 +233,30 @@ _SESSION_LANDINGS: dict[tuple, str] = {}
 # would lose the stamp and fail the consumers' k-mismatch guard.
 _SESSION_LANDING_DFS: dict[tuple, DataFrame] = {}
 
+# Bench/driver-visible decision log (r14 verdict #3): every
+# shared_shingle_relation call appends what it did and every
+# jaccard_pairs_prefix call appends its checkpoint-branch choice, so
+# BENCH_DETAIL can explain by itself whether a sample paid the landing
+# write ("written"/"re-landed"), adopted a prior session's files
+# ("adopted"), or hit the in-session cache ("session-reuse") — the r13
+# q35b driver-env gap was undiagnosable precisely because the artifact
+# could not say which of these happened. bench.py copies both lists
+# into the detail artifact; entries carry wall-clock epochs so readers
+# can align them with the per-query start offsets.
+LANDING_EVENTS: list[dict] = []
+PREFIX_DECISIONS: list[dict] = []
+
+
+def _landing_event(decision: str, name: str, **extra) -> None:
+    import time as _time
+
+    if len(LANDING_EVENTS) < 1000:  # bounded — diagnostics, not a log
+        LANDING_EVENTS.append(
+            {"decision": decision, "table": name,
+             "epoch": round(_time.time(), 2), **extra}
+        )
+
+
 # Write-completion marker (r11 ADVICE): a landing that finished its
 # saveAsTable drops this file into the table directory. A stale dir
 # WITH the marker is a dead session's completed landing — safe to
@@ -567,19 +591,30 @@ def shared_shingle_relation(
             cache.pop(stale, None)
     name = "shingle_rel_" + hashlib.md5(repr(ident).encode()).hexdigest()[:12]
     if key in _SESSION_LANDINGS and spark.catalog.tableExists(name):
+        _landing_event("session-reuse", name)
         cached = _SESSION_LANDING_DFS.get(key)
         return cached if cached is not None else spark.table(name)
     fp = _source_fingerprint(df)
+    relanded = False
     if not spark.catalog.tableExists(name):
         marker = _read_landing_marker(spark, name)
         if marker and fp is not None and marker.get("fingerprint") == fp:
             adopted = _adopt_landing(spark, name, marker)
             if adopted is not None:
+                _landing_event(
+                    "adopted", name,
+                    stat_bytes=int(
+                        adopted._jdf.queryExecution().optimizedPlan()
+                        .stats().sizeInBytes()
+                    ),
+                    writer=marker.get("app_id"),
+                )
                 _SESSION_LANDINGS[key] = name
                 _SESSION_LANDING_DFS[key] = adopted
                 return adopted
         if marker is not None and fp and marker.get("fingerprint") \
                 and marker["fingerprint"] != fp:
+            relanded = True
             logging.getLogger(__name__).warning(
                 "shingle landing %s (written by %s) is stale — source "
                 "fingerprint changed; reclaiming and re-landing. Any "
@@ -598,6 +633,12 @@ def shared_shingle_relation(
             "schema": rel.schema.jsonValue(),
             "n_buckets": n_buckets,
         },
+    )
+    _landing_event(
+        "re-landed" if relanded else "written", name,
+        stat_bytes=int(
+            rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ),
     )
     _SESSION_LANDINGS[key] = name
     _SESSION_LANDING_DFS[key] = rel
@@ -1058,11 +1099,21 @@ def jaccard_pairs_prefix(
         )
         .select(id_col, "n", "g")
     )
+    forced = prefix_checkpoint is not None
+    est = None
     if prefix_checkpoint is None:
         est = int(
             ex._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
         prefix_checkpoint = est >= _PREFIX_CHECKPOINT_MIN_BYTES
+    if len(PREFIX_DECISIONS) < 1000:
+        import time as _time
+
+        PREFIX_DECISIONS.append(
+            {"checkpoint": bool(prefix_checkpoint), "est_bytes": est,
+             "forced": forced, "landed": shingle_rel is not None,
+             "epoch": round(_time.time(), 2)}
+        )
     if prefix_checkpoint:
         prefix = prefix.localCheckpoint(eager=False)
     a = prefix.hint("merge").alias("a")

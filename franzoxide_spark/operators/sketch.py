@@ -311,27 +311,21 @@ _BLOOM_WORDS = _BLOOM_BITS // 64
 _BLOOM_HASHES = 4
 
 
-def _bloom_bits(shingle_expr: str, seed: int) -> tuple[str, str]:
-    """(word_idx, bit_in_word) Spark-SQL fragments for hash ``seed``.
-
-    All four indices come from ONE md5: the 128-bit digest is split into
-    four disjoint 16-bit hex chunks, each exactly a position in the
-    2^16-bit array — one hash call per shingle instead of four (measured
-    ~25% off the whole q165 at sf0.1), with the same independence story
-    as seeded hashing for a uniform digest."""
-    h = f"cast(conv(substr(md5({shingle_expr}), {1 + 4 * seed}, 4), 16, 10) as int)"
-    # `div` = integer division: Spark's cast(x/64 as int) truncates while
-    # DuckDB's CAST(x/64 AS INT) ROUNDS — the mirror uses // so both
-    # engines build the identical bit layout (review r8 finding)
-    return f"({h} div 64)", f"({h} % 64)"
-
-
 def bloom_build(eval_shingles: DataFrame, shingle_col: str) -> DataFrame:
     """Build a Bloom filter over a shingle relation as a RELATIONAL
     sketch: ``(word_idx int, bits long)`` with at most 1024 rows — the
     8 KiB bit array laid out one int64 word per row, so it broadcasts,
     unions (bit_or-merges, like every sketch in this module), and
     persists as a tiny table.
+
+    All four bit positions come from ONE md5: the 128-bit digest is
+    split into four disjoint 16-bit hex chunks, each exactly a position
+    in the 2^16-bit array — one hash call per shingle instead of four
+    (measured ~25% off the whole q165 at sf0.1), with the same
+    independence story as seeded hashing for a uniform digest. The four
+    (word, mask) pairs explode out of a single projection — one scan of
+    the input, not a 4-arm union (r14: the union arms multiplied every
+    upstream scan by four inside each broadcast consumer).
 
     Why a Bloom next to q54/q56's exact broadcast: those ship the FULL
     eval shingle-hash set (8 bytes/shingle — fine for benchmark suites,
@@ -341,16 +335,21 @@ def bloom_build(eval_shingles: DataFrame, shingle_col: str) -> DataFrame:
     exact-verify only the positives (q165 measures exactly that
     verification burden as its fp columns).
     """
-    out = None
+    pairs = []
     for seed in range(_BLOOM_HASHES):
-        w, b = _bloom_bits(shingle_col, seed)
-        part = eval_shingles.select(
-            F.expr(w).alias("word_idx"),
-            F.expr(f"shiftleft(cast(1 as bigint), {b})").alias("__m"),
+        # `div` = integer division: Spark's cast(x/64 as int) truncates
+        # while DuckDB's CAST(x/64 AS INT) ROUNDS — the mirror uses //
+        # so both engines build the identical bit layout (review r8)
+        h = f"cast(conv(substr(__bh, {1 + 4 * seed}, 4), 16, 10) as int)"
+        pairs.append(
+            f"struct(({h} div 64) as word_idx,"
+            f" shiftleft(cast(1 as bigint), ({h} % 64)) as m)"
         )
-        out = part if out is None else out.unionAll(part)
-    return out.groupBy("word_idx").agg(
-        F.expr("bit_or(__m)").alias("bits")
+    return (
+        eval_shingles.select(F.expr(f"md5({shingle_col})").alias("__bh"))
+        .select(F.explode(F.expr("array(" + ", ".join(pairs) + ")")).alias("p"))
+        .groupBy(F.col("p.word_idx").alias("word_idx"))
+        .agg(F.expr("bit_or(p.m)").alias("bits"))
     )
 
 
@@ -422,17 +421,29 @@ def bloom_probe_report_flagged(
     BASELINE.md r8); the shape above is the one whose cost is a single
     corpus scan + shingle exchange at real scale.
     """
-    from franzoxide_spark.functions.text import shingles, tokens
+    from franzoxide_spark.functions.text import HASH60_SPARK, shingles, tokens
 
+    # Shingles enter the probe as their 60-bit md5 hashes (the dedup
+    # family's HASH60 contract, functions/text.py) rather than raw
+    # strings: identical cross-engine, a fixed-width shuffle key, and —
+    # the point — the SAME key the bucketed shingle landing stores, so
+    # :func:`bloom_probe_report_landed` can probe the landed relation
+    # with bit-identical results to this ad-hoc path (r14: q165 was
+    # re-exploding corpus shingles every run while the landing already
+    # held them).
+    hashed = F.expr(
+        f"transform(__sh, s -> {HASH60_SPARK.format(s='s')})"
+    )
     # no _fan_out: the stage after the explode is itself a shuffle, so
     # input parallelism does not bound the job (same reasoning as
     # corpus_stats' LM scorers measured at sf0.1)
     per_g = (
         flagged.withColumn("__toks", tokens(text_col))
+        .withColumn("__sh", shingles("__toks", k))
         .select(
             F.col(group_col),
             F.col(eval_col).alias("__e"),
-            F.explode(shingles("__toks", k)).alias("__g"),
+            F.explode(hashed).alias("__g"),
         )
         .groupBy("__g")
         .agg(
@@ -459,16 +470,34 @@ def bloom_probe_report_flagged(
     eval_sh = (
         flagged.filter(F.col(eval_col))
         .withColumn("__toks", tokens(text_col))
-        .select(F.explode(shingles("__toks", k)).alias("__g"))
+        .withColumn("__sh", shingles("__toks", k))
+        .select(F.explode(hashed).alias("__g"))
         .distinct()
     )
-    bloom = bloom_build(eval_sh, "__g")
+    return _bloom_report(per_g, eval_sh, group_col)
+
+
+def _bloom_report(
+    per_g: DataFrame, eval_sh: DataFrame, group_col: str
+) -> DataFrame:
+    """Shared probe/report core: ``per_g (__g bigint, __in_eval,
+    __grps)`` probed against the bloom of ``eval_sh (__g bigint)``,
+    aggregated per group. The bit indices come from md5 of the 60-bit
+    shingle hash's DECIMAL string — bigint-to-string renders identically
+    in Spark and DuckDB, so the mirror reproduces the layout exactly."""
+    # materialize the 1024-row sketch ONCE (lazy local checkpoint): the
+    # probe broadcasts it four times, and without the cut each
+    # BroadcastExchange re-evaluated the whole eval subtree — 4 extra
+    # scans of the eval side per report (16 with the old 4-arm build)
+    bloom = bloom_build(eval_sh, "cast(__g as string)").localCheckpoint(
+        eager=False
+    )
     # render the md5 hex ONCE per probe shingle and slice all four
     # (word, bit) pairs out of the stored string: the per-join-stage
     # md5+conv re-derivation was measured at ~0.13 s of the sf0.1 total
     # (codegen CSE does not span join operators)
     probe = per_g.filter(F.size("__grps") > 0).withColumn(
-        "__md5", F.expr("md5(__g)")
+        "__md5", F.expr("md5(cast(__g as string))")
     )
     for seed in range(_BLOOM_HASHES):
         h = f"cast(conv(substr(__md5, {1 + 4 * seed}, 4), 16, 10) as int)"
@@ -508,6 +537,64 @@ def bloom_probe_report_flagged(
     )
 
 
+def bloom_probe_report_landed(
+    shingle_rel: DataFrame,
+    doc_meta: DataFrame,
+    id_col: str,
+    group_col: str,
+    eval_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`bloom_probe_report_flagged` fed from the dedup family's
+    BUCKETED shingle landing instead of re-tokenizing the corpus.
+
+    ``shingle_rel`` is a ``(id_col, n, g)`` relation from
+    ``land_shingle_relation`` / ``shared_shingle_relation`` — ``g`` is
+    already the HASH60 shingle key this module probes on, so the result
+    is bit-identical to the ad-hoc path. ``doc_meta`` maps
+    ``(id_col -> group_col, eval_col)`` and is broadcast (doc-count
+    sized — one row per document, no text). The corpus-side cost drops
+    to a bucketed parquet scan + ZERO exchanges: the broadcast meta
+    join preserves the landing's hash partitioning on ``g``, so the
+    per-shingle aggregate reuses it (plan-asserted in test_plans.py).
+    This retires q165's per-run tokenize + explode + shingle shuffle —
+    at 100 TB the landing is written once per corpus snapshot and every
+    decontamination pass after the first is scan-only (r14 verdict #2).
+
+    Refuses a ``max_df``-stripped landing: stripped shingles are absent
+    from every document there, which silently undercounts contamination
+    against the unstripped semantics this report documents."""
+    from franzoxide_spark.operators.dedup import _check_shingle_rel_k
+
+    _check_shingle_rel_k(shingle_rel, k, "bloom_probe_report_landed")
+    meta = shingle_rel.schema["g"].metadata or {}
+    if meta.get("max_df") is not None:
+        raise ValueError(
+            "bloom_probe_report_landed: the landed relation was stripped "
+            f"with max_df={meta['max_df']} — boilerplate shingles are "
+            "absent from it, so contamination counts would silently "
+            "undercount. Probe an unstripped landing instead."
+        )
+    dmeta = doc_meta.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(eval_col).cast("boolean").alias("__e"),
+    )
+    joined = shingle_rel.select(id_col, F.col("g").alias("__g")).join(
+        F.broadcast(dmeta), id_col, "inner"
+    )
+    per_g = joined.groupBy("__g").agg(
+        F.max(F.col("__e").cast("int")).alias("__in_eval"),
+        F.collect_set(F.when(~F.col("__e"), F.col(group_col))).alias(
+            "__grps"
+        ),
+    )
+    eval_sh = (
+        joined.filter(F.col("__e")).select("__g").distinct()
+    )
+    return _bloom_report(per_g, eval_sh, group_col)
+
+
 def sql_bloom_probe_report(
     table: str,
     eval_pred: str,
@@ -517,14 +604,23 @@ def sql_bloom_probe_report(
     k: int = 3,
 ) -> str:
     """DuckDB mirror of :func:`bloom_probe_report` — the identical
-    seeded-md5 bit layout, built with bit_or over per-shingle masks."""
-    from franzoxide_spark.functions.text import sql_shingles, sql_tokens
+    seeded-md5 bit layout, built with bit_or over per-shingle masks.
+    Shingles are keyed by their HASH60 value (the dedup family's
+    cross-engine contract) and the bit indices come from md5 of that
+    hash's decimal string, matching :func:`_bloom_report` exactly."""
+    from franzoxide_spark.functions.text import (
+        sql_hash60,
+        sql_shingles,
+        sql_tokens,
+    )
 
     sh = sql_shingles(sql_tokens(text_col), k)
+    h60 = sql_hash60("s")
     build_arms, probe_arms = [], []
     for seed in range(_BLOOM_HASHES):
         idx = (
-            f"CAST('0x' || substr(md5(g), {1 + 4 * seed}, 4) AS INT)"
+            f"CAST('0x' || substr(md5(CAST(g AS VARCHAR)),"
+            f" {1 + 4 * seed}, 4) AS INT)"
         )
         # // (floor division), NOT CAST(x/64 AS INT): DuckDB's cast
         # ROUNDS, which shifted every idx%64 >= 32 into the next word
@@ -545,12 +641,12 @@ def sql_bloom_probe_report(
     probe_arms = " UNION ALL ".join(probe_arms)
     return f"""
 WITH eval_sh AS (
-  SELECT DISTINCT g
-  FROM (SELECT UNNEST({sh}) AS g FROM {table} WHERE {eval_pred})
+  SELECT DISTINCT {h60} AS g
+  FROM (SELECT UNNEST({sh}) AS s FROM {table} WHERE {eval_pred})
 ),
 corpus_sh AS (
-  SELECT DISTINCT {group_col}, g
-  FROM (SELECT {group_col}, UNNEST({sh}) AS g
+  SELECT DISTINCT {group_col}, {h60} AS g
+  FROM (SELECT {group_col}, UNNEST({sh}) AS s
         FROM {table} WHERE {pool_pred})
 ),
 bloom AS (

@@ -2363,14 +2363,33 @@ register("q166_ab_srm_check", q166, _q166_sql())
 #        Same %97 eval split as q56.
 # --------------------------------------------------------------------------
 def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from franzoxide_spark.operators.sketch import bloom_probe_report_flagged
-
-    # both sides slice the same table -> single-scan core (one corpus
-    # read, one shingle shuffle)
-    docs = table(spark, sf_dir, "documents").withColumn(
-        "__is_eval", F.col("doc_id") % 97 == 0
+    from franzoxide_spark.operators.sketch import (
+        bloom_probe_report_flagged,
+        bloom_probe_report_landed,
     )
-    return bloom_probe_report_flagged(docs, "text", "source", "__is_eval")
+    from franzoxide_spark.queries.llm import _docs_shingle_rel
+
+    docs = table(spark, sf_dir, "documents")
+    rel = _docs_shingle_rel(spark, sf_dir)
+    if rel is not None:
+        # probe the dedup family's bucketed shingle landing: the corpus
+        # side becomes a scan of pre-exploded HASH60 keys — no
+        # tokenize, no explode, no shingle shuffle (r14 verdict #2).
+        # Bit-identical to the ad-hoc path below (same hash contract).
+        meta = docs.select(
+            "doc_id", "source",
+            (F.col("doc_id") % 97 == 0).alias("__is_eval"),
+        )
+        return bloom_probe_report_landed(
+            rel, meta, "doc_id", "source", "__is_eval"
+        )
+    # ad-hoc fallback (SPARK_GRAFT_DEDUP_LANDING=0): both sides slice
+    # the same table -> single-scan core (one corpus read, one shingle
+    # shuffle)
+    return bloom_probe_report_flagged(
+        docs.withColumn("__is_eval", F.col("doc_id") % 97 == 0),
+        "text", "source", "__is_eval",
+    )
 
 
 def _q165_sql() -> str:

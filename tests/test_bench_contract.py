@@ -158,3 +158,84 @@ def test_every_expensive_exempt_ratio_carries_a_note():
         f"{missing} — measure the slope (examples/scale_slope.py "
         f"replicas), explain the floor or fix the plan, then add the note"
     )
+
+
+def _artifact(over_bar, sentinel, starts, suite_ratio=1.5):
+    return {
+        "over_bar": over_bar,
+        "load_sentinel": sentinel,
+        "query_starts": starts,
+        "suite_ratio": suite_ratio,
+    }
+
+
+def test_analyze_flags_over_bar_during_sentinel_spike():
+    """r14 verdict #5(a): an over_bar entry whose start offset coincides
+    with a sentinel spike is classified host-window; one in a flat
+    window is classified code."""
+    from bench import analyze_artifact
+
+    # spark probes at sentinel offsets 100/160/220 (60 s interval);
+    # spike at 160 (1.2 s vs 0.1 s median). q_spiked starts at
+    # suite-offset 55 -> sentinel offset 155 (within the 60 s window of
+    # the spike); q_clean starts at suite-offset 240 -> offset 340, far
+    # from any spike.
+    sentinel = [
+        ["oracle", 10.0, 0.1], ["oracle", 50.0, 0.1],
+        ["spark", 100.0, 0.1], ["spark", 160.0, 1.2],
+        ["spark", 220.0, 0.1], ["spark", 280.0, 0.1],
+        ["spark", 340.0, 0.1], ["spark", 400.0, 0.1],
+    ]
+    out = analyze_artifact(_artifact(
+        ["q_spiked", "q_clean"], sentinel,
+        {"q_spiked": 55.0, "q_clean": 240.0},
+    ))
+    assert out["over_bar_classification"] == {
+        "q_spiked": "host-window", "q_clean": "code",
+    }
+    assert any(s["offset"] == 160.0 for s in out["sentinel_spikes"])
+
+
+def test_analyze_suite_ratio_move_verdicts():
+    """r14 verdict #5(b): a >0.3 suite_ratio move is code-regression when
+    the sentinel is flat, host-window when it spiked, improvement when
+    it dropped; <=0.3 is stable."""
+    from bench import analyze_artifact
+
+    flat = [["spark", 10.0, 0.1], ["spark", 70.0, 0.1],
+            ["spark", 130.0, 0.1], ["spark", 190.0, 0.1]]
+    spiky = flat + [["spark", 250.0, 2.0]]
+    up = _artifact([], flat, {}, suite_ratio=1.9)
+    assert analyze_artifact(up, prev_suite_ratio=1.45)[
+        "suite_ratio_verdict"] == "code-regression"
+    assert analyze_artifact(
+        _artifact([], spiky, {}, suite_ratio=1.9), prev_suite_ratio=1.45
+    )["suite_ratio_verdict"] == "host-window"
+    assert analyze_artifact(
+        _artifact([], flat, {}, suite_ratio=1.0), prev_suite_ratio=1.45
+    )["suite_ratio_verdict"] == "improvement"
+    assert analyze_artifact(
+        _artifact([], flat, {}, suite_ratio=1.5), prev_suite_ratio=1.45
+    )["suite_ratio_verdict"] == "stable"
+
+
+def test_analyze_runs_on_the_committed_artifact():
+    """The committed BENCH_DETAIL.json must stay analyzable: every
+    over_bar entry gets a deterministic host-window/code call and the
+    analysis never throws on the real artifact shape."""
+    import os
+
+    from bench import analyze_artifact
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETAIL.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        detail = json.load(f)
+    out = analyze_artifact(detail, prev_suite_ratio=detail.get("suite_ratio"))
+    assert set(out["over_bar_classification"]) == set(
+        detail.get("over_bar") or [])
+    assert all(v in ("host-window", "code")
+               for v in out["over_bar_classification"].values())
+    assert out.get("suite_ratio_verdict") == "stable"  # self-diff is 0

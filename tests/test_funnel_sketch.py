@@ -273,3 +273,16 @@ def test_cms_depth_bound_refused_on_the_driver():
         sql_cms_heavy_hitters("t", "x", depth=0)
     with pytest.raises(ValueError, match="width"):
         sql_cms_heavy_hitters("t", "x", width=0)
+
+
+def test_bloom_landed_path_matches_adhoc_path(spark, sf_dir, monkeypatch):
+    """The landed probe (bucketed shingle relation) and the ad-hoc probe
+    (tokenize + explode) share ONE hash contract — HASH60 of the
+    shingle, md5 of its decimal string for the bit layout — so the two
+    q165 paths must be row-for-row identical (r14)."""
+    from franzoxide_spark.queries.corpus import q165
+
+    landed = {tuple(r) for r in q165(spark, sf_dir).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_LANDING", "0")
+    adhoc = {tuple(r) for r in q165(spark, sf_dir).collect()}
+    assert landed == adhoc and len(landed) > 0

@@ -459,6 +459,48 @@ def test_q165_bloom_probe_joins_are_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q165_landed_probe_is_scan_only(spark, sf_dir):
+    """The landed path (r14): q165 probes the dedup family's bucketed
+    shingle landing — per-shingle aggregation reuses the bucket
+    partitioning, so the ONLY hash exchange left is the final per-group
+    rollup (group cardinality, tiny). No tokenize/explode of the corpus
+    anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q165_bloom_decontam_prefilter")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Bucketed: true" in plan
+    # corpus text is never re-shingled on this path
+    assert "slice(" not in plan and "transform(" not in plan
+
+
+def test_bloom_landed_refuses_mismatched_landing(spark):
+    """bloom_probe_report_landed refuses a k-mismatched or
+    max_df-stripped landing — both produce PLAUSIBLE but wrong
+    contamination counts with no error otherwise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.operators.sketch import bloom_probe_report_landed
+
+    meta = spark.createDataFrame(
+        [(1, "a", False)], "doc_id long, source string, __is_eval boolean"
+    )
+    rel = spark.createDataFrame([(1, 5, 42)], "doc_id long, n int, g long")
+    stamped_k = rel.withColumn(
+        "g", F.col("g").alias("g", metadata={"shingle_k": 5})
+    )
+    with pytest.raises(ValueError, match="shingle_k=5"):
+        bloom_probe_report_landed(
+            stamped_k, meta, "doc_id", "source", "__is_eval", k=3
+        )
+    stripped = rel.withColumn(
+        "g", F.col("g").alias("g", metadata={"shingle_k": 3, "max_df": 10})
+    )
+    with pytest.raises(ValueError, match="max_df=10"):
+        bloom_probe_report_landed(
+            stripped, meta, "doc_id", "source", "__is_eval", k=3
+        )
+
+
 def test_q164_q167_fits_aggregate_without_joins(spark, sf_dir):
     """The power-law fits are pure aggregation pipelines (token-count
     shuffle + bounded fold) — any join in the plan means the shape
