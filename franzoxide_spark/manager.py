@@ -132,12 +132,58 @@ class ConnectorManager:
 
         return "+".join(esc(s.name) for s in srcs) + "->" + esc(snk.name)
 
+    def _check_feeder_manifest(
+        self, srcs: tuple[ConnectorConfig, ...], snk: ConnectorConfig
+    ) -> None:
+        """Refuse a feeder-set change against an existing checkpoint,
+        BEFORE the query starts. Feeders union into ONE query per sink
+        (A8), so the checkpoint's offset log has one entry per source —
+        Spark itself aborts a changed-arity resume mid-stream with an
+        opaque assertion ('There are [1] sources in the checkpoint
+        offsets and now there are [2]', pinned in test_streaming.py).
+        A manifest written next to the checkpoint turns that into an
+        upfront ConfigError naming the fix. Pre-manifest checkpoints
+        (no file) adopt the current feeder set silently — Spark's own
+        check still guards them."""
+        import json
+        import os
+
+        ckpt = os.path.join(self.checkpoint_root, snk.name)
+        path = os.path.join(ckpt, "feeders.json")
+        names = sorted(s.name for s in srcs)
+        try:
+            with open(path) as f:
+                recorded = json.load(f)
+        except FileNotFoundError:
+            recorded = None
+        except (OSError, ValueError):
+            return  # unreadable manifest: fall through to Spark's check
+        if recorded is not None and recorded != names:
+            from franzoxide_spark.errors import ConfigError
+
+            raise ConfigError(
+                f"sink {snk.name!r}: feeder set changed from {recorded} "
+                f"to {names} but the checkpoint at {ckpt!r} was written "
+                "by the old set — Spark cannot resume a union query "
+                "whose source arity changed. Use a fresh checkpoint "
+                "root (reprocessing all sources) or a new sink name."
+            )
+        if os.path.isdir(ckpt) or recorded is None:
+            try:
+                os.makedirs(ckpt, exist_ok=True)
+                with open(path, "w") as f:
+                    json.dump(names, f)
+            except OSError:
+                pass  # manifest is best-effort; Spark still guards
+
     def _start_pipeline(
         self,
         srcs: tuple[ConnectorConfig, ...],
         snk: ConnectorConfig,
     ) -> None:
         from functools import reduce
+
+        self._check_feeder_manifest(srcs, snk)
 
         records = reduce(
             lambda a, b: a.unionByName(b),

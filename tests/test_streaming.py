@@ -980,6 +980,58 @@ def test_restart_rollback_stops_new_config_queries(spark, sf_dir, tmp_path):
         mgr.stop()
 
 
+def test_fan_in_feeder_change_refused_against_old_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """r13 A8 follow-up (r14 verdict #7): feeders union into ONE query
+    per sink, so a checkpoint written by one feeder set cannot be
+    resumed by another — Spark aborts mid-stream with an opaque
+    assertion ('There are [1] sources in the checkpoint offsets and now
+    there are [2]'). The manager's feeder manifest turns that into an
+    upfront ConfigError at start()."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from franzoxide_spark.errors import ConfigError
+
+    in1, total1, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in1"))
+    in2, _t2, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in2"))
+    cfg = _pipeline_config(in1, str(tmp_path / "out"))
+    mgr = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr.initialize()
+    mgr.start()
+    mgr.process_all_available()
+    mgr.stop()
+
+    # same feeder set: resumes cleanly (manifest matches)
+    mgr_same = ConnectorManager(spark, cfg, str(tmp_path / "ckpt"))
+    mgr_same.initialize()
+    mgr_same.start()
+    mgr_same.process_all_available()
+    mgr_same.stop()
+
+    # grown feeder set: refused up front, not mid-stream
+    cfg2 = _pipeline_config(in1, str(tmp_path / "out"))
+    src2 = dataclasses.replace(
+        cfg2.connectors[0], name="file-source-2",
+        config={**cfg2.connectors[0].config, "path": in2},
+    )
+    cfg2.connectors.insert(1, src2)
+    mgr2 = ConnectorManager(spark, cfg2, str(tmp_path / "ckpt"))
+    mgr2.initialize()
+    with _pytest.raises(ConfigError, match="feeder set changed"):
+        mgr2.start()
+
+    # no partial delivery happened and the original output is intact
+    files = set(
+        glob.glob(os.path.join(str(tmp_path / "out"), "data", "**", "*.txt"),
+                  recursive=True)
+    )
+    lines = [ln for f in files for ln in open(f).read().splitlines() if ln.strip()]
+    assert len(lines) == total1
+
+
 def test_transform_with_state_running_counts(spark, tmp_path):
     """Spark 4 transformWithStateInPandas: same running-counts contract as
     the applyInPandasWithState variant, on the typed-state API (RocksDB
