@@ -35,6 +35,26 @@ import time
 from franzoxide_spark import queries as q
 from franzoxide_spark.session import get_spark
 
+# Formally recorded floor cases (r14 verdict #2 option b): queries whose
+# resting ratio sits near the per-query bar on a MEASURED, multi-shape
+# floor analysis. An over_bar entry for one of these is still reported
+# (never suppressed), but the summary names it in over_bar_floor_exempt
+# and the detail artifact carries the evidence pointer — the exemption
+# is on the record where the driver reads it, not in a side note.
+FLOOR_EXEMPT = {
+    "q165_bloom_decontam_prefilter": {
+        "evidence": (
+            "BASELINE.md 'q165 tenth-shape A/B (r13)' + 'Round-14 "
+            "positions': ten probe shapes span ~0.3 s around the same "
+            "floor; the r14 landed path is scan-only (<=1 hash "
+            "exchange, plan-asserted in test_plans.py) with warm "
+            "min-of-5 1.30-1.37 s vs a ~0.66 s oracle; sub-linear at "
+            "10x/30x so the ratio improves with scale. Residual is "
+            "Spark job/codegen constant on 5k short docs."
+        ),
+    },
+}
+
 # Per-query measurement notes, emitted into BENCH_DETAIL.json so a
 # borderline bar flag self-explains from the artifact alone (r8 verdict
 # item #2). Keep entries short and only for queries with a MEASURED,
@@ -503,6 +523,11 @@ def build_summary(
         # re-grow the line past the capture window
         "over_bar": over_bar[:15],
         "over_bar_n": len(over_bar),
+        # recorded-floor subset of over_bar (still counted above —
+        # exemption is annotated, never silently dropped)
+        "over_bar_floor_exempt": sorted(
+            set(over_bar) & set(FLOOR_EXEMPT)
+        )[:15],
         "error_keys": sorted(errors)[:15],
         "errors_n": len(errors),
         "detail_file": "BENCH_DETAIL.json",
@@ -518,6 +543,8 @@ def build_summary(
     detail["oracle_queries"] = oracle_timings
     detail["notes"] = {k: v for k, v in PER_QUERY_NOTES.items()
                        if k in timings}
+    detail["floor_exempt"] = {k: v for k, v in FLOOR_EXEMPT.items()
+                              if k in timings}
     return summary, detail
 
 

@@ -239,3 +239,21 @@ def test_analyze_runs_on_the_committed_artifact():
     assert all(v in ("host-window", "code")
                for v in out["over_bar_classification"].values())
     assert out.get("suite_ratio_verdict") == "stable"  # self-diff is 0
+
+
+def test_floor_exempt_annotates_but_never_suppresses_over_bar():
+    """r14 verdict #2(b): a recorded-floor query that lands over the bar
+    must STILL appear in over_bar (no suppression) and additionally in
+    over_bar_floor_exempt with its evidence in the detail artifact."""
+    from bench import FLOOR_EXEMPT, build_summary
+
+    name = "q165_bloom_decontam_prefilter"
+    assert name in FLOOR_EXEMPT and "BASELINE.md" in FLOOR_EXEMPT[name]["evidence"]
+    timings = {name: 2.0, "q001_other": 0.5}
+    oracle = {name: 0.66, "q001_other": 0.6}
+    summary, detail = build_summary(
+        timings, oracle, errors={}, floor=0.05, floor_failed=False, sf=0.1
+    )
+    assert name in summary["over_bar"]          # never suppressed
+    assert summary["over_bar_floor_exempt"] == [name]
+    assert name in detail["floor_exempt"]
