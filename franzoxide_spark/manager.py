@@ -148,6 +148,13 @@ class ConnectorManager:
         import json
         import os
 
+        if "://" in self.checkpoint_root:
+            # remote checkpoint (s3a/hdfs): os.makedirs on the URI would
+            # create junk LOCAL directories named after the scheme, and
+            # open() can't read it anyway — Spark's own arity assertion
+            # still guards the resume; the manifest is a local-path
+            # nicety only
+            return
         ckpt = os.path.join(self.checkpoint_root, snk.name)
         path = os.path.join(ckpt, "feeders.json")
         names = sorted(s.name for s in srcs)
