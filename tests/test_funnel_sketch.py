@@ -286,3 +286,50 @@ def test_bloom_landed_path_matches_adhoc_path(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_DEDUP_LANDING", "0")
     adhoc = {tuple(r) for r in q165(spark, sf_dir).collect()}
     assert landed == adhoc and len(landed) > 0
+
+
+def test_bloom_empty_eval_set_reports_all_negative(spark):
+    """An EMPTY eval slice must yield an empty bloom (0 set bits) and an
+    all-negative report — not an error — on both the ad-hoc and landed
+    paths (r14 edge review)."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.operators.dedup import land_shingle_relation
+    from franzoxide_spark.operators.sketch import (
+        bloom_probe_report_flagged,
+        bloom_probe_report_landed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "a"),
+            (2, "zeta eta theta iota kappa", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    flagged = docs.withColumn("__e", F.lit(False))
+    out = {
+        tuple(r)
+        for r in bloom_probe_report_flagged(
+            flagged, "text", "source", "__e"
+        ).collect()
+    }
+    assert {r[0] for r in out} == {"a", "b"}
+    assert all(
+        n_pos == 0 and n_true == 0 and n_fp == 0
+        for _, _n, n_pos, n_true, n_fp, _f in out
+    )
+
+    spark.sql("DROP TABLE IF EXISTS bloom_empty_eval_t")
+    rel = land_shingle_relation(
+        docs, "text", "doc_id", "bloom_empty_eval_t", n_buckets=4
+    )
+    meta = docs.select("doc_id", "source", F.lit(False).alias("__e"))
+    landed = {
+        tuple(r)
+        for r in bloom_probe_report_landed(
+            rel, meta, "doc_id", "source", "__e"
+        ).collect()
+    }
+    assert landed == out
+    spark.sql("DROP TABLE IF EXISTS bloom_empty_eval_t")
