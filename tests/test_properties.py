@@ -839,3 +839,58 @@ def test_scaled_int_decimal_matches_duckdb_random(spark, values):
     con.close()
     for i, (v, w) in enumerate(zip(values, want)):
         assert got[i] == int(w), (v, got[i], w)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1, max_size=24), min_size=1, max_size=8, unique=True))
+def test_bloom_bit_layout_cross_engine(spark, shingles):
+    """The r14 bloom contract — HASH60(shingle) keyed, bit indices from
+    md5 of the hash's decimal string — must produce the IDENTICAL
+    (word_idx, bit) layout in Spark SQL, DuckDB SQL, and a hashlib
+    reference, for arbitrary shingle strings. A divergence here is a
+    silent fp-count mismatch in every q165-family report."""
+    import hashlib
+
+    def ref_layout(s: str):
+        h60 = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        digest = hashlib.md5(str(h60).encode()).hexdigest()
+        out = []
+        for seed in range(4):
+            idx = int(digest[4 * seed:4 * seed + 4], 16)
+            out.append((idx // 64, idx % 64))
+        return h60, out
+
+    from franzoxide_spark.functions.text import HASH60_SPARK, sql_hash60
+
+    rows = spark.createDataFrame([(s,) for s in shingles], "s string")
+    g = HASH60_SPARK.format(s="s")
+    proj = [F.expr(g).alias("g")]
+    for seed in range(4):
+        h = (f"cast(conv(substr(md5(cast({g} as string)),"
+             f" {1 + 4 * seed}, 4), 16, 10) as int)")
+        proj += [F.expr(f"({h} div 64)").alias(f"w{seed}"),
+                 F.expr(f"({h} % 64)").alias(f"b{seed}")]
+    got_spark = {r["g"]: [(r[f"w{i}"], r[f"b{i}"]) for i in range(4)]
+                 for r in rows.select(*proj).collect()}
+
+    con = duckdb.connect()
+    h60_sql = sql_hash60("s")
+    sel = [f"{h60_sql} AS g"]
+    for seed in range(4):
+        idx = (f"CAST('0x' || substr(md5(CAST({h60_sql} AS VARCHAR)),"
+               f" {1 + 4 * seed}, 4) AS INT)")
+        sel += [f"({idx} // 64) AS w{seed}", f"({idx} % 64) AS b{seed}"]
+    vals = ", ".join(
+        "('" + s.replace("'", "''") + "')" for s in shingles)
+    q = (f"SELECT {', '.join(sel)} FROM (VALUES {vals}) t(s)")
+    got_duck = {row[0]: [(row[1 + 2 * i], row[2 + 2 * i]) for i in range(4)]
+                for row in con.execute(q).fetchall()}
+    con.close()
+
+    for s in shingles:
+        h60, layout = ref_layout(s)
+        assert got_spark[h60] == layout, (s, h60)
+        assert got_duck[h60] == layout, (s, h60)
