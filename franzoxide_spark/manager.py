@@ -148,6 +148,11 @@ class ConnectorManager:
         import json
         import os
 
+        if snk.connector_class == "console":
+            # console sinks run checkpoint-free (no offset log to
+            # resume), so there is no arity hazard — a manifest here
+            # would FALSELY refuse a legal feeder change (r14 review)
+            return
         if "://" in self.checkpoint_root:
             # remote checkpoint (s3a/hdfs): os.makedirs on the URI would
             # create junk LOCAL directories named after the scheme, and
