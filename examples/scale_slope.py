@@ -152,6 +152,11 @@ SLOPE_QUERIES = (
     # q165: one shingle shuffle + 8 KiB broadcast probe; replicas
     # disjoint in shingle space -> ~q33's family slope
     "q165_bloom_decontam_prefilter",
+    # q101 (r15 hash-gram rewrite): three per-k branch scans + one
+    # broadcast semi-join on 8-byte keys; eval side grows with replicas
+    # but stays far under the broadcast bar -> expected linear scan-
+    # dominated slope with the sf0.1 point being mostly stage floor
+    "q101_decontam_k_sweep",
     # r9: the two remaining >1.4x data-dominated queries get their
     # second decade here (r8 verdict item #6).
     # q61: char-trigram LM scoring — map-side trigram explode + one

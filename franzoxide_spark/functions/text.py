@@ -95,6 +95,23 @@ def shingles(tokens_col: str, k: int = 3) -> Column:
     )
 
 
+def gram_hashes(tokens_col: str, k: int = 3) -> Column:
+    """Distinct 64-bit hashes of the k-token windows, WITHOUT building
+    the gram strings: ``xxhash64`` hashes the token-array slice directly
+    (seeded with k so the per-k hash spaces differ). Hash-for-string is
+    exact for counting because tokens are space-split (no token contains
+    a space, so token-sequence <-> gram-string is a bijection) and 64-bit
+    collisions are negligible at any test SF — the q67-documented 8-byte
+    join-key trade, at 100 TB the only viable key width. Short texts
+    short-circuit to empty exactly like ``shingles``."""
+    return F.expr(
+        f"case when size({tokens_col}) < {k}"
+        " then cast(array() as array<bigint>)"
+        f" else array_distinct(transform(sequence(1, size({tokens_col}) - {k - 1}),"
+        f" i -> xxhash64(slice({tokens_col}, i, {k}), {k}))) end"
+    )
+
+
 def sql_shingles(tokens_expr: str, k: int = 3) -> str:
     return (
         f"list_distinct(list_transform(range(1, greatest(len({tokens_expr}) - {k - 2}, 1)),"

@@ -29,6 +29,7 @@ JVM-side."""
 
 from __future__ import annotations
 
+import logging
 import time
 
 from pyspark.sql import SparkSession
@@ -106,10 +107,31 @@ class PushBatchSink:
                     sink.path, "_spark_metadata"
                 )
                 meta_exists = jpath.getFileSystem(hconf).exists(jpath)
-            except Exception:
+            except Exception as probe_err:
                 import os as _os
 
-                meta_exists = "://" not in sink.path and _os.path.exists(
+                if "://" in sink.path:
+                    # a transient object-store auth/network error must
+                    # not silently disable the guard on exactly the
+                    # remote targets it exists for — fail the flush; the
+                    # client's at-least-once retry re-probes (r14 ADVICE)
+                    raise SinkError(
+                        f"connector {sink.connector.name!r}: could not"
+                        f" probe {sink.path!r} for a streaming sink's"
+                        " _spark_metadata log"
+                        f" ({type(probe_err).__name__}: {probe_err});"
+                        " refusing to flush rather than risk writing"
+                        " files a FileStreamSink reader would never see."
+                        " Retry the flush once the filesystem is"
+                        " reachable."
+                    ) from probe_err
+                logging.getLogger(__name__).warning(
+                    "push flush: Hadoop-FS _spark_metadata probe failed"
+                    " for local path %r (%s: %s); falling back to the"
+                    " os.path check",
+                    sink.path, type(probe_err).__name__, probe_err,
+                )
+                meta_exists = _os.path.exists(
                     _os.path.join(sink.path, "_spark_metadata")
                 )
             if meta_exists:

@@ -144,21 +144,15 @@ class ConnectorManager:
         A manifest written next to the checkpoint turns that into an
         upfront ConfigError naming the fix. Pre-manifest checkpoints
         (no file) adopt the current feeder set silently — Spark's own
-        check still guards them."""
+        check still guards them. The manifest itself is written by
+        ``_write_feeder_manifest`` only AFTER the query starts (r14
+        ADVICE): writing it up front would pin the feeder set against a
+        checkpoint that has no offset log when the start subsequently
+        fails, falsely refusing a later legitimate change."""
         import json
         import os
 
-        if snk.connector_class == "console":
-            # console sinks run checkpoint-free (no offset log to
-            # resume), so there is no arity hazard — a manifest here
-            # would FALSELY refuse a legal feeder change (r14 review)
-            return
-        if "://" in self.checkpoint_root:
-            # remote checkpoint (s3a/hdfs): os.makedirs on the URI would
-            # create junk LOCAL directories named after the scheme, and
-            # open() can't read it anyway — Spark's own arity assertion
-            # still guards the resume; the manifest is a local-path
-            # nicety only
+        if self._manifest_skip(snk):
             return
         ckpt = os.path.join(self.checkpoint_root, snk.name)
         path = os.path.join(ckpt, "feeders.json")
@@ -167,10 +161,13 @@ class ConnectorManager:
             with open(path) as f:
                 recorded = json.load(f)
         except FileNotFoundError:
-            recorded = None
+            return
         except (OSError, ValueError):
             return  # unreadable manifest: fall through to Spark's check
-        if recorded is not None and recorded != names:
+        if recorded != names and os.path.isdir(os.path.join(ckpt, "offsets")):
+            # no offsets dir -> no committed batch to resume: a stale
+            # manifest from a start that never ran must not refuse a
+            # legal feeder change (r14 ADVICE)
             from franzoxide_spark.errors import ConfigError
 
             raise ConfigError(
@@ -180,13 +177,38 @@ class ConnectorManager:
                 "whose source arity changed. Use a fresh checkpoint "
                 "root (reprocessing all sources) or a new sink name."
             )
-        if os.path.isdir(ckpt) or recorded is None:
-            try:
-                os.makedirs(ckpt, exist_ok=True)
-                with open(path, "w") as f:
-                    json.dump(names, f)
-            except OSError:
-                pass  # manifest is best-effort; Spark still guards
+
+    def _manifest_skip(self, snk: ConnectorConfig) -> bool:
+        if snk.connector_class == "console":
+            # console sinks run checkpoint-free (no offset log to
+            # resume), so there is no arity hazard — a manifest here
+            # would FALSELY refuse a legal feeder change (r14 review)
+            return True
+        # remote checkpoint (s3a/hdfs): os.makedirs on the URI would
+        # create junk LOCAL directories named after the scheme, and
+        # open() can't read it anyway — Spark's own arity assertion
+        # still guards the resume; the manifest is a local-path
+        # nicety only
+        return "://" in self.checkpoint_root
+
+    def _write_feeder_manifest(
+        self, srcs: tuple[ConnectorConfig, ...], snk: ConnectorConfig
+    ) -> None:
+        """Record the feeder set next to the checkpoint — called only
+        after the union query started successfully, so the manifest never
+        outlives a failed start (r14 ADVICE)."""
+        import json
+        import os
+
+        if self._manifest_skip(snk):
+            return
+        ckpt = os.path.join(self.checkpoint_root, snk.name)
+        try:
+            os.makedirs(ckpt, exist_ok=True)
+            with open(os.path.join(ckpt, "feeders.json"), "w") as f:
+                json.dump(sorted(s.name for s in srcs), f)
+        except OSError:
+            pass  # manifest is best-effort; Spark still guards
 
     def _start_pipeline(
         self,
@@ -214,6 +236,7 @@ class ConnectorManager:
         key = self._pipe_key(srcs, snk)
         self._queries[key] = query
         self._query_members[key] = {s.name for s in srcs} | {snk.name}
+        self._write_feeder_manifest(srcs, snk)
         for src in srcs:
             self._states[src.name] = ConnectorState.RUNNING
         self._states[snk.name] = ConnectorState.RUNNING

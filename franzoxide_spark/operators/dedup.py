@@ -603,10 +603,7 @@ def shared_shingle_relation(
             if adopted is not None:
                 _landing_event(
                     "adopted", name,
-                    stat_bytes=int(
-                        adopted._jdf.queryExecution().optimizedPlan()
-                        .stats().sizeInBytes()
-                    ),
+                    stat_bytes=_plan_size_bytes(adopted),
                     writer=marker.get("app_id"),
                 )
                 _SESSION_LANDINGS[key] = name
@@ -636,13 +633,23 @@ def shared_shingle_relation(
     )
     _landing_event(
         "re-landed" if relanded else "written", name,
-        stat_bytes=int(
-            rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        ),
+        stat_bytes=_plan_size_bytes(rel),
     )
     _SESSION_LANDINGS[key] = name
     _SESSION_LANDING_DFS[key] = rel
     return rel
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst stats size for the landing telemetry — diagnostics only,
+    so a JVM-side failure must never break the adopt/land product path
+    (r14 ADVICE: the call sat outside any exception guard)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — diagnostics must never fail landing
+        return None
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:

@@ -2702,3 +2702,48 @@ GROUP BY 1, 2
 
 
 register("q176_interval_join_full_reconcile", q176, _q176_sql())
+
+# --------------------------------------------------------------------------
+# Q177 — TTL-session-scoped exact dedup, batch face of
+#        streaming/stateful.py:stateful_dedup_ttl (r15 unfreeze #1a):
+#        per user, events sorted by time are cut into TTL sessions at
+#        gaps > 1h (the q110/q168 lag+running-sum window shape) and the
+#        first occurrence of each event_type within each session emits
+#        with its event time. The streaming face holds exactly this
+#        relation in TTL'd per-key state (watermark-evicted), parity- and
+#        eviction-tested in tests/test_streaming.py. Plan: ONE user-key
+#        shuffle; window + group work is key-bounded — at 100 TB this is
+#        the same shape as every events-family query here.
+# --------------------------------------------------------------------------
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.streaming.stateful import batch_ttl_session_dedup
+
+    ev = table(spark, sf_dir, "events")
+    return batch_ttl_session_dedup(ev, "user_id", "event_type", "ts", 3600)
+
+
+_Q177_SQL = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         CAST(event_type AS VARCHAR) AS member,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE ts IS NOT NULL
+),
+s AS (
+  SELECT key, member, es,
+         CASE WHEN es - LAG(es) OVER (PARTITION BY key ORDER BY es) > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s2 AS (
+  SELECT key, member, es,
+         SUM(new_s) OVER (PARTITION BY key ORDER BY es
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT key, member, CAST(MIN(es) AS BIGINT) AS first_es
+FROM s2 GROUP BY key, sess, member
+"""
+
+
+register("q177_ttl_session_dedup", q177, _Q177_SQL)

@@ -1284,72 +1284,77 @@ register("q100_source_dup_report", q100, _Q100_SQL)
 #        that picks q54's decontamination k (small k over-flags common
 #        phrases, large k misses paraphrase overlap). Per k: eval grams
 #        are tiny and BROADCAST into the pool-gram semi-join, the
-#        corpus never shuffles; the grams join on RAW strings so DuckDB
-#        mirrors bit-for-bit (at 100 TB key the join on xxhash64(gram)
-#        — 8 bytes vs gram text, the q67-documented trade).
+#        corpus never shuffles; since r15 both sides join on
+#        xxhash64(token-slice) — 8-byte keys, no gram STRING ever built
+#        (the q67-documented trade; exact for counting, see
+#        functions/text.py:gram_hashes). The DuckDB oracle keeps raw
+#        strings: distinct-hash counts equal distinct-gram counts.
 # --------------------------------------------------------------------------
 _Q101_KS = (3, 5, 8)
 
 
 def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from franzoxide_spark.functions.text import shingles
+    from franzoxide_spark.functions.text import gram_hashes
 
-    # Shape note (r8 A/B): a single-pass variant exploding (k, gram)
-    # structs for all three k at once measured 2.31 s vs 1.63 s for this
-    # per-k loop at sf0.1 — the combined array-of-struct build plus one
-    # big (k,g) distinct costs more than the extra scans of the small
-    # fixture. At real scale the scans dominate instead; the single-pass
-    # rewrite is the documented handoff if the input stops fitting cache.
-    # tokenize ONCE and checkpoint the token arrays; the per-k passes
-    # then explode from the cached arrays instead of re-reading parquet
-    # and re-splitting text six times (measured 1.63 s -> 1.32 s at
-    # sf0.1)
-    docs = table(spark, sf_dir, "documents").withColumn(
-        "__toks", tokens("text")
-    )
-    eval_docs = (
-        docs.filter(F.col("doc_id") % 97 == 0)
-        .select("__toks")
-        .localCheckpoint(eager=False)
-    )
-    pool = (
-        docs.filter(F.col("doc_id") % 97 != 0)
-        .select("doc_id", "__toks")
-        .localCheckpoint(eager=False)
-    )
-    n_pool = pool.agg(F.count("*").alias("n_pool"))
-    parts = []
-    for k in _Q101_KS:
-        e_grams = (
-            eval_docs.select(F.explode(shingles("__toks", k)).alias("g"))
-            .distinct()
-        )
-        cont = (
-            pool.select("doc_id", F.explode(shingles("__toks", k)).alias("g"))
-            .join(F.broadcast(e_grams), "g", "left_semi")
-            .select("doc_id")
-            .distinct()
-        )
-        part = (
-            e_grams.agg(F.count("*").alias("n_eval_grams"))
-            .crossJoin(cont.agg(F.count("*").alias("n_contaminated")))
-            .crossJoin(n_pool)
-            .select(
-                F.lit(k).alias("k"),
-                F.col("n_eval_grams").cast("int").alias("n_eval_grams"),
-                F.col("n_contaminated").cast("int").alias("n_contaminated"),
-                F.round(
-                    F.col("n_contaminated").cast("double")
-                    / F.col("n_pool").cast("double"),
-                    6,
-                ).alias("contamination_rate"),
+    # Shape notes (r15 A/B at sf0.1, warm JVM, best-of-6):
+    #   per-k loop on gram STRINGS + localCheckpoint (the r8-r14 shape)
+    #     1.73-1.86 s — concat_ws building ~1M gram strings per arm and
+    #     re-hashing them in the join dominated;
+    #   this shape (three union branches on xxhash64'd token slices)
+    #     0.88-1.2 s — no gram string is ever materialized, the join
+    #     keys are 8-byte longs, and the per-k branches triple the scan
+    #     parallelism of a 1-partition fixture file;
+    #   rejected: single-scan struct<k,h> explode 1.6 s (struct build +
+    #     flatten), flat-array explode w/ inner-join k-recovery 1.7 s
+    #     (loses branch parallelism), literal-array arrays_overlap 4.9 s
+    #     (7k-string plan bloat), fused single-distinct assembly 1.6 s
+    #     (the big (k,v) distinct), docs.repartition(16/32) 1.1-1.5 s
+    #     (shuffle + task overhead beats the gain at this SF; at 100 TB
+    #     the scan has real partitions and none of this is needed).
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).withColumn("__toks", tokens("text"))
+
+    def tagged(df: DataFrame, *cols) -> DataFrame:
+        parts = [
+            df.select(
+                *cols, F.lit(k).alias("k"),
+                F.explode(gram_hashes("__toks", k)).alias("h"),
             )
+            for k in _Q101_KS
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    ev = tagged(docs.filter(F.col("doc_id") % 97 == 0))
+    pool = docs.filter(F.col("doc_id") % 97 != 0)
+    # dup keys in the broadcast build are fine for a semi-join; skipping
+    # the pre-distinct saves a shuffle (n_eval dedups with countDistinct)
+    cont = (
+        tagged(pool, "doc_id")
+        .join(F.broadcast(ev), ["k", "h"], "left_semi")
+        .groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+    )
+    n_eval = ev.groupBy("k").agg(F.countDistinct("h").alias("n_eval_grams"))
+    n_pool = pool.agg(F.count("*").alias("n_pool"))
+    return (
+        n_eval.join(cont, "k", "left")
+        .crossJoin(n_pool)
+        .select(
+            "k",
+            F.col("n_eval_grams").cast("int").alias("n_eval_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("int")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_pool").cast("double"),
+                6,
+            ).alias("contamination_rate"),
         )
-        parts.append(part)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    )
 
 
 def _q101_gram_sql(k: int) -> str:

@@ -257,3 +257,51 @@ def test_floor_exempt_annotates_but_never_suppresses_over_bar():
     assert name in summary["over_bar"]          # never suppressed
     assert summary["over_bar_floor_exempt"] == [name]
     assert name in detail["floor_exempt"]
+
+
+def test_analyze_spike_window_clamped():
+    """r14 ADVICE: the spike-match window is the max gap between spark
+    sentinel probes — a slow stretch inflates it to minutes, letting one
+    far-away spike mislabel genuine code regressions as host-window.
+    Clamp to 120 s."""
+    from bench import analyze_artifact
+
+    # probes 600 s apart (slow stretch) with one spike at t=700; a query
+    # starting 300 s after the spike must still be classified 'code'
+    sentinel = [
+        ["spark", 100.0, 0.1], ["spark", 700.0, 1.5],
+        ["spark", 1300.0, 0.1], ["spark", 1900.0, 0.1],
+    ]
+    out = analyze_artifact(_artifact(
+        ["q_far", "q_near"], sentinel,
+        # suite-relative starts (spark_t0=100): q_far -> offset 1000,
+        # 300 s from the spike; q_near -> offset 690, 10 s from it
+        {"q_far": 900.0, "q_near": 590.0},
+    ))
+    assert out["spike_window_s"] == 120.0
+    assert out["over_bar_classification"] == {
+        "q_far": "code", "q_near": "host-window",
+    }
+
+
+def test_prev_baseline_ignored_across_scale_factors(tmp_path):
+    """r14 ADVICE (medium): ALL prior-round baselines — per-query
+    timings, validated ledger, AND suite_ratio — are only comparable at
+    the same scale factor; a replica-run artifact must yield an empty
+    baseline so no bogus suite_ratio_verdict is published."""
+    from bench import load_prev_baseline
+
+    p = tmp_path / "BENCH_DETAIL.json"
+    p.write_text(json.dumps({
+        "sf": 0.1, "queries": {"q01": 1.0}, "validated": {"q01": 0.9},
+        "suite_ratio": 1.3,
+    }))
+    # same sf: everything loads
+    t, v, r = load_prev_baseline(str(p), 0.1)
+    assert t == {"q01": 1.0} and v == {"q01": 0.9} and r == 1.3
+    # different sf (replica artifact): nothing loads — including ratio
+    t, v, r = load_prev_baseline(str(p), 1.0)
+    assert t == {} and v == {} and r is None
+    # missing file: first-run fallback
+    t, v, r = load_prev_baseline(str(tmp_path / "missing.json"), 0.1)
+    assert t == {} and v == {} and r is None

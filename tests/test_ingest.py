@@ -171,6 +171,45 @@ def test_push_flush_empty_and_error_paths(spark, tmp_path):
     assert resp.error is not None and resp.error.error_code == "BAD_REQUEST"
 
 
+def test_push_probe_error_fails_closed_on_object_store(spark, tmp_path):
+    """r14 ADVICE: a failed _spark_metadata probe on a '://' target used
+    to silently fall back to the local-only check — i.e. silently skip
+    the guard on exactly the remote targets it exists for. It must now
+    fail the flush (the client's at-least-once retry re-probes); on a
+    LOCAL path the fallback still applies, with a warning."""
+    from franzoxide_spark.errors import SinkError
+
+    sink = _push_sink(spark, tmp_path)
+    rec = pw.KafkaRecord("test-topic", 0, 0, 1, b"k", b"v", {})
+
+    # object-store target: the s3a probe errors in this env (no
+    # hadoop-aws jar / creds) -> flush refuses instead of guessing
+    sink.sink.path = "s3a://no-such-bucket-xyz/data"
+    sink.put([rec])
+    with pytest.raises(SinkError, match="could not probe"):
+        sink.flush()
+    # the buffer survives the failed flush (at-least-once retry)
+    assert len(sink._buffer) == 1
+
+    # local target with a broken JVM probe: falls back to os.path and
+    # the flush proceeds
+    class _JvmFails:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            if name == "_jvm":
+                raise RuntimeError("jvm gone")
+            return getattr(self._real, name)
+
+    sink.sink.path = os.path.join(str(tmp_path / "out"), "data")
+    sink.spark = _JvmFails(spark)
+    assert sink.flush() == 1
+    files = glob.glob(os.path.join(sink.sink.path, "**", "*.txt"),
+                      recursive=True)
+    assert files
+
+
 def test_push_flush_time_and_field_partitioners(spark, tmp_path):
     """flush() must run the sink's _prepare so time/field partition
     columns exist before repartition/partitionBy — the call was dropped

@@ -1176,3 +1176,22 @@ def test_compact_output_preserves_null_partition_rows(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 3
     assert back.filter(F.col("k").isNull()).count() == 2
+
+
+def test_plan_size_bytes_never_raises(spark):
+    """r14 ADVICE: the landing telemetry's Catalyst-stats read is
+    diagnostics-only — a JVM-side failure must yield None, never break
+    the adopt/land product path."""
+    from franzoxide_spark.operators.dedup import _plan_size_bytes
+
+    df = spark.range(10)
+    n = _plan_size_bytes(df)
+    assert isinstance(n, int) and n > 0
+
+    class _Broken:
+        def __getattr__(self, name):
+            raise RuntimeError("jvm gone")
+
+    df2 = spark.range(1)
+    df2._jdf = _Broken()
+    assert _plan_size_bytes(df2) is None

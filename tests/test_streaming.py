@@ -1032,6 +1032,70 @@ def test_fan_in_feeder_change_refused_against_old_checkpoint(
     assert len(lines) == total1
 
 
+def test_failed_start_never_pins_feeder_manifest(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r14 ADVICE: the manifest used to be written BEFORE the query
+    started, so a failed start pinned the feeder set against a checkpoint
+    with no offset log and a later legitimate feeder change was falsely
+    refused. Now the manifest is written only after a successful start,
+    and a mismatch is tolerated when the checkpoint has no offsets dir."""
+    import dataclasses
+    import json as _json
+
+    import franzoxide_spark.manager as manager_mod
+
+    in1, total1, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in1"))
+    in2, total2, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in2"))
+    cfg = _pipeline_config(in1, str(tmp_path / "out"))
+    ckpt_root = str(tmp_path / "ckpt")
+    sink_name = cfg.connectors[1].name
+
+    # 1) a start that fails before the query runs leaves NO manifest
+    mgr = ConnectorManager(spark, cfg, ckpt_root)
+    mgr.initialize()
+
+    def boom(*a, **k):
+        raise RuntimeError("boom: source build failed")
+
+    monkeypatch.setattr(manager_mod, "build_source", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        mgr.start()
+    monkeypatch.undo()
+    manifest = os.path.join(ckpt_root, sink_name, "feeders.json")
+    assert not os.path.exists(manifest)
+
+    # 2) even a STALE manifest without an offsets log must not refuse a
+    #    feeder change — simulate pre-fix debris
+    os.makedirs(os.path.join(ckpt_root, sink_name), exist_ok=True)
+    with open(manifest, "w") as f:
+        _json.dump(["file-source"], f)
+
+    cfg2 = _pipeline_config(in1, str(tmp_path / "out"))
+    src2 = dataclasses.replace(
+        cfg2.connectors[0], name="file-source-2",
+        config={**cfg2.connectors[0].config, "path": in2},
+    )
+    cfg2.connectors.insert(1, src2)
+    mgr2 = ConnectorManager(spark, cfg2, ckpt_root)
+    mgr2.initialize()
+    mgr2.start()  # no ConfigError: no committed offsets to resume
+    mgr2.process_all_available()
+    mgr2.stop()
+
+    # 3) the successful start recorded the NEW feeder set
+    with open(manifest) as f:
+        assert _json.load(f) == ["file-source", "file-source-2"]
+    files = set(
+        glob.glob(os.path.join(str(tmp_path / "out"), "data", "**", "*.txt"),
+                  recursive=True)
+    )
+    lines = [ln for f in files for ln in open(f).read().splitlines() if ln.strip()]
+    assert len(lines) == total1 + total2
+
+
 def test_transform_with_state_running_counts(spark, tmp_path):
     """Spark 4 transformWithStateInPandas: same running-counts contract as
     the applyInPandasWithState variant, on the typed-state API (RocksDB
@@ -2282,3 +2346,180 @@ def test_fan_in_sink_runs_both_sources(spark, sf_dir, tmp_path):
         with open(f) as fh:
             lines += [ln for ln in fh.read().splitlines() if ln.strip()]
     assert len(lines) == total1 + total2
+
+
+def test_stateful_dedup_ttl_session_scoped_and_reemits(spark, tmp_path):
+    """r15 unfreeze #1a: TTL'd exact dedup emits a (key, member) once per
+    TTL session — suppressed within the session, re-emitted after the key
+    idles past the ttl (state evicted by the event-time timeout, or the
+    in-batch gap reset for a gap inside one batch: same semantics)."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.stateful import stateful_dedup_ttl
+
+    in_dir = str(tmp_path / "ttl_in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "ts timestamp, k string, m string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        for f in glob.glob(str(tmp_path / name / "*.parquet")):
+            os.link(f, os.path.join(in_dir, f"{name}.parquet"))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    e = lambda h, m: int(dt.datetime(2024, 1, 1, h, m).timestamp())
+    # batch 1: x emits, duplicate x suppressed, y emits
+    write_batch("b1", [(t(10, 0), "a", "x"), (t(10, 5), "a", "x"),
+                       (t(10, 10), "a", "y")])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out = stateful_dedup_ttl(stream, "k", "m", "ts", ttl_s=3600,
+                             watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_out")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: same-session duplicate across batches stays suppressed
+    write_batch("b2", [(t(10, 30), "a", "x")])
+    q.processAllAvailable()
+    # advance the watermark far past a's last event + ttl via key b, then
+    # one more batch so the pending timeout fires and evicts a's state
+    write_batch("b3", [(t(14, 0), "b", "z")])
+    q.processAllAvailable()
+    write_batch("b4", [(t(14, 1), "b", "z")])
+    q.processAllAvailable()
+    # batch 5: x re-arrives in a NEW ttl session -> re-emitted
+    write_batch("b5", [(t(15, 0), "a", "x")])
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        (r["key"], r["member"], r["first_es"])
+        for r in spark.sql("SELECT * FROM ttl_out").collect()
+    )
+    assert rows == [
+        ("a", "x", e(10, 0)),   # first occurrence
+        ("a", "x", e(15, 0)),   # re-emitted after eviction
+        ("a", "y", e(10, 10)),
+        ("b", "z", e(14, 0)),   # z at 14:01 suppressed (same session)
+    ], rows
+
+
+def test_stateful_dedup_ttl_matches_batch_face(spark, tmp_path):
+    """Parity (the q114-family contract): for in-event-time-order feeds
+    the streaming TTL dedup emits exactly the relation of
+    batch_ttl_session_dedup — same keys, members, sessions, first_es."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.stateful import (
+        batch_ttl_session_dedup,
+        stateful_dedup_ttl,
+    )
+
+    in_dir = str(tmp_path / "ttlp_in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "ts timestamp, k string, m string"
+    base = dt.datetime(2024, 3, 1, 8, 0)
+    rows = []
+    # two keys, interleaved members, gaps straddling the ttl both inside
+    # and across micro-batches
+    offs = [0, 5, 10, 70, 75, 200, 205, 210, 400, 405]
+    for i, off in enumerate(offs):
+        rows.append((base + dt.timedelta(minutes=off), "u1", f"m{i % 3}"))
+        rows.append((base + dt.timedelta(minutes=off + 1), "u2", f"m{i % 2}"))
+    batches = [rows[:6], rows[6:14], rows[14:]]
+
+    def write_batch(name, rs):
+        spark.createDataFrame(rs, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        for f in glob.glob(str(tmp_path / name / "*.parquet")):
+            os.link(f, os.path.join(in_dir, f"{name}.parquet"))
+
+    write_batch("p1", batches[0])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out = stateful_dedup_ttl(stream, "k", "m", "ts", ttl_s=3600,
+                             watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttlp_out")
+        .option("checkpointLocation", str(tmp_path / "ttlp_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    for i, b in enumerate(batches[1:], 2):
+        write_batch(f"p{i}", b)
+        q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["key"], r["member"], r["first_es"])
+        for r in spark.sql("SELECT * FROM ttlp_out").collect()
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r["key"], r["member"], r["first_es"])
+        for r in batch_ttl_session_dedup(
+            batch_df, "k", "m", "ts", ttl_s=3600
+        ).collect()
+    )
+    assert got == want, f"streaming {got}\nbatch {want}"
+
+
+def test_dedup_ttl_update_fn_timeout_and_null_es():
+    """Unit face of the TTL dedup update fn: the hasTimedOut invocation
+    removes state and emits nothing; null event times are skipped (a
+    poison row must not crash-loop on checkpoint replay)."""
+    import pandas as pd
+
+    from franzoxide_spark.streaming.stateful import make_dedup_ttl_update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        removed = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+            self.exists = False
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fn = make_dedup_ttl_update(ttl_s=3600)
+    st = FakeState()
+    out1 = list(fn(("k",), iter([pd.DataFrame(
+        {"es": pd.array([100, None, 200], dtype="Int64"),
+         "m": ["a", "b", "a"]}
+    ).rename(columns={"m": "member"})]), st))[0]
+    # null-es 'b' skipped; 'a' emitted once with its first es
+    assert [tuple(r) for r in out1.itertuples(index=False)] == [("k", "a", 100)]
+    assert st.get == (["a"], 200)
+    assert st.timeout_ms == (200 + 3600) * 1000
+    # timeout invocation: state dropped, nothing emitted
+    st.hasTimedOut = True
+    out2 = list(fn(("k",), iter([]), st))[0]
+    assert len(out2) == 0 and st.removed
