@@ -157,6 +157,15 @@ SLOPE_QUERIES = (
     # but stays far under the broadcast bar -> expected linear scan-
     # dominated slope with the sf0.1 point being mostly stage floor
     "q101_decontam_k_sweep",
+    # r15 unfreeze entries. q177: one user-key shuffle, window + group
+    # work key-bounded (disjoint-user replicas) -> linear
+    "q177_ttl_session_dedup",
+    # q178: q33's banded pair join + one id_b agg + id-spine left join;
+    # replicas disjoint in shingle space -> the q33 family slope
+    "q178_neardup_gate",
+    # q179: interval-join family plan (one shuffle per side on user_id,
+    # range residual incl. the dynamic conjunct) -> q114/q163's slope
+    "q179_dynamic_interval_join",
     # r9: the two remaining >1.4x data-dominated queries get their
     # second decade here (r8 verdict item #6).
     # q61: char-trigram LM scoring — map-side trigram explode + one

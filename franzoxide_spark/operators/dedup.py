@@ -803,6 +803,43 @@ def minhash_near_duplicates(
     return verify_jaccard(cand, sig, id_col).filter(F.col("jaccard") >= threshold)
 
 
+def neardup_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Batch face of the streaming near-dup GATE
+    (streaming/stateful.py:streaming_neardup_gate): one verdict row per
+    doc — admitted (no earlier near-dup) or flagged with dup_of = the
+    smallest-id earlier doc it verifies >= threshold against, and that
+    pair's jaccard. "Earlier" is id order, matching arrival order in an
+    id-monotone ingest (the parity contract). Built on exactly q33's
+    pair relation, so the gate inherits its candidate generation,
+    verification, and plan shape; the extra work is one id_b aggregation
+    (map-side combinable) and a left join back to the id spine."""
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_k
+    )
+    flagged = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of"),
+        F.min_by("jaccard", "id_a").alias("jaccard"),
+    )
+    return (
+        df.select(id_col)
+        .join(flagged, [id_col], "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().cast("int").alias("admitted"),
+            "dup_of",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -2747,3 +2747,108 @@ FROM s2 GROUP BY key, sess, member
 
 
 register("q177_ttl_session_dedup", q177, _Q177_SQL)
+
+# --------------------------------------------------------------------------
+# Q178 — near-duplicate GATE, batch face of
+#        streaming/stateful.py:streaming_neardup_gate (r15 unfreeze #1b):
+#        one verdict row per doc — admitted, or flagged with dup_of = the
+#        smallest-id earlier doc it exact-verifies >= 0.8 Jaccard against
+#        (q33's exact pair relation underneath). The online-curation
+#        decision the pairs relation (q33) and the cluster survivors
+#        (q57) don't directly answer: "does THIS arriving doc pass?".
+#        Streaming parity (id-ordered arrival) in tests/test_streaming.py.
+# --------------------------------------------------------------------------
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.operators.dedup import neardup_gate
+
+    return neardup_gate(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.8, num_hashes=8, bands=4, shingle_k=3,
+    )
+
+
+def _q178_sql() -> str:
+    from franzoxide_spark.queries.llm import Q33_SQL
+
+    return f"""
+WITH pairs AS ({Q33_SQL}),
+flagged AS (
+  SELECT id_b AS doc_id, MIN(id_a) AS dup_of,
+         arg_min(jaccard, id_a) AS j
+  FROM pairs GROUP BY id_b
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS admitted,
+       f.dup_of AS dup_of,
+       ROUND(f.j, 6) AS jaccard
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+"""
+
+
+register("q178_neardup_gate", q178, _q178_sql())
+
+# --------------------------------------------------------------------------
+# Q179 — DYNAMIC-bound interval join (streaming/joins.py interval_join
+#        upper_col=, r15 unfreeze #2): view-to-purchase attribution where
+#        each view carries its own window — 30/60/90/120 min by user tier
+#        (user_id % 4), the per-key dynamic bound the fixed-interval
+#        q114/q163/q176 family can't express. The constant 2h cap stays
+#        in the join as the state-eviction bound (least(win, cap) is the
+#        effective window — here cap == max tier, so semantics are purely
+#        dynamic). Report: per window tier, matched pairs, attributed
+#        value (exact decimal), distinct buyers. Streaming face (both
+#        sides streaming, watermarked, same condition) is locked in
+#        tests/test_streaming.py; plan is the family's: one shuffle per
+#        side on user_id, range residual, no cartesian.
+# --------------------------------------------------------------------------
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from franzoxide_spark.functions.numeric import dec
+    from franzoxide_spark.streaming.joins import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        (F.lit(1800) * (F.lit(1) + F.col("user_id") % 4)).alias("win_s"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    pairs = interval_join(
+        views, purchases, on="user_id", left_ts="v_ts", right_ts="p_ts",
+        upper="2 hours", upper_col="win_s",
+    )
+    return pairs.groupBy("win_s").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(dec(F.col("value"))).cast("double"), 2)
+        .alias("value_sum"),
+        F.countDistinct("user_id").cast("int").alias("n_buyers"),
+    )
+
+
+def _q179_sql() -> str:
+    from franzoxide_spark.functions.numeric import sql_dec
+
+    return f"""
+WITH v AS (
+  SELECT user_id, ts AS v_ts, 1800 * (1 + user_id % 4) AS win_s
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT v.user_id, win_s, value
+  FROM v JOIN p ON v.user_id = p.user_id
+     AND p_ts > v_ts
+     AND p_ts <= v_ts + INTERVAL 2 HOUR
+     AND p_ts <= v_ts + win_s * INTERVAL 1 SECOND
+)
+SELECT win_s, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM({sql_dec('value')}) AS DOUBLE), 2) AS value_sum,
+       CAST(COUNT(DISTINCT user_id) AS INT) AS n_buyers
+FROM j GROUP BY win_s
+"""
+
+
+register("q179_dynamic_interval_join", q179, _q179_sql())

@@ -48,10 +48,24 @@ def interval_join(
     strict_after: bool = True,
     watermark: str | None = None,
     how: str = "inner",
+    upper_col: str | None = None,
 ) -> DataFrame:
     """Join ``left`` and ``right`` on ``on`` where ``right_ts`` falls in
     (``left_ts``, ``left_ts + upper``] (or [..] when ``strict_after`` is
     False).
+
+    ``upper_col`` (r15 unfreeze #2): a LEFT-side column of SECONDS giving
+    each row its own bound — the per-key dynamic-window / asof-style ask.
+    When set, the effective window is (``left_ts``, ``left_ts +
+    least(upper_col seconds, upper)``]: the constant ``upper`` stays in
+    the join condition as a HARD CAP, because Spark derives stream-stream
+    state-eviction watermarks only from constant-interval conjuncts — a
+    purely column-valued bound would buffer both sides forever. (This is
+    how a dynamic-bound stream join must be written on any watermark
+    engine, not a Spark quirk: state needs a data-independent bound.)
+    Rows whose ``upper_col`` is null match nothing (null predicate) —
+    inner drops them, outer null-pads them; batch and streaming faces
+    agree on this.
 
     ``left_ts`` / ``right_ts`` must be DISTINCT column names (rename
     before calling) — the joined row carries both, and distinct names
@@ -91,6 +105,11 @@ def interval_join(
         raise ValueError(f"left_ts {left_ts!r} missing from the left input")
     if right_ts not in right.columns:
         raise ValueError(f"right_ts {right_ts!r} missing from the right input")
+    if upper_col is not None and upper_col not in left.columns:
+        raise ValueError(
+            f"upper_col {upper_col!r} missing from the left input (the"
+            " dynamic bound is a LEFT-side column of seconds)"
+        )
     # any OTHER shared name would silently duplicate in the output (both
     # survive the join under one name) and poison every downstream
     # reference with AMBIGUOUS_REFERENCE — refuse up front, same as the
@@ -160,6 +179,17 @@ def interval_join(
         & lo
         & (rts <= lts + F.expr(f"interval {upper}"))
     )
+    if upper_col is not None:
+        # dynamic conjunct ON TOP of the constant cap: the cap conjunct
+        # above is what Spark's state-watermark analysis reads, the
+        # dynamic one tightens per-row semantics
+        cond = cond & (
+            rts
+            <= lts
+            + F.make_dt_interval(
+                secs=_lit_col(upper_col).cast("double")
+            )
+        )
     joined = left.join(right, cond, how)
     if how == "full_outer":
         # an unmatched RIGHT row carries its key only in the renamed right

@@ -493,6 +493,52 @@ def make_neardup_update(threshold: float):
     return _update
 
 
+def _banded_sh60(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """Shared candidate generator for the streaming near-dup family:
+    MinHash signatures + 60-bit shingle hashes via the SAME JVM
+    expressions as the batch path (operators/dedup.py), exploded into
+    one row per (doc, band bucket). The per-bucket state operators
+    (pairs: :func:`streaming_neardup`; verdicts:
+    :func:`streaming_neardup_gate`) share this front end so their
+    candidate spaces are identical to each other and to the batch
+    family's."""
+    from franzoxide_spark.functions.text import HASH60_SPARK
+    from franzoxide_spark.operators.dedup import (
+        _with_tokens,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        _with_tokens(docs, text_col), text_col, id_col, num_hashes, shingle_k
+    ).withColumn(
+        "sh60",
+        # the shared cross-engine hash contract (functions/text.py) — the
+        # batch dedup family computes the same expression, so the
+        # streaming verifier can never silently desync from it
+        F.expr(f"transform(shingle_set, s -> {HASH60_SPARK.format(s='s')})"),
+    )
+    return sig.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("sh60").alias("sh"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> concat_ws(':', b, concat_ws(',',"
+                f" slice(sig, b * {rows} + 1, {rows}))))"
+            )
+        ).alias("bucket"),
+    )
+
+
 def streaming_neardup(
     docs: DataFrame,
     id_col: str,
@@ -521,37 +567,100 @@ def streaming_neardup(
     deployments add TTL via the transformWithState API (see
     running_counts_tws) to expire cold buckets.
     """
-    from franzoxide_spark.functions.text import HASH60_SPARK
-    from franzoxide_spark.operators.dedup import (
-        _with_tokens,
-        minhash_signatures,
-    )
-    from pyspark.sql import functions as F
-
-    rows = num_hashes // bands
-    sig = minhash_signatures(
-        _with_tokens(docs, text_col), text_col, id_col, num_hashes, shingle_k
-    ).withColumn(
-        "sh60",
-        # the shared cross-engine hash contract (functions/text.py) — the
-        # batch dedup family computes the same expression, so the
-        # streaming verifier can never silently desync from it
-        F.expr(f"transform(shingle_set, s -> {HASH60_SPARK.format(s='s')})"),
-    )
-    banded = sig.select(
-        F.col(id_col).alias("doc_id"),
-        F.col("sh60").alias("sh"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> concat_ws(':', b, concat_ws(',',"
-                f" slice(sig, b * {rows} + 1, {rows}))))"
-            )
-        ).alias("bucket"),
-    )
+    banded = _banded_sh60(docs, id_col, text_col, num_hashes, bands, shingle_k)
     return banded.groupBy("bucket").applyInPandasWithState(
         make_neardup_update(threshold),
         outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming near-dup GATE: per-doc admit/flag verdicts (r15 unfreeze #1b)
+# --------------------------------------------------------------------------
+
+NEARDUP_GATE_OUTPUT_SCHEMA = "doc_id long, dup_of long, jaccard double"
+
+
+def make_neardup_gate_update(threshold: float):
+    """applyInPandasWithState update fn for one LSH band bucket of the
+    near-dup GATE: state is the same resident ledger as the pairs
+    operator, but each arriving doc emits at most ONE row per bucket —
+    its verdict against the bucket's residents: (doc_id, dup_of =
+    smallest-id resident it verifies >= threshold against, that pair's
+    jaccard). No emission means the bucket admits the doc. Every doc
+    becomes a resident regardless of its verdict (the gate flags against
+    ALL earlier docs, not only admitted ones — decision chains would
+    otherwise need cross-bucket coordination no per-key state can do)."""
+
+    def _update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            ids, shs = list(state.get[0]), [set(x) for x in state.get[1]]
+        else:
+            ids, shs = [], []
+        known = set(ids)
+        out: list[tuple[int, int, float]] = []
+        for pdf in pdf_iter:
+            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+                doc_id = int(doc_id)
+                if doc_id in known:  # replayed doc: already a resident
+                    continue
+                sh_set = set(int(x) for x in sh)
+                best: tuple[int, float] | None = None
+                for pid, psh in zip(ids, shs):
+                    union = len(sh_set | psh)
+                    if not union:
+                        continue
+                    j = round(len(sh_set & psh) / union, 6)
+                    if j >= threshold and (best is None or pid < best[0]):
+                        best = (pid, j)
+                if best is not None:
+                    out.append((doc_id, best[0], best[1]))
+                ids.append(doc_id)
+                shs.append(sh_set)
+                known.add(doc_id)
+        state.update((ids, [sorted(s) for s in shs]))
+        yield pd.DataFrame(out, columns=["doc_id", "dup_of", "jaccard"])
+
+    return _update
+
+
+def streaming_neardup_gate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-band near-duplicate GATE: the online curation
+    filter — each arriving doc is checked against every earlier doc it
+    shares an LSH band bucket with, and a verified match (exact Jaccard
+    on the 60-bit shingle hashes >= threshold) emits a flag row
+    (doc_id, dup_of, jaccard). Silence means admitted. A doc flagged in
+    several buckets emits one row per flagging bucket; consumers take
+    the min dup_of per doc (streaming dropDuplicates / the sink's merge)
+    — the batch face folds that min in already.
+
+    Batch face: operators/dedup.py:neardup_gate (oracle-checked as
+    q178); parity locked in tests/test_streaming.py for id-ordered
+    arrival (out-of-order arrival degrades gracefully: the gate is
+    arrival-order-first, it never flags an already-arrived doc
+    retroactively — append mode can't retract an admission).
+
+    Same candidate space and state shape as :func:`streaming_neardup`
+    (shared :func:`_banded_sh60` front end, same state schema), so the
+    100 TB posture is identical: state bounded by bucket residency, one
+    bucket-key shuffle."""
+    banded = _banded_sh60(docs, id_col, text_col, num_hashes, bands, shingle_k)
+    return banded.groupBy("bucket").applyInPandasWithState(
+        make_neardup_gate_update(threshold),
+        outputStructType=NEARDUP_GATE_OUTPUT_SCHEMA,
         stateStructType=NEARDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

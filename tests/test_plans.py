@@ -1195,3 +1195,35 @@ def test_plan_size_bytes_never_raises(spark):
     df2 = spark.range(1)
     df2._jdf = _Broken()
     assert _plan_size_bytes(df2) is None
+
+
+def test_q177_ttl_dedup_single_key_exchange_no_join(spark, sf_dir):
+    """r15 unfreeze #1a plan shape: the batch TTL-session dedup is ONE
+    user-key exchange feeding window + group work — no join, no second
+    shuffle of the events table (the lag/running-sum and the session
+    group-by reuse the same key partitioning)."""
+    plan = _plan(spark, sf_dir, "q177_ttl_session_dedup")
+    assert "Join" not in plan, plan
+    assert plan.count("+- Exchange") == 1, plan
+    assert "hashpartitioning(key" in plan, plan
+
+
+def test_q178_neardup_gate_no_cartesian(spark, sf_dir):
+    """r15 unfreeze #1b plan shape: the gate inherits q33's banded
+    candidate join — hash/merge joins only, never an all-pairs
+    cartesian; the verdict join back to the id spine stays a hash join."""
+    plan = _plan(spark, sf_dir, "q178_neardup_gate")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q179_dynamic_interval_join_stays_equi(spark, sf_dir):
+    """r15 unfreeze #2 plan shape: the per-row dynamic bound (upper_col)
+    must remain a RESIDUAL on the user_id equi-join — if the planner ever
+    stopped recognizing the equality conjunct, the join would degrade to
+    BroadcastNestedLoopJoin/CartesianProduct and 100 TB attribution would
+    be quadratic."""
+    plan = _plan(spark, sf_dir, "q179_dynamic_interval_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan

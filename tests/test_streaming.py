@@ -2523,3 +2523,165 @@ def test_dedup_ttl_update_fn_timeout_and_null_es():
     st.hasTimedOut = True
     out2 = list(fn(("k",), iter([]), st))[0]
     assert len(out2) == 0 and st.removed
+
+
+def test_streaming_neardup_gate_matches_batch_verdicts(spark, sf_dir, tmp_path):
+    """r15 unfreeze #1b: for id-ordered arrival the streaming gate's
+    flag rows (min dup_of per doc across buckets) equal the batch face's
+    flagged verdicts exactly — same candidates, same exact-Jaccard
+    verification, same earliest-dup attribution. A replayed batch adds
+    nothing (resident ledger dedups at-least-once delivery)."""
+    from franzoxide_spark.operators.dedup import neardup_gate
+    from franzoxide_spark.streaming.stateful import streaming_neardup_gate
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = int(docs.agg({"doc_id": "max"}).first()[0]) // 2
+    in_dir = str(tmp_path / "gate_in")
+    os.makedirs(in_dir)
+
+    def feed(name, df):
+        d = str(tmp_path / name)
+        df.coalesce(1).write.parquet(d)
+        for i, f in enumerate(glob.glob(d + "/*.parquet")):
+            os.link(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    feed("low", docs.filter(F.col("doc_id") <= mid))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out = streaming_neardup_gate(stream, "doc_id", "text", threshold=0.8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_stream")
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed("high", docs.filter(F.col("doc_id") > mid))
+        q.processAllAvailable()
+        n_before = spark.sql("select count(*) from gate_stream").first()[0]
+        feed("replay", docs.filter(F.col("doc_id") <= mid))
+        q.processAllAvailable()
+        n_after = spark.sql("select count(*) from gate_stream").first()[0]
+    finally:
+        q.stop()
+    assert n_after == n_before, "replayed docs re-emitted verdicts"
+
+    got: dict[int, tuple[int, float]] = {}
+    for r in spark.sql("select * from gate_stream").collect():
+        cur = got.get(r["doc_id"])
+        if cur is None or r["dup_of"] < cur[0]:
+            got[r["doc_id"]] = (r["dup_of"], r["jaccard"])
+    expected = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in neardup_gate(docs, "text", "doc_id", threshold=0.8).collect()
+        if r["admitted"] == 0
+    }
+    assert got == expected
+    assert expected, "fixture should flag at least one doc"
+
+
+def test_stream_stream_dynamic_bound_interval_join(spark, tmp_path):
+    """r15 unfreeze #2: stream-stream interval join with a per-row
+    dynamic bound (upper_col seconds on the left) under a constant cap.
+    A purchase inside the cap but past its view's OWN window must not
+    pair; one inside both does; a null window matches nothing; and the
+    cap still evicts state (late pair dropped) — the dynamic conjunct
+    must not break Spark's state-watermark analysis."""
+    import datetime as dt
+
+    v_dir, p_dir = str(tmp_path / "dviews"), str(tmp_path / "dpurch")
+    os.makedirs(v_dir), os.makedirs(p_dir)
+    v_schema = "v_ts timestamp, user_id long, win_s long"
+    p_schema = "p_ts timestamp, user_id long"
+
+    def write(dirname, name, schema, rows):
+        stage = str(tmp_path / ("dstage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        for f in glob.glob(os.path.join(stage, "*.parquet")):
+            os.link(f, os.path.join(dirname, f"{name}.parquet"))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    views = spark.readStream.schema(v_schema).parquet(v_dir)
+    purchases = spark.readStream.schema(p_schema).parquet(p_dir)
+    joined = interval_join(
+        views, purchases, on="user_id", left_ts="v_ts", right_ts="p_ts",
+        upper="2 hours", upper_col="win_s", watermark="30 minutes",
+    ).select("user_id", "v_ts", "p_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dynj_out")
+        .option("checkpointLocation", str(tmp_path / "dynj_ckpt"))
+        .start()
+    )
+    try:
+        # u1: 30 min window; u2: 60 min; u3: null window. Purchases all
+        # land 45 min after the view — only u2's is inside ITS window.
+        write(v_dir, "v1", v_schema,
+              [(t(10, 0), 1, 1800), (t(10, 0), 2, 3600), (t(10, 0), 3, None)])
+        write(p_dir, "p1", p_schema,
+              [(t(10, 45), 1), (t(10, 45), 2), (t(10, 45), 3)])
+        q.processAllAvailable()
+        # advance both watermarks far past the 10:00 views' cap, then a
+        # purchase for u2 at 10:50 — inside u2's window but behind the
+        # watermark: state evicted, dropped
+        write(v_dir, "v2", v_schema, [(t(16, 0), 9, 3600)])
+        write(p_dir, "p2", p_schema, [(t(16, 5), 9)])
+        q.processAllAvailable()
+        write(p_dir, "p3", p_schema, [(t(10, 50), 2)])
+        q.processAllAvailable()
+        write(v_dir, "v3", v_schema, [(t(17, 0), 7, 60)])
+        write(p_dir, "p4", p_schema, [(t(17, 1), 8)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r["user_id"], r["v_ts"].strftime("%H:%M"), r["p_ts"].strftime("%H:%M"))
+        for r in spark.sql("SELECT * FROM dynj_out").collect()
+    )
+    assert rows == [(2, "10:00", "10:45"), (9, "16:00", "16:05")], rows
+
+
+def test_interval_join_dynamic_bound_batch_and_validation(spark):
+    """Batch face of upper_col: the effective window is
+    least(upper_col, cap); a missing upper_col raises with the argument
+    named."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    views = spark.createDataFrame(
+        # u4's column says 4 hours, but the 2h cap truncates it
+        [(1, t0, 1800), (2, t0, 3600), (4, t0, 14400)],
+        "user_id long, v_ts timestamp, win_s long",
+    )
+    purch = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=45), 10.0),
+         (2, t0 + dt.timedelta(minutes=45), 20.0),
+         (4, t0 + dt.timedelta(hours=3), 40.0)],
+        "user_id long, p_ts timestamp, value double",
+    )
+    out = interval_join(
+        views, purch, on="user_id", left_ts="v_ts", right_ts="p_ts",
+        upper="2 hours", upper_col="win_s",
+    )
+    assert sorted(r["user_id"] for r in out.collect()) == [2]
+    with _pytest.raises(ValueError, match="upper_col"):
+        interval_join(
+            views, purch, on="user_id", left_ts="v_ts", right_ts="p_ts",
+            upper="2 hours", upper_col="nope",
+        )
