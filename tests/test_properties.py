@@ -894,3 +894,61 @@ def test_bloom_bit_layout_cross_engine(spark, shingles):
         h60, layout = ref_layout(s)
         assert got_spark[h60] == layout, (s, h60)
         assert got_duck[h60] == layout, (s, h60)
+
+
+# --------------------------------------------------------------------------
+# TTL-session dedup: Spark batch face == plain-Python sequential reference
+# (r15 unfreeze #1a — the property the streaming parity test can't give:
+# arbitrary key/member/time shapes incl. ties, singletons, exact-ttl gaps)
+# --------------------------------------------------------------------------
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),        # key
+            st.integers(min_value=0, max_value=3),        # member
+            st.integers(min_value=0, max_value=40_000),   # epoch seconds
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_batch_ttl_session_dedup_matches_python_reference(spark, events):
+    import datetime as dt
+
+    from franzoxide_spark.streaming.stateful import batch_ttl_session_dedup
+
+    ttl = 3600
+    rows = [
+        Row(
+            k=str(k),
+            m=f"m{m}",
+            ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=es),
+        )
+        for k, m, es in events
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        (r["key"], r["member"], r["first_es"])
+        for r in batch_ttl_session_dedup(df, "k", "m", "ts", ttl_s=ttl).collect()
+    )
+
+    # reference: per key sort by time, gap > ttl opens a session, first
+    # occurrence per (session, member) emits with its time
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    by_key: dict[str, list[tuple[int, str]]] = {}
+    for k, m, es in events:
+        by_key.setdefault(str(k), []).append((base + es, f"m{m}"))
+    want = []
+    for k, evs in by_key.items():
+        evs.sort(key=lambda e: e[0])
+        last = None
+        seen: set[str] = set()
+        for es, m in evs:
+            if last is not None and es - last > ttl:
+                seen = set()
+            last = es
+            if m not in seen:
+                seen.add(m)
+                want.append((k, m, es))
+    assert got == sorted(want)
