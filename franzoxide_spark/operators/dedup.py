@@ -706,10 +706,12 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 8,
     shingle_k: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc distinct shingle set + MinHash signature array<long>.
     Entirely map-side: hash each shingle once, apply the parametric
-    family, min per function — no shuffle."""
+    family, min per function — no shuffle. ``extra_cols`` pass through
+    untouched (the TTL'd streaming gate carries event time this way)."""
     perms = ", ".join(
         f"array_min(transform(bh, x -> {minhash_perm_expr('x', i)}))"
         for i in range(num_hashes)
@@ -717,6 +719,7 @@ def minhash_signatures(
     return (
         df.select(
             F.col(id_col),
+            *[F.col(c) for c in extra_cols],
             shingles("__toks", k=shingle_k).alias("shingle_set"),
         )
         .withColumn(

@@ -500,6 +500,7 @@ def _banded_sh60(
     num_hashes: int,
     bands: int,
     shingle_k: int,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Shared candidate generator for the streaming near-dup family:
     MinHash signatures + 60-bit shingle hashes via the SAME JVM
@@ -517,8 +518,19 @@ def _banded_sh60(
     from pyspark.sql import functions as F
 
     rows = num_hashes // bands
+    src = _with_tokens(docs, text_col)
+    extra: tuple[str, ...] = ()
+    if ts_col is not None:
+        # true-UTC epoch seconds engine-side (the sessionizer's r11 tz
+        # lesson) + the raw timestamp for the watermark; null event
+        # times can't place a doc on the bucket clock — filter like
+        # every other event-time operator here
+        src = src.filter(F.col(ts_col).isNotNull()).withColumn(
+            "es", F.unix_timestamp(F.col(ts_col))
+        )
+        extra = (ts_col, "es")
     sig = minhash_signatures(
-        _with_tokens(docs, text_col), text_col, id_col, num_hashes, shingle_k
+        src, text_col, id_col, num_hashes, shingle_k, extra_cols=extra
     ).withColumn(
         "sh60",
         # the shared cross-engine hash contract (functions/text.py) — the
@@ -528,6 +540,7 @@ def _banded_sh60(
     )
     return sig.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra],
         F.col("sh60").alias("sh"),
         F.explode(
             F.expr(
@@ -563,9 +576,10 @@ def streaming_neardup(
     (~n²/2⁶⁰), the standard trade for compact state.
 
     State is bounded by bucket residency (near-dup cluster density per
-    band), not stream length in the adversarial-free case; production
-    deployments add TTL via the transformWithState API (see
-    running_counts_tws) to expire cold buckets.
+    band), not stream length in the adversarial-free case; for cold-
+    bucket expiry see :func:`streaming_neardup_gate`'s ``bucket_ttl_s``
+    (event-time timeout eviction, r15) — the same option applies here if
+    a deployment needs it.
     """
     banded = _banded_sh60(docs, id_col, text_col, num_hashes, bands, shingle_k)
     return banded.groupBy("bucket").applyInPandasWithState(
@@ -584,7 +598,7 @@ def streaming_neardup(
 NEARDUP_GATE_OUTPUT_SCHEMA = "doc_id long, dup_of long, jaccard double"
 
 
-def make_neardup_gate_update(threshold: float):
+def make_neardup_gate_update(threshold: float, ttl_s: int | None = None):
     """applyInPandasWithState update fn for one LSH band bucket of the
     near-dup GATE: state is the same resident ledger as the pairs
     operator, but each arriving doc emits at most ONE row per bucket —
@@ -593,19 +607,35 @@ def make_neardup_gate_update(threshold: float):
     jaccard). No emission means the bucket admits the doc. Every doc
     becomes a resident regardless of its verdict (the gate flags against
     ALL earlier docs, not only admitted ones — decision chains would
-    otherwise need cross-bucket coordination no per-key state can do)."""
+    otherwise need cross-bucket coordination no per-key state can do).
+
+    ``ttl_s`` (with an event-time feed, see streaming_neardup_gate):
+    a bucket idle past its last doc's event time + ttl is EVICTED by the
+    event-time timeout — residents are forgotten and a later near-dup of
+    a forgotten doc is admitted (recall trades for bounded state, the
+    stateful_dedup_ttl contract applied to buckets)."""
 
     def _update(key, pdf_iter, state):
         import pandas as pd
 
+        cols = ["doc_id", "dup_of", "jaccard"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         if state.exists:
             ids, shs = list(state.get[0]), [set(x) for x in state.get[1]]
         else:
             ids, shs = [], []
         known = set(ids)
         out: list[tuple[int, int, float]] = []
+        max_es: int | None = None
         for pdf in pdf_iter:
-            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+            es_col = pdf["es"] if ttl_s is not None else None
+            for i, (doc_id, sh) in enumerate(zip(pdf["doc_id"], pdf["sh"])):
+                if es_col is not None and not pd.isna(es_col.iloc[i]):
+                    es = int(es_col.iloc[i])
+                    max_es = es if max_es is None else max(max_es, es)
                 doc_id = int(doc_id)
                 if doc_id in known:  # replayed doc: already a resident
                     continue
@@ -624,7 +654,11 @@ def make_neardup_gate_update(threshold: float):
                 shs.append(sh_set)
                 known.add(doc_id)
         state.update((ids, [sorted(s) for s in shs]))
-        yield pd.DataFrame(out, columns=["doc_id", "dup_of", "jaccard"])
+        if ttl_s is not None and max_es is not None:
+            state.setTimeoutTimestamp(
+                max((max_es + ttl_s) * 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(out, columns=cols)
 
     return _update
 
@@ -637,6 +671,9 @@ def streaming_neardup_gate(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    bucket_ttl_s: int | None = None,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming MinHash-band near-duplicate GATE: the online curation
     filter — each arriving doc is checked against every earlier doc it
@@ -656,14 +693,41 @@ def streaming_neardup_gate(
     Same candidate space and state shape as :func:`streaming_neardup`
     (shared :func:`_banded_sh60` front end, same state schema), so the
     100 TB posture is identical: state bounded by bucket residency, one
-    bucket-key shuffle."""
-    banded = _banded_sh60(docs, id_col, text_col, num_hashes, bands, shingle_k)
-    return banded.groupBy("bucket").applyInPandasWithState(
-        make_neardup_gate_update(threshold),
-        outputStructType=NEARDUP_GATE_OUTPUT_SCHEMA,
-        stateStructType=NEARDUP_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    bucket-key shuffle.
+
+    ``bucket_ttl_s`` + ``ts_col`` (given together): bucket residents are
+    EVICTED once the event-time watermark passes the bucket's last doc +
+    ttl — the bounded-state production mode at 100 TB stream scale,
+    trading recall beyond the ttl horizon for O(active buckets) state
+    (and replacing the docstring handoff the pairs operator still
+    carries). ``watermark`` applies to ``ts_col`` and only matters in
+    that mode."""
+    if (bucket_ttl_s is None) != (ts_col is None):
+        raise ValueError(
+            "bucket_ttl_s and ts_col must be given together (the TTL is"
+            " event-time-driven)"
+        )
+    banded = _banded_sh60(
+        docs, id_col, text_col, num_hashes, bands, shingle_k, ts_col=ts_col
+    )
+    if bucket_ttl_s is None:
+        return banded.groupBy("bucket").applyInPandasWithState(
+            make_neardup_gate_update(threshold),
+            outputStructType=NEARDUP_GATE_OUTPUT_SCHEMA,
+            stateStructType=NEARDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return (
+        banded.withWatermark(ts_col, watermark)
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            make_neardup_gate_update(threshold, ttl_s=bucket_ttl_s),
+            outputStructType=NEARDUP_GATE_OUTPUT_SCHEMA,
+            stateStructType=NEARDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

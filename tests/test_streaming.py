@@ -2685,3 +2685,73 @@ def test_interval_join_dynamic_bound_batch_and_validation(spark):
             views, purch, on="user_id", left_ts="v_ts", right_ts="p_ts",
             upper="2 hours", upper_col="nope",
         )
+
+
+def test_streaming_neardup_gate_bucket_ttl_evicts(spark, tmp_path):
+    """Gate with bucket_ttl_s: a near-dup arriving after its bucket idled
+    past the ttl is ADMITTED (residents evicted by the event-time
+    timeout) — the bounded-state recall trade; the same feed without the
+    ttl flags it, proving eviction (not a candidate miss) is why."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.stateful import streaming_neardup_gate
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    # ~20 shared tokens -> near-identical docs, certain band collision
+    base = " ".join(f"tok{i}" for i in range(20))
+    doc_a = (1, base, t(10, 0))
+    doc_b = (2, base + " tail", t(15, 30))  # jaccard far above 0.8
+    fillers = [
+        (100 + i, f"zzz{i} yyy{i} xxx{i} www{i} vvv{i}", ts)
+        for i, ts in enumerate([t(15, 0), t(15, 10)])
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+
+    def run(tag, ttl):
+        in_dir = str(tmp_path / f"gttl_in_{tag}")
+        os.makedirs(in_dir)
+
+        def feed(name, rows):
+            d = str(tmp_path / f"gttl_{tag}_{name}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+            for i, f in enumerate(glob.glob(d + "/*.parquet")):
+                os.link(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+        feed("b1", [doc_a])
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(in_dir)
+        out = streaming_neardup_gate(
+            stream, "doc_id", "text", threshold=0.8,
+            bucket_ttl_s=ttl, ts_col="ts" if ttl else None,
+            watermark="30 minutes",
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"gttl_{tag}")
+            .option("checkpointLocation", str(tmp_path / f"gttl_ckpt_{tag}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # filler 1 advances the watermark past 10:00 + 2h ttl;
+            # filler 2 is the batch in which A's idle buckets time out
+            feed("b2", [fillers[0]])
+            q.processAllAvailable()
+            feed("b3", [fillers[1]])
+            q.processAllAvailable()
+            feed("b4", [doc_b])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r["doc_id"], r["dup_of"])
+            for r in spark.sql(f"select * from gttl_{tag}").collect()
+        }
+
+    # without ttl: B is flagged against A (one row per flagging bucket —
+    # near-identical docs collide in several bands, hence the set)
+    assert run("nottl", None) == {(2, 1)}
+    # with a 2h ttl: A's buckets evicted before B arrives -> admitted
+    assert run("ttl", 7200) == set()
