@@ -164,10 +164,16 @@ class ConnectorManager:
             return
         except (OSError, ValueError):
             return  # unreadable manifest: fall through to Spark's check
-        if recorded != names and os.path.isdir(os.path.join(ckpt, "offsets")):
-            # no offsets dir -> no committed batch to resume: a stale
-            # manifest from a start that never ran must not refuse a
-            # legal feeder change (r14 ADVICE)
+        try:
+            has_offsets = bool(os.listdir(os.path.join(ckpt, "offsets")))
+        except OSError:
+            has_offsets = False
+        if recorded != names and has_offsets:
+            # no offset ENTRIES -> no committed batch to resume: a stale
+            # manifest from a start that never ran a batch must not
+            # refuse a legal feeder change (r14 ADVICE; r15 review:
+            # Spark mkdirs the offsets dir eagerly at start, so the
+            # directory existing alone proves nothing)
             from franzoxide_spark.errors import ConfigError
 
             raise ConfigError(

@@ -1340,12 +1340,18 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_eval = ev.groupBy("k").agg(F.countDistinct("h").alias("n_eval_grams"))
     n_pool = pool.agg(F.count("*").alias("n_pool"))
+    # literal k spine: a k whose eval side yields ZERO grams (every eval
+    # doc shorter than k) must still emit its row with zero counts — the
+    # oracle's scalar-subquery arms always do (r15 review)
+    spine = spark.createDataFrame([(k,) for k in _Q101_KS], "k int")
     return (
-        n_eval.join(cont, "k", "left")
+        spine.join(n_eval, "k", "left")
+        .join(cont, "k", "left")
         .crossJoin(n_pool)
         .select(
             "k",
-            F.col("n_eval_grams").cast("int").alias("n_eval_grams"),
+            F.coalesce("n_eval_grams", F.lit(0)).cast("int")
+            .alias("n_eval_grams"),
             F.coalesce("n_contaminated", F.lit(0)).cast("int")
             .alias("n_contaminated"),
             F.round(

@@ -596,6 +596,12 @@ def streaming_neardup(
 # --------------------------------------------------------------------------
 
 NEARDUP_GATE_OUTPUT_SCHEMA = "doc_id long, dup_of long, jaccard double"
+# TTL mode persists the bucket's event-time frontier so a LATE doc can
+# never rewind the eviction deadline (r15 review) — distinct schema from
+# the NoTimeout mode, which shares NEARDUP_STATE_SCHEMA with the pairs op
+NEARDUP_GATE_TTL_STATE_SCHEMA = (
+    "ids array<long>, shs array<array<long>>, last_s long"
+)
 
 
 def make_neardup_gate_update(threshold: float, ttl_s: int | None = None):
@@ -624,40 +630,57 @@ def make_neardup_gate_update(threshold: float, ttl_s: int | None = None):
             yield pd.DataFrame([], columns=cols)
             return
         if state.exists:
-            ids, shs = list(state.get[0]), [set(x) for x in state.get[1]]
+            st = state.get
+            ids, shs = list(st[0]), [set(x) for x in st[1]]
+            last = st[2] if ttl_s is not None else None
         else:
-            ids, shs = [], []
+            ids, shs, last = [], [], None
         known = set(ids)
-        out: list[tuple[int, int, float]] = []
-        max_es: int | None = None
+        # sort by doc_id so same-batch bucket-mates resolve in id order —
+        # the batch face's "earlier = smaller id" contract; unsorted
+        # pandas delivery could invert which doc gets admitted (r15
+        # review)
+        rows: list[tuple[int, object, int | None]] = []
         for pdf in pdf_iter:
             es_col = pdf["es"] if ttl_s is not None else None
             for i, (doc_id, sh) in enumerate(zip(pdf["doc_id"], pdf["sh"])):
+                es = None
                 if es_col is not None and not pd.isna(es_col.iloc[i]):
                     es = int(es_col.iloc[i])
-                    max_es = es if max_es is None else max(max_es, es)
-                doc_id = int(doc_id)
-                if doc_id in known:  # replayed doc: already a resident
+                rows.append((int(doc_id), sh, es))
+        rows.sort(key=lambda r: r[0])
+        out: list[tuple[int, int, float]] = []
+        for doc_id, sh, es in rows:
+            if es is not None:
+                # frontier only moves FORWARD: a late doc must not
+                # rewind the eviction deadline (r15 review)
+                last = es if last is None else max(last, es)
+            if doc_id in known:  # replayed doc: already a resident
+                continue
+            sh_set = set(int(x) for x in sh)
+            best: tuple[int, float] | None = None
+            for pid, psh in zip(ids, shs):
+                union = len(sh_set | psh)
+                if not union:
                     continue
-                sh_set = set(int(x) for x in sh)
-                best: tuple[int, float] | None = None
-                for pid, psh in zip(ids, shs):
-                    union = len(sh_set | psh)
-                    if not union:
-                        continue
-                    j = round(len(sh_set & psh) / union, 6)
-                    if j >= threshold and (best is None or pid < best[0]):
-                        best = (pid, j)
-                if best is not None:
-                    out.append((doc_id, best[0], best[1]))
-                ids.append(doc_id)
-                shs.append(sh_set)
-                known.add(doc_id)
-        state.update((ids, [sorted(s) for s in shs]))
-        if ttl_s is not None and max_es is not None:
-            state.setTimeoutTimestamp(
-                max((max_es + ttl_s) * 1000, state.getCurrentWatermarkMs() + 1)
-            )
+                j = round(len(sh_set & psh) / union, 6)
+                if j >= threshold and (best is None or pid < best[0]):
+                    best = (pid, j)
+            if best is not None:
+                out.append((doc_id, best[0], best[1]))
+            ids.append(doc_id)
+            shs.append(sh_set)
+            known.add(doc_id)
+        sh_lists = [sorted(s) for s in shs]
+        if ttl_s is not None:
+            state.update((ids, sh_lists, last))
+            if last is not None:
+                state.setTimeoutTimestamp(
+                    max((last + ttl_s) * 1000,
+                        state.getCurrentWatermarkMs() + 1)
+                )
+        else:
+            state.update((ids, sh_lists))
         yield pd.DataFrame(out, columns=cols)
 
     return _update
@@ -724,7 +747,7 @@ def streaming_neardup_gate(
         .applyInPandasWithState(
             make_neardup_gate_update(threshold, ttl_s=bucket_ttl_s),
             outputStructType=NEARDUP_GATE_OUTPUT_SCHEMA,
-            stateStructType=NEARDUP_STATE_SCHEMA,
+            stateStructType=NEARDUP_GATE_TTL_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

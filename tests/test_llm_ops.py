@@ -699,3 +699,43 @@ def test_salted_join_rejects_unsupported_shapes(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_q101_emits_every_k_even_with_gramless_eval(spark, tmp_path):
+    """r15 review: a k whose eval side yields ZERO grams (every eval doc
+    shorter than k tokens) must still emit its row with zero counts —
+    the oracle's scalar-subquery arms always produce one row per k, and
+    the old agg+crossJoin shape did too."""
+    import os
+
+    import duckdb
+
+    from franzoxide_spark.oracle import compare
+    from franzoxide_spark.queries.llm import _Q101_SQL, q101
+
+    sf = str(tmp_path / "fake_sf")
+    os.makedirs(sf)
+    rows = [
+        # eval doc (0 % 97 == 0): 5 tokens -> grams for k=3/5, none for k=8
+        (0, "a b c d e", "en", "s1", 9),
+        # pool docs; one shares a 3-gram and the 5-gram with eval
+        (1, "a b c d e f g h i", "en", "s1", 17),
+        (2, "x y z w v u t s r", "en", "s1", 17),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.parquet(sf + "/documents.parquet")
+
+    out = q101(spark, sf)
+    got = {r["k"]: r for r in out.collect()}
+    assert set(got) == {3, 5, 8}, got
+    assert got[8]["n_eval_grams"] == 0 and got[8]["n_contaminated"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    ok, diag = compare(out, con.execute(_Q101_SQL).df())
+    con.close()
+    assert ok, diag

@@ -2755,3 +2755,116 @@ def test_streaming_neardup_gate_bucket_ttl_evicts(spark, tmp_path):
     assert run("nottl", None) == {(2, 1)}
     # with a 2h ttl: A's buckets evicted before B arrives -> admitted
     assert run("ttl", 7200) == set()
+
+
+def test_neardup_gate_same_batch_resolves_in_id_order():
+    """r15 review: two bucket-mates in ONE micro-batch must resolve in
+    doc_id order regardless of pandas delivery order — the higher id is
+    flagged against the lower, matching the batch face."""
+    import pandas as pd
+
+    from franzoxide_spark.streaming.stateful import make_neardup_gate_update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fn = make_neardup_gate_update(threshold=0.8)
+    st = FakeState()
+    sh = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    # delivered HIGH id first — unsorted processing would admit 5 and
+    # flag 3 with dup_of=5, inverting the batch face's verdict
+    pdf = pd.DataFrame({"doc_id": [5, 3], "sh": [sh, sh]})
+    out = list(fn(("b",), iter([pdf]), st))[0]
+    assert [tuple(r) for r in out.itertuples(index=False)] == [(5, 3, 1.0)]
+
+
+def test_neardup_gate_ttl_frontier_never_rewinds():
+    """r15 review: the TTL mode persists the bucket's event-time
+    frontier; a LATE doc (older es, inside the watermark) must not pull
+    the eviction deadline backwards."""
+    import pandas as pd
+
+    from franzoxide_spark.streaming.stateful import make_neardup_gate_update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    ttl = 7200
+    fn = make_neardup_gate_update(threshold=0.8, ttl_s=ttl)
+    st = FakeState()
+    t10 = 36000  # 10:00
+    t9 = 32400   # 09:00, late
+    list(fn(("b",), iter([pd.DataFrame(
+        {"doc_id": [1], "sh": [[1, 2, 3]], "es": pd.array([t10], dtype="Int64")}
+    )]), st))
+    assert st.timeout_ms == (t10 + ttl) * 1000
+    assert st.get[2] == t10
+    list(fn(("b",), iter([pd.DataFrame(
+        {"doc_id": [2], "sh": [[9, 9, 9]], "es": pd.array([t9], dtype="Int64")}
+    )]), st))
+    # deadline unchanged: the frontier stayed at 10:00
+    assert st.timeout_ms == (t10 + ttl) * 1000
+    assert st.get[2] == t10
+
+
+def test_feeder_manifest_tolerates_empty_offsets_dir(spark, sf_dir, tmp_path):
+    """r15 review: Spark mkdirs the offsets/ dir eagerly at query start,
+    so a checkpoint with an EMPTY offsets dir has no committed batch and
+    a manifest mismatch must not refuse the feeder change; one committed
+    offset entry flips it to a refusal."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from franzoxide_spark.errors import ConfigError
+
+    in1, _t, _ = _write_record_files(spark, sf_dir, str(tmp_path / "in1"))
+    cfg = _pipeline_config(in1, str(tmp_path / "out"))
+    ckpt_root = str(tmp_path / "ckpt")
+    sink = cfg.connectors[1]
+    mgr = ConnectorManager(spark, cfg, ckpt_root)
+    mgr.initialize()
+
+    ckpt = os.path.join(ckpt_root, sink.name)
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    with open(os.path.join(ckpt, "feeders.json"), "w") as f:
+        _json.dump(["some-old-feeder"], f)
+
+    srcs = (cfg.connectors[0],)
+    # empty offsets dir: no refusal
+    mgr._check_feeder_manifest(srcs, sink)
+    # one committed offset entry: refusal
+    with open(os.path.join(ckpt, "offsets", "0"), "w") as f:
+        f.write("v1")
+    with _pytest.raises(ConfigError, match="feeder set changed"):
+        mgr._check_feeder_manifest(srcs, sink)
