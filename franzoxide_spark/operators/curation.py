@@ -29,7 +29,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from franzoxide_spark.functions.text import hash60, shingles, tokens  # noqa: F401 (hash60: split_assign)
+from franzoxide_spark.functions.text import (  # noqa: F401 (hash60: split_assign)
+    gram_hashes,
+    hash60,
+    shingles,
+    tokens,
+)
 
 
 def _shingle_hashes(df: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -88,16 +93,20 @@ def decontaminate(
 def eval_shingle_hashes(
     eval_docs: DataFrame, text_col: str = "text", k: int = 4
 ) -> set[int]:
-    """Collect the eval set's distinct k-gram xxhash64 values — the static
-    side of streaming decontamination. Eval suites are small by nature, so
-    this is a tiny driver-side set (the batch path broadcasts the same
-    relation instead of collecting it)."""
+    """Collect the eval set's distinct k-gram hashes — the static side of
+    streaming decontamination. Eval suites are small by nature, so this
+    is a tiny driver-side set (the batch path broadcasts the same
+    relation instead of collecting it).
+
+    Since r15 the hash is ``gram_hashes`` (xxhash64 over the token-array
+    slice, seeded with k) — no gram string is ever built, the same
+    contract the q101 family keys on. Must stay in lockstep with
+    :func:`decontaminate_stream`'s probe side."""
     e = eval_docs.withColumn("__toks", tokens(text_col))
     return {
         r["h"]
         for r in (
-            e.select(F.explode(shingles("__toks", k)).alias("__g"))
-            .select(F.xxhash64("__g").alias("h"))
+            e.select(F.explode(gram_hashes("__toks", k)).alias("h"))
             .distinct()
             .collect()
         )
@@ -125,23 +134,63 @@ def decontaminate_stream(
     ``eval_hashes`` may also be a ``sparkContext.broadcast`` of the set —
     for eval suites past a few hundred thousand shingles, broadcast once
     instead of shipping the set in every task closure.
+
+    r15 cost notes (sf0.1, warm best-of-4): the wall is the ARROW
+    TRANSFER of the per-doc hash arrays (~1.1 s of the ~1.5 s total —
+    measured with an identity UDF), which is the price of the per-row
+    probe design point itself; the JVM hash build is 0.48 s on
+    ``gram_hashes`` token-slice hashing (no gram strings — the q101
+    trade) and the numpy searchsorted probe is noise. When the transfer
+    is too much at scale, the layered answer is q165's relational Bloom
+    pre-filter: probe map-side in the JVM and ship only bloom-positive
+    rows to the exact Arrow probe.
     """
+    import numpy as np
+
+    cache: dict = {}  # per-worker: eval set as a SORTED int64 array
+
     @F.pandas_udf("boolean")
     def _clean(hs: pd.Series) -> pd.Series:
-        ev = eval_hashes.value if hasattr(eval_hashes, "value") else eval_hashes
-        # NULL text -> NULL shingle array: a doc with no shingles cannot
-        # be contaminated, so KEEP it — matching the batch path, where
-        # explode(NULL) simply contributes no contaminated id. Iterating
-        # None raised TypeError and stalled the whole micro-batch, the
-        # exact failure this streaming-legal variant exists to avoid
-        # (r13 review).
-        return hs.map(
-            lambda arr: arr is None or all(h not in ev for h in arr)
+        ev_arr = cache.get("ev")
+        if ev_arr is None:
+            ev = (
+                eval_hashes.value
+                if hasattr(eval_hashes, "value")
+                else eval_hashes
+            )
+            ev_arr = np.fromiter(ev, dtype=np.int64, count=len(ev))
+            ev_arr.sort()
+            cache["ev"] = ev_arr
+        n = len(hs)
+        # NULL text -> empty/null hash array: a doc with no shingles
+        # cannot be contaminated, so KEEP it — matching the batch path,
+        # where explode(NULL) simply contributes no contaminated id
+        # (r13 review: iterating None crash-looped the micro-batch).
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hs), dtype=np.int64, count=n
         )
+        out = np.ones(n, dtype=bool)
+        total = int(lens.sum())
+        if total == 0 or ev_arr.size == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hs if a is not None and len(a)]
+        )
+        # membership via one sorted binary search over the batch — the
+        # per-element python set lookups this replaces were O(total)
+        # interpreter dispatches per micro-batch (r15 A/B)
+        idx = np.searchsorted(ev_arr, flat)
+        idx[idx == ev_arr.size] = 0
+        hit = ev_arr[idx] == flat
+        nz = lens > 0
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out[nz] = np.add.reduceat(hit, starts[nz]) == 0
+        return pd.Series(out)
 
     with_hashes = (
         docs.withColumn("__toks", tokens(text_col))
-        .withColumn("__hs", F.transform(shingles("__toks", k), lambda g: F.xxhash64(g)))
+        .withColumn("__hs", gram_hashes("__toks", k))
         .drop("__toks")
     )
     return with_hashes.filter(_clean(F.col("__hs"))).drop("__hs")
