@@ -2868,3 +2868,132 @@ def test_feeder_manifest_tolerates_empty_offsets_dir(spark, sf_dir, tmp_path):
         f.write("v1")
     with _pytest.raises(ConfigError, match="feeder set changed"):
         mgr._check_feeder_manifest(srcs, sink)
+
+
+def test_stateful_dedup_ttl_survives_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across a stop/restart: the TTL dedup's per-key state
+    (seen set + frontier) lives in the checkpoint, so a member seen
+    before the restart stays suppressed after it, a new member emits
+    once, and the TTL clock keeps running from the recovered frontier."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.stateful import stateful_dedup_ttl
+
+    in_dir = str(tmp_path / "ttlr_in")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "ts timestamp, k string, m string"
+    ckpt = str(tmp_path / "ttlr_ckpt")
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    e = lambda h, m: int(dt.datetime(2024, 1, 1, h, m).timestamp())
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        for f in glob.glob(str(tmp_path / name / "*.parquet")):
+            os.link(f, os.path.join(in_dir, f"{name}.parquet"))
+
+    out_dir = str(tmp_path / "ttlr_out")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        out = stateful_dedup_ttl(stream, "k", "m", "ts", ttl_s=3600,
+                                 watermark="1 hour")
+        # a FILE sink: the memory sink does not support checkpoint
+        # recovery, which is the thing under test
+        return (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def emitted():
+        return sorted(
+            (r["key"], r["member"], r["first_es"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    write_batch("b1", [(t(10, 0), "a", "x")])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert emitted() == [("a", "x", e(10, 0))]
+
+    # restart from the same checkpoint: x stays suppressed (recovered
+    # state), y is fresh and emits once
+    write_batch("b2", [(t(10, 30), "a", "x"), (t(10, 40), "a", "y")])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert emitted() == [
+        ("a", "x", e(10, 0)),
+        ("a", "y", e(10, 40)),
+    ]
+
+
+def test_neardup_gate_ttl_eviction_survives_checkpoint_restart(
+    spark, tmp_path
+):
+    """The TTL gate's eviction deadline is checkpointed with the state:
+    after a stop/restart the recovered timeout still fires once the
+    watermark passes the (recovered) frontier + ttl, and a later
+    near-dup of the pre-restart resident is admitted."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.stateful import streaming_neardup_gate
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    base = " ".join(f"tok{i}" for i in range(20))
+    schema = "doc_id long, text string, ts timestamp"
+    in_dir = str(tmp_path / "gr_in")
+    os.makedirs(in_dir)
+    ckpt = str(tmp_path / "gr_ckpt")
+    out_dir = str(tmp_path / "gr_out")
+
+    def feed(name, rows):
+        d = str(tmp_path / f"gr_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for i, f in enumerate(glob.glob(d + "/*.parquet")):
+            os.link(f, os.path.join(in_dir, f"{name}_{i}.parquet"))
+
+    def start():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(in_dir)
+        out = streaming_neardup_gate(
+            stream, "doc_id", "text", threshold=0.8,
+            bucket_ttl_s=7200, ts_col="ts", watermark="30 minutes",
+        )
+        return (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    feed("b1", [(1, base, t(10, 0))])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # restart; advance the watermark past 10:00 + 2h via unrelated docs,
+    # let the RECOVERED timeout fire, then feed the near-dup
+    q = start()
+    try:
+        feed("b2", [(100, "zz yy xx ww vv", t(15, 0))])
+        q.processAllAvailable()
+        feed("b3", [(101, "qq rr ss tt uu", t(15, 10))])
+        q.processAllAvailable()
+        feed("b4", [(2, base + " tail", t(15, 30))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out_dir).collect()
+    assert rows == [], [tuple(r) for r in rows]
