@@ -157,6 +157,10 @@ SLOPE_QUERIES = (
     # but stays far under the broadcast bar -> expected linear scan-
     # dominated slope with the sf0.1 point being mostly stage floor
     "q101_decontam_k_sweep",
+    # q56 (r15 reshape): map-side JVM gram-hash build + Arrow probe, no
+    # shuffle/state -> expected linear in corpus bytes (rows-only query;
+    # the slope times fn+count like the bench does)
+    "q56_stream_decontaminate",
     # r15 unfreeze entries. q177: one user-key shuffle, window + group
     # work key-bounded (disjoint-user replicas) -> linear
     "q177_ttl_session_dedup",
