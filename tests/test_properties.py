@@ -952,3 +952,83 @@ def test_batch_ttl_session_dedup_matches_python_reference(spark, events):
                 seen.add(m)
                 want.append((k, m, es))
     assert got == sorted(want)
+
+
+# --------------------------------------------------------------------------
+# near-dup gate update fn: arbitrary bucket feeds == sequential reference
+# (r15) — covers empty shingle sets, replays, any batch split, same-batch
+# ordering; the Spark-level parity test can't sweep these shapes
+# --------------------------------------------------------------------------
+@SET
+@given(
+    st.lists(  # docs: (id, shingle set) — ids may repeat (replays)
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.frozensets(st.integers(min_value=0, max_value=6), max_size=5),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),  # number of micro-batches
+)
+def test_neardup_gate_update_fn_matches_sequential_reference(docs, n_batches):
+    import pandas as pd
+
+    from franzoxide_spark.streaming.stateful import make_neardup_gate_update
+
+    threshold = 0.5
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fn = make_neardup_gate_update(threshold)
+    st_ = FakeState()
+    # split the doc sequence into contiguous micro-batches
+    per = max(1, len(docs) // n_batches)
+    batches = [docs[i:i + per] for i in range(0, len(docs), per)]
+    got = []
+    for b in batches:
+        pdf = pd.DataFrame(
+            {"doc_id": [d for d, _ in b], "sh": [sorted(s) for _, s in b]}
+        )
+        out = list(fn(("b",), iter([pdf]), st_))[0]
+        got.extend(tuple(r) for r in out.itertuples(index=False))
+
+    # sequential reference: within each batch docs resolve in id order;
+    # replayed ids are already residents; verdict = min-id resident with
+    # jaccard >= threshold at arrival time
+    residents: list[tuple[int, frozenset]] = []
+    known: set[int] = set()
+    want = []
+    for b in batches:
+        for doc_id, sh in sorted(b, key=lambda d: d[0]):
+            if doc_id in known:
+                continue
+            best = None
+            for pid, psh in residents:
+                union = len(sh | psh)
+                if not union:
+                    continue
+                j = round(len(sh & psh) / union, 6)
+                if j >= threshold and (best is None or pid < best[0]):
+                    best = (pid, j)
+            if best is not None:
+                want.append((doc_id, best[0], best[1]))
+            residents.append((doc_id, frozenset(sh)))
+            known.add(doc_id)
+    assert got == want
