@@ -1227,3 +1227,37 @@ def test_q179_dynamic_interval_join_stays_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_bucketed_events_make_ttl_dedup_exchange_free(spark, sf_dir):
+    """r15 events-family posture pin (examples/bucketed_events_demo.py):
+    events landed bucketed by the user key satisfy the TTL-session
+    dedup's window + group distribution, so the query's ONLY shuffle
+    disappears — the land-once/join-many trade the dedup family already
+    makes, now evidenced for the events family. Row-identical to the
+    plain path."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.streaming.stateful import batch_ttl_session_dedup
+    from franzoxide_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed_plan_test")
+    (
+        ev.withColumn("key", F.col("user_id").cast("string"))
+        .write.bucketBy(4, "key").sortBy("key", "ts")
+        .mode("overwrite").saveAsTable("ev_bucketed_plan_test")
+    )
+    try:
+        out_b = batch_ttl_session_dedup(
+            spark.table("ev_bucketed_plan_test"), "key", "event_type",
+            "ts", 3600,
+        )
+        plan = out_b._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        out_p = batch_ttl_session_dedup(ev, "user_id", "event_type",
+                                        "ts", 3600)
+        assert out_p.exceptAll(out_b).count() == 0
+        assert out_b.exceptAll(out_p).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_plan_test")
