@@ -35,8 +35,6 @@ import os
 import sys
 import time
 
-from pyspark.sql import functions as F
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from franzoxide_spark.session import get_spark  # noqa: E402
@@ -51,19 +49,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     ev = table(spark, sf_dir, "events")
-    # land once, bucketed by the (string) user key and in-bucket sorted
-    # by (key, ts) — the write is the amortized cost
+    # land once, bucketed by the raw user key and in-bucket sorted by
+    # (key, ts) — the write is the amortized cost. This is the
+    # operators/landing.py API the r16 registry routing will use
+    # (shared_events_relation adds the session/marker/adoption flow).
+    from franzoxide_spark.operators.landing import land_events_relation
+
     spark.sql("DROP TABLE IF EXISTS events_by_user")
     t0 = time.time()
-    (
-        ev.withColumn("key", F.col("user_id").cast("string"))
-        .write.bucketBy(n_buckets, "key")
-        .sortBy("key", "ts")
-        .mode("overwrite")
-        .saveAsTable("events_by_user")
+    evb = land_events_relation(
+        ev, "user_id", "ts", "events_by_user", n_buckets=n_buckets
     )
     landed_s = time.time() - t0
-    evb = spark.table("events_by_user")
 
     def run(label, df, key_col):
         out = batch_ttl_session_dedup(df, key_col, "event_type", "ts", 3600)
@@ -78,7 +75,7 @@ def main() -> None:
         return n_ex, n, out
 
     ex_p, n_p, out_p = run("plain", ev, "user_id")
-    ex_b, n_b, out_b = run("bucketed", evb, "key")
+    ex_b, n_b, out_b = run("bucketed", evb, "user_id")
     print(f"landing wrote {n_buckets} buckets in {landed_s:.2f}s (one-time)")
 
     assert ex_p >= 1, "plain path should shuffle on the user key"

@@ -522,9 +522,17 @@ def _adopt_landing(spark, name: str, marker: dict) -> DataFrame | None:
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
     )
+    # bucket/sort spec from the marker (r15: the landing machinery now
+    # serves more than the shingle relation); legacy markers predate the
+    # fields and are always the shingle landing's (g)/(g)
+    bucket_cols = marker.get("bucket_cols") or ["g"]
+    sort_cols = marker.get("sort_cols") or bucket_cols
+    bspec = ", ".join(f"`{c}`" for c in bucket_cols)
+    sspec = ", ".join(f"`{c}`" for c in sort_cols)
     spark.sql(
         f"CREATE TABLE `{name}` ({cols}) USING parquet "
-        f"CLUSTERED BY (g) SORTED BY (g) INTO {int(n_buckets)} BUCKETS "
+        f"CLUSTERED BY ({bspec}) SORTED BY ({sspec}) "
+        f"INTO {int(n_buckets)} BUCKETS "
         f"LOCATION '{path.toString()}'"
     )
     rel = spark.table(name)

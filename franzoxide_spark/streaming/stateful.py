@@ -350,9 +350,14 @@ def batch_ttl_session_dedup(
     user-key query in the suite."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("key").orderBy("es")
+    # partition the window and group on the RAW key column: the string
+    # cast is injective, so casting only in the output select yields the
+    # identical relation while letting a key-bucketed input (the r15
+    # events landing) satisfy the distribution — cast(key) would defeat
+    # the exchange elision the landing exists for (plan-asserted)
+    w = Window.partitionBy("__k").orderBy("es")
     keyed = events.filter(F.col(ts_col).isNotNull()).select(
-        F.col(key_col).cast("string").alias("key"),
+        F.col(key_col).alias("__k"),
         F.col(member_col).cast("string").alias("member"),
         F.unix_timestamp(F.col(ts_col)).alias("es"),
     )
@@ -366,9 +371,11 @@ def batch_ttl_session_dedup(
         ),
     )
     return (
-        sessioned.groupBy("key", "__session", "member")
+        sessioned.groupBy("__k", "__session", "member")
         .agg(F.min("es").alias("first_es"))
-        .select("key", "member", "first_es")
+        .select(
+            F.col("__k").cast("string").alias("key"), "member", "first_es"
+        )
     )
 
 

@@ -1205,7 +1205,9 @@ def test_q177_ttl_dedup_single_key_exchange_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q177_ttl_session_dedup")
     assert "Join" not in plan, plan
     assert plan.count("+- Exchange") == 1, plan
-    assert "hashpartitioning(key" in plan, plan
+    # the op partitions on the RAW key (r15: cast only in the output
+    # select, so a key-bucketed landing can elide this very exchange)
+    assert "hashpartitioning(__k" in plan, plan
 
 
 def test_q178_neardup_gate_no_cartesian(spark, sf_dir):
