@@ -2997,3 +2997,60 @@ def test_neardup_gate_ttl_eviction_survives_checkpoint_restart(
         q.stop()
     rows = spark.read.parquet(out_dir).collect()
     assert rows == [], [tuple(r) for r in rows]
+
+
+def test_interval_join_faces_consistent_under_dynamic_bound(spark):
+    """r15 extension of the cross-face tripwire: the same algebra must
+    hold when each left row carries its OWN bound (upper_col under the
+    constant cap) — inner == matched subsets, left_outer == full_outer
+    minus right orphans, and a row excluded by its own window (but
+    inside the cap) is unmatched on every face; a null window matches
+    nothing on every face."""
+    import datetime as dt
+
+    from franzoxide_spark.streaming.joins import interval_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        # u1: 15-min window (its 10-min purchase matches; its 50-min
+        # one is outside the window though inside the cap)
+        # u2: no purchases at all
+        # u4: 5-min window — the 59-min purchase is outside it
+        # u5: NULL window — matches nothing
+        [(t(0), 1, 900), (t(5), 2, 1800), (t(20), 4, 300),
+         (t(0), 5, None)],
+        "v_ts timestamp, user_id long, win_s long",
+    )
+    right = spark.createDataFrame(
+        [(t(10), 1), (t(50), 1), (t(59), 4), (t(6), 5)],
+        "p_ts timestamp, user_id long",
+    )
+    kw = dict(on="user_id", left_ts="v_ts", right_ts="p_ts",
+              upper="2 hours", upper_col="win_s")
+    faces = {
+        how: interval_join(left, right, how=how, **kw)
+        for how in ("inner", "left_outer", "full_outer")
+    }
+    key = lambda r: (r["user_id"], r["v_ts"] and r["v_ts"].minute,
+                     r["p_ts"] and r["p_ts"].minute)
+    nsafe = lambda t: tuple((v is None, v) for v in t)
+    inner = sorted(map(key, faces["inner"].collect()), key=nsafe)
+    lo = sorted(map(key, faces["left_outer"].collect()), key=nsafe)
+    fo = sorted(map(key, faces["full_outer"].collect()), key=nsafe)
+    assert inner == [(1, 0, 10)]  # only u1's in-window pair
+    matched_lo = [r for r in lo if r[2] is not None]
+    matched_fo = [r for r in fo if r[1] is not None and r[2] is not None]
+    assert inner == matched_lo == matched_fo
+    assert sorted(lo, key=nsafe) == sorted(
+        (r for r in fo if r[1] is not None), key=nsafe
+    )
+    right_orphans = [r for r in fo if r[1] is None]
+    assert len(fo) == len(lo) + len(right_orphans)
+    # u2 (no purchases), u4 (own window excludes), u5 (null window) are
+    # unmatched-left on every outer face
+    assert {r[0] for r in lo if r[2] is None} == {2, 4, 5}
+    # the dynamic exclusions surface as right orphans in full_outer:
+    # u1's 50-min and u4's 59-min purchases, u5's 6-min purchase
+    assert sorted(r for r in right_orphans) == [
+        (1, None, 50), (4, None, 59), (5, None, 6)
+    ]
