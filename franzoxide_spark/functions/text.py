@@ -97,8 +97,12 @@ def shingles(tokens_col: str, k: int = 3) -> Column:
 
 def gram_hashes(tokens_col: str, k: int = 3) -> Column:
     """Distinct 64-bit hashes of the k-token windows, WITHOUT building
-    the gram strings: ``xxhash64`` hashes the token-array slice directly
-    (seeded with k so the per-k hash spaces differ). Hash-for-string is
+    the gram strings: ``xxhash64`` hashes the token-array slice directly,
+    with the literal k folded in as an ADDITIONAL HASHED ARGUMENT so the
+    per-k hash spaces differ (xxhash64's seed itself is fixed at 42 —
+    Spark exposes no seed parameter; a cross-engine port must hash
+    (slice, k) as a two-argument xxhash64 call, not seed with k).
+    Hash-for-string is
     exact for counting because tokens are space-split (no token contains
     a space, so token-sequence <-> gram-string is a bijection) and 64-bit
     collisions are negligible at any test SF — the q67-documented 8-byte

@@ -36,6 +36,14 @@ from franzoxide_spark.functions.text import (  # noqa: F401 (hash60: split_assig
     tokens,
 )
 
+# Version tag of the eval-hash contract shared by eval_shingle_hashes and
+# decontaminate_stream. Bumped r15 when the basis moved from
+# xxhash64(gram STRING) to xxhash64(token-slice, k) — the two bases are
+# incompatible, and a stale persisted set probes EMPTILY (no error, zero
+# filtering). Persist this tag next to any saved hash set and refuse a
+# probe whose recorded tag differs (the _BLOOM_ENC pattern).
+EVAL_HASH_BASIS = "xxhash64(token-slice,k):v2"
+
 
 def _shingle_hashes(df: DataFrame, id_col: str, k: int) -> DataFrame:
     """(id, h) rows: one per distinct k-gram shingle per document (from a
@@ -98,10 +106,18 @@ def eval_shingle_hashes(
     is a tiny driver-side set (the batch path broadcasts the same
     relation instead of collecting it).
 
-    Since r15 the hash is ``gram_hashes`` (xxhash64 over the token-array
-    slice, seeded with k) — no gram string is ever built, the same
-    contract the q101 family keys on. Must stay in lockstep with
-    :func:`decontaminate_stream`'s probe side."""
+    .. warning:: **Hash basis changed in r15** (contract
+       ``EVAL_HASH_BASIS``): the hash is now ``gram_hashes`` — xxhash64
+       over the (token-array slice, k) arguments, no gram string ever
+       built — the same keys the q101 family joins on. It is
+       INCOMPATIBLE with the pre-r15 basis (xxhash64 of the gram
+       STRING): a hash set persisted or broadcast under the old basis
+       matches nothing in :func:`decontaminate_stream` — no error, zero
+       filtering. Persist ``EVAL_HASH_BASIS`` alongside any saved set
+       and refuse a probe whose recorded basis differs (the pattern
+       streaming/stateful.py's ``_BLOOM_ENC`` tag uses for Bloom state).
+       Must stay in lockstep with :func:`decontaminate_stream`'s probe
+       side, which shares the contract."""
     e = eval_docs.withColumn("__toks", tokens(text_col))
     return {
         r["h"]

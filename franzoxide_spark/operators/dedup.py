@@ -584,11 +584,39 @@ def shared_shingle_relation(
     live writer. Concurrent jobs over the same corpus should still use
     distinct warehouses or distinct ``source_key`` values.
     """
+    return _shared_landing(
+        df,
+        ident=(source_key, text_col, id_col, shingle_k, n_buckets),
+        name_prefix="shingle_rel_",
+        family="shingle",
+        land_fn=lambda d, name: land_shingle_relation(
+            d, text_col, id_col, name,
+            shingle_k=shingle_k, n_buckets=n_buckets,
+        ),
+        marker_extra={"n_buckets": n_buckets},
+    )
+
+
+def _shared_landing(
+    df: DataFrame,
+    *,
+    ident: tuple,
+    name_prefix: str,
+    family: str,
+    land_fn,
+    marker_extra: dict,
+) -> DataFrame:
+    """The session-cache / adopt / reclaim / mark flow every family
+    landing shares (r15 ADVICE: the events wrapper had duplicated it
+    verbatim — one copy so the hardened contract can't drift between
+    families). ``land_fn(df, table_name)`` performs the family-specific
+    bucketed write and returns the re-read relation; ``marker_extra``
+    is the family's layout payload for the completion marker (bucket
+    count, bucket/sort spec — what ``_adopt_landing`` replays)."""
     import hashlib
     import logging
 
     spark = df.sparkSession
-    ident = (source_key, text_col, id_col, shingle_k, n_buckets)
     key = (spark.sparkContext.applicationId,) + ident
     # evict entries from OTHER (stopped) sessions: they hold DataFrames
     # whose py4j proxies pin the dead session's objects for the process
@@ -597,7 +625,7 @@ def shared_shingle_relation(
     for cache in (_SESSION_LANDING_DFS, _SESSION_LANDINGS):
         for stale in [k for k in cache if k[0] != key[0]]:
             cache.pop(stale, None)
-    name = "shingle_rel_" + hashlib.md5(repr(ident).encode()).hexdigest()[:12]
+    name = name_prefix + hashlib.md5(repr(ident).encode()).hexdigest()[:12]
     if key in _SESSION_LANDINGS and spark.catalog.tableExists(name):
         _landing_event("session-reuse", name)
         cached = _SESSION_LANDING_DFS.get(key)
@@ -621,22 +649,19 @@ def shared_shingle_relation(
                 and marker["fingerprint"] != fp:
             relanded = True
             logging.getLogger(__name__).warning(
-                "shingle landing %s (written by %s) is stale — source "
+                "%s landing %s (written by %s) is stale — source "
                 "fingerprint changed; reclaiming and re-landing. Any "
                 "session still scanning those files will fail its scans.",
-                name, marker.get("app_id", "<unknown>"),
+                family, name, marker.get("app_id", "<unknown>"),
             )
     _clear_stale_table_location(spark, name)
-    rel = land_shingle_relation(
-        df, text_col, id_col, name,
-        shingle_k=shingle_k, n_buckets=n_buckets,
-    )
+    rel = land_fn(df, name)
     _mark_landing_complete(
         spark, name,
         {
             "fingerprint": fp,
             "schema": rel.schema.jsonValue(),
-            "n_buckets": n_buckets,
+            **marker_extra,
         },
     )
     _landing_event(

@@ -27,23 +27,9 @@ scope; this module lands the capability and its tests.
 
 from __future__ import annotations
 
-import hashlib
-import logging
-
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from franzoxide_spark.operators.dedup import (
-    _SESSION_LANDING_DFS,
-    _SESSION_LANDINGS,
-    _adopt_landing,
-    _clear_stale_table_location,
-    _landing_event,
-    _mark_landing_complete,
-    _plan_size_bytes,
-    _read_landing_marker,
-    _source_fingerprint,
-)
+from franzoxide_spark.operators.dedup import _shared_landing
 
 
 def land_events_relation(
@@ -99,59 +85,17 @@ def shared_events_relation(
     shared_shingle_relation contract, same machinery, same telemetry in
     LANDING_EVENTS). A changed corpus (fingerprint mismatch) reclaims
     and re-lands with a warning naming the previous writer."""
-    spark = events.sparkSession
-    ident = ("events", source_key, key_col, ts_col, n_buckets)
-    key = (spark.sparkContext.applicationId,) + ident
-    for cache in (_SESSION_LANDING_DFS, _SESSION_LANDINGS):
-        for stale in [k for k in cache if k[0] != key[0]]:
-            cache.pop(stale, None)
-    name = "events_rel_" + hashlib.md5(repr(ident).encode()).hexdigest()[:12]
-    if key in _SESSION_LANDINGS and spark.catalog.tableExists(name):
-        _landing_event("session-reuse", name)
-        cached = _SESSION_LANDING_DFS.get(key)
-        return cached if cached is not None else spark.table(name)
-    fp = _source_fingerprint(events)
-    relanded = False
-    if not spark.catalog.tableExists(name):
-        marker = _read_landing_marker(spark, name)
-        if marker and fp is not None and marker.get("fingerprint") == fp:
-            adopted = _adopt_landing(spark, name, marker)
-            if adopted is not None:
-                _landing_event(
-                    "adopted", name,
-                    stat_bytes=_plan_size_bytes(adopted),
-                    writer=marker.get("app_id"),
-                )
-                _SESSION_LANDINGS[key] = name
-                _SESSION_LANDING_DFS[key] = adopted
-                return adopted
-        if marker is not None and fp and marker.get("fingerprint") \
-                and marker["fingerprint"] != fp:
-            relanded = True
-            logging.getLogger(__name__).warning(
-                "events landing %s (written by %s) is stale — source "
-                "fingerprint changed; reclaiming and re-landing. Any "
-                "session still scanning those files will fail its scans.",
-                name, marker.get("app_id", "<unknown>"),
-            )
-    _clear_stale_table_location(spark, name)
-    rel = land_events_relation(
-        events, key_col, ts_col, name, n_buckets=n_buckets,
-    )
-    _mark_landing_complete(
-        spark, name,
-        {
-            "fingerprint": fp,
-            "schema": rel.schema.jsonValue(),
+    return _shared_landing(
+        events,
+        ident=("events", source_key, key_col, ts_col, n_buckets),
+        name_prefix="events_rel_",
+        family="events",
+        land_fn=lambda d, name: land_events_relation(
+            d, key_col, ts_col, name, n_buckets=n_buckets,
+        ),
+        marker_extra={
             "n_buckets": n_buckets,
             "bucket_cols": [key_col],
             "sort_cols": [key_col, ts_col],
         },
     )
-    _landing_event(
-        "re-landed" if relanded else "written", name,
-        stat_bytes=_plan_size_bytes(rel),
-    )
-    _SESSION_LANDINGS[key] = name
-    _SESSION_LANDING_DFS[key] = rel
-    return rel

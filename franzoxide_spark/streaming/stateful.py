@@ -273,7 +273,11 @@ def make_dedup_ttl_update(ttl_s: int):
                 # so a poison row can't crash-loop on replay)
                 if pd.isna(es):
                     continue
-                rows.append((int(es), m))
+                # normalize pandas nulls (None/NaN/pd.NA) to None: null
+                # members are LEGAL (the batch face emits null-member
+                # groups), but a raw NaN would alias float('nan') != None
+                # in the seen set and break the sort key below
+                rows.append((int(es), None if pd.isna(m) else m))
         rows.sort(key=lambda r: r[0])
         out: list[tuple[str, str, int]] = []
         for es, m in rows:
@@ -284,7 +288,14 @@ def make_dedup_ttl_update(ttl_s: int):
                 seen.add(m)
                 out.append((key[0], m, es))
         if last is not None:
-            state.update((sorted(seen), last))
+            # null-safe sort: the seen set may contain None (null members
+            # dedup like any other — batch-face parity), and Python's
+            # default sort raises TypeError on None-vs-str, which would
+            # fail the micro-batch and crash-loop on replay (r15 ADVICE;
+            # the same poison-row rule _bloom_positions enforces)
+            state.update(
+                (sorted(seen, key=lambda m: (m is None, m)), last)
+            )
             state.setTimeoutTimestamp(
                 max((last + ttl_s) * 1000, state.getCurrentWatermarkMs() + 1)
             )

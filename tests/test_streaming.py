@@ -2525,6 +2525,55 @@ def test_dedup_ttl_update_fn_timeout_and_null_es():
     assert len(out2) == 0 and st.removed
 
 
+def test_dedup_ttl_update_fn_null_member_poison():
+    """r15 ADVICE (medium): a NULL member must neither crash the sort in
+    state.update (None-vs-str TypeError -> micro-batch fails -> replay
+    crash-loop) nor be silently dropped — the batch face
+    (batch_ttl_session_dedup / q177) emits null-member groups, so the
+    streaming face dedups and emits them too."""
+    import pandas as pd
+
+    from franzoxide_spark.streaming.stateful import make_dedup_ttl_update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fn = make_dedup_ttl_update(ttl_s=3600)
+    st = FakeState()
+    # batch 1: string member then a null member (pandas None) — the
+    # state set now mixes None with str; sorted() on it must not raise
+    out1 = list(fn(("k",), iter([pd.DataFrame(
+        {"es": pd.array([100, 150], dtype="Int64"),
+         "member": ["a", None]}
+    )]), st))[0]
+    assert [tuple(r) for r in out1.itertuples(index=False)] == [
+        ("k", "a", 100), ("k", None, 150)]
+    assert st.get == ([None, "a"], 150) or st.get == (["a", None], 150)
+    # batch 2: replayed null (deduped against state) + NaN-encoded null
+    # (normalized to the SAME None member) + a fresh string
+    out2 = list(fn(("k",), iter([pd.DataFrame(
+        {"es": pd.array([200, 210, 220], dtype="Int64"),
+         "member": [None, float("nan"), "b"]}
+    )]), st))[0]
+    assert [tuple(r) for r in out2.itertuples(index=False)] == [
+        ("k", "b", 220)]
+
+
 def test_streaming_neardup_gate_matches_batch_verdicts(spark, sf_dir, tmp_path):
     """r15 unfreeze #1b: for id-ordered arrival the streaming gate's
     flag rows (min dup_of per doc across buckets) equal the batch face's
