@@ -269,10 +269,36 @@ _FUNNEL_STAGES = ("view", "click", "purchase")
 _TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def _events_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared user-key-bucketed events landing for the events
+    family (r16 plan item #1, the r11 shingle-landing move on the second
+    family): every user-keyed registry query (funnel q71, cohorts q73,
+    sessions q74/q149, rolling features q89, transitions q98, WAU q102,
+    convert-latency q105, burstiness q110, TTL dedup q177) routes its
+    events scan through ONE landing per (session, corpus) — bucketed by
+    the raw user key, in-bucket sorted (user_id, ts) — so the family's
+    shared plan shape loses its only super-scan term, the user-key
+    exchange (plan-asserted in tests/test_plans.py; landed-vs-ad-hoc row
+    identity pinned per query in tests/test_oracle_queries.py). The
+    landing write amortizes across the family exactly as the 100 TB
+    posture argues. ``SPARK_GRAFT_EVENTS_LANDING=0`` opts out (returns
+    the plain parquet scan) — the measurement lever for the A/Bs."""
+    import os as _os
+
+    ev = table(spark, sf_dir, "events")
+    if _os.environ.get("SPARK_GRAFT_EVENTS_LANDING", "1") == "0":
+        return ev
+    from franzoxide_spark.operators.landing import shared_events_relation
+
+    return shared_events_relation(
+        ev, "user_id", "ts", source_key=f"{sf_dir}/events",
+    )
+
+
 def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.funnel import funnel
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     out = funnel(ev, "user_id", "event_type", "ts", _FUNNEL_STAGES)
     return out.select(
         "user_id",
@@ -335,7 +361,7 @@ register("q72_cms_heavy_hitters", q72, _q72_sql())
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    ev = _events_rel(spark, sf_dir).select("user_id", "ts")
     w = Window.partitionBy("user_id")
     wk = F.date_trunc("week", F.col("ts"))
     with_cohort = ev.select(
@@ -389,7 +415,7 @@ _Q74_GAP_MIN = 30
 def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.timeseries import with_session_index
 
-    ev = table(spark, sf_dir, "events").select(
+    ev = _events_rel(spark, sf_dir).select(
         "user_id", "ts", "event_id", "event_type"
     )
     sess = with_session_index(
@@ -852,7 +878,7 @@ register("q88_edit_distance_neardup", q88, _q88_sql())
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.timeseries import rolling_time_features
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     return rolling_time_features(ev, "event_id", "user_id", "ts", "value")
 
 
@@ -1022,7 +1048,7 @@ register("q97_numeric_histogram", q97, _q97_sql())
 def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").cast("long"), "event_id"
     )
@@ -1075,7 +1101,7 @@ register("q98_event_transitions", q98, _Q98_SQL)
 #        activity in range simply don't emit (the gap-fill is q79's job).
 # --------------------------------------------------------------------------
 def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     user_days = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("__d")
     ).distinct()
@@ -1125,7 +1151,7 @@ register("q102_rolling_wau", q102, _Q102_SQL)
 def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.funnel import funnel
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     f = funnel(ev, "user_id", "event_type", "ts", _FUNNEL_STAGES)
     # ONE aggregation over ONE funnel execution: per transition the
     # diff is null for non-converters, and count/percentile ignore
@@ -1257,7 +1283,7 @@ register("q109_quantile_binning", q109, _Q109_SQL)
 def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     wo = Window.partitionBy("user_id").orderBy(
         F.col("ts").cast("long"), "event_id"
     )
@@ -1911,7 +1937,7 @@ register("q145_ab_welch_report", q145, _q145_sql())
 def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.timeseries import with_session_index
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    ev = _events_rel(spark, sf_dir).select("user_id", "ts", "event_id")
     sess = with_session_index(
         ev, "user_id", "ts", "event_id", gap_s=_Q74_GAP_MIN * 60
     )
@@ -2718,7 +2744,7 @@ register("q176_interval_join_full_reconcile", q176, _q176_sql())
 def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.streaming.stateful import batch_ttl_session_dedup
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     return batch_ttl_session_dedup(ev, "user_id", "event_type", "ts", 3600)
 
 

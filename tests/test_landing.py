@@ -119,3 +119,37 @@ def test_land_events_relation_layout_and_neutrality(spark, sf_dir):
         assert len(files) == 4, files
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_layout_test")
+
+
+# --------------------------------------------------------------------------
+# r16 registry routing: landed-vs-ad-hoc row identity, pinned per query
+# --------------------------------------------------------------------------
+import pytest
+
+from franzoxide_spark.queries import QUERIES, load_all
+
+
+def _routed_names():
+    load_all()
+    from tests.test_plans import EVENTS_FAMILY_ROUTED
+
+    return EVENTS_FAMILY_ROUTED
+
+
+@pytest.mark.parametrize("name", _routed_names())
+def test_events_family_landed_path_is_row_identical(
+    name, spark, sf_dir, monkeypatch
+):
+    """The landing is a physical-plan change only: every routed
+    events-family query returns the exact same rows through the bucketed
+    landing (default) as through the plain parquet scan
+    (SPARK_GRAFT_EVENTS_LANDING=0) — the per-query identity pin the r16
+    routing's done-criterion names."""
+    load_all()
+    monkeypatch.setenv("SPARK_GRAFT_EVENTS_LANDING", "0")
+    plain = QUERIES[name](spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_EVENTS_LANDING", "1")
+    landed = QUERIES[name](spark, sf_dir)
+    assert landed.columns == plain.columns, name
+    assert landed.exceptAll(plain).count() == 0, name
+    assert plain.exceptAll(landed).count() == 0, name

@@ -136,16 +136,66 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
-def test_q73_q74_events_family_is_single_user_shuffle_no_joins(spark, sf_dir):
-    # funnel/cohort/session: everything after the one user-key exchange is
-    # co-partitioned windows + aggregation; a join or second data shuffle
-    # would break the measured 2.1-2.6x slope at 10x events
+# The ten user-keyed events-family registry entries routed through the
+# bucketed events landing (r16 plan item #1; queries/corpus.py:_events_rel)
+EVENTS_FAMILY_ROUTED = (
+    "q71_funnel_stages",
+    "q73_retention_cohorts",
+    "q74_session_sequences",
+    "q89_rolling_time_features",
+    "q98_event_transitions",
+    "q102_rolling_wau",
+    "q105_funnel_latency",
+    "q110_interarrival_burstiness",
+    "q149_session_concurrency",
+    "q177_ttl_session_dedup",
+)
+
+
+def test_events_family_routed_plans_have_zero_user_key_exchanges(
+    spark, sf_dir, monkeypatch
+):
+    # r16 routing done-criterion: with the events landing on (the
+    # default), every routed query's plan has NO exchange keyed on the
+    # user key — the bucketed scan's hashpartitioning(user_id) satisfies
+    # every window/group clustering the family needs (windows partition
+    # on the raw key; group keys are supersets of it). Exchanges on
+    # OTHER keys (cohort week, transition cell, hour, window end) are
+    # the family's bounded-key finals and are allowed — but none of
+    # them may carry user_id either (partial aggregation on the
+    # bucketed partitioning absorbs the distinct-user phases).
+    monkeypatch.setenv("SPARK_GRAFT_EVENTS_LANDING", "1")
+    for name in EVENTS_FAMILY_ROUTED:
+        plan = _plan(spark, sf_dir, name)
+        bad = [
+            ln for ln in plan.splitlines()
+            if "hashpartitioning(" in ln and "user_id" in ln
+        ]
+        assert not bad, f"{name}: user-key exchange survived:\n" + "\n".join(bad)
+
+
+def test_q73_q74_events_family_ad_hoc_is_single_user_shuffle_no_joins(
+    spark, sf_dir, monkeypatch
+):
+    # the SPARK_GRAFT_EVENTS_LANDING=0 opt-out (the A/B measurement
+    # lever) must still produce the pre-landing shape: everything after
+    # the one user-key exchange is co-partitioned windows + aggregation;
+    # a join or second data shuffle would break the measured 2.1-2.6x
+    # slope at 10x events. This also guards that the env lever works —
+    # if routing ignored it, the window exchange would be gone and the
+    # lower bound here would bite.
+    monkeypatch.setenv("SPARK_GRAFT_EVENTS_LANDING", "0")
     for name in ("q73_retention_cohorts", "q74_session_sequences"):
         plan = _plan(spark, sf_dir, name)
         assert "Join" not in plan, name
         # formatted mode prints exchanges as "Arguments: hashpartitioning(…)"
         n_exchanges = plan.count("hashpartitioning(")
         assert 1 <= n_exchanges <= 2, f"{name}: {n_exchanges} exchanges"
+        user_key = [
+            ln for ln in plan.splitlines()
+            if "hashpartitioning(" in ln and "user_id" in ln
+        ]
+        assert user_key, f"{name}: ad-hoc path lost its user-key exchange"
 
 
 def test_q76_mixture_sampling_never_shuffles_the_corpus(spark, sf_dir):
