@@ -80,7 +80,12 @@ PER_QUERY_NOTES = {
         "wall at 10x data, 8.39x at 30x — strongly sub-linear. An "
         "over_bar appearance is the decontam-family stage floor (~0.19 "
         "s/scan of a 600 KB file + AQE constants) around a ~1.6-2.0x "
-        "resting ratio, not a plan regression"
+        "resting ratio, not a plan regression. In-suite FIRST samples "
+        "(3.2 s in the r15 artifact vs 1.5 s settled) are scan-cache "
+        "first-touch cost; per-query timings and suite_ratio are built "
+        "from min-of-N, which excludes them — closed as no-op per the "
+        "r15 verdict item #3 (no warm-up change needed; same pattern "
+        "on q67)"
     ),
     "q139_pagerank_topk": (
         "iterative floor at sf0.1: 3 power iterations x (broadcast-join "
@@ -138,6 +143,28 @@ PER_QUERY_NOTES = {
         "the session-shared shingle landing paid by the first family "
         "member in the run"
     ),
+    "q35b_ngram_jaccard_prefix": (
+        "landed prefix-filter path (see q119 note) with the size-driven "
+        "checkpoint branch. r16 isolated min-of-5 at sf0.1: 2.42 s "
+        "(samples 12.3 first-touch / 4.0 / 2.56 / 2.42 / 2.51) — "
+        "matching the r14 in-suite 2.30 s, so the r15 in-suite 3.68 s "
+        "was host-window drift (both suite sides moved ~14% that "
+        "round), not a code regression; the q139 re-measure pattern, "
+        "closed per r15 verdict item #2. Still beats the ~4.6 s oracle "
+        "outright"
+    ),
+    "q102_rolling_wau": (
+        "alphabetically-first member of the events family routed "
+        "through the session-shared user-key-bucketed events landing "
+        "(r16; BASELINE.md 'Events family routed'): ITS run 1 pays the "
+        "per-session landing setup (~3.9 s write at sf0.1, or marker "
+        "ADOPTION of a previous session's landing) — min-of-N reports "
+        "the amortized path, and the rest of the family (q71/q73/q74/"
+        "q89/q98/q105/q110/q149/q177) reuses it. Family A/B at sf0.1: "
+        "best-sum 4.93 -> 3.52 s (-29%) with zero user-key exchanges "
+        "plan-asserted; SPARK_GRAFT_EVENTS_LANDING=0 is the ad-hoc "
+        "lever"
+    ),
     "q48_python_udtf_shingles": (
         "API-coverage entry: the row-at-a-time Python UDTF cost IS the "
         "operator under test (lateral-join UDTF surface — eval() per "
@@ -150,16 +177,6 @@ PER_QUERY_NOTES = {
         "over_bar appearance is the documented UDTF protocol floor, "
         "not a plan regression — rewriting it Arrow-side would delete "
         "the API the query exists to exercise"
-    ),
-    "q101_decontam_k_sweep": (
-        "decontam-family floor at sf0.1 (BASELINE.md 'q101 shape A/B' + "
-        "'q101 tokenize-once'): three A/B'd shapes across r8; the per-k "
-        "loop over checkpointed token arrays won (1.63 -> 1.32 s; the "
-        "single-pass (k,gram) rewrite measured 2.31 s and is the "
-        "documented handoff when input stops fitting cache). Resting "
-        "ratio ~1.5-2.3x against a 0.55-0.85 s oracle — an over_bar "
-        "appearance is host noise around that floor, not a plan "
-        "regression"
     ),
     "q62_dsir_importance": (
         "floor at sf0.1: the 1024-bucket distribution builds map-side "
@@ -227,7 +244,9 @@ PER_QUERY_NOTES = {
         "across three decades (BASELINE.md r12 slope: 0.65/0.72/0.56 s "
         "same-session min-of-2 at sf0.1/10x/30x) — the wall is Spark "
         "job/codegen floor, not data; the ratio vs a ~0.33 s oracle is "
-        "the resting position, not a plan regression"
+        "the resting position, not a plan regression. In-suite first "
+        "samples (3.7 s r15 vs 1.6 s settled) are scan-cache "
+        "first-touch, excluded by the min — see the q101 note"
     ),
     "q137_bm25_topk": (
         "posting-list build is the only corpus-sized pass (round-7 "
