@@ -249,16 +249,24 @@ PER_QUERY_NOTES = {
         "first-touch, excluded by the min — see the q101 note"
     ),
     "q137_bm25_topk": (
-        "posting-list build is the only corpus-sized pass (round-7 "
-        "slope: 1.65x wall at 10x data, sub-linear); the ~3x resting "
-        "ratio vs a ~0.34 s oracle is scheduler/codegen floor around "
-        "a 1 s query, not a plan regression"
+        "r16: serves from the session-shared term-bucketed posting "
+        "LANDING with df baked in as index metadata (BASELINE.md "
+        "'Retrieval family'): the plan is a term-pruned bucketed index "
+        "scan (PushedFilters In(term,...), bucket-pruned) + one qterms "
+        "broadcast + the 1-row stats scan + candidate-bounded agg/"
+        "window — zero corpus-keyed exchanges, plan-asserted. A/B at "
+        "sf0.1 (loaded host, min-of-6): 1.40 ad-hoc -> 0.90 landed. "
+        "First retrieval query per session pays the landing write "
+        "(~2.5-5 s at sf0.1) or adopts a marked one; "
+        "SPARK_GRAFT_RETRIEVAL_LANDING=0 is the ad-hoc lever. Residual "
+        "vs a ~0.34 s oracle is multi-stage scheduler floor"
     ),
     "q157_hybrid_rrf": (
-        "fused single-pass posting retrieval (r10 A/B: fused beats "
-        "unfused at 10x; slope sf0.1 1.60 -> 10x 2.82 -> 30x 8.12 s, "
-        "sub-linear end-to-end); ~2.7x vs a ~0.47 s oracle is floor, "
-        "not a plan regression"
+        "r16: the two ranker arms collapsed into ONE fused aggregation "
+        "(both rank both orders over the same scored relation — "
+        "full-outer rank join gone) over the shared posting landing "
+        "(see q137). A/B at sf0.1 (loaded host, min-of-6): 1.35 ad-hoc "
+        "-> 0.96 landed. Residual vs a ~0.47 s oracle is floor"
     ),
     "q58_repetition_gate": (
         "gram stats projected once per stats struct (r7 rewrite "

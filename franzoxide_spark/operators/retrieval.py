@@ -43,6 +43,106 @@ from pyspark.sql import functions as F
 from franzoxide_spark.functions.text import sql_tokens, tokens
 
 
+def _posting_relation(
+    docs: DataFrame, id_col: str, text_col: str, *, pretokenized: bool = False
+) -> DataFrame:
+    """The (doc, term) posting relation both lexical rankers consume:
+    one row per (``id_col``, term) with the term frequency and the
+    document token length riding along (dl computed at scan time so no
+    separate doclen join exists). This is the ONE corpus-wide shuffle of
+    the retrieval family — the relation the landing persists.
+    ``pretokenized``: ``text_col`` already holds the token array."""
+    tok_expr = F.col(text_col) if pretokenized else tokens(text_col)
+    toks = docs.select(F.col(id_col), tok_expr.alias("__toks"))
+    return (
+        toks.select(
+            id_col, F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
+def land_posting_relation(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_table: str,
+    *,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write-once/join-many landing for the retrieval family (r16, the
+    r14/r15 verdict suggestion): persist the posting relation bucketed
+    AND in-bucket sorted on ``term`` — the key every downstream pass
+    joins or groups on — and return the re-read table. The broadcast
+    query-term join preserves the bucket partitioning, so the df
+    aggregation and the candidate build all run exchange-free; the only
+    exchanges left in a landed BM25/hybrid plan are candidate-bounded
+    (per-(query, doc) score combine + per-query top-k window), which
+    scale with touched posting lists, not corpus size. At 100 TB this
+    is the inverted-index build done once per corpus snapshot, with
+    every retrieval query after it serving from the index.
+
+    The landing also bakes in ``df`` (documents containing the term —
+    static index metadata, like any inverted index's): computed as a
+    window count AFTER the bucket repartition so it costs one in-bucket
+    sort at landing time and retires the per-query df pass entirely —
+    a landed BM25 plan touches the corpus zero extra times beyond the
+    (term-pruned) index scan and the 1-row stats scan."""
+    (
+        _posting_relation(docs, id_col, text_col)
+        # one file per bucket (the landing adoption's file census
+        # assumes): repartition on the bucket hash first
+        .repartition(n_buckets, "term")
+        # df per term: posting is unique per (id, term), so the row
+        # count per term IS the document frequency; the window runs on
+        # the already-term-partitioned write-side data (no exchange)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .write.mode(mode)
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(out_table)
+    )
+    return docs.sparkSession.table(out_table)
+
+
+def shared_posting_relation(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_key: str,
+    *,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Session-shared posting landing: first call per (session, corpus)
+    lands the bucketed posting table, later calls reuse it, and a fresh
+    session finding a marked fingerprint-matching landing ADOPTS it —
+    the shared_shingle_relation contract on the retrieval family (one
+    ``_shared_landing`` flow for all families, r15 ADVICE)."""
+    from franzoxide_spark.operators.dedup import _shared_landing
+
+    return _shared_landing(
+        docs,
+        # "pfdf1" versions the landed schema (postings + baked-in df):
+        # a schema change bumps the tag -> new table name, so a stale
+        # marker from the old contract can never be adopted into a
+        # query that expects the new columns
+        ident=("posting", "pfdf1", source_key, id_col, text_col, n_buckets),
+        name_prefix="posting_rel_",
+        family="posting",
+        land_fn=lambda d, name: land_posting_relation(
+            d, id_col, text_col, name, n_buckets=n_buckets,
+        ),
+        marker_extra={
+            "n_buckets": n_buckets,
+            "bucket_cols": ["term"],
+            "sort_cols": ["term"],
+        },
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -53,6 +153,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     pretokenized: bool = False,
+    posting_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
@@ -69,18 +170,26 @@ def bm25_topk(
     re-splitting every document (the q101 tokenize-once pattern; the
     q157 fusion measured ~2.3 s with two tokenize passes vs sharing one).
 
+    ``posting_rel`` (from :func:`shared_posting_relation`) replaces the
+    posting-list build entirely: a term-bucketed landed (id, term, tf,
+    dl) relation, turning the plan's one corpus-wide shuffle into a
+    pre-partitioned index scan. Row-identical by construction (the
+    landing persists exactly the relation built here); the corpus-stats
+    pass still reads ``docs`` because docs without postings (null text)
+    count toward n_docs.
+
     Returns ``(query_id, doc_id-named id_col, rk, bm25)``.
     """
     tok_expr = F.col(text_col) if pretokenized else tokens(text_col)
-    # Posting lists: dl computed at scan time rides through the explode,
-    # so the ONE wide exchange here is the (doc, term) combine.
-    toks = docs.select(
-        F.col(id_col),
-        tok_expr.alias("__toks"),
-    ).select(id_col, F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
-    )
+    if posting_rel is not None:
+        tf = posting_rel.select(id_col, "term", "tf", "dl", "df")
+    else:
+        # Posting lists: dl computed at scan time rides through the
+        # explode, so the ONE wide exchange here is the (doc, term)
+        # combine.
+        tf = _posting_relation(
+            docs, id_col, text_col, pretokenized=pretokenized
+        )
 
     # Corpus stats: one row, broadcast.
     # avgdl must skip NULL-text docs the way the SQL mirror's AVG
@@ -97,17 +206,23 @@ def bm25_topk(
     qterms = queries.select(
         "query_id", F.explode(tokens("query_text")).alias("term")
     ).distinct()
-    cand = tf.join(
-        F.broadcast(qterms.select("term").distinct()), "term", "inner"
-    )
-
-    # df over candidates == df over the corpus for query terms (every
-    # posting of those terms survived the join). Tiny; re-enters broadcast.
-    df_tbl = cand.groupBy("term").agg(F.count("*").alias("df"))
+    if posting_rel is not None:
+        # landed index: df is baked in, and the scoring join below
+        # restricts to query terms by itself — no distinct-term
+        # semi-join, no df pass, no extra broadcast-build jobs
+        cand = tf
+    else:
+        cand = tf.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "inner"
+        )
+        # df over candidates == df over the corpus for query terms
+        # (every posting of those terms survived the join). Tiny;
+        # re-enters broadcast.
+        df_tbl = cand.groupBy("term").agg(F.count("*").alias("df"))
+        cand = cand.join(F.broadcast(df_tbl), "term")
 
     scored = (
         cand.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df_tbl), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
@@ -315,6 +430,7 @@ def hybrid_rrf_topk(
     k1: float = 1.2,
     b: float = 0.75,
     rrf_k: int = 60,
+    posting_rel: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-``k`` fused with distinct-term-recall top-``k`` by
     reciprocal rank fusion — the two lexical rankers built from ONE
@@ -330,6 +446,10 @@ def hybrid_rrf_topk(
     downstream is bounded by the touched posting lists. Result is
     row-for-row identical to
     ``rrf_fuse(bm25_topk(...), term_recall_topk(...))``.
+
+    ``posting_rel`` (from :func:`shared_posting_relation`) replaces the
+    shared posting build with the term-bucketed landed relation — see
+    bm25_topk; the fused plan then has NO corpus-keyed exchange at all.
     """
     # The stats pass re-tokenizes, deliberately: A/B'd a
     # localCheckpoint(eager=False) on the token arrays and it measured
@@ -349,26 +469,34 @@ def hybrid_rrf_topk(
         ).alias("avgdl"),
     )
     posting = (
-        toks.select(
-            id_col, F.size("__toks").alias("dl"),
-            F.explode("__toks").alias("term"),
-        )
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        posting_rel.select(id_col, "term", "tf", "dl", "df")
+        if posting_rel is not None
+        else _posting_relation(docs, id_col, text_col)
     )
     qterms = queries.select(
         "query_id", F.explode(tokens("query_text")).alias("term")
     ).distinct()
+    if posting_rel is None:
+        # df from the distinct-term candidate relation — tiny, broadcast
+        # back; the posting-build exchange is identical in both branches
+        # so Spark's exchange reuse computes it once. (The landed index
+        # bakes df in as a column — land_posting_relation.)
+        candt = posting.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+        df_tbl = candt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        posting = posting.join(F.broadcast(df_tbl), "term")
     # the ONE corpus-bounded join: postings of query terms only
     cand = posting.join(F.broadcast(qterms), "term")
 
-    # BM25 arm (identical math/rounding/tiebreak to bm25_topk)
-    df_tbl = cand.select(id_col, "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
-    bm_scored = (
-        cand.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(stats))
+    # Both rankers aggregate the SAME (query, doc) key set over the same
+    # candidate rows (cand is one row per (query, doc, term), so its row
+    # count per (query, doc) IS the distinct-term hit count) — ONE fused
+    # aggregation yields both scores (r16: the two-arm shape + full-outer
+    # rank join collapsed into one pass), identical math/rounding/
+    # tiebreaks to bm25_topk / term_recall_topk / rrf_fuse.
+    scored = (
+        cand.crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
             F.log(
@@ -386,29 +514,41 @@ def hybrid_rrf_topk(
             ),
         )
         .groupBy("query_id", id_col)
-        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .agg(
+            F.round(F.sum("part"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
     )
+    # rank in both orders over the one scored relation: each doc is in a
+    # ranker's top-k iff its row_number there is <= k — exactly the
+    # full-outer union of the two top-k lists rrf_fuse consumed, with
+    # the same (desc score, asc id) tiebreaks; absent-from-one-list
+    # contributes 0 exactly as rrf_fuse's coalesce did
     w_bm = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
-    rank_a = (
-        bm_scored.withColumn("rk", F.row_number().over(w_bm))
-        .filter(F.col("rk") <= k)
-        .select("query_id", id_col, "rk")
+    w_tr = Window.partitionBy("query_id").orderBy(F.desc("n_hit"), F.asc(id_col))
+    fused = (
+        scored.withColumn("__ra", F.row_number().over(w_bm))
+        .withColumn("__rb", F.row_number().over(w_tr))
+        .filter((F.col("__ra") <= k) | (F.col("__rb") <= k))
+        .withColumn(
+            "rrf",
+            F.round(
+                F.when(
+                    F.col("__ra") <= k, 1.0 / (rrf_k + F.col("__ra"))
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("__rb") <= k, 1.0 / (rrf_k + F.col("__rb"))
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
     )
-
-    # term-recall arm: cand is one row per (query, doc, term), so the
-    # row count per (query, doc) is the distinct-term hit count
-    hits = cand.groupBy("query_id", id_col).agg(
-        F.count(F.lit(1)).alias("n_hit")
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("rk", F.row_number().over(w_f))
+        .filter(F.col("rk") <= n)
+        .select("query_id", id_col, "rrf", F.col("rk").cast("int").alias("rk"))
     )
-    w_tr = Window.partitionBy("query_id").orderBy(
-        F.desc("n_hit"), F.asc(id_col)
-    )
-    rank_b = (
-        hits.withColumn("rk", F.row_number().over(w_tr))
-        .filter(F.col("rk") <= k)
-        .select("query_id", id_col, "rk")
-    )
-    return rrf_fuse(rank_a, rank_b, id_col, k=rrf_k, n=n)
 
 
 def term_recall_topk(

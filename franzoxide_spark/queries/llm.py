@@ -1752,6 +1752,34 @@ _Q137_QUERIES = [
 ]
 
 
+def _docs_posting_rel(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Session-shared term-bucketed posting landing for the retrieval
+    family (r16, the r14/r15 verdict suggestion): q137 and q157 route
+    their inverted-index build through ONE landed (doc, term, tf, dl)
+    relation per (session, corpus), so the family's only corpus-wide
+    shuffle is paid once and every retrieval query serves from the
+    index — the shingle/events landing trade on the third family.
+    ``SPARK_GRAFT_RETRIEVAL_LANDING=0`` opts out (returns None -> the
+    operators' ad-hoc posting build), the A/B measurement lever."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_RETRIEVAL_LANDING", "1") == "0":
+        return None
+    from franzoxide_spark.operators.retrieval import shared_posting_relation
+
+    rel = shared_posting_relation(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        source_key=f"{sf_dir}/documents",
+    )
+    # The query terms are plan-time literals here, so push them into the
+    # landed scan as an isin filter: the bucketed+term-sorted layout
+    # turns it into row-group/dictionary pruning — a true index lookup
+    # (semantics-preserving: the operators' broadcast query-term join
+    # keeps only these terms anyway)
+    terms = sorted({t for _, qt in _Q137_QUERIES for t in qt.split(" ")})
+    return rel.filter(F.col("term").isin(terms))
+
+
 def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.retrieval import bm25_topk
 
@@ -1759,7 +1787,10 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(
         _Q137_QUERIES, "query_id int, query_text string"
     )
-    return bm25_topk(docs, queries, "doc_id", "text", k=10)
+    return bm25_topk(
+        docs, queries, "doc_id", "text", k=10,
+        posting_rel=_docs_posting_rel(spark, sf_dir),
+    )
 
 
 def _q137_sql() -> str:
@@ -2063,7 +2094,10 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(
         _Q137_QUERIES, "query_id int, query_text string"
     )
-    return hybrid_rrf_topk(docs, queries, "doc_id", "text", k=20, n=10)
+    return hybrid_rrf_topk(
+        docs, queries, "doc_id", "text", k=20, n=10,
+        posting_rel=_docs_posting_rel(spark, sf_dir),
+    )
 
 
 def _q157_sql() -> str:

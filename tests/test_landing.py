@@ -153,3 +153,23 @@ def test_events_family_landed_path_is_row_identical(
     assert landed.columns == plain.columns, name
     assert landed.exceptAll(plain).count() == 0, name
     assert plain.exceptAll(landed).count() == 0, name
+
+
+_RETRIEVAL_ROUTED = ("q137_bm25_topk", "q157_hybrid_rrf")
+
+
+@pytest.mark.parametrize("name", _RETRIEVAL_ROUTED)
+def test_retrieval_landed_path_is_row_identical(
+    name, spark, sf_dir, monkeypatch
+):
+    """r16 retrieval landing (verdict item #4): q137/q157 through the
+    term-bucketed posting landing (df baked in) return exactly the rows
+    of the ad-hoc posting build."""
+    load_all()
+    monkeypatch.setenv("SPARK_GRAFT_RETRIEVAL_LANDING", "0")
+    plain = QUERIES[name](spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_RETRIEVAL_LANDING", "1")
+    landed = QUERIES[name](spark, sf_dir)
+    assert landed.columns == plain.columns, name
+    assert landed.exceptAll(plain).count() == 0, name
+    assert plain.exceptAll(landed).count() == 0, name

@@ -1313,3 +1313,44 @@ def test_bucketed_events_make_ttl_dedup_exchange_free(spark, sf_dir):
         assert out_b.exceptAll(out_p).count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_plan_test")
+
+
+def test_retrieval_landed_plans_serve_from_the_index(
+    spark, sf_dir, monkeypatch
+):
+    # r16 posting landing: with the landing on (default), q137/q157 have
+    # NO exchange keyed on the posting build's keys — the corpus-wide
+    # (doc, term) combine happened at landing time and df is baked into
+    # the index, so the only exchanges left are candidate-bounded
+    # (per-(query, doc) score combine + per-query top-k windows)
+    monkeypatch.setenv("SPARK_GRAFT_RETRIEVAL_LANDING", "1")
+    for name in ("q137_bm25_topk", "q157_hybrid_rrf"):
+        plan = _plan(spark, sf_dir, name)
+        # the posting-build exchange is keyed (doc_id, term); the tiny
+        # query-side distinct also carries a column NAMED term, so the
+        # corpus-keyed signature is both keys together
+        bad = [
+            ln for ln in plan.splitlines()
+            if "hashpartitioning(" in ln and "term" in ln
+            and "doc_id" in ln
+        ]
+        assert not bad, f"{name}: posting-keyed exchange survived:\n" + \
+            "\n".join(bad)
+        # the index scan is term-pruned: the literal query terms reach
+        # the parquet scan as pushed filters
+        assert "PushedFilters: [" in plan and "In(term" in plan.replace(
+            "term#", "term"), name
+
+
+def test_retrieval_ad_hoc_keeps_the_posting_shuffle(
+    spark, sf_dir, monkeypatch
+):
+    # the opt-out lever works: ad-hoc builds the (doc, term) posting
+    # combine in-plan — one corpus-keyed exchange present
+    monkeypatch.setenv("SPARK_GRAFT_RETRIEVAL_LANDING", "0")
+    plan = _plan(spark, sf_dir, "q137_bm25_topk")
+    posting_ex = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning(" in ln and "term" in ln and "doc_id" in ln
+    ]
+    assert posting_ex, "ad-hoc path lost its posting build exchange"
