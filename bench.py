@@ -153,6 +153,19 @@ PER_QUERY_NOTES = {
         "closed per r15 verdict item #2. Still beats the ~4.6 s oracle "
         "outright"
     ),
+    "q56_stream_decontaminate": (
+        "r16: the r15 'Arrow transfer wall' was a PARALLELISM wall — "
+        "the fixture corpus is one parquet file = one input split, so "
+        "the whole probe chain ran single-threaded; the batch face now "
+        "fans the scan out (repartition + lazy localCheckpoint as the "
+        "pushdown barrier) and the session memoizes the static eval "
+        "hash set: 1.51 -> 0.69 s at sf0.1, same 4221 kept docs. The "
+        "verdict-suggested JVM Bloom pre-filter was built, measured, "
+        "and defaulted OFF: Spark HOF lambdas evaluate interpreted, so "
+        "the per-hash bitmap test costs more than the transfer it "
+        "avoids (A/B in BASELINE.md r16 'q56'); it stays available "
+        "(bloom_k=) with result-identity pinned in tests"
+    ),
     "q102_rolling_wau": (
         "alphabetically-first member of the events family routed "
         "through the session-shared user-key-bucketed events landing "

@@ -134,6 +134,8 @@ def decontaminate_stream(
     eval_hashes: set[int],
     text_col: str = "text",
     k: int = 4,
+    bloom_k: int = 0,
+    bloom_bits: int | None = None,
 ) -> DataFrame:
     """Streaming-legal decontamination: drop rows sharing any k-gram with
     the precollected ``eval_hashes`` (from :func:`eval_shingle_hashes`).
@@ -151,19 +153,63 @@ def decontaminate_stream(
     for eval suites past a few hundred thousand shingles, broadcast once
     instead of shipping the set in every task closure.
 
-    r15 cost notes (sf0.1, warm best-of-4): the wall is the ARROW
-    TRANSFER of the per-doc hash arrays (~1.1 s of the ~1.5 s total —
-    measured with an identity UDF), which is the price of the per-row
-    probe design point itself; the JVM hash build is 0.48 s on
-    ``gram_hashes`` token-slice hashing (no gram strings — the q101
-    trade) and the numpy searchsorted probe is noise. When the transfer
-    is too much at scale, the layered answer is q165's relational Bloom
-    pre-filter: probe map-side in the JVM and ship only bloom-positive
-    rows to the exact Arrow probe.
+    ``bloom_k > 0`` (opt-in) layers a JVM-side Bloom pre-filter in front
+    of the exact probe: the eval set is driver-local here by
+    construction, so a ``bloom_bits``-wide bitmap is built in numpy once
+    and probed per gram hash with pure shift/mask expressions —
+    ``bloom_k`` disjoint ``log2(bloom_bits)``-bit SLICES of the 64-bit
+    hash index the bitmap (the q72 disjoint-digest-slices trick: no
+    multiplies, so no overflow semantics to match across engines; the
+    same slice arithmetic runs in numpy on the build side). Only
+    bloom-POSITIVE hashes survive into ``__cand`` and cross Arrow, and
+    the exact searchsorted probe resolves the bitmap's false positives,
+    so the kept-doc set is IDENTICAL either way (no false negatives:
+    every eval hash set its own bits; pinned in tests).
+
+    **Why the default is OFF** (r16 A/B at sf0.1, equal parallelism,
+    warm min-of-4): Spark evaluates higher-order-function lambdas
+    INTERPRETED per element, so the per-hash bitmap test costs more CPU
+    than the Arrow transfer it avoids — 0.67 s bloom-off vs 1.51 s at
+    bloom_k=1 / 1.9 s at bloom_k=3 on the 32-way shape. The r15 "Arrow
+    transfer wall" (1.1 s of a 1.5 s single-task pass) was a
+    PARALLELISM wall: the fixture corpus is one parquet file = one
+    input split, and fanning the scan out (q56's batch face) removed it
+    outright. Opt in only where Python-side bandwidth — not CPU — is
+    the binding constraint (e.g. a remote-python cluster boundary); at
+    scale the corpus arrives in many splits and the transfer
+    parallelizes the same way. The relational q165 Bloom stays the
+    at-scale JOIN-side pre-filter.
     """
     import numpy as np
 
     cache: dict = {}  # per-worker: eval set as a SORTED int64 array
+
+    ev_local = (
+        eval_hashes.value if hasattr(eval_hashes, "value") else eval_hashes
+    )
+    n_ev = len(ev_local)
+    if bloom_bits is None:
+        # ~16 bits/key at k=3 probes -> fpp ~0.4%; capped at 2^20 bits
+        # (a 16k-word array literal) so the plan stays small, floored at
+        # 2^17 so tiny eval suites still spread their bits
+        bloom_bits = 1 << max(17, min(20, (16 * max(n_ev, 1) - 1).bit_length()))
+    if bloom_bits & (bloom_bits - 1):
+        raise ValueError(f"bloom_bits must be a power of two: {bloom_bits}")
+    p = bloom_bits.bit_length() - 1
+    if n_ev and bloom_k > 0:
+        arr = np.fromiter(ev_local, dtype=np.int64, count=n_ev)
+        u = arr.view(np.uint64)
+        words = np.zeros(bloom_bits >> 6, dtype=np.uint64)
+        for i in range(bloom_k):
+            pos = (u >> np.uint64(i * p)) & np.uint64(bloom_bits - 1)
+            np.bitwise_or.at(
+                words,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        bloom_words = [int(w) for w in words.view(np.int64)]
+    else:
+        bloom_words = None  # nothing to match: skip the pre-filter
 
     @F.pandas_udf("boolean")
     def _clean(hs: pd.Series) -> pd.Series:
@@ -209,7 +255,34 @@ def decontaminate_stream(
         .withColumn("__hs", gram_hashes("__toks", k))
         .drop("__toks")
     )
-    return with_hashes.filter(_clean(F.col("__hs"))).drop("__hs")
+    if bloom_words is not None:
+        wcol = F.lit(bloom_words)  # one array<bigint> literal in the plan
+
+        def _bloom_maybe(h):
+            cond = None
+            for i in range(bloom_k):
+                base = F.shiftrightunsigned(h, i * p) if i else h
+                pos = base.bitwiseAND(F.lit(bloom_bits - 1))
+                word = F.element_at(
+                    wcol, F.shiftrightunsigned(pos, 6).cast("int") + 1
+                )
+                mask = F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    pos.bitwiseAND(F.lit(63)).cast("int"),
+                )
+                c = word.bitwiseAND(mask) != 0
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        with_hashes = with_hashes.withColumn(
+            "__cand", F.filter("__hs", _bloom_maybe)
+        )
+    else:
+        with_hashes = with_hashes.withColumn("__cand", F.col("__hs"))
+    return (
+        with_hashes.filter(_clean(F.col("__cand"))).drop("__hs", "__cand")
+    )
 
 
 def compression_ratio_gate(

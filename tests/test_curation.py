@@ -99,6 +99,32 @@ class TestDecontaminateStream:
         bc_ids = {r["doc_id"] for r in decontaminate_stream(pool, bc, k=4).select("doc_id").collect()}
         assert bc_ids == join_ids
 
+    def test_bloom_prefilter_opt_in_is_result_identical(self, spark, sf_dir):
+        """r16: the opt-in JVM Bloom pre-filter (bloom_k > 0) only
+        narrows what crosses Arrow — the exact probe resolves its false
+        positives and the bitmap (built FROM the eval set) can have no
+        false negatives, so the kept set is identical at every bloom_k,
+        including a deliberately tiny bitmap (high-fpp stress) and the
+        broadcast-set calling convention."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        pool = docs.filter(F.col("doc_id") % 97 != 0)
+        ev_hs = eval_shingle_hashes(ev, k=4)
+        base = {r["doc_id"] for r in decontaminate_stream(
+            pool, ev_hs, k=4).select("doc_id").collect()}
+        for kwargs in (
+            {"bloom_k": 1},
+            {"bloom_k": 3},
+            {"bloom_k": 3, "bloom_bits": 1 << 10},  # fpp-stress bitmap
+        ):
+            got = {r["doc_id"] for r in decontaminate_stream(
+                pool, ev_hs, k=4, **kwargs).select("doc_id").collect()}
+            assert got == base, kwargs
+        bc = spark.sparkContext.broadcast(ev_hs)
+        got_bc = {r["doc_id"] for r in decontaminate_stream(
+            pool, bc, k=4, bloom_k=3).select("doc_id").collect()}
+        assert got_bc == base
+
     def test_works_on_a_streaming_source(self, spark, sf_dir, tmp_path):
         """Curation at ingest time: decontam + split on readStream, result
         identical to the batch pipeline (the join-based batch path is a
