@@ -628,7 +628,7 @@ register("q78_table_profile", q78, _q78_sql())
 def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.timeseries import gap_fill_hourly
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     return gap_fill_hourly(ev, "user_id", "ts", "value")
 
 
@@ -901,7 +901,7 @@ register("q89_rolling_time_features", q89, _q89_sql())
 def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.skew import join_skew_report
 
-    return join_skew_report(table(spark, sf_dir, "events"), "user_id")
+    return join_skew_report(_events_rel(spark, sf_dir), "user_id")
 
 
 def _q90_sql() -> str:
@@ -1413,7 +1413,7 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.functions.numeric import dec
     from franzoxide_spark.streaming.joins import interval_join
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("v_ts")
     )
@@ -1751,7 +1751,7 @@ register("q132_type_inference", q132, _q132_sql())
 def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.basket import frequent_pairs
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     return frequent_pairs(ev, "user_id", "event_type", min_support=0.05)
 
 
@@ -1777,7 +1777,7 @@ _Q143_LOOKBACK_S = 3600
 def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -2006,7 +2006,7 @@ _Q152_ALPHA = 0.3
 def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.functions.numeric import dec
 
-    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = _events_rel(spark, sf_dir).filter(F.col("value").isNotNull())
     daily = ev.groupBy(
         "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.round(F.sum(dec(F.col("value"))).cast("double"), 6).alias("v"))
@@ -2255,7 +2255,7 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.functions.numeric import dec
     from franzoxide_spark.streaming.joins import interval_join
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("v_ts")
     )
@@ -2364,7 +2364,7 @@ register("q164_zipf_fit", q164, _q164_sql())
 def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.stats import ab_srm_check
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     return ab_srm_check(ev, "user_id", "event_type")
 
 
@@ -2465,7 +2465,7 @@ register("q167_heaps_fit", q167, _q167_sql())
 def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.timeseries import kaplan_meier_retention
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     return kaplan_meier_retention(ev, "user_id", "ts")
 
 
@@ -2488,7 +2488,7 @@ register("q170_kaplan_meier_retention", q170, _q170_sql())
 def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.timeseries import holt_linear_trend
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     return holt_linear_trend(ev, "user_id", "ts", "value")
 
 
@@ -2666,7 +2666,7 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.functions.numeric import dec
     from franzoxide_spark.streaming.joins import interval_join
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("v_ts")
     )
@@ -2831,7 +2831,7 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.functions.numeric import dec
     from franzoxide_spark.streaming.joins import interval_join
 
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id",
         F.col("ts").alias("v_ts"),

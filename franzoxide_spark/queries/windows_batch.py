@@ -20,6 +20,16 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def _events_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events family's shared user-key-bucketed landing (r16) — the
+    canonical helper lives with the family's main cohort in
+    queries/corpus.py; imported lazily here to keep registration-order
+    imports acyclic."""
+    from franzoxide_spark.queries.corpus import _events_rel as _er
+
+    return _er(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Q25 — tumbling window aggregate (1 hour)
 # --------------------------------------------------------------------------
@@ -75,7 +85,7 @@ GROUP BY 1
 # Q27 — session windows (30-minute gap) per user
 # --------------------------------------------------------------------------
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(dec("value"), "sum_value"))
@@ -125,7 +135,7 @@ GROUP BY user_id, sess_id
 # Q28 — stateful dedup (batch equivalent of dropDuplicates on a key)
 # --------------------------------------------------------------------------
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     return (
         ev.select("user_id", "event_type", "ts")
         .dropDuplicates(["user_id", "event_type", "ts"])
@@ -188,7 +198,7 @@ _Q168_GAP = "CASE WHEN event_type = 'purchase' THEN 1800 ELSE 600 END"
 
 
 def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = _events_rel(spark, sf_dir)
     gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
         F.lit("10 minutes")
     )

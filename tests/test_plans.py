@@ -5,6 +5,8 @@ in so a refactor can't silently regress the plan shape."""
 
 from __future__ import annotations
 
+import os
+
 from franzoxide_spark.queries import QUERIES, load_all
 
 load_all()
@@ -149,6 +151,25 @@ EVENTS_FAMILY_ROUTED = (
     "q110_interarrival_burstiness",
     "q149_session_concurrency",
     "q177_ttl_session_dedup",
+    # r16 second wave: every remaining user-keyed events query — session
+    # windows, per-user dedup/folds, the interval-join family (both join
+    # sides read the SAME bucketed landing, so the SMJ co-locates), the
+    # skew report, and attribution
+    "q27_session_window",
+    "q28_dedup_keys",
+    "q168_dynamic_session_window",
+    "q79_gap_fill_ffill",
+    "q90_join_skew_report",
+    "q114_interval_join_attribution",
+    "q141_frequent_pairs",
+    "q143_purchase_attribution",
+    "q152_ewma_level",
+    "q163_interval_join_outer_conversion",
+    "q166_ab_srm_check",
+    "q170_kaplan_meier_retention",
+    "q171_holt_trend_forecast",
+    "q176_interval_join_full_reconcile",
+    "q179_dynamic_interval_join",
 )
 
 
@@ -273,13 +294,18 @@ def test_q85_mining_pool_streams_single_window_exchange(spark, sf_dir):
         assert "anchor_id" in ln, ln
 
 
-def test_q89_rolling_features_single_user_exchange(spark, sf_dir):
-    # all three trailing frames ride ONE hash exchange on the key; no
-    # range partitioning (that would be a global sort), no joins
+def test_q89_rolling_features_single_user_exchange(spark, sf_dir, monkeypatch):
+    # all three trailing frames ride ONE hash exchange on the key (ZERO
+    # when the r16 events landing provides the partitioning); no range
+    # partitioning (that would be a global sort), no joins
+    monkeypatch.setenv("SPARK_GRAFT_EVENTS_LANDING", "0")
     plan = _plan(spark, sf_dir, "q89_rolling_time_features")
     assert plan.count("hashpartitioning(") == 1, plan
     assert "rangepartitioning" not in plan
     assert "Join" not in plan
+    monkeypatch.setenv("SPARK_GRAFT_EVENTS_LANDING", "1")
+    plan = _plan(spark, sf_dir, "q89_rolling_time_features")
+    assert plan.count("hashpartitioning(") == 0, plan
 
 
 def test_q90_skew_report_counts_once_then_count_domain(spark, sf_dir):
@@ -339,9 +365,13 @@ def test_q108_estimate_equals_real_join_count(spark, sf_dir):
     assert est["join_rows"] == real
 
 
-def test_q105_funnel_executes_once(spark, sf_dir):
+def test_q105_funnel_executes_once(spark, sf_dir, monkeypatch):
     # all transitions aggregate over ONE funnel execution — a union of
-    # per-transition arms would re-scan and re-shuffle per transition
+    # per-transition arms would re-scan and re-shuffle per transition.
+    # Asserted on the ad-hoc shape (exactly one user exchange); the
+    # landed default has ZERO (covered by the routed-family sweep), and
+    # a re-scan-per-transition regression would surface there as >0.
+    monkeypatch.setenv("SPARK_GRAFT_EVENTS_LANDING", "0")
     plan = _plan(spark, sf_dir, "q105_funnel_latency")
     user_exchanges = [
         ln for ln in plan.splitlines() if "hashpartitioning(user_id" in ln
@@ -1251,13 +1281,27 @@ def test_q177_ttl_dedup_single_key_exchange_no_join(spark, sf_dir):
     """r15 unfreeze #1a plan shape: the batch TTL-session dedup is ONE
     user-key exchange feeding window + group work — no join, no second
     shuffle of the events table (the lag/running-sum and the session
-    group-by reuse the same key partitioning)."""
+    group-by reuse the same key partitioning). Since the r16 routing
+    the default reads the key-bucketed landing and has ZERO exchanges;
+    the ad-hoc lever shows the single raw-key exchange the landing
+    elides."""
+    import pytest as _pytest
+
+    if os.environ.get("SPARK_GRAFT_EVENTS_LANDING", "1") == "0":
+        _pytest.skip("events landing disabled via env")
     plan = _plan(spark, sf_dir, "q177_ttl_session_dedup")
     assert "Join" not in plan, plan
-    assert plan.count("+- Exchange") == 1, plan
-    # the op partitions on the RAW key (r15: cast only in the output
-    # select, so a key-bucketed landing can elide this very exchange)
-    assert "hashpartitioning(__k" in plan, plan
+    assert plan.count("+- Exchange") == 0, plan
+    os.environ["SPARK_GRAFT_EVENTS_LANDING"] = "0"
+    try:
+        plan = _plan(spark, sf_dir, "q177_ttl_session_dedup")
+        assert "Join" not in plan, plan
+        assert plan.count("+- Exchange") == 1, plan
+        # the op partitions on the RAW key (r15: cast only in the output
+        # select — exactly what lets the landing elide this exchange)
+        assert "hashpartitioning(__k" in plan, plan
+    finally:
+        os.environ["SPARK_GRAFT_EVENTS_LANDING"] = "1"
 
 
 def test_q178_neardup_gate_no_cartesian(spark, sf_dir):
