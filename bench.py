@@ -263,10 +263,11 @@ PER_QUERY_NOTES = {
     ),
     "q137_bm25_topk": (
         "r16: serves from the session-shared term-bucketed posting "
-        "LANDING with df baked in as index metadata (BASELINE.md "
+        "LANDING with df AND the corpus stats (n_docs/avgdl) baked in "
+        "as index metadata (BASELINE.md "
         "'Retrieval family'): the plan is a term-pruned bucketed index "
-        "scan (PushedFilters In(term,...), bucket-pruned) + one qterms "
-        "broadcast + the 1-row stats scan + candidate-bounded agg/"
+        "scan (PushedFilters In(term,...), bucket-pruned) + ONE qterms "
+        "broadcast + candidate-bounded agg/"
         "window — zero corpus-keyed exchanges, plan-asserted. A/B at "
         "sf0.1 (loaded host, min-of-6): 1.40 ad-hoc -> 0.90 landed. "
         "First retrieval query per session pays the landing write "

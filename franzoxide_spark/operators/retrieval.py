@@ -85,12 +85,28 @@ def land_posting_relation(
     is the inverted-index build done once per corpus snapshot, with
     every retrieval query after it serving from the index.
 
-    The landing also bakes in ``df`` (documents containing the term —
-    static index metadata, like any inverted index's): computed as a
-    window count AFTER the bucket repartition so it costs one in-bucket
-    sort at landing time and retires the per-query df pass entirely —
-    a landed BM25 plan touches the corpus zero extra times beyond the
-    (term-pruned) index scan and the 1-row stats scan."""
+    The landing also bakes in the STATIC index metadata every ranker
+    needs, so a landed plan touches the corpus zero extra times beyond
+    the (term-pruned) index scan:
+
+    - ``df`` (documents containing the term): a window count AFTER the
+      bucket repartition — one in-bucket sort at landing time, no
+      per-query df pass;
+    - ``n_docs`` / ``avgdl`` (corpus size incl. docless rows, average
+      token length): one 1-row aggregate at landing time, stored as
+      constant columns — parquet RLE makes them free, and reading them
+      off the row retires the per-query stats scan AND its
+      broadcast-build job."""
+    stats = docs.select(
+        F.count("*").alias("n_docs"),
+        # NULL-text docs skipped, matching the SQL mirror's AVG (legacy
+        # size(NULL) is -1 with ANSI off — the bm25_topk r13 review)
+        F.avg(
+            F.when(
+                tokens(text_col).isNotNull(), F.size(tokens(text_col))
+            )
+        ).alias("avgdl"),
+    )
     (
         _posting_relation(docs, id_col, text_col)
         # one file per bucket (the landing adoption's file census
@@ -100,6 +116,7 @@ def land_posting_relation(
         # count per term IS the document frequency; the window runs on
         # the already-term-partitioned write-side data (no exchange)
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(stats))
         .write.mode(mode)
         .bucketBy(n_buckets, "term")
         .sortBy("term")
@@ -125,11 +142,11 @@ def shared_posting_relation(
 
     return _shared_landing(
         docs,
-        # "pfdf1" versions the landed schema (postings + baked-in df):
-        # a schema change bumps the tag -> new table name, so a stale
-        # marker from the old contract can never be adopted into a
-        # query that expects the new columns
-        ident=("posting", "pfdf1", source_key, id_col, text_col, n_buckets),
+        # "pfdf2" versions the landed schema (postings + baked-in df +
+        # baked-in corpus stats): a schema change bumps the tag -> new
+        # table name, so a stale marker from an old contract can never
+        # be adopted into a query that expects the new columns
+        ident=("posting", "pfdf2", source_key, id_col, text_col, n_buckets),
         name_prefix="posting_rel_",
         family="posting",
         land_fn=lambda d, name: land_posting_relation(
@@ -182,7 +199,9 @@ def bm25_topk(
     """
     tok_expr = F.col(text_col) if pretokenized else tokens(text_col)
     if posting_rel is not None:
-        tf = posting_rel.select(id_col, "term", "tf", "dl", "df")
+        tf = posting_rel.select(
+            id_col, "term", "tf", "dl", "df", "n_docs", "avgdl"
+        )
     else:
         # Posting lists: dl computed at scan time rides through the
         # explode, so the ONE wide exchange here is the (doc, term)
@@ -191,15 +210,20 @@ def bm25_topk(
             docs, id_col, text_col, pretokenized=pretokenized
         )
 
-    # Corpus stats: one row, broadcast.
+    # Corpus stats: one row, broadcast. (The landed index bakes these in
+    # as constant columns — land_posting_relation — so the landed plan
+    # skips both the stats scan and its broadcast-build job.)
     # avgdl must skip NULL-text docs the way the SQL mirror's AVG
     # skips NULLs: with ANSI off Spark's legacy size(NULL) is -1, which
     # would silently pollute the average (r13 review) — gate on the
     # token array being non-null so both engines average the same rows
-    stats = docs.select(
-        F.count("*").alias("n_docs"),
-        F.avg(F.when(tok_expr.isNotNull(), F.size(tok_expr))).alias("avgdl"),
-    )
+    if posting_rel is None:
+        stats = docs.select(
+            F.count("*").alias("n_docs"),
+            F.avg(
+                F.when(tok_expr.isNotNull(), F.size(tok_expr))
+            ).alias("avgdl"),
+        )
 
     # Distinct query terms, broadcast into the posting list — everything
     # after this join is bounded by the touched posting lists.
@@ -221,10 +245,11 @@ def bm25_topk(
         df_tbl = cand.groupBy("term").agg(F.count("*").alias("df"))
         cand = cand.join(F.broadcast(df_tbl), "term")
 
+    scored = cand.join(F.broadcast(qterms), "term")
+    if posting_rel is None:
+        scored = scored.crossJoin(F.broadcast(stats))
     scored = (
-        cand.join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
+        scored.withColumn(
             "idf",
             F.log(
                 F.lit(1.0)
@@ -451,28 +476,32 @@ def hybrid_rrf_topk(
     shared posting build with the term-bucketed landed relation — see
     bm25_topk; the fused plan then has NO corpus-keyed exchange at all.
     """
-    # The stats pass re-tokenizes, deliberately: A/B'd a
-    # localCheckpoint(eager=False) on the token arrays and it measured
-    # flat (1.62 s vs 1.60 s at sf0.1) — the materialization costs what
-    # the saved split earns, and at corpus scale a 1-row map-side-combined
-    # agg pass is far cheaper than materializing every token array.
-    toks = docs.select(
-        F.col(id_col),
-        tokens(text_col).alias("__toks"),
-    )
-    stats = toks.select(
-        F.count("*").alias("n_docs"),
-        # NULL-text docs skipped, matching the SQL mirror's AVG (legacy
-        # size(NULL) is -1 with ANSI off — see bm25_topk, r13 review)
-        F.avg(
-            F.when(F.col("__toks").isNotNull(), F.size("__toks"))
-        ).alias("avgdl"),
-    )
-    posting = (
-        posting_rel.select(id_col, "term", "tf", "dl", "df")
-        if posting_rel is not None
-        else _posting_relation(docs, id_col, text_col)
-    )
+    if posting_rel is not None:
+        # landed index: postings, df, AND the corpus stats all baked in
+        # (land_posting_relation) — the whole plan serves from the index
+        posting = posting_rel.select(
+            id_col, "term", "tf", "dl", "df", "n_docs", "avgdl"
+        )
+    else:
+        # The stats pass re-tokenizes, deliberately: A/B'd a
+        # localCheckpoint(eager=False) on the token arrays and it
+        # measured flat (1.62 s vs 1.60 s at sf0.1) — the
+        # materialization costs what the saved split earns, and at
+        # corpus scale a 1-row map-side-combined agg pass is far
+        # cheaper than materializing every token array.
+        toks = docs.select(
+            F.col(id_col),
+            tokens(text_col).alias("__toks"),
+        )
+        stats = toks.select(
+            F.count("*").alias("n_docs"),
+            # NULL-text docs skipped, matching the SQL mirror's AVG
+            # (legacy size(NULL) is -1 with ANSI off — see bm25_topk)
+            F.avg(
+                F.when(F.col("__toks").isNotNull(), F.size("__toks"))
+            ).alias("avgdl"),
+        )
+        posting = _posting_relation(docs, id_col, text_col)
     qterms = queries.select(
         "query_id", F.explode(tokens("query_text")).alias("term")
     ).distinct()
@@ -495,8 +524,10 @@ def hybrid_rrf_topk(
     # aggregation yields both scores (r16: the two-arm shape + full-outer
     # rank join collapsed into one pass), identical math/rounding/
     # tiebreaks to bm25_topk / term_recall_topk / rrf_fuse.
+    if posting_rel is None:
+        cand = cand.crossJoin(F.broadcast(stats))
     scored = (
-        cand.crossJoin(F.broadcast(stats))
+        cand
         .withColumn(
             "idf",
             F.log(

@@ -134,18 +134,30 @@ def test_mmr_lambda_one_is_relevance_order(spark):
     assert got == [0, 1, 2, 3]
 
 
-def test_bm25_plan_is_inverted_index_shaped(spark, sf_dir):
-    """Query terms / df / stats all enter broadcast; the only sort-merge
-    machinery allowed is none — candidates are joined hash-side — and no
-    nested-loop join over the corpus exists."""
+def test_bm25_plan_is_inverted_index_shaped(spark, sf_dir, monkeypatch):
+    """Ad-hoc path: query terms / df / stats all enter broadcast. Landed
+    path (r16): df and stats are BAKED INTO the index, so exactly one
+    broadcast (the query terms) remains. Either way no sort-merge
+    machinery and no nested-loop join over the corpus."""
     from franzoxide_spark.queries import QUERIES, load_all
 
     load_all()
-    df = QUERIES["q137_bm25_topk"](spark, sf_dir)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+
+    def _plan_for(env):
+        monkeypatch.setenv("SPARK_GRAFT_RETRIEVAL_LANDING", env)
+        df = QUERIES["q137_bm25_topk"](spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted")
+        )
+
+    plan = _plan_for("0")
     assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    plan = _plan_for("1")
+    # formatted mode prints each node twice (tree + details): one join
+    assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
