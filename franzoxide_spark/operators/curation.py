@@ -193,8 +193,12 @@ def decontaminate_stream(
         # (a 16k-word array literal) so the plan stays small, floored at
         # 2^17 so tiny eval suites still spread their bits
         bloom_bits = 1 << max(17, min(20, (16 * max(n_ev, 1) - 1).bit_length()))
-    if bloom_bits & (bloom_bits - 1):
-        raise ValueError(f"bloom_bits must be a power of two: {bloom_bits}")
+    if bloom_bits < 64 or bloom_bits & (bloom_bits - 1):
+        # < 64 also catches 0, which would slip the power-of-two test
+        # (0 & -1 == 0) and corrupt the slice width below
+        raise ValueError(
+            f"bloom_bits must be a power of two >= 64: {bloom_bits}"
+        )
     p = bloom_bits.bit_length() - 1
     if n_ev and bloom_k > 0:
         arr = np.fromiter(ev_local, dtype=np.int64, count=n_ev)

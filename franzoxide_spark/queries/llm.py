@@ -1760,7 +1760,15 @@ def _docs_posting_rel(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     shuffle is paid once and every retrieval query serves from the
     index — the shingle/events landing trade on the third family.
     ``SPARK_GRAFT_RETRIEVAL_LANDING=0`` opts out (returns None -> the
-    operators' ad-hoc posting build), the A/B measurement lever."""
+    operators' ad-hoc posting build), the A/B measurement lever.
+
+    The returned relation is PRE-FILTERED to ``_Q137_QUERIES``'s terms
+    (they are plan-time literals here, so the isin pushes into the
+    bucketed scan as row-group/dictionary/bucket pruning — a true index
+    lookup). A caller with a different query set must filter for its
+    own terms (or not at all) on an UNfiltered
+    ``shared_posting_relation`` — this helper is bound to the
+    registry's fixed query set by design."""
     import os as _os
 
     if _os.environ.get("SPARK_GRAFT_RETRIEVAL_LANDING", "1") == "0":
