@@ -173,3 +173,63 @@ def test_retrieval_landed_path_is_row_identical(
     assert landed.columns == plain.columns, name
     assert landed.exceptAll(plain).count() == 0, name
     assert plain.exceptAll(landed).count() == 0, name
+
+
+def test_shared_posting_relation_lands_once_with_index_metadata(
+    spark, sf_dir,
+):
+    """Third family on _shared_landing (r16): first call writes the
+    term-bucketed posting table with df AND corpus stats baked in,
+    second call session-reuses; the marker carries the term bucket/sort
+    spec (what adoption replays) and the baked columns equal what the
+    ad-hoc build + stats pass would compute."""
+    import pyspark.sql.functions as F
+
+    from franzoxide_spark.operators.dedup import (
+        LANDING_EVENTS,
+        _LANDING_MARKER,
+    )
+    from franzoxide_spark.operators.retrieval import shared_posting_relation
+    from franzoxide_spark.functions.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    key = f"{sf_dir}/documents#posting_land_once"
+    name = "posting_rel_" + hashlib.md5(
+        repr(("posting", "pfdf2", key, "doc_id", "text", 4)).encode()
+    ).hexdigest()[:12]
+    try:
+        n0 = len(LANDING_EVENTS)
+        rel1 = shared_posting_relation(docs, "doc_id", "text", key,
+                                       n_buckets=4)
+        rel2 = shared_posting_relation(docs, "doc_id", "text", key,
+                                       n_buckets=4)
+        decisions = [e["decision"] for e in LANDING_EVENTS[n0:]
+                     if e["table"] == name]
+        assert decisions == ["written", "session-reuse"], decisions
+        assert set(rel1.columns) == {
+            "doc_id", "term", "tf", "dl", "df", "n_docs", "avgdl"}
+        # marker records the term bucket/sort layout for adoption
+        wh = str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix(
+            "file:")
+        with open(os.path.join(wh, name, _LANDING_MARKER)) as fh:
+            marker = json.load(fh)
+        assert marker["bucket_cols"] == ["term"]
+        assert marker["sort_cols"] == ["term"]
+        # baked df: rows per term == document frequency
+        bad_df = (
+            rel1.groupBy("term", "df").agg(F.count("*").alias("n"))
+            .filter(F.col("n") != F.col("df")).count()
+        )
+        assert bad_df == 0
+        # baked stats equal the live stats pass (constant on every row)
+        live = docs.select(
+            F.count("*").alias("n_docs"),
+            F.avg(F.when(tokens("text").isNotNull(),
+                         F.size(tokens("text")))).alias("avgdl"),
+        ).first()
+        baked = rel2.select("n_docs", "avgdl").distinct().collect()
+        assert len(baked) == 1
+        assert baked[0]["n_docs"] == live["n_docs"]
+        assert abs(baked[0]["avgdl"] - live["avgdl"]) < 1e-9
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
