@@ -23,14 +23,14 @@ from franzoxide_spark.operators.corpus_stats import (
     tfidf_top_terms,
 )
 from franzoxide_spark.queries import register
-from franzoxide_spark.tables import table
+from franzoxide_spark.tables import fanned_table, table
 
 
 # --------------------------------------------------------------------------
 # Q60 — TF-IDF top terms per document
 # --------------------------------------------------------------------------
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
@@ -38,7 +38,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q61 — char-trigram LM quality score (CCNet-style perplexity proxy)
 # --------------------------------------------------------------------------
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     return char_trigram_lm(docs, "doc_id", "text")
 
 
@@ -46,7 +46,7 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q62 — DSIR hashed importance log-weights (target = English slice)
 # --------------------------------------------------------------------------
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     return dsir_logratio(
         docs, "doc_id", "text", target_pred=F.col("lang") == "en", n_buckets=1024
     )
@@ -68,7 +68,7 @@ _Q64_MAX_EPOCHS = 4.0
 def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     dom = docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("tokens"),
@@ -132,7 +132,7 @@ register("q64_mixture_weights", q64, _Q64_SQL)
 def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.chunking import chunk_documents
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", window=64, overlap=8).select(
         "doc_id", "chunk_idx", "chunk_text", "chunk_tokens"
     )
@@ -222,7 +222,7 @@ register("q67_crossdoc_span_coverage", q67, _q67_sql())
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.span_dedup import hashed_linear_score
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     return hashed_linear_score(spark, docs, "doc_id", "text", n_buckets=4096)
 
 
@@ -245,7 +245,7 @@ register("q68_hashed_linear_score", q68, _q68_sql())
 def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.corpus_stats import oov_rate
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     return oov_rate(docs, "doc_id", "text", vocab_size=16)
 
 
@@ -607,7 +607,10 @@ _Q78_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.profile import profile_numeric
 
-    return profile_numeric(table(spark, sf_dir, "lineitem"), _Q78_COLS)
+    # two whole-table agg passes (moments + exact countDistinct) over
+    # the single-split lineitem scan — fanned so both passes use the
+    # cores (identity at scale, where lineitem has real splits)
+    return profile_numeric(fanned_table(spark, sf_dir, "lineitem"), _Q78_COLS)
 
 
 def _q78_sql() -> str:
@@ -797,7 +800,7 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.drift import source_js_divergence
 
     return source_js_divergence(
-        table(spark, sf_dir, "documents"), "source", "text", v=500
+        fanned_table(spark, sf_dir, "documents"), "source", "text", v=500
     )
 
 
@@ -820,7 +823,7 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.corpus_stats import bigram_pmi_topk
 
     return bigram_pmi_topk(
-        table(spark, sf_dir, "documents"), "text", min_count=5, k=50
+        fanned_table(spark, sf_dir, "documents"), "text", min_count=5, k=50
     )
 
 
@@ -965,7 +968,9 @@ register("q92_centroid_outliers", q92, _q92_sql())
 def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.corpus_stats import vocab_encode
 
-    docs = table(spark, sf_dir, "documents")
+    # two full tokenize passes (vocab count + encode) over the 1-file
+    # fixture scan — fan out once per session (identity at scale)
+    docs = fanned_table(spark, sf_dir, "documents")
     enc = vocab_encode(docs, "doc_id", "text", vocab_size=1000, max_tokens=32)
     # Driver-facing export serializes the id array: oracle-checked
     # queries emit only scalar columns (the driver canonicalizer can't
@@ -1505,7 +1510,7 @@ register("q117_winsorize_report", q117, _q117_sql())
 def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.profile import json_key_profile
 
-    ev = table(spark, sf_dir, "events")
+    ev = fanned_table(spark, sf_dir, "events")
     j = F.concat(
         F.lit('{"id": '), F.col("event_id").cast("string"),
         F.lit(', "tag": "'), F.col("event_type"), F.lit('"'),
@@ -1708,7 +1713,10 @@ register("q129_completeness_monitor", q129, _q129_sql())
 def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.profile import infer_column_types
 
-    ev = table(spark, sf_dir, "events")
+    # try_cast ladder over five derived string columns of EVERY row —
+    # the classic single-task wall on the 1-file fixture (fanned_table
+    # is identity at scale, where the scan has natural splits)
+    ev = fanned_table(spark, sf_dir, "events")
     s = ev.select(
         F.when(F.col("event_id") % 7 == 0, F.lit("n/a"))
         .otherwise(F.col("user_id").cast("string"))
@@ -2081,7 +2089,7 @@ _Q155_PAIRS = [
 def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.profile import fd_report
 
-    return fd_report(table(spark, sf_dir, "part"), _Q155_PAIRS)
+    return fd_report(fanned_table(spark, sf_dir, "part"), _Q155_PAIRS)
 
 
 def _q155_sql() -> str:
@@ -2340,7 +2348,7 @@ register("q163_interval_join_outer_conversion", q163, _Q163_SQL)
 def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.corpus_stats import zipf_fit
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     return zipf_fit(docs, "text", "source", top_ranks=100)
 
 
@@ -2440,7 +2448,7 @@ register("q165_bloom_decontam_prefilter", q165, _q165_sql())
 def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.corpus_stats import heaps_fit
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     return heaps_fit(docs, "text", "source")
 
 

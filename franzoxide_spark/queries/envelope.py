@@ -16,7 +16,7 @@ from franzoxide_spark.functions.envelope import (
     time_partition_cols,
 )
 from franzoxide_spark.queries import register
-from franzoxide_spark.tables import table
+from franzoxide_spark.tables import fanned_table, table
 
 
 def kafka_records_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,7 +27,10 @@ def kafka_records_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - value: 'raw:{id}' when event_id%3==0 (base64 branch), else the JSON
       ``props`` (raw-JSON branch)
     """
-    ev = table(spark, sf_dir, "events")
+    # Full-relation string/base64 encode pass over every event row: the
+    # single-file fixture scan plans as ONE task, so serve it from the
+    # session-fanned relation (tables.fanned_table — identity at scale)
+    ev = fanned_table(spark, sf_dir, "events")
     key_s = F.when(F.col("event_id") % 5 == 0, F.lit("")).otherwise(
         F.concat(F.lit("user-"), F.col("user_id").cast("string"))
     )

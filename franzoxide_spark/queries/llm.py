@@ -40,7 +40,7 @@ from franzoxide_spark.operators.multimodal import (
 )
 from franzoxide_spark.operators.similarity import lsh_ann_topk, topk_cosine_exact
 from franzoxide_spark.queries import register
-from franzoxide_spark.tables import table
+from franzoxide_spark.tables import fanned_table, table
 
 # --------------------------------------------------------------------------
 # Q29 — exact dedup on text hash
@@ -93,7 +93,7 @@ def q31(spark: SparkSession, sf_dir: str, exact: bool = True) -> DataFrame:
     <= n/accuracy) — for a > p50 gate the difference is at most the
     boundary documents.
     """
-    docs = table(spark, sf_dir, "documents").withColumn(
+    docs = fanned_table(spark, sf_dir, "documents").withColumn(
         "n_tokens", F.size(tokens("text"))
     )
     median = (
@@ -405,7 +405,11 @@ WHERE rnk <= 5
 # Q38 — language-ID heuristic (stopword lexicon argmax)
 # --------------------------------------------------------------------------
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    # per-language n-gram scoring of every document (also the q96/q146/
+    # q156 front end) — fanned single-file fixture scan, identity at scale
+    docs = fanned_table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens("text")
+    )
     scored = docs.select(
         "doc_id",
         "lang",
@@ -444,11 +448,29 @@ FROM scored
 # --------------------------------------------------------------------------
 # Q39 — quality scoring (length / punctuation / stopword ratios)
 # --------------------------------------------------------------------------
-def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+def _pred_lang_expr(toks_col: str = "__toks"):
+    """Row-wise argmax language prediction — q38's pred as ONE nested
+    expression (no named s_<lg> intermediates), so a consumer can fuse
+    it into a single-pass projection (q156). Same scores, same greatest/
+    when-chain tiebreak as q38; ProjectExec's subexpression elimination
+    collapses the doubled score references."""
+    scores = [lang_score(toks_col, lg) for lg in LANG_ORDER]
+    m = F.greatest(*scores)
+    pred = F.when(scores[0] == m, LANG_ORDER[0])
+    for lg, s in zip(LANG_ORDER[1:], scores[1:]):
+        pred = pred.when(s == m, lg)
+    return pred
+
+
+def _quality_parts() -> dict:
+    """q39's row-wise quality features as reusable expressions (relation
+    must carry text, __toks, n_chars) — q39 renders them all, q156 fuses
+    just ``quality`` into its one-pass vote projection. One definition so
+    the two can't drift (the q156 oracle locks the shared math)."""
     n_tok = F.size("__toks").cast("double")
-    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)).cast("double")
-    n_upper = F.size(F.regexp_extract_all("text", F.lit("[A-Z]"), 0)).cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)
+    ).cast("double")
     stop_ratio = lang_score("__toks", "en").cast("double") / n_tok
     punct_ratio = n_punct / F.col("n_chars").cast("double")
     quality = F.round(
@@ -457,6 +479,26 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * F.least(n_tok / 100.0, F.lit(1.0)),
         6,
     )
+    return {
+        "n_tok": n_tok,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality": quality,
+    }
+
+
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # regex-heavy per-doc quality features (also the q156 front end) —
+    # fanned single-file fixture scan, identity at scale
+    docs = fanned_table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens("text")
+    )
+    parts = _quality_parts()
+    n_tok = parts["n_tok"]
+    n_upper = F.size(F.regexp_extract_all("text", F.lit("[A-Z]"), 0)).cast("double")
+    stop_ratio = parts["stop_ratio"]
+    punct_ratio = parts["punct_ratio"]
+    quality = parts["quality"]
     # Gopher-style repetition signal: fraction of tokens that repeat an
     # earlier token (1 - type/token ratio). High values flag boilerplate
     # and degenerate generations; pure per-row codegen, no shuffle.
@@ -509,7 +551,7 @@ FROM calc
 # Q40 — token counting (whitespace + BPE-ish regex), per language
 # --------------------------------------------------------------------------
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     st = docs.select(
         "lang",
         F.size(tokens("text")).alias("ws_tokens"),
@@ -544,7 +586,7 @@ FROM st GROUP BY lang
 # Q41 — rolling-hash document fingerprint
 # --------------------------------------------------------------------------
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         rolling_fingerprint("text").alias("fingerprint"),
@@ -664,7 +706,7 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic injection (every 7th doc gets a contact line) exercises
     both the match and no-match paths; both engines run the same RE2/Java-
     compatible pattern."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     injected = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(F.col("text"), F.lit(" contact: user"), F.col("doc_id"), F.lit("@example.com")),
@@ -714,7 +756,7 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     become the binding term at real corpus scale."""
     from franzoxide_spark.functions.text import shingles
 
-    docs = table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    docs = fanned_table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
     ex = docs.select(
         "doc_id", F.explode(shingles("__toks", k=3)).alias("g")
     )
@@ -898,7 +940,9 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_stats_from_grams,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # full-corpus gram-fold pass; single-file fixture scan -> fanned
+    # (tables.fanned_table — identity at scale)
+    docs = fanned_table(spark, sf_dir, "documents")
     # gram arrays projected ONCE per k — see ngram_rep_stats's docstring
     d = (
         docs.withColumn("__toks", tokens("text"))
@@ -1183,7 +1227,7 @@ register("q96_langid_confusion", q96, _Q96_SQL)
 def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    docs = fanned_table(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
     n_tok = F.size("__toks").cast("double")
     n_punct = F.size(
         F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)
@@ -1245,7 +1289,7 @@ register("q99_score_quantile_norm", q99, _Q99_SQL)
 #        source-bounded rollup; the corpus shuffles once.
 # --------------------------------------------------------------------------
 def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     per_sha = docs.groupBy(
         "source", F.sha2("text", 256).alias("__sha")
     ).agg(F.count("*").alias("__copies"))
@@ -1416,7 +1460,7 @@ _PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
 def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     injected = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(
@@ -1970,69 +2014,79 @@ register("q150_minhash_accuracy", q150, _Q150_SQL)
 #        bounded |LF| x aggregate output.
 # --------------------------------------------------------------------------
 def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pred = q38(spark, sf_dir).select("doc_id", "lang", "pred_lang")
-    qual = q39(spark, sf_dir).select("doc_id", "quality")
-    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    v1 = F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(-1)
-    v2 = (
-        F.when(F.col("quality") >= 0.5, 1)
-        .when(F.col("quality") < 0.35, -1)
-        .otherwise(0)
+    # Labeling functions (language agreement, quality band, length band)
+    # are all ROW-WISE features of the same document — so the vote table
+    # is ONE join-free projection over the shared fanned corpus scan
+    # (pre-r16 shape: three q38/q39 sub-plans re-run per metric arm with
+    # two doc_id joins each — 4 corpus passes + 8 joins; at 100 TB the
+    # difference is one pass vs four). The shared expression builders
+    # (_pred_lang_expr/_quality_parts) keep the math identical to
+    # q38/q39; the oracle runs the exact pre-r16 join shape in DuckDB,
+    # so any drift hash-fails.
+    docs = fanned_table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens("text")
     )
+    q = _quality_parts()["quality"]
+    v1 = F.when(_pred_lang_expr() == F.col("lang"), 1).otherwise(-1)
+    v2 = F.when(q >= 0.5, 1).when(q < 0.35, -1).otherwise(0)
     v3 = (
         F.when((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000), 1)
         .when(F.col("n_chars") < 50, -1)
         .otherwise(0)
     )
-    votes = (
-        pred.join(qual, "doc_id")
-        .join(docs, "doc_id")
-        .select(
-            v1.alias("lf_lang"),
-            v2.alias("lf_quality"),
-            v3.alias("lf_length"),
-        )
-        .withColumn(
-            "maj",
-            F.signum(
-                F.col("lf_lang") + F.col("lf_quality") + F.col("lf_length")
-            ).cast("int"),
-        )
+    votes = docs.select(
+        v1.alias("lf_lang"), v2.alias("lf_quality"), v3.alias("lf_length")
+    ).withColumn(
+        "maj",
+        F.signum(
+            F.col("lf_lang") + F.col("lf_quality") + F.col("lf_length")
+        ).cast("int"),
     )
-    parts = []
-    for lf in ("lf_lang", "lf_quality", "lf_length"):
+    # ONE aggregation carries every arm's metrics; the per-LF rows come
+    # off it via the array-of-structs explode (the q78 render pattern).
+    lfs = ("lf_lang", "lf_quality", "lf_length")
+    aggs = []
+    for lf in lfs:
         voting = F.col(lf) != 0
         decided = voting & (F.col("maj") != 0)
-        parts.append(
-            votes.agg(
+        aggs += [
+            F.sum((F.col(lf) == 1).cast("long")).cast("int").alias(f"__k_{lf}"),
+            F.sum((F.col(lf) == -1).cast("long")).cast("int").alias(f"__d_{lf}"),
+            F.round(F.avg(voting.cast("double")), 6).alias(f"__c_{lf}"),
+            F.round(
+                F.sum(
+                    (decided & (F.col(lf) == F.col("maj"))).cast("long")
+                ).cast("double")
+                / F.sum(decided.cast("long")),
+                6,
+            ).alias(f"__a_{lf}"),
+        ]
+    aggs += [
+        F.sum((F.col("maj") == 1).cast("long")).cast("int").alias("__k_maj"),
+        F.sum((F.col("maj") == -1).cast("long")).cast("int").alias("__d_maj"),
+        F.round(F.avg((F.col("maj") != 0).cast("double")), 6).alias("__c_maj"),
+    ]
+    one = votes.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(lf).alias("lf"),
-                F.sum((F.col(lf) == 1).cast("long")).cast("int").alias("n_keep"),
-                F.sum((F.col(lf) == -1).cast("long")).cast("int").alias("n_drop"),
-                F.round(F.avg(voting.cast("double")), 6).alias("coverage"),
-                F.round(
-                    F.sum(
-                        (decided & (F.col(lf) == F.col("maj"))).cast("long")
-                    ).cast("double")
-                    / F.sum(decided.cast("long")),
-                    6,
-                ).alias("agree_rate"),
+                F.col(f"__k_{lf}").alias("n_keep"),
+                F.col(f"__d_{lf}").alias("n_drop"),
+                F.col(f"__c_{lf}").alias("coverage"),
+                F.col(f"__a_{lf}").alias("agree_rate"),
             )
-        )
-    parts.append(
-        votes.agg(
+            for lf in lfs
+        ],
+        F.struct(
             F.lit("majority").alias("lf"),
-            F.sum((F.col("maj") == 1).cast("long")).cast("int").alias("n_keep"),
-            F.sum((F.col("maj") == -1).cast("long")).cast("int").alias("n_drop"),
-            F.round(F.avg((F.col("maj") != 0).cast("double")), 6).alias(
-                "coverage"
-            ),
+            F.col("__k_maj").alias("n_keep"),
+            F.col("__d_maj").alias("n_drop"),
+            F.col("__c_maj").alias("coverage"),
             F.lit(1.0).alias("agree_rate"),
-        )
+        ),
     )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    return one.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def _q156_sql() -> str:

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from franzoxide_spark.queries import register
 from franzoxide_spark.queries.llm import q53
 from franzoxide_spark.queries.relational import q10b
-from franzoxide_spark.tables import table
+from franzoxide_spark.tables import fanned_table, table
 
 
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +103,7 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_curation.py."""
     from franzoxide_spark.operators.curation import compression_ratio_gate
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     return compression_ratio_gate(docs, "doc_id", "text")
 
 

@@ -1,0 +1,86 @@
+"""tables.fanned_table — the session-memoized fan-out shim for
+single-split fixture scans (the generalized q56 fix, r16).
+
+Contract under test: row identity with the plain catalog relation,
+once-per-session materialization (same object back), the
+SPARK_GRAFT_FANOUT=0 opt-out, the identity gates (many-split and
+oversized scans come back un-fanned), and actual parallelism (the
+fanned relation plans >1 partition where the plain scan plans 1)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from franzoxide_spark import tables
+from franzoxide_spark.tables import fanned_table, table
+
+
+def test_fanned_rows_identical_to_plain(spark, sf_dir):
+    plain = table(spark, sf_dir, "documents")
+    fanned = fanned_table(spark, sf_dir, "documents")
+    # exact multiset equality both directions (exceptAll is row-exact)
+    assert fanned.exceptAll(plain).count() == 0
+    assert plain.exceptAll(fanned).count() == 0
+    assert fanned.schema == plain.schema
+
+
+def test_fanned_table_memoizes_per_session(spark, sf_dir):
+    a = fanned_table(spark, sf_dir, "documents")
+    b = fanned_table(spark, sf_dir, "documents")
+    assert a is b  # one materialization serves every caller this session
+
+
+def test_fanned_table_actually_fans_out(spark, sf_dir):
+    plain = table(spark, sf_dir, "documents")
+    fanned = fanned_table(spark, sf_dir, "documents")
+    # the fixture is one file -> one split; the shim must beat that
+    assert plain.rdd.getNumPartitions() == 1
+    assert (
+        fanned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_fanout_env_lever_returns_plain_relation(spark, sf_dir):
+    os.environ["SPARK_GRAFT_FANOUT"] = "0"
+    try:
+        df = fanned_table(spark, sf_dir, "events")
+        assert df is table(spark, sf_dir, "events")  # the catalog object
+    finally:
+        os.environ.pop("SPARK_GRAFT_FANOUT", None)
+
+
+def test_fanout_size_gate_returns_plain_relation(spark, sf_dir, monkeypatch):
+    # an "oversized" scan (cap forced to 1 byte) must come back un-fanned
+    # so the block manager is never asked to pin a big table
+    monkeypatch.setattr(tables, "_FANOUT_MAX_BYTES", 1)
+    key = (tables._session_key(spark), sf_dir, "orders")
+    tables._FANOUT.pop(key, None)
+    try:
+        df = fanned_table(spark, sf_dir, "orders")
+        assert df is table(spark, sf_dir, "orders")
+        assert key not in tables._FANOUT  # gate result is not cached
+    finally:
+        tables._FANOUT.pop(key, None)
+
+
+def test_fanout_cache_purged_with_stale_sessions(spark, sf_dir):
+    # plant a fake stale-session entry; the next ensure_session_confs on
+    # the live session must purge it (the _CATALOG lifecycle, extended)
+    stale_key = ("dead-app/0", sf_dir, "documents")
+    tables._FANOUT[stale_key] = table(spark, sf_dir, "documents")
+    tables._CONFED_SESSIONS.discard(tables._session_key(spark))
+    tables.ensure_session_confs(spark)
+    assert stale_key not in tables._FANOUT
+
+
+def test_fanned_events_ts_normalization_preserved(spark, sf_dir):
+    # fanned_table wraps table(), so the events ts fixture normalization
+    # (nanos->micros / ntz->ltz) must ride through unchanged
+    plain = table(spark, sf_dir, "events").select(F.max("ts").alias("m"))
+    fanned = fanned_table(spark, sf_dir, "events").select(
+        F.max("ts").alias("m")
+    )
+    assert plain.collect() == fanned.collect()

@@ -1398,3 +1398,17 @@ def test_retrieval_ad_hoc_keeps_the_posting_shuffle(
         if "hashpartitioning(" in ln and "term" in ln and "doc_id" in ln
     ]
     assert posting_ex, "ad-hoc path lost its posting build exchange"
+
+
+def test_q156_is_one_pass_join_free(spark, sf_dir):
+    # the three labeling functions are row-wise features of the same
+    # document, so the vote table must be ONE projection over ONE scan —
+    # no doc_id joins, no per-arm re-aggregation (pre-r16: 4 corpus
+    # passes + 8 joins); at 100 TB this is the difference between one
+    # pass and four
+    plan = _plan(spark, sf_dir, "q156_weak_supervision_vote")
+    assert "Join" not in plan, plan
+    # tree nodes render as "HashAggregate (N)" (details as "(N) Hash…"):
+    # partial + final of the ONE aggregation, nothing per-arm
+    assert plan.count("HashAggregate (") <= 2, plan
+    assert "Union" not in plan, plan
