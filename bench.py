@@ -236,7 +236,9 @@ PER_QUERY_NOTES = {
     ),
     "q23_envelope_encode": (
         "envelope build is map-only; r12 warm slope FLAT (0.24/0.23/"
-        "0.23 s) — pure floor; in-suite ~0.8 s is cold-session overhead"
+        "0.23 s) — pure floor; in-suite ~0.8 s is cold-session "
+        "overhead. r16: reads the fanned events relation (0.80 -> "
+        "0.65 s isolated; q107 sharing the front end 0.64 -> 0.35 s)"
     ),
     "q172_benford_audit": (
         "digit derivation rewritten r12 to quantized-integer rendering "
@@ -285,8 +287,10 @@ PER_QUERY_NOTES = {
     "q58_repetition_gate": (
         "gram stats projected once per stats struct (r7 rewrite "
         "1.9 -> 1.15 s); r12 warm re-measure 0.24/0.20/0.20 s at "
-        "sf0.1/10x/30x — flat, floor-dominated; an in-suite ~1.2 s "
-        "sighting is cold-session overhead around that floor"
+        "sf0.1/10x/30x — flat, floor-dominated. r16: the gram-fold "
+        "pass reads the session-fanned corpus relation "
+        "(tables.fanned_table — the 1-file fixture scan planned ONE "
+        "task): isolated 1.06 -> 0.47 s at sf0.1; identity at scale"
     ),
     "q132_type_inference": (
         "per-column regex sweep is one map-side pass; r12 slope "
@@ -295,11 +299,16 @@ PER_QUERY_NOTES = {
         "of regex evaluation over every cell, floor-amortized with "
         "scale; +~0.4 s at sf0.1 from the r12 date-shape guard (the "
         "sf0.1-sweep correctness fix — a second rlike per cell, "
-        "same sub-linear shape)"
+        "same sub-linear shape). r16: the try_cast ladder runs over "
+        "the fanned events relation (1.44 -> 1.12 s isolated)"
     ),
     "q156_weak_supervision_vote": (
-        "label functions apply map-side, vote agg is key-bounded; r12 "
-        "slope FLAT (0.83/0.82/0.89 s at sf0.1/10x/30x) — pure floor"
+        "r16 fused rewrite: the three labeling functions are row-wise "
+        "features of one document, so the vote table is ONE join-free "
+        "projection over the fanned corpus scan and ONE aggregation "
+        "exploded to the four metric rows (pre-r16: 4 corpus passes + "
+        "8 doc_id joins) — plan-pinned join-free; isolated "
+        "1.09 -> 0.73 s at sf0.1. r12 slope FLAT (0.83/0.82/0.89 s)"
     ),
     "q54_curation_pipeline": (
         "4-stage end-to-end chain (dedup -> gate -> decontam -> "
