@@ -568,7 +568,7 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real input splits. Project the scale ONCE per row; inlining it in
     # the mse/max_code lambdas re-runs the O(dim) fold per element
     # (O(dim^2) per vector, ~3x wall at dim=64).
-    emb = _fan_out(table(spark, sf_dir, "embeddings")).withColumn(
+    emb = _fan_out(fanned_table(spark, sf_dir, "embeddings")).withColumn(
         "_s", F.expr(maxabs_scale("embedding"))
     )
     codes = quantize_int8("embedding", scale="_s")
@@ -1657,7 +1657,7 @@ _Q127_LON = "((event_id * 91) % 36000) / 100.0 - 180.0"
 def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.geo import with_geohash
 
-    ev = table(spark, sf_dir, "events").select(
+    ev = fanned_table(spark, sf_dir, "events").select(
         F.expr(_Q127_LAT).alias("lat"), F.expr(_Q127_LON).alias("lon")
     )
     return (

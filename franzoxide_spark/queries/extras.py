@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from franzoxide_spark.queries import register
-from franzoxide_spark.tables import table
+from franzoxide_spark.tables import fanned_table, table
 
 # --------------------------------------------------------------------------
 # Q45 — pivot (long -> wide) then unpivot via stack() (wide -> long)
@@ -102,7 +102,7 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield (doc_id, s)
 
     spark.udtf.register("shingle_udtf", ShingleUDTF)
-    table(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    fanned_table(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
     return spark.sql(
         """
         SELECT s.doc_id, COUNT(*) AS n_shingles,

@@ -59,7 +59,7 @@ FROM documents GROUP BY 1
 # Q30 — exact top-k cosine for 10 fixed query vectors
 # --------------------------------------------------------------------------
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = fanned_table(spark, sf_dir, "embeddings")
     return topk_cosine_exact(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
     )
@@ -1072,7 +1072,7 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.dedup import neardup_clusters
     from franzoxide_spark.operators.similarity import blocked_cosine_pairs
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = fanned_table(spark, sf_dir, "embeddings")
     pairs = blocked_cosine_pairs(
         emb, "label", "vec_id", "embedding", threshold=_Q63_THRESHOLD, tile_cap=4096
     ).select("id_a", "id_b")
@@ -1552,7 +1552,7 @@ _Q111_BUCKETS = 4096
 def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.functions.text import hash60
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fanned_table(spark, sf_dir, "documents")
     feats = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("__tok")
     ).select(
@@ -2226,7 +2226,7 @@ _Q162_DIMS = (8, 16, 32)
 def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.functions.vectors import cosine_rounded
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = fanned_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )

@@ -25,7 +25,7 @@ from franzoxide_spark.functions.numeric import (
     sql_dsum,
 )
 from franzoxide_spark.queries import register
-from franzoxide_spark.tables import table
+from franzoxide_spark.tables import fanned_table, table
 
 SHIP_CUTOFF = "1998-09-02"
 
@@ -51,7 +51,7 @@ WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
 # Q02 — hash aggregate + sort (TPC-H Q1 shape)
 # --------------------------------------------------------------------------
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = fanned_table(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(12,4)")
     disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
     # intermediate cast keeps the three-factor product inside 38 digits in
@@ -541,7 +541,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp/length over part strings, year/month/quarter/day/trunc/datediff
     over orders dates — one row per order, string funcs applied to the
     order's own text columns."""
-    o = table(spark, sf_dir, "orders")
+    o = fanned_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.upper("o_orderstatus").alias("status_upper"),
@@ -758,7 +758,7 @@ _Q104_COLS = ("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
 
 
 def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = fanned_table(spark, sf_dir, "lineitem")
     # The fixtures are single-row-group parquet files Spark cannot split:
     # without a fan-out the whole hash pass runs on <= 3 cores (measured
     # 2.7 s -> 1.1 s at sf0.1). On a real multi-row-group table the scan
@@ -1021,7 +1021,7 @@ register("q122_scd2_merge", q122, _q122_sql())
 def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.linkage import blocked_linkage
 
-    p = table(spark, sf_dir, "part")
+    p = fanned_table(spark, sf_dir, "part")
     mutated = F.expr(
         "concat(substring(p_name, 1, length(p_name) - 1),"
         " chr((ascii(substring(p_name, length(p_name), 1)) - 97 + 1) % 26"
@@ -1110,8 +1110,8 @@ register("q123_zorder_curve", q123, _q123_sql())
 def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators import contracts as c
 
-    li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
+    li = fanned_table(spark, sf_dir, "lineitem")
+    orders = fanned_table(spark, sf_dir, "orders")
     rules = [
         c.not_null("l_orderkey"),
         c.unique("l_orderkey", "l_linenumber"),
@@ -1238,7 +1238,7 @@ register("q130_cdc_apply", q130, _q130_sql())
 #        nesting would silently collapse.
 # --------------------------------------------------------------------------
 def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select(
+    li = fanned_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
     nested = li.groupBy("l_orderkey").agg(
