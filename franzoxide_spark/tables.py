@@ -153,8 +153,9 @@ def fanned_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst otherwise pushes deterministic filters straight through a
     bare repartition back onto the 1-task scan side.
 
-    Contract: callers must be FULL-relation consumers. The checkpoint
-    severs pushdown/pruning, so a query that filters or projects a
+    Contract: callers must be FULL-relation consumers. The cache is an
+    optimizer boundary (plans over it scan the InMemoryRelation —
+    filters stay above it), so a query that filters or projects a
     sliver of the table must keep reading :func:`table` (where
     PushedFilters/ReadSchema do the work — module docstring). Two
     identity gates keep this a fixture-only move: a scan with >= cores/2
@@ -163,9 +164,14 @@ def fanned_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     trip and this function IS :func:`table`). ``SPARK_GRAFT_FANOUT=0``
     opts out entirely (the A/B lever, mirroring the landing levers).
 
-    The materialization runs once per (session, sf_dir, table) on first
-    action and is block-manager-resident after that — the production
-    analog of holding a hot corpus cached across an analysis suite.
+    ``persist()`` rather than ``localCheckpoint()`` deliberately: an
+    externally cleared cache (``spark.catalog.clearCache()`` — bench.py
+    runs it between timed queries as inter-query hygiene) leaves a
+    persisted relation RECOMPUTABLE (it just re-shuffles), where a
+    cleared LocalCheckpointRDD is a permanent "checkpoint block not
+    found" crash — the first fan-out cut exactly that way (45-error
+    artifact, discarded). The cached-entry fast path re-registers the
+    persist when ``storageLevel`` shows an external clear dropped it.
     """
     df = table(spark, sf_dir, name)
     if os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
@@ -173,6 +179,12 @@ def fanned_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (_session_key(spark), sf_dir, name)
     cached = _FANOUT.get(key)
     if cached is not None:
+        try:
+            lvl = cached.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                cached.persist()  # re-register after an external clear
+        except Exception:  # noqa: BLE001 — serve the relation regardless
+            pass
         return cached
     try:
         cores = spark.sparkContext.defaultParallelism
@@ -183,7 +195,7 @@ def fanned_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
         if size > _FANOUT_MAX_BYTES:
             return df  # too big to pin in the block manager
-        fanned = df.repartition(cores).localCheckpoint(eager=False)
+        fanned = df.repartition(cores).persist()
     except Exception:  # noqa: BLE001 — the shim must never break a read
         return df
     _FANOUT[key] = fanned

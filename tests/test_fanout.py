@@ -76,6 +76,24 @@ def test_fanout_cache_purged_with_stale_sessions(spark, sf_dir):
     assert stale_key not in tables._FANOUT
 
 
+def test_fanned_relation_survives_external_cache_clear(spark, sf_dir):
+    """bench.py's inter-query hygiene (_clear_session_state) clears the
+    cache and unpersists every RDD between timed queries. A persisted
+    relation must RECOMPUTE through that (and re-register its persist);
+    the original localCheckpoint variant crashed with 'checkpoint block
+    not found' on every post-clear consumer (45-error artifact)."""
+    fanned = fanned_table(spark, sf_dir, "documents")
+    n_before = fanned.count()  # materialize
+    # the exact bench.py clear
+    spark.catalog.clearCache()
+    for rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
+        rdd.unpersist(False)
+    again = fanned_table(spark, sf_dir, "documents")
+    assert again.count() == n_before  # recomputes, no dangling blocks
+    lvl = again.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # persist re-registered
+
+
 def test_fanned_events_ts_normalization_preserved(spark, sf_dir):
     # fanned_table wraps table(), so the events ts fixture normalization
     # (nanos->micros / ntz->ltz) must ride through unchanged
