@@ -310,6 +310,22 @@ PER_QUERY_NOTES = {
         "8 doc_id joins) — plan-pinned join-free; isolated "
         "1.09 -> 0.73 s at sf0.1. r12 slope FLAT (0.83/0.82/0.89 s)"
     ),
+    "q155_fd_discovery": (
+        "pair-wise FD checks are one multi-aggregate pass over a "
+        "300-row-group dimension table; the third r16 artifact's "
+        "1.17 s sighting was the fan-out-routed state (bench-protocol "
+        "A/B: 1.38 fanned vs 0.57 plain — the persist round-trip "
+        "loses to the pruned scan), reverted same round; resting "
+        "position ~0.6 s vs a ~0.01 s oracle is multi-agg floor"
+    ),
+    "q86_source_js_divergence": (
+        "per-source token histograms via corpus_stats, which _fan_outs "
+        "internally — feeding it the persisted fanned relation added "
+        "materialization without adding parallelism (bench-protocol "
+        "A/B: 1.52 fanned vs 0.58 plain; the q92/q85 pattern), "
+        "reverted same round; resting ~0.6 s vs a ~0.12 s oracle is "
+        "explode+combine floor, sub-linear with scale"
+    ),
     "q54_curation_pipeline": (
         "4-stage end-to-end chain (dedup -> gate -> decontam -> "
         "split): the ratio is the sum of four stage floors; round-5 "

@@ -30,7 +30,7 @@ from franzoxide_spark.tables import fanned_table, table
 # Q60 — TF-IDF top terms per document
 # --------------------------------------------------------------------------
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fanned_table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
@@ -46,7 +46,7 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q62 — DSIR hashed importance log-weights (target = English slice)
 # --------------------------------------------------------------------------
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fanned_table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents")
     return dsir_logratio(
         docs, "doc_id", "text", target_pred=F.col("lang") == "en", n_buckets=1024
     )
@@ -68,7 +68,7 @@ _Q64_MAX_EPOCHS = 4.0
 def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = fanned_table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents")
     dom = docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("tokens"),
@@ -800,7 +800,7 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.drift import source_js_divergence
 
     return source_js_divergence(
-        fanned_table(spark, sf_dir, "documents"), "source", "text", v=500
+        table(spark, sf_dir, "documents"), "source", "text", v=500
     )
 
 
@@ -823,7 +823,7 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.corpus_stats import bigram_pmi_topk
 
     return bigram_pmi_topk(
-        fanned_table(spark, sf_dir, "documents"), "text", min_count=5, k=50
+        table(spark, sf_dir, "documents"), "text", min_count=5, k=50
     )
 
 
@@ -2089,7 +2089,7 @@ _Q155_PAIRS = [
 def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.profile import fd_report
 
-    return fd_report(fanned_table(spark, sf_dir, "part"), _Q155_PAIRS)
+    return fd_report(table(spark, sf_dir, "part"), _Q155_PAIRS)
 
 
 def _q155_sql() -> str:
@@ -2348,7 +2348,7 @@ register("q163_interval_join_outer_conversion", q163, _Q163_SQL)
 def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.corpus_stats import zipf_fit
 
-    docs = fanned_table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents")
     return zipf_fit(docs, "text", "source", top_ranks=100)
 
 
@@ -2448,7 +2448,7 @@ register("q165_bloom_decontam_prefilter", q165, _q165_sql())
 def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.corpus_stats import heaps_fit
 
-    docs = fanned_table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents")
     return heaps_fit(docs, "text", "source")
 
 
