@@ -200,6 +200,18 @@ def decontaminate_stream(
             f"bloom_bits must be a power of two >= 64: {bloom_bits}"
         )
     p = bloom_bits.bit_length() - 1
+    if bloom_k * p >= 64:
+        # The i-th slice shifts the 64-bit hash right by i*p. At shift
+        # >= 64 numpy uint64 shift is undefined while Spark/Java masks
+        # the shift mod 64 — the two sides would diverge and a diverged
+        # BUILD vs PROBE silently drops eval hashes (false negatives =
+        # contaminated docs kept). Refuse up front so both sides can
+        # never disagree.
+        raise ValueError(
+            f"bloom_k={bloom_k} with {p}-bit slices spans "
+            f"{bloom_k * p} bits of a 64-bit hash; need bloom_k * "
+            f"log2(bloom_bits) < 64"
+        )
     if n_ev and bloom_k > 0:
         arr = np.fromiter(ev_local, dtype=np.int64, count=n_ev)
         u = arr.view(np.uint64)

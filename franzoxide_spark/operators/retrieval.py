@@ -191,9 +191,10 @@ def bm25_topk(
     posting-list build entirely: a term-bucketed landed (id, term, tf,
     dl) relation, turning the plan's one corpus-wide shuffle into a
     pre-partitioned index scan. Row-identical by construction (the
-    landing persists exactly the relation built here); the corpus-stats
-    pass still reads ``docs`` because docs without postings (null text)
-    count toward n_docs.
+    landing persists exactly the relation built here); n_docs/avgdl
+    were computed over ALL docs (including null-text, which count
+    toward n_docs) at landing time and are served from the baked index
+    columns — the landed branch never re-reads ``docs``.
 
     Returns ``(query_id, doc_id-named id_col, rk, bm25)``.
     """

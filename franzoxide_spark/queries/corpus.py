@@ -1657,7 +1657,10 @@ _Q127_LON = "((event_id * 91) % 36000) / 100.0 - 180.0"
 def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.geo import with_geohash
 
-    ev = fanned_table(spark, sf_dir, "events").select(
+    # r17 fan-out audit: REVERTED to the plain scan (plain 0.45-0.46 s
+    # vs fanned 0.55-0.69 s — this consumer projects a 2-column sliver,
+    # so the full-width fanned materialization is pure overhead)
+    ev = table(spark, sf_dir, "events").select(
         F.expr(_Q127_LAT).alias("lat"), F.expr(_Q127_LON).alias("lon")
     )
     return (

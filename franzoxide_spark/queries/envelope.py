@@ -19,18 +19,29 @@ from franzoxide_spark.queries import register
 from franzoxide_spark.tables import fanned_table, table
 
 
-def kafka_records_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kafka_records_from_events(
+    spark: SparkSession, sf_dir: str, *, fanned: bool = True
+) -> DataFrame:
     """Reshape ``events`` into the KafkaRecord envelope (connector.proto:32-40)
     with a deterministic mix of payload kinds (FIXTURES.md §1.1):
     - key: empty when event_id%5==0 (omitted branch), else 'user-{id}'
       (plain string -> base64 branch)
     - value: 'raw:{id}' when event_id%3==0 (base64 branch), else the JSON
       ``props`` (raw-JSON branch)
+
+    ``fanned``: serve events from the session-fanned relation. True for
+    full-envelope consumers (q23/q107 — the string/base64 encode pass
+    over every column is the single-split CPU wall the fan-out exists
+    for); q24 passes False because it consumes only (event_id, ts) — a
+    projection sliver where the plain scan's column pruning wins
+    (r17 bench-protocol A/B: q24 plain 0.19 s vs fanned 0.43-0.64 s,
+    q23 fanned 0.60-0.65 s vs plain 0.85-1.32 s).
     """
-    # Full-relation string/base64 encode pass over every event row: the
-    # single-file fixture scan plans as ONE task, so serve it from the
-    # session-fanned relation (tables.fanned_table — identity at scale)
-    ev = fanned_table(spark, sf_dir, "events")
+    ev = (
+        fanned_table(spark, sf_dir, "events")
+        if fanned
+        else table(spark, sf_dir, "events")
+    )
     key_s = F.when(F.col("event_id") % 5 == 0, F.lit("")).otherwise(
         F.concat(F.lit("user-"), F.col("user_id").cast("string"))
     )
@@ -96,7 +107,7 @@ FROM rec
 
 
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rec = kafka_records_from_events(spark, sf_dir)
+    rec = kafka_records_from_events(spark, sf_dir, fanned=False)
     y, m, d, h = time_partition_cols(F.col("timestamp"))
     return (
         rec.select("offset", y, m, d, h)

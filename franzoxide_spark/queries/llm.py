@@ -59,7 +59,10 @@ FROM documents GROUP BY 1
 # Q30 — exact top-k cosine for 10 fixed query vectors
 # --------------------------------------------------------------------------
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fanned_table(spark, sf_dir, "embeddings")
+    # r17 fan-out audit: REVERTED to the plain scan (plain 0.67-0.85 s
+    # vs fanned 0.85-1.11 s on the r17 host — the pair finder's
+    # tile/block machinery repartitions internally, the q92/q85 class)
+    emb = table(spark, sf_dir, "embeddings")
     return topk_cosine_exact(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
     )
@@ -1289,7 +1292,10 @@ register("q99_score_quantile_norm", q99, _Q99_SQL)
 #        source-bounded rollup; the corpus shuffles once.
 # --------------------------------------------------------------------------
 def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fanned_table(spark, sf_dir, "documents")
+    # r17 fan-out audit: REVERTED to the plain scan (plain 0.17-0.41 s
+    # vs fanned 0.42-0.45 s — the sha-group shuffle right after the
+    # scan already spreads the work; fanning only adds materialization)
+    docs = table(spark, sf_dir, "documents")
     per_sha = docs.groupBy(
         "source", F.sha2("text", 256).alias("__sha")
     ).agg(F.count("*").alias("__copies"))
@@ -1796,7 +1802,10 @@ _Q137_QUERIES = [
 ]
 
 
-def _docs_posting_rel(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+def _docs_posting_rel(
+    spark: SparkSession, sf_dir: str,
+    queries: list[tuple[int, str]] | None = None,
+) -> DataFrame | None:
     """Session-shared term-bucketed posting landing for the retrieval
     family (r16, the r14/r15 verdict suggestion): q137 and q157 route
     their inverted-index build through ONE landed (doc, term, tf, dl)
@@ -1806,13 +1815,15 @@ def _docs_posting_rel(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     ``SPARK_GRAFT_RETRIEVAL_LANDING=0`` opts out (returns None -> the
     operators' ad-hoc posting build), the A/B measurement lever.
 
-    The returned relation is PRE-FILTERED to ``_Q137_QUERIES``'s terms
-    (they are plan-time literals here, so the isin pushes into the
-    bucketed scan as row-group/dictionary/bucket pruning — a true index
-    lookup). A caller with a different query set must filter for its
-    own terms (or not at all) on an UNfiltered
-    ``shared_posting_relation`` — this helper is bound to the
-    registry's fixed query set by design."""
+    The returned relation is PRE-FILTERED to the terms of ``queries``
+    (default ``_Q137_QUERIES``; same ``(query_id, query_text)`` tuples
+    the caller scores with). They are plan-time literals here, so the
+    isin pushes into the bucketed scan as row-group/dictionary/bucket
+    pruning — a true index lookup. Deriving the filter from the
+    caller's OWN query list keeps the pairing safe by construction: a
+    future caller with a different set cannot receive a relation
+    missing its postings (which would silently zero scores — r16
+    ADVICE)."""
     import os as _os
 
     if _os.environ.get("SPARK_GRAFT_RETRIEVAL_LANDING", "1") == "0":
@@ -1828,7 +1839,9 @@ def _docs_posting_rel(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     # turns it into row-group/dictionary pruning — a true index lookup
     # (semantics-preserving: the operators' broadcast query-term join
     # keeps only these terms anyway)
-    terms = sorted({t for _, qt in _Q137_QUERIES for t in qt.split(" ")})
+    terms = sorted(
+        {t for _, qt in (queries or _Q137_QUERIES) for t in qt.split(" ")}
+    )
     return rel.filter(F.col("term").isin(terms))
 
 

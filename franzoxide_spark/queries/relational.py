@@ -1110,8 +1110,13 @@ register("q123_zorder_curve", q123, _q123_sql())
 def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators import contracts as c
 
-    li = fanned_table(spark, sf_dir, "lineitem")
-    orders = fanned_table(spark, sf_dir, "orders")
+    # r17 fan-out audit: REVERTED to the plain scans — bench-protocol
+    # A/B on the r17 host measured plain 0.61-0.95 s vs fanned
+    # 0.96-2.56 s (the contract checks are cheap codegen aggregates, so
+    # materializing the full 16-column lineitem relation costs more
+    # than the parallelism it buys; the q155/q86 revert class)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
     rules = [
         c.not_null("l_orderkey"),
         c.unique("l_orderkey", "l_linenumber"),

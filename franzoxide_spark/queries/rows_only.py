@@ -103,7 +103,10 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_curation.py."""
     from franzoxide_spark.operators.curation import compression_ratio_gate
 
-    docs = fanned_table(spark, sf_dir, "documents")
+    # r17 fan-out audit: REVERTED to the plain scan (plain 0.30-0.36 s
+    # vs fanned 0.42-0.49 s on the r17 host — the gate's Arrow batches
+    # already overlap compute; the persist round-trip loses)
+    docs = table(spark, sf_dir, "documents")
     return compression_ratio_gate(docs, "doc_id", "text")
 
 

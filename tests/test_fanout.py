@@ -102,3 +102,31 @@ def test_fanned_events_ts_normalization_preserved(spark, sf_dir):
         F.max("ts").alias("m")
     )
     assert plain.collect() == fanned.collect()
+
+
+def test_fan_out_composes_with_fanned_table(spark, sf_dir):
+    """r16 verdict #2 structural guard: a persisted fanned relation fed
+    to an operator that repartitions internally (corpus_stats._fan_out)
+    must pass through UNCHANGED — the eight r16-extension reverts showed
+    the double-materialization footgun (q155 1.38 vs 0.57 s). The guard
+    is _fan_out's partition-count check: at target parallelism it is the
+    identity, so the composed plan carries exactly ONE round-robin
+    exchange (the fanned_table one)."""
+    from franzoxide_spark.operators.corpus_stats import _fan_out
+
+    fanned = fanned_table(spark, sf_dir, "documents")
+    out = _fan_out(fanned)
+    assert out is fanned  # identity: no second repartition on top
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the only round-robin exchange lives INSIDE the cached relation (the
+    # fanned_table one — its embedded AQE string may print the plan twice,
+    # final + initial, so count is not a stable assert); nothing ABOVE the
+    # InMemoryRelation node repartitions again
+    above, _, inside = plan.partition("InMemoryRelation")
+    assert "RoundRobinPartitioning" not in above, plan
+    assert "RoundRobinPartitioning" in inside, plan
+    # and on a plain single-split scan the operator's own fan-out still
+    # fires (the at-scale no-op is the split-count gate, not this guard)
+    plain = table(spark, sf_dir, "documents")
+    fanned_by_op = _fan_out(plain)
+    assert fanned_by_op is not plain

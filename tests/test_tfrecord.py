@@ -68,3 +68,49 @@ def test_distributed_export_round_trips(spark, tmp_path):
     import os
 
     assert sorted(os.listdir(out)) == sorted(m["shard"] for m in manifest)
+
+
+def test_batch_crc_and_framing_match_scalar():
+    """r17 optimization guard: the numpy-vectorized batch kernels are
+    bit-identical to the scalar reference on varied lengths (empty, 1B,
+    unaligned, multi-KB) — the property the q160 export now rests on."""
+    import random
+
+    import numpy as np
+
+    from franzoxide_spark.functions.tfrecord import (
+        crc32c,
+        crc32c_batch,
+        frame_record,
+        frame_records_batch,
+        read_records,
+        read_records_batch,
+    )
+
+    rng = random.Random(17)
+    payloads = [b"", b"x", b"123456789"] + [
+        bytes(rng.randrange(256) for _ in range(rng.choice([2, 7, 63, 64, 65, 1000, 4096])))
+        for _ in range(50)
+    ]
+    batch = crc32c_batch(payloads)
+    assert list(map(int, batch)) == [crc32c(p) for p in payloads]
+    framed = frame_records_batch(payloads)
+    assert framed == b"".join(frame_record(p) for p in payloads)
+    assert read_records_batch(framed) == payloads
+    assert read_records(framed) == payloads
+
+
+def test_batch_read_detects_corruption():
+    import pytest
+
+    from franzoxide_spark.functions.tfrecord import (
+        frame_records_batch,
+        read_records_batch,
+    )
+
+    framed = bytearray(frame_records_batch([b"hello", b"world"]))
+    framed[14] ^= 0xFF  # payload byte of record 0
+    with pytest.raises(ValueError, match="payload crc mismatch"):
+        read_records_batch(bytes(framed))
+    with pytest.raises(ValueError, match="truncated"):
+        read_records_batch(bytes(frame_records_batch([b"hello"]))[:-2])
