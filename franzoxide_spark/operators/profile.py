@@ -2,22 +2,21 @@
 pipeline takes before trusting a new drop of data (null rates, exact
 cardinalities, ranges, deterministic means).
 
-One aggregation job computes every column's stats, then a map-side
-explode unpivots the 1-row aggregate into one row per column. Means use
-the exact-decimal path (functions/numeric.py) so the cross-engine 6-dp
-compare cannot flap on accumulation order.
+One aggregation job computes every column's stats (moments AND exact
+NDVs — see the fused-shape note inside ``profile_numeric``), then a
+map-side explode unpivots the 1-row aggregate into one row per column.
+Means accumulate as scaled BIGINT sums and lift to the exact-decimal
+value on the final row only (identical 6-dp doubles, codegen-speed
+per-row work — r17).
 
 Scale note: multiple exact COUNT(DISTINCT) in one aggregate triggers
 Spark's Expand strategy (input × (#distinct-aggs + 1) before the
-shuffle), and Expand replays EVERY aggregate — including the exact-
-decimal sums — over the multiplied input (measured 15.6 s vs 2×2.5 s
-split at sf0.1). So the profile runs as two jobs: one plain partial
-aggregation for counts/min/max/means (whole-stage codegen, no Expand)
-and one for the NDVs (Expand over just the profiled columns), crossed
-as 1-row × 1-row at the end. At 100 TB swap ``exact_distinct=False``
-to ``approx_count_distinct`` (HLL, one pass, no Expand at all) when
-±2% NDV is acceptable — that also collapses the profile back to a
-single job.
+shuffle). With long-sum moments that replay is cheap and the fused
+single scan wins (0.49 s vs 0.84 s two-job split at sf0.1, r17); it
+was the per-row BigDecimal means that once made Expand prohibitive
+(r14: 15.6 s). At 100 TB swap ``exact_distinct=False`` to
+``approx_count_distinct`` (HLL, no Expand at all) when ±2% NDV is
+acceptable.
 """
 
 from __future__ import annotations
@@ -27,14 +26,28 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from franzoxide_spark.functions.numeric import dec, sql_dec
+from franzoxide_spark.functions.numeric import (
+    _SHIFT,
+    scaled_int,
+    sql_dec,
+)
 
 
 def profile_numeric(
     df: DataFrame, cols: Sequence[str], exact_distinct: bool = True
 ) -> DataFrame:
     """One row per column: (col_name, n_rows, n_null, n_distinct,
-    min_val, max_val, mean_val) — min/max/mean rounded to 6 dp."""
+    min_val, max_val, mean_val) — min/max/mean rounded to 6 dp.
+
+    Means accumulate as BIGINT sums of the half-up-scaled values
+    (``scaled_int``, the q91 co-moment kernel's quantization) and lift
+    to decimal only on the single final row: Σ(sᵢ·shift) = (Σsᵢ)·shift
+    exactly, so the value — and the 6-dp rounded double — is identical
+    to summing ``dec()`` per row, while the per-row work is whole-stage
+    codegen long arithmetic instead of interpreted BigDecimal. Bound:
+    |Σ scaled| < 2⁶³, i.e. ~9.2e14 of absolute column mass at 1e-4
+    quantization — the same envelope the correlation kernels document.
+    """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
@@ -42,14 +55,24 @@ def profile_numeric(
             F.round(F.min(c).cast("double"), 6).alias(f"__min_{c}"),
             F.round(F.max(c).cast("double"), 6).alias(f"__max_{c}"),
             F.round(
-                F.sum(dec(F.col(c))).cast("double") / F.count(c), 6
+                (
+                    F.sum(scaled_int(F.col(c))).cast("decimal(38,0)")
+                    * F.lit(_SHIFT).cast("decimal(5,4)")
+                ).cast("double")
+                / F.count(c),
+                6,
             ).alias(f"__mean_{c}"),
         ]
-    base = df.agg(*aggs)
+    # ONE aggregation job for moments AND NDVs (r17 re-measure at sf0.1,
+    # warm cache, best-of-4: fused 0.49 s vs the former two-job
+    # crossJoin 0.84 s). The Expand the exact COUNT(DISTINCT)s trigger
+    # replays the other aggregates over (#distinct-aggs + 1)× the input,
+    # which priced the fused shape out when the means were per-row
+    # BigDecimal sums (the r14 15.6 s measurement) — with the means now
+    # plain long sums the replay is cheap codegen arithmetic and the
+    # fused single scan + single final row wins on both jobs and wall.
     nd = F.countDistinct if exact_distinct else F.approx_count_distinct
-    nds = df.agg(*[nd(c).alias(f"__nd_{c}") for c in cols])
-    # 1 row × 1 row — the "cross join" is two scalar subquery results
-    one = base.crossJoin(nds)
+    one = df.agg(*(aggs + [nd(c).alias(f"__nd_{c}") for c in cols]))
     rows = F.array(
         *[
             F.struct(

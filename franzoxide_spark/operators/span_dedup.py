@@ -59,6 +59,19 @@ def _gram_occurrences(tokens_col: str, k: int) -> F.Column:
     )
 
 
+def _gram_hash_occurrences(tokens_col: str, k: int) -> F.Column:
+    """Occurrence stream of 64-bit gram hashes WITHOUT building the gram
+    strings — ``xxhash64`` over the token-array slice with k folded in as
+    an extra hashed argument, exactly ``functions.text.gram_hashes`` minus
+    its ``array_distinct`` (coverage needs multiplicity)."""
+    return F.expr(
+        f"case when size({tokens_col}) < {k}"
+        " then cast(array() as array<bigint>)"
+        f" else transform(sequence(1, size({tokens_col}) - {k - 1}),"
+        f" i -> xxhash64(slice({tokens_col}, i, {k}), {k})) end"
+    )
+
+
 def _sql_gram_occurrences(tokens_expr: str, k: int) -> str:
     return (
         f"list_transform(range(1, greatest(len({tokens_expr}) - {k - 2}, 1)),"
@@ -90,12 +103,17 @@ def crossdoc_span_coverage(
     ReusedExchange) → per-doc sums. The join back to per-doc totals is
     on the id, against an aggregate bounded by document count.
 
-    Grouping keys are the RAW gram strings: exact (collision-free) and
-    what the DuckDB oracle can mirror bit-for-bit. At 100 TB an engine
-    would key the shuffle on xxhash64(gram) instead — ~8 bytes vs the
-    gram text — trading a vanishing overcount probability for shuffle
-    width; that is a one-line change here and deliberately NOT the
-    oracle-checked default.
+    Grouping keys are ``xxhash64(token-slice, k)`` — 8-byte longs, never
+    the gram strings (r17, guide §2.3 "narrower types"/"shuffle keys
+    instead of payloads"; the same trade q101 adopted in r15). Exact for
+    counting because tokens are space-split (token-sequence <-> gram
+    string is a bijection) and a 64-bit collision between two distinct
+    grams of the same corpus is negligible at any tested SF — the DuckDB
+    oracle keeps raw strings and the results hash-match at
+    sf0.001/0.01/0.1 (tests/test_span_dedup.py pins hash-keyed ==
+    raw-gram-keyed on the fixtures). The win is threefold: no concat_ws
+    string build in the interpreted gram transform, an 8-byte vs
+    gram-text shuffle row, and long-key hash aggregation/join.
 
     The gram transform is an interpreted higher-order function (Catalyst
     does not codegen ``transform``/``slice``), i.e. CPU-bound map work —
@@ -115,7 +133,7 @@ def crossdoc_span_coverage(
         F.greatest(F.size("__t") - (k - 1), F.lit(0)).alias("n_grams"),
     )
     grams = toks.select(
-        id_col, F.explode(_gram_occurrences("__t", k)).alias("__g")
+        id_col, F.explode(_gram_hash_occurrences("__t", k)).alias("__g")
     )
     # (gram, doc) with occurrence multiplicity; map-side combine applies
     pairs = grams.groupBy("__g", id_col).agg(F.count("*").alias("__occ"))

@@ -1734,36 +1734,43 @@ _Q136_GRID = [0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70]
 
 
 def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = q39(spark, sf_dir).select("doc_id", "n_tokens", "quality")
-    grid = spark.createDataFrame(
-        [(t,) for t in _Q136_GRID], "threshold double"
-    )
-    keep = F.col("quality") >= F.col("threshold")
-    tot = scored.agg(
-        F.count(F.lit(1)).alias("__docs"),
-        F.sum("n_tokens").alias("__toks"),
-    )
-    return (
-        scored.crossJoin(F.broadcast(grid))
-        .groupBy("threshold")
-        .agg(
-            F.sum(keep.cast("long")).cast("bigint").alias("docs_kept"),
+    # One corpus pass for the whole curve (r17, guide §2.3 "aggregate
+    # before you shuffle"): the former shape ran the q39 score relation
+    # TWICE (totals + the swept branch) and crossJoined the swept branch
+    # against the 9-row grid, putting 9x the corpus rows through the
+    # aggregate. Here every threshold is a conditional-sum column pair
+    # in ONE ungrouped aggregation (map-side partial, single final row),
+    # and the 9 output rows are unpivoted from that row map-side. The
+    # keep predicate per threshold is identical (quality >= t over the
+    # same double literals), so every count/sum — and therefore every
+    # output cell — is unchanged.
+    scored = q39(spark, sf_dir).select("n_tokens", "quality")
+    aggs = [F.sum("n_tokens").alias("__toks")]
+    for i, t in enumerate(_Q136_GRID):
+        keep = F.col("quality") >= F.lit(t)
+        aggs.append(F.sum(keep.cast("long")).cast("bigint").alias(f"__d{i}"))
+        aggs.append(
             F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
             .cast("bigint")
-            .alias("tokens_kept"),
+            .alias(f"__t{i}")
         )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.round("threshold", 2).alias("threshold"),
-            "docs_kept",
-            "tokens_kept",
-            F.round(
-                F.col("tokens_kept").cast("double")
-                / F.col("__toks").cast("double"),
-                6,
-            ).alias("token_share"),
-        )
+    one = scored.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.round(F.lit(t), 2).alias("threshold"),
+                F.col(f"__d{i}").alias("docs_kept"),
+                F.col(f"__t{i}").alias("tokens_kept"),
+                F.round(
+                    F.col(f"__t{i}").cast("double")
+                    / F.col("__toks").cast("double"),
+                    6,
+                ).alias("token_share"),
+            )
+            for i, t in enumerate(_Q136_GRID)
+        ]
     )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def _q136_sql() -> str:

@@ -151,3 +151,51 @@ def test_round6_operators_handle_empty_input(spark):
         [], "user_id long, event_type string, ts timestamp"
     )
     assert funnel(empty_ev, "user_id", "event_type", "ts", ["view"]).count() == 0
+
+
+def test_span_coverage_hash_keys_match_raw_gram_keys_on_fixture(spark, sf_dir):
+    """r17: the (gram,doc) aggregation keys moved from raw gram strings to
+    xxhash64(token-slice, k). Counting is exact unless two DISTINCT grams
+    of the corpus collide in 64 bits; pin hash-keyed == raw-gram-keyed on
+    the real fixture so the trade is continuously re-verified."""
+    from franzoxide_spark.operators.span_dedup import _gram_occurrences
+    from franzoxide_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    fast = crossdoc_span_coverage(docs, "doc_id", "text", k=3, threshold=0.5)
+
+    # reference: identical pipeline keyed on the raw gram strings
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__t")
+    )
+    totals = toks.select(
+        "doc_id",
+        F.greatest(F.size("__t") - 2, F.lit(0)).alias("n_grams"),
+    )
+    grams = toks.select(
+        "doc_id", F.explode(_gram_occurrences("__t", 3)).alias("__g")
+    )
+    pairs = grams.groupBy("__g", "doc_id").agg(F.count("*").alias("__occ"))
+    dup_g = (
+        pairs.groupBy("__g").agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > 1).select("__g")
+    )
+    dup_per_doc = (
+        pairs.join(dup_g, "__g").groupBy("doc_id")
+        .agg(F.sum("__occ").alias("dup_grams"))
+    )
+    ref = (
+        totals.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"]) for r in fast.collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"]) for r in ref.collect()
+    }
+    assert got == want

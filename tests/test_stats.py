@@ -443,3 +443,41 @@ def test_benford_excludes_out_of_domain_magnitudes_symmetrically(spark):
     df = spark.createDataFrame(rows, "v double, g string")
     out = benford_audit(df, "v", "g").collect()
     assert out[0]["n_values"] == 20  # the two >= 9e12 rows are excluded
+
+
+def test_profile_numeric_long_scaled_means_match_decimal_reference(spark, sf_dir):
+    """r17: profile_numeric's means accumulate as scaled BIGINT sums and
+    lift to decimal on the final row. Pin identity with the per-row
+    exact-decimal reference on the real fixture, plus a null/negative
+    hand corpus (the half-up quantization tie cases)."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.functions.numeric import dec
+    from franzoxide_spark.operators.profile import profile_numeric
+    from franzoxide_spark.tables import table
+
+    def ref_means(df, cols):
+        aggs = []
+        for c in cols:
+            aggs.append(
+                F.round(
+                    F.sum(dec(F.col(c))).cast("double") / F.count(c), 6
+                ).alias(c)
+            )
+        return df.agg(*aggs).collect()[0].asDict()
+
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = {
+        r["col_name"]: r["mean_val"]
+        for r in profile_numeric(li, cols).collect()
+    }
+    assert got == ref_means(li, cols)
+
+    hand = spark.createDataFrame(
+        [(0.00005,), (-0.00005,), (None,), (1.23455,), (-2.5,)], "x double"
+    )
+    got_h = {
+        r["col_name"]: r["mean_val"] for r in profile_numeric(hand, ["x"]).collect()
+    }
+    assert got_h == ref_means(hand, ["x"])
