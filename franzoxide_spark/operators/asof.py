@@ -5,10 +5,13 @@ latest right row with ``right_ts <= left_ts`` within the key group;
 deterministic tie-break by the right id):
 
 - ``asof_join``          — composition of built-in ops: range-conditioned
-  equi-join + per-left-row row_number window. Catalyst plans the equi-key
-  as the shuffle/join key and the time bound as a residual filter. Fully
-  oracle-checkable. Cost: the join inflates to (left x matching-right)
-  before the window prunes — fine when per-key fan-out is bounded.
+  equi-join + per-left-row max(struct) aggregation (r17; formerly a
+  row_number window — the aggregate reduces the inflation MAP-SIDE where
+  the window had to shuffle and sort all of it). Catalyst plans the
+  equi-key as the shuffle/join key and the time bound as a residual
+  filter. Fully oracle-checkable. Cost: the join still inflates to
+  (left x matching-right) in-task before the partial aggregate eats it —
+  fine when per-key fan-out is bounded.
 
 - ``asof_join_pandas``   — the 100 TB path: co-partition both sides by
   key, ``applyInPandas`` with a per-group sort + ``pd.merge_asof``
@@ -25,7 +28,7 @@ fixture); both registry faces (q43/q43b) oracle-check against ONE SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -46,13 +49,24 @@ def asof_join(
         (left[left_key] == r[right_key]) & (r[right_ts] <= left[left_ts]),
         "left",
     )
-    w = Window.partitionBy(left[left_id]).orderBy(
-        F.desc_nulls_last(right_ts), F.desc_nulls_last(right_id)
+    # Pick the latest matching right row per left row with a hash
+    # AGGREGATE, not a row_number window (r17, guide §2.3 "aggregate
+    # before you shuffle"): max over struct(right_ts, right_id, ...) is
+    # exactly the ORDER BY right_ts DESC, right_id DESC pick — matched
+    # rows never carry a null right_ts (they passed the <= bound) and
+    # (right_ts, right_id) orders before the payload fields are ever
+    # compared. The window shape shuffled the full (left x matching-
+    # right) inflation to sort it; the aggregate reduces it map-side and
+    # shuffles one partial row per left row. Assumes ``left_id`` is
+    # unique per left row (the window shape silently kept one row per
+    # left_id; with the aggregate, duplicate FULL left rows collapse
+    # too — both are degenerate inputs for an as-of join).
+    best = joined.groupBy(*[left[c] for c in left.columns]).agg(
+        F.max(F.struct(right_ts, right_id, *right_cols)).alias("__best")
     )
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", right_key)
+    return best.select(
+        *left.columns,
+        *[F.col(f"__best.{c}").alias(c) for c in (right_ts, right_id, *right_cols)],
     )
 
 

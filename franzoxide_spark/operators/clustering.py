@@ -145,21 +145,34 @@ def kmeans_summary(
     distance to its centroid. mean_sq_dist averages 6dp-quantized
     per-row distances in exact int64 (the q92 pattern) so the report is
     bit-stable under any partition layout, like the fit it describes."""
-    centroids, assigned = kmeans_fit(emb, vec_col, id_col, k, iters)
+    centroids, _ = kmeans_fit(emb, vec_col, id_col, k, iters)
     from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
 
-    @pandas_udf("double")
-    def sqdist(v: pd.Series, cid: pd.Series) -> pd.Series:
+    # ONE fused kernel for the report pass (r17, guide §4.1): the final
+    # assignment and the distance to the chosen centroid come from the
+    # same GEMM, so computing them in separate pandas UDFs paid two
+    # Arrow round-trips and re-did the distance matrix. ||x-c||^2 =
+    # ||x||^2 - 2x.c + ||c||^2 evaluated exactly as the assign kernel
+    # does (same expression, same dtype, same argmin), so cluster ids
+    # are bit-identical to _assign_udf's.
+    @pandas_udf("struct<cid:int,d2:double>")
+    def assign_d2(v: pd.Series) -> pd.DataFrame:
         x = np.vstack(v.to_numpy())
-        cc = c[cid.to_numpy()]
-        d = x - cc
-        return pd.Series((d * d).sum(axis=1))
+        d = -2.0 * (x @ c.T) + c_sq
+        cid = np.argmin(d, axis=1)
+        d2 = d[np.arange(len(cid)), cid] + (x * x).sum(axis=1)
+        return pd.DataFrame(
+            {"cid": cid.astype(np.int32), "d2": d2}
+        )
 
     return (
-        assigned.withColumn(
-            "__d2", sqdist(F.col(vec_col), F.col("cluster_id"))
+        emb.select(assign_d2(F.col(vec_col)).alias("__a"))
+        .select(
+            F.col("__a.cid").alias("cluster_id"),
+            F.col("__a.d2").alias("__d2"),
         )
         .groupBy("cluster_id")
         .agg(

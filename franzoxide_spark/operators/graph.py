@@ -43,6 +43,7 @@ def pagerank(
     broadcast_threshold: int = 5_000_000,
     symmetric: bool = False,
     checkpoint_every: int = 4,
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over ``edges (src bigint, dst bigint)``.
 
@@ -89,7 +90,14 @@ def pagerank(
     # 6.4 s -> 2.1 s at sf0.1 for 3 iterations. Lazy (eager=False): the
     # n_nodes count below is the first consumer and materializes it in
     # the same job, one scheduling round fewer per invocation.
-    ed = pre.localCheckpoint(eager=False)
+    #
+    # ``pre_materialized``: the caller vouches ``edges`` is already a
+    # cheap derivation of its own checkpoint/materialized relation (q139
+    # checkpoints the degree-attached pair list and unions the two
+    # directions from it). Then checkpointing here would materialize the
+    # SAME data a second time at 2x|pairs| width — skip it (r17: q139
+    # 1.97 -> 1.66 s isolated min-of-6).
+    ed = pre if pre_materialized else pre.localCheckpoint(eager=False)
     if symmetric:
         # both directions present -> the dst side already names every node
         nodes = (

@@ -59,18 +59,24 @@ def _check_km_params(depth: int, width: int) -> None:
 
 
 def _with_bucket_rows(items: DataFrame, item_col: str, depth: int,
-                      width: int, keep_item: bool) -> DataFrame:
-    """(item?, d, b) rows: one md5 per input row (whole-stage codegen
-    subexpression elimination computes the shared digest once for both
-    halves), then depth strides derived arithmetically."""
+                      width: int, keep_item: bool,
+                      keep_cols: list[str] | None = None) -> DataFrame:
+    """(item?, *keep_cols, d, b) rows: one md5 per input row (whole-stage
+    codegen subexpression elimination computes the shared digest once for
+    both halves), then depth strides derived arithmetically."""
     _check_km_params(depth, width)
+    extra = list(keep_cols or [])
+    lead = ([F.col(item_col)] if keep_item else []) + [
+        F.col(c) for c in extra
+    ]
+    lead_names = ([item_col] if keep_item else []) + extra
     hashed = items.select(
-        *([F.col(item_col)] if keep_item else []),
+        *lead,
         F.expr(_H1_SPARK.format(s=item_col)).alias("__h1"),
         F.expr(_H2_SPARK.format(s=item_col)).alias("__h2"),
     )
     return hashed.select(
-        *([F.col(item_col)] if keep_item else []),
+        *[F.col(c) for c in lead_names],
         F.explode(
             F.array(
                 *[
@@ -82,7 +88,7 @@ def _with_bucket_rows(items: DataFrame, item_col: str, depth: int,
                 ]
             )
         ).alias("__db"),
-    ).select(*([item_col] if keep_item else []), "__db.d", "__db.b")
+    ).select(*lead_names, "__db.d", "__db.b")
 
 
 def cms_build(
@@ -129,8 +135,20 @@ def cms_heavy_hitters(
     the identical sketch, so this is checkable cross-engine.
     """
     items = df.select(item_col)
-    sketch = cms_build(items, item_col, depth, width)
     exact = items.groupBy(item_col).agg(F.count("*").alias("exact_cnt"))
+    # Build the sketch from the exact-count relation, weighted by cnt
+    # (r17, guide §2.3 "aggregate before you shuffle"): Σ over
+    # occurrences of 1 == Σ over distinct items of cnt, so every (d, b)
+    # cell — and therefore every estimate — is IDENTICAL to the
+    # occurrence-stream build, but the corpus is scanned ONCE (the exact
+    # aggregation q72 computes anyway) and md5 runs per DISTINCT item
+    # instead of per occurrence. The occurrence-stream ``cms_build``
+    # stays the operator for sketch-only callers with no exact leg.
+    fanned = _with_bucket_rows(
+        exact.select(item_col, "exact_cnt"), item_col, depth, width,
+        keep_item=True, keep_cols=["exact_cnt"],
+    )
+    sketch = fanned.groupBy("d", "b").agg(F.sum("exact_cnt").alias("cnt"))
     est = cms_estimate(sketch, exact.select(item_col), item_col, depth, width)
     return (
         est.join(exact, item_col)

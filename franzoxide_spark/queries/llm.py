@@ -626,7 +626,11 @@ FROM documents
 # Q43 — as-of join: latest order per customer at each event's time
 # --------------------------------------------------------------------------
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # project the left side to the three consumed columns BEFORE the
+    # as-of join (r17, guide §2.2): asof_join's aggregate keys on every
+    # left column, so unconsumed event columns would widen the grouping
+    # keys (and the shuffled partial rows), not just the scan
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = table(spark, sf_dir, "orders")
     j = asof_join(
         ev, o,
