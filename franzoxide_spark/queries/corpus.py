@@ -1566,11 +1566,21 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     cut = F.lit(_Q124_CUTOFF).cast("timestamp")
-    stored = partial_agg(ev.filter(F.col("ts") < cut), ["event_type"], "value")
-    delta = partial_agg(ev.filter(F.col("ts") >= cut), ["event_type"], "value")
-    return finalize(
-        merge_partials(stored, delta, keys=["event_type"]), ["event_type"]
-    )
+    # stored/delta partials from ONE scan (r17): the refresh boundary is
+    # a grouping key, so the (event_type, side) rollup IS the union of
+    # the stored partial and the delta partial — merge_partials re-sums
+    # them per event_type exactly as it would two separate frames
+    # (counts and exact-decimal sums are order-free), but the old shape
+    # scanned events twice with complementary ts filters to build the
+    # two sides. In production only the delta side is computed per
+    # refresh; in this self-contained proof both sides come from the
+    # same table, so one partitioned pass is the honest cost.
+    parts = partial_agg(
+        ev.withColumn("__side", F.col("ts") >= cut),
+        ["event_type", "__side"],
+        "value",
+    ).drop("__side")
+    return finalize(merge_partials(parts, keys=["event_type"]), ["event_type"])
 
 
 def _q124_sql() -> str:

@@ -11,7 +11,7 @@ is deterministic + SQL-expressible (the LSH ANN is approximate-by-design
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from franzoxide_spark.functions.text import (
@@ -836,16 +836,16 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
     pool = docs.filter(F.col("doc_id") % 97 != 0)
+    # min-id survivor as min(struct(doc_id, ...)) — doc_id is unique, so
+    # the struct order never reads past the first field and the survivor
+    # set is exactly the row_number()==1 pick this replaced (r17). Unlike
+    # the rank window, min() reduces MAP-SIDE: duplicate texts collapse
+    # before the exchange instead of being shuffled and sorted per group,
+    # and only the three consumed columns ride in the struct.
     survivors = (
-        pool.withColumn("content_sha", F.sha2("text", 256))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("content_sha").orderBy("doc_id")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn", "content_sha")
+        pool.groupBy(F.sha2("text", 256).alias("__sha"))
+        .agg(F.min(F.struct("doc_id", "text", "lang")).alias("__r"))
+        .select("__r.doc_id", "__r.text", "__r.lang")
     )
     toks = survivors.withColumn("__toks", tokens("text"))
     gated = toks.withColumn(
@@ -853,7 +853,7 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_score("__toks", "en").cast("double") / F.size("__toks"),
     ).filter(F.col("stop_ratio") >= 0.05)
     # probe contamination on the raw pool (map-side explode only) so the
-    # dedup shuffle + window lineage above executes once, not twice
+    # dedup aggregation lineage above executes once, not twice
     clean = decontaminate(gated, eval_docs, k=4, probe=pool)
     split = split_assign(clean)
     return split.groupBy("lang", "split").agg(

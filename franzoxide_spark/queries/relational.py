@@ -1434,8 +1434,19 @@ register("q147_tpch_local_volume", q147, _Q147_SQL)
 def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    avg_q = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        davg(dec("l_quantity"), "avg_qty")
+    # the per-part average only depends on that part's own rows, and only
+    # Brand#1 parts survive the fact join — so the broadcast semi-join
+    # prunes ~96% of the aggregation input BEFORE the l_partkey exchange
+    # (guide §3.2: reduce the big side before shuffling it) while leaving
+    # every surviving key's avg_qty bit-identical
+    avg_q = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("__pk"))
+        .agg(davg(dec("l_quantity"), "avg_qty"))
     )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))

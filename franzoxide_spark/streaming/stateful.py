@@ -1128,17 +1128,25 @@ def batch_bottomk_quantiles(
         .filter(F.col("rid").isNotNull() & F.col("value").isNotNull())
         .withColumn("__h", hash60(F.col("rid").cast("string")))
     )
+    # One exchange total (r17): the rank window establishes the per-key
+    # partitioning, and the groupBy("key") right after it reuses that
+    # partitioning, so totals/sample/quantiles all come out of the SAME
+    # aggregation — the old shape paid a second full-data aggregation
+    # for n_seen plus a key-table join to glue the two halves together.
+    # percentile() skips nulls, so masking values past the capacity rank
+    # inside the aggregate is exactly the old filter(__rk <= capacity).
     w = Window.partitionBy("key").orderBy("__h", "rid")
-    sample = keyed.withColumn("__rk", F.row_number().over(w)).filter(
-        F.col("__rk") <= capacity
-    )
-    totals = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("n_seen"))
-    est = sample.groupBy("key").agg(
-        F.count(F.lit(1)).cast("int").alias("sample_n"),
-        F.expr("percentile(value, 0.25)").alias("p25"),
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.75)").alias("p75"),
-    )
-    return totals.join(est, "key").select(
-        "key", "n_seen", "sample_n", "p25", "p50", "p75"
+    in_cap = F.col("__rk") <= capacity
+    sampled_value = F.when(in_cap, F.col("value"))
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.sum(in_cap.cast("int")).cast("int").alias("sample_n"),
+            F.percentile(sampled_value, F.lit(0.25)).alias("p25"),
+            F.percentile(sampled_value, F.lit(0.5)).alias("p50"),
+            F.percentile(sampled_value, F.lit(0.75)).alias("p75"),
+        )
+        .select("key", "n_seen", "sample_n", "p25", "p50", "p75")
     )
