@@ -1107,19 +1107,40 @@ register("q98_event_transitions", q98, _Q98_SQL)
 # --------------------------------------------------------------------------
 def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_rel(spark, sf_dir)
-    user_days = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("__d")
-    ).distinct()
+    # r17: fold the rolling-distinct composition onto the user-bucketed
+    # landing. groupBy(user_id) needs NO exchange there, and the per-user
+    # covered-window set (union of the per-active-day [d, d+6] window
+    # ranges, array_distinct'd in the JVM) emits each (user, window)
+    # pair exactly ONCE — so the final per-window aggregate is a plain
+    # map-side-combined count instead of a second full-data
+    # distinct-aggregate. The old shape paid a (user, day) distinct AND
+    # a countDistinct expansion, both full-data exchanges. Identical
+    # result on non-null user ids (all fixtures; countDistinct would
+    # ignore null users where this counts the null group once).
     span = ev.agg(F.date_trunc("day", F.max("ts")).alias("__last"))
-    contrib = user_days.select(
-        "user_id",
-        F.explode(
-            F.expr("sequence(__d, __d + interval 6 days, interval 1 day)")
-        ).alias("__w"),
-    ).crossJoin(F.broadcast(span)).filter(F.col("__w") <= F.col("__last"))
+    user_windows = (
+        ev.groupBy("user_id")
+        .agg(
+            F.collect_set(F.date_trunc("day", "ts")).alias("__days")
+        )
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.flatten(
+                        F.expr(
+                            "transform(__days, d -> "
+                            "sequence(d, d + interval 6 days, interval 1 day))"
+                        )
+                    )
+                )
+            ).alias("__w")
+        )
+    )
     return (
-        contrib.groupBy(F.date_format("__w", "yyyy-MM-dd").alias("window_end"))
-        .agg(F.countDistinct("user_id").cast("int").alias("wau"))
+        user_windows.crossJoin(F.broadcast(span))
+        .filter(F.col("__w") <= F.col("__last"))
+        .groupBy(F.date_format("__w", "yyyy-MM-dd").alias("window_end"))
+        .agg(F.count(F.lit(1)).cast("int").alias("wau"))
     )
 
 
