@@ -329,13 +329,17 @@ def test_q92_centroids_broadcast_back(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_q94_vocab_is_topv_broadcast_into_encode(spark, sf_dir):
-    # vocab = TakeOrdered top-V (never a global sort of the token
-    # counts), then broadcast into the encode join
+def test_q94_vocab_encode_is_mapside_single_pass(spark, sf_dir):
+    # r17: q94 serves the map-side twin — the bounded top-V vocab is
+    # collected at plan-build time and shipped as a dict into ONE Arrow
+    # pass, so the served plan has no join and no corpus-sized shuffle
+    # at all (the explode -> broadcast join -> doc-reassembly pipeline
+    # of the relational form is gone; output parity with vocab_encode
+    # is pinned in tests/test_corpus_stats.py)
     plan = _plan(spark, sf_dir, "q94_vocab_encode")
-    assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
 
 
 def test_q95_batch_plan_single_group_exchange(spark, sf_dir):
