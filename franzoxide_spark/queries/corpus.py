@@ -962,8 +962,10 @@ register("q92_centroid_outliers", q92, _q92_sql())
 # --------------------------------------------------------------------------
 # Q94 — vocabulary build + document encoding (operators/corpus_stats.py):
 #        the tokenizer-apply step between q70's coverage check and a
-#        training batch. Vocab via TakeOrdered top-V broadcast into the
-#        encode join; the only corpus shuffle is the doc reassembly.
+#        training batch. Served by the map-side twin since r17: bounded
+#        top-V vocab collected once, encode in ONE Arrow pass — no join,
+#        no corpus shuffle (the relational vocab_encode form remains the
+#        operator's oracle-mirrorable reference, parity-tested).
 # --------------------------------------------------------------------------
 def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     from franzoxide_spark.operators.corpus_stats import vocab_encode_mapside
