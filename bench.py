@@ -269,8 +269,11 @@ PER_QUERY_NOTES = {
         "6.48/13.99 s is that shuffle term, linear as expected"
     ),
     "q67_crossdoc_span_coverage": (
-        "floor-dominated: one gram-hash shuffle with map-side combine, "
-        "dup side bounded by distinct duplicated grams. Measured FLAT "
+        "floor-dominated: ONE per-gram (occ, min_doc, max_doc) shuffle "
+        "with map-side combine (r17 batch 2: the (gram,doc) pair agg + "
+        "doc-frequency self-join collapsed into it — dup_grams = "
+        "n_grams - exclusive-gram occurrences; interleaved A/B "
+        "1.24/1.64 -> 0.81/1.01 min/med). Measured FLAT "
         "across three decades (BASELINE.md r12 slope: 0.65/0.72/0.56 s "
         "same-session min-of-2 at sf0.1/10x/30x) — the wall is Spark "
         "job/codegen floor, not data; the ratio vs a ~0.33 s oracle is "

@@ -97,11 +97,19 @@ def crossdoc_span_coverage(
     ``dup_fraction < threshold``. Documents shorter than k tokens have
     zero grams and keep=true.
 
-    Plan shape: gram stream → (gram, doc) partial-aggregated pairs (one
-    shuffle) → doc-frequency filter (gram-co-partitioned; the identical
-    pairs subtree on both sides of the coverage join is a single
-    ReusedExchange) → per-doc sums. The join back to per-doc totals is
-    on the id, against an aggregate bounded by document count.
+    Plan shape (r17, guide §2.3 "aggregate before you shuffle"): gram
+    stream → ONE exchange keyed by gram computing per-gram
+    ``(occurrences, min_doc, max_doc)`` → grams exclusive to a single
+    document (min == max) re-aggregate per doc (narrow 2-column rows,
+    distinct-gram-bounded) → ``dup_grams = n_grams − exclusive_occ``.
+    Identity: a gram's occurrences are either all in one doc (min==max;
+    none shared) or spread over ≥2 docs (every occurrence shared with
+    another doc by definition), so per-doc shared occurrences are the
+    complement of per-doc exclusive occurrences. This replaces the
+    previous (gram, doc) pair aggregation + doc-frequency self-join +
+    per-doc sum (two corpus-gram exchanges and a join; the reference
+    pipeline in tests/test_span_dedup.py keeps that shape and pins
+    equality on the real fixture).
 
     Grouping keys are ``xxhash64(token-slice, k)`` — 8-byte longs, never
     the gram strings (r17, guide §2.3 "narrower types"/"shuffle keys
@@ -135,25 +143,27 @@ def crossdoc_span_coverage(
     grams = toks.select(
         id_col, F.explode(_gram_hash_occurrences("__t", k)).alias("__g")
     )
-    # (gram, doc) with occurrence multiplicity; map-side combine applies
-    pairs = grams.groupBy("__g", id_col).agg(F.count("*").alias("__occ"))
-    dup_g = (
-        pairs.groupBy("__g")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") > 1)
-        .select("__g")
+    # one exchange: per-gram occurrence count + the doc-id range; map-side
+    # combine collapses to distinct-grams-per-partition before the shuffle
+    per_g = grams.groupBy("__g").agg(
+        F.count("*").alias("__occ"),
+        F.min(id_col).alias("__lo"),
+        F.max(id_col).alias("__hi"),
     )
-    dup_per_doc = (
-        pairs.join(dup_g, "__g")
-        .groupBy(id_col)
-        .agg(F.sum("__occ").alias("dup_grams"))
+    # grams whose every occurrence lives in ONE doc (min==max): none of
+    # their occurrences are shared; everything else is shared entirely
+    excl_per_doc = (
+        per_g.filter(F.col("__lo") == F.col("__hi"))
+        .groupBy(F.col("__lo").alias(id_col))
+        .agg(F.sum("__occ").alias("__excl"))
     )
+    dup_expr = F.col("n_grams") - F.coalesce("__excl", F.lit(0))
     frac = F.when(
         F.col("n_grams") == 0, F.lit(0.0)
     ).otherwise(F.col("dup_grams").cast("double") / F.col("n_grams"))
     return (
-        totals.join(dup_per_doc, id_col, "left")
-        .withColumn("dup_grams", F.coalesce("dup_grams", F.lit(0)))
+        totals.join(excl_per_doc, id_col, "left")
+        .withColumn("dup_grams", dup_expr)
         .select(
             id_col,
             F.col("n_grams").cast("int").alias("n_grams"),
