@@ -6,13 +6,15 @@ this is the full distributed loop a corpus-scale clustering needs):
 
 - init: deterministic — the k rows with the smallest ids seed the
   centroids (no RNG; same corpus -> same clustering);
-- assign: Arrow-batched pandas UDF computes each row's nearest centroid
-  against the BROADCAST centroid matrix (one numpy GEMM per batch, the
-  q83 pattern) — corpus never shuffles for assignment;
-- update: per-(cluster, dimension) partial sums via posexplode +
-  map-side-combined aggregation — the shuffle is bounded by k x dim
-  regardless of corpus size (the q92 centroid shape) — then the k x dim
-  result collects to the driver (tiny) to become the next broadcast.
+- assign + update, fused (r17): ONE Arrow pass per iteration computes
+  each row's nearest centroid against the BROADCAST centroid matrix
+  (one numpy GEMM per batch, the q83 pattern) and accumulates the
+  per-(cluster, dimension) int64 partial sums in-task, emitting at most
+  k x dim rows per task — the corpus never shuffles, never returns
+  per-row values to the JVM, and the only exchange is the
+  tasks-x-k-x-dim partial merge (the q92 centroid shape, bounded
+  regardless of corpus size) — then the k x dim result collects to the
+  driver (tiny) to become the next broadcast.
 
 Per iteration: one corpus scan, one bounded shuffle, one tiny collect.
 Iterations are the outer loop a driver coordinates — exactly how MLlib
@@ -91,26 +93,59 @@ def kmeans_fit(
             " reduce k"
         )
     for _ in range(iters):
-        assigned = emb.withColumn(
-            "cluster_id", _assign_udf(centroids)(F.col(vec_col))
-        )
-        # exact integer partial sums (the q92 centroid pattern): a plain
-        # double SUM accumulates in shuffle-partition order, so the same
-        # corpus under a different partition layout drifts in the last
-        # ulps and a boundary point can flip clusters — violating the
-        # module's "no RNG; same corpus -> same clustering" contract
-        # (r13 review). scaled_int quantizes each coordinate to 6dp and
-        # sums in int64 — order-independent, exact to ~9e12 summed
-        # magnitude per (cluster, dim) cell
+        # fused assign+partial-sum kernel (r17 batch 4, guide §4.1/§2.3):
+        # one Arrow pass computes the assignment GEMM (bit-identical to
+        # _assign_udf — same float64 expression, same argmin) AND
+        # accumulates the per-(cluster, dim) int64 partial sums in-task,
+        # emitting ≤ k×dim rows per task. This replaces the previous
+        # [per-row assign UDF → posexplode (rows×dim Generate) → hash
+        # aggregate over the exploded stream]: no per-row Arrow return
+        # leg, no corpus×dim aggregation input. Exactness is unchanged:
+        # np.floor(x·1e6 + 0.5) IS scaled_int's double-domain half-up
+        # quantization (identical IEEE ops), and int64 partial sums are
+        # order-free — the module's "same corpus -> same clustering"
+        # contract holds under any partition layout (r13 review), pinned
+        # against the posexplode reference in tests/test_clustering.py.
+        c_arr = np.asarray(centroids, dtype=np.float64)
+        c_sq = (c_arr * c_arr).sum(axis=1)
+        n_k, n_dim = c_arr.shape
+
+        def _partials(batches, _c=c_arr, _csq=c_sq, _k=n_k, _d=n_dim):
+            s = np.zeros((_k, _d), dtype=np.int64)
+            n = np.zeros(_k, dtype=np.int64)
+            for pdf in batches:
+                # float64 up-cast FIRST: scaled_int quantizes after a
+                # double cast, and a float32 embedding column would
+                # otherwise keep x*1e6 in float32 (numpy's scalar
+                # promotion) and drift from the Spark-side reference.
+                # The GEMM is unchanged — matmul promotes float32
+                # operands to float64 exactly, so _assign_udf's d is
+                # the same matrix.
+                x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = -2.0 * (x @ _c.T) + _csq
+                cid = np.argmin(d, axis=1)
+                q = np.floor(x * 1_000_000.0 + 0.5).astype(np.int64)
+                np.add.at(s, cid, q)
+                n += np.bincount(cid, minlength=_k)
+            nz = np.nonzero(n)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": np.repeat(nz, _d).astype(np.int32),
+                        "pos": np.tile(np.arange(_d, dtype=np.int32), len(nz)),
+                        "s": s[nz].ravel(),
+                        "n": np.repeat(n[nz], _d),
+                    }
+                )
+
+        # tasks×k×dim partial rows → the same k×dim (s, n) rows the
+        # posexplode shape produced (n repeats per pos within a cluster,
+        # so sum(n) per (cluster, pos) == the old per-group row count)
         sums = (
-            assigned.select(
-                "cluster_id", F.posexplode(vec_col).alias("pos", "x")
-            )
+            emb.select(vec_col)
+            .mapInPandas(_partials, "cluster_id int, pos int, s long, n long")
             .groupBy("cluster_id", "pos")
-            .agg(
-                F.sum(scaled_int("x", scale=1_000_000)).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         # the partial-sum relation is grouped on (cluster, pos): at most

@@ -1365,6 +1365,12 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     (the big (k,v) distinct), docs.repartition(16/32) 1.1-1.5 s
     #     (shuffle + task overhead beats the gain at this SF; at 100 TB
     #     the scan has real partitions and none of this is needed).
+    #   rejected (r17 batch 4): single-scan TWO-LEVEL explode — one
+    #     struct(k, hash-array) per (doc, k) (3 tiny structs/doc, not
+    #     one per gram), exploded twice so k stays first-class with ONE
+    #     tokenize+scan. Interleaved min-of-10: union 1.618/2.083
+    #     (min/med) vs two-level 1.807/2.349 — the union's 3-branch
+    #     parallelism on the 1-split fixture beats the saved tokenize.
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     ).withColumn("__toks", tokens("text"))

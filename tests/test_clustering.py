@@ -123,3 +123,48 @@ def test_kmeans_bit_stable_across_partition_layouts(spark):
     c32, _ = kmeans_fit(df.repartition(32, "vec_id"), k=4, iters=3)
     c7, _ = kmeans_fit(df.repartition(7), k=4, iters=3)
     assert c1 == c32 == c7
+
+
+def test_kmeans_fused_update_matches_posexplode_reference(spark, sf_dir):
+    """r17: the update step fused assignment and int64 partial sums into
+    one Arrow kernel. Pin its centroids bit-identical to the previous
+    [assign UDF -> posexplode -> scaled_int aggregate] shape, iteration
+    by iteration, on the real fixture."""
+    from franzoxide_spark.functions.numeric import scaled_int
+    from franzoxide_spark.operators.clustering import _assign_udf
+
+    emb = table(spark, sf_dir, "embeddings")
+    k, iters, vec_col, id_col = 6, 3, "embedding", "vec_id"
+
+    # reference: the pre-r17 update pipeline, verbatim
+    seed_rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    centroids = [list(r[vec_col]) for r in seed_rows]
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "cluster_id", _assign_udf(centroids)(F.col(vec_col))
+        )
+        sums = (
+            assigned.select(
+                "cluster_id", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.sum(scaled_int("x", scale=1_000_000)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster, counts = {}, {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = r["s"]
+            counts[r["cluster_id"]] = r["n"]
+        dim = len(centroids[0])
+        centroids = [
+            [by_cluster[c][p] / counts[c] / 1_000_000.0 for p in range(dim)]
+            if c in by_cluster
+            else centroids[c]
+            for c in range(k)
+        ]
+
+    got, _ = kmeans_fit(emb, vec_col, id_col, k=k, iters=iters)
+    assert got == centroids
