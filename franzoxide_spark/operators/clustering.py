@@ -114,6 +114,8 @@ def kmeans_fit(
             s = np.zeros((_k, _d), dtype=np.int64)
             n = np.zeros(_k, dtype=np.int64)
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 # float64 up-cast FIRST: scaled_int quantizes after a
                 # double cast, and a float32 embedding column would
                 # otherwise keep x*1e6 in float32 (numpy's scalar

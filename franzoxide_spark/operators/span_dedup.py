@@ -109,7 +109,9 @@ def crossdoc_span_coverage(
     previous (gram, doc) pair aggregation + doc-frequency self-join +
     per-doc sum (two corpus-gram exchanges and a join; the reference
     pipeline in tests/test_span_dedup.py keeps that shape and pins
-    equality on the real fixture).
+    equality on the real fixture). Assumes non-null ``id_col`` (as every
+    caller here guarantees): min/max skip nulls, so a null-id document's
+    grams would not register as exclusive.
 
     Grouping keys are ``xxhash64(token-slice, k)`` — 8-byte longs, never
     the gram strings (r17, guide §2.3 "narrower types"/"shuffle keys
