@@ -54,14 +54,26 @@ def source_js_divergence(
         F.col(source_col).alias("source"),
         F.explode(tokens(text_col)).alias("term"),
     )
+    # ONE corpus-sized aggregation (r17): per-(source, term) counts are
+    # the finest grain both downstream relations need, so the token
+    # explode runs exactly once; the corpus-wide term counts are a
+    # re-aggregation of those bounded partials (c_cnt = Σ_sources s_cnt,
+    # null sources included — identical to counting the raw stream).
+    # The lazy localCheckpoint keeps the explode+aggregate from
+    # re-executing for each of the two consumers (vocab + grid). The
+    # previous shape exploded the corpus twice: once for groupBy(term),
+    # once for the vocab-joined groupBy(source, term).
+    st = (
+        term.groupBy("source", "term")
+        .agg(F.count("*").alias("s_cnt"))
+        .localCheckpoint(eager=False)
+    )
     # corpus-wide counts -> top-v vocab (ties by term, deterministic)
-    corpus = term.groupBy("term").agg(F.count("*").alias("c_cnt"))
+    corpus = st.groupBy("term").agg(F.sum("s_cnt").alias("c_cnt"))
     vocab = corpus.orderBy(F.desc("c_cnt"), "term").limit(v)
     # per-(source, term) counts over the vocab only
-    sc = (
-        term.join(F.broadcast(vocab.select("term")), "term")
-        .groupBy("source", "term")
-        .agg(F.count("*").alias("s_cnt"))
+    sc = st.join(F.broadcast(vocab.select("term")), "term").select(
+        "source", "term", "s_cnt"
     )
     # bounded grid: every source x every vocab term (absent -> s_cnt 0).
     # Source list comes from the DOCS table, not from sc: a source whose

@@ -685,46 +685,63 @@ def fd_report(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     to >1 dependent), ``g3_rows`` (rows outside each group's majority
     dependent), ``g3_rate`` (6dp), ``holds``.
 
-    Scale shape: each pair is one (det, dep) map-side-combined count —
-    bounded by the distinct pair space, never rows — followed by a
-    determinant-keyed re-aggregation of those counts; the per-pair
-    1-row results union. No corpus-sized shuffle for low-cardinality
-    candidates, which is what FD candidates are by definition.
+    Scale shape (r17): ALL candidate pairs ride ONE scan. Each row
+    explodes into one tagged sliver ``(pair_id, det_str, dep_str)`` per
+    candidate (cast to string — injective per column, so group
+    identities are preserved), and a single (pair, det, dep) map-side-
+    combined count replaces the per-pair scans; the per-determinant and
+    per-pair re-aggregations run over those bounded partials. The
+    previous shape paid one scan + two exchanges + a SinglePartition
+    collapse PER PAIR plus a separate ``count()`` job for the rate's
+    denominator — now ``n_rows`` falls out of the same aggregate
+    (``sum(tot)`` per pair: every row lands in exactly one (det, dep)
+    group, nulls included, so the per-pair group-count sum IS the row
+    count). Requires a non-empty ``df`` (the fused per-pair groupBy
+    yields no rows on an empty table where the old ungrouped aggregates
+    yielded one null-stats row per pair; profiling an empty table is
+    meaningless for both shapes).
     """
-    n_rows = df.count()
-    parts = []
-    for det, dep in pairs:
-        cnt = df.groupBy(det, dep).agg(F.count(F.lit(1)).alias("__c"))
-        per_det = cnt.groupBy(det).agg(
-            F.sum("__c").alias("__tot"),
-            F.max("__c").alias("__mx"),
-            F.count(F.lit(1)).alias("__ndep"),
+    arms = [
+        F.struct(
+            F.lit(i).alias("__p"),
+            F.col(det).cast("string").alias("__det"),
+            F.col(dep).cast("string").alias("__dep"),
         )
-        parts.append(
-            per_det.agg(
-                F.count(F.lit(1)).cast("int").alias("n_groups"),
-                F.sum((F.col("__ndep") > 1).cast("long"))
-                .cast("int")
-                .alias("violating_groups"),
-                F.sum(F.col("__tot") - F.col("__mx"))
-                .cast("bigint")
-                .alias("g3_rows"),
-            ).select(
-                F.lit(det).alias("determinant"),
-                F.lit(dep).alias("dependent"),
-                "n_groups",
-                "violating_groups",
-                "g3_rows",
-                F.round(F.col("g3_rows") / F.lit(float(n_rows)), 6).alias(
-                    "g3_rate"
-                ),
-                (F.col("g3_rows") == 0).alias("holds"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        for i, (det, dep) in enumerate(pairs)
+    ]
+    ex = df.select(F.explode(F.array(*arms)).alias("__e")).select("__e.*")
+    cnt = ex.groupBy("__p", "__det", "__dep").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_det = cnt.groupBy("__p", "__det").agg(
+        F.sum("__c").alias("__tot"),
+        F.max("__c").alias("__mx"),
+        F.count(F.lit(1)).alias("__ndep"),
+    )
+    per_pair = per_det.groupBy("__p").agg(
+        F.count(F.lit(1)).cast("int").alias("n_groups"),
+        F.sum((F.col("__ndep") > 1).cast("long"))
+        .cast("int")
+        .alias("violating_groups"),
+        F.sum(F.col("__tot") - F.col("__mx")).cast("bigint").alias("g3_rows"),
+        F.sum("__tot").alias("__n_rows"),
+    )
+    det_expr = F.lit(pairs[0][0])
+    dep_expr = F.lit(pairs[0][1])
+    for i, (det, dep) in enumerate(pairs[1:], start=1):
+        det_expr = F.when(F.col("__p") == i, F.lit(det)).otherwise(det_expr)
+        dep_expr = F.when(F.col("__p") == i, F.lit(dep)).otherwise(dep_expr)
+    return per_pair.select(
+        det_expr.alias("determinant"),
+        dep_expr.alias("dependent"),
+        "n_groups",
+        "violating_groups",
+        "g3_rows",
+        F.round(
+            F.col("g3_rows") / F.col("__n_rows").cast("double"), 6
+        ).alias("g3_rate"),
+        (F.col("g3_rows") == 0).alias("holds"),
+    )
 
 
 def sql_fd_report(table: str, pairs: list[tuple[str, str]]) -> str:

@@ -2264,47 +2264,64 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     pairs = c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
-    parts = []
-    for d in _Q162_DIMS:
-        sliced = pairs.select(
-            cosine_rounded("qv", "cv").alias("cf"),
-            F.round(
-                F.expr(
-                    f"aggregate(zip_with(slice(qv, 1, {d}), slice(cv, 1, {d}),"
-                    " (x, y) -> cast(x as double) * cast(y as double)),"
-                    " cast(0.0 as double), (acc, v) -> acc + v)"
-                )
-                / (
-                    F.sqrt(F.expr(
-                        f"aggregate(transform(slice(qv, 1, {d}),"
-                        " x -> cast(x as double) * cast(x as double)),"
-                        " cast(0.0 as double), (acc, v) -> acc + v)"
-                    ))
-                    * F.sqrt(F.expr(
-                        f"aggregate(transform(slice(cv, 1, {d}),"
-                        " x -> cast(x as double) * cast(x as double)),"
-                        " cast(0.0 as double), (acc, v) -> acc + v)"
-                    ))
-                ),
-                6,
-            ).alias("ct"),
-        )
-        parts.append(
-            sliced.agg(
-                F.lit(d).alias("trunc_dim"),
-                F.count(F.lit(1)).cast("int").alias("n_pairs"),
-                F.round(F.avg(F.abs(F.col("cf") - F.col("ct"))), 6).alias(
-                    "mean_abs_err"
-                ),
-                F.round(F.max(F.abs(F.col("cf") - F.col("ct"))), 6).alias(
-                    "max_abs_err"
-                ),
+    # ONE pass for every truncation dim (r17; the q136 one-pass-curve
+    # pattern): the full-dim cosine cf is computed once per pair (the
+    # dominant per-row cost — it was recomputed per dim in the old
+    # per-dim-pass union), every dim's truncated cosine rides the same
+    # row, and a single ungrouped aggregate emits all dims' stats as
+    # columns; stack() unpivots the 1-row aggregate map-side. Identical
+    # operands per dim -> identical 6-dp stats; n_pairs is the same
+    # count every arm measured.
+    def _ct(d: int):
+        return F.round(
+            F.expr(
+                f"aggregate(zip_with(slice(qv, 1, {d}), slice(cv, 1, {d}),"
+                " (x, y) -> cast(x as double) * cast(y as double)),"
+                " cast(0.0 as double), (acc, v) -> acc + v)"
             )
+            / (
+                F.sqrt(F.expr(
+                    f"aggregate(transform(slice(qv, 1, {d}),"
+                    " x -> cast(x as double) * cast(x as double)),"
+                    " cast(0.0 as double), (acc, v) -> acc + v)"
+                ))
+                * F.sqrt(F.expr(
+                    f"aggregate(transform(slice(cv, 1, {d}),"
+                    " x -> cast(x as double) * cast(x as double)),"
+                    " cast(0.0 as double), (acc, v) -> acc + v)"
+                ))
+            ),
+            6,
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+
+    sliced = pairs.select(
+        cosine_rounded("qv", "cv").alias("cf"),
+        *[_ct(d).alias(f"ct_{d}") for d in _Q162_DIMS],
+    )
+    one = sliced.agg(
+        F.count(F.lit(1)).cast("int").alias("n_pairs"),
+        *[
+            agg
+            for d in _Q162_DIMS
+            for agg in (
+                F.round(
+                    F.avg(F.abs(F.col("cf") - F.col(f"ct_{d}"))), 6
+                ).alias(f"mean_{d}"),
+                F.round(
+                    F.max(F.abs(F.col("cf") - F.col(f"ct_{d}"))), 6
+                ).alias(f"max_{d}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"{d}, n_pairs, mean_{d}, max_{d}" for d in _Q162_DIMS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_Q162_DIMS)}, {stack_args}) AS "
+            "(trunc_dim, n_pairs, mean_abs_err, max_abs_err)"
+        )
+    )
 
 
 def _q162_sql() -> str:
