@@ -384,6 +384,30 @@ PER_QUERY_NOTES = {
 }
 
 
+# Names printed in the PREVIOUS round's one-line "queries" sample
+# (BENCH_r17.json). The round-over-round PERF comparator reads ONLY the
+# printed line, so a query that merely got FASTER and fell out of the
+# top-10 shows up as a false "dropped_from_bench" row (r17: q67/q79/q88
+# were flagged while actually ~3x faster — VERDICT r17 item #3). The
+# printed map is therefore the top-10 slowest UNION the previous round's
+# printed names (driver contract allows ADDING entries, never removing):
+# every name the comparator saw last round stays present with its
+# current seconds, so exits from the top-10 compare as speedups instead
+# of drops. Bounded at <= 20 entries; the size contract test covers it.
+PREV_PRINTED_QUERIES = (
+    "q35b_ngram_jaccard_prefix",
+    "q139_pagerank_topk",
+    "q125_kmeans_summary",
+    "q101_decontam_k_sweep",
+    "q93_incremental_dedup",
+    "q165_bloom_decontam_prefilter",
+    "q160_tfrecord_export",
+    "q119_containment_pairs",
+    "q54_curation_pipeline",
+    "q115_leakage_safe_split",
+)
+
+
 def _clear_session_state(spark) -> None:
     """Reset cached state between timed queries so each starts from the
     same clean session the DuckDB side gets per statement. Queries that
@@ -601,10 +625,16 @@ def build_summary(
     ) if not floor_failed else []
     # Fixed-size sample keeps the driver-contract "queries" key present
     # (per-query seconds) without unbounded growth: the 10 slowest are the
-    # only ones a reader of the one-line record acts on anyway.
+    # only ones a reader of the one-line record acts on anyway — UNIONED
+    # with the previous round's printed names so the PERF comparator
+    # never sees a false "dropped_from_bench" when a query speeds up out
+    # of the top-10 (r17 VERDICT item #3/#6). Bounded: 10 + len(prev).
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    for name in PREV_PRINTED_QUERIES:
+        if name in timings:
+            slowest.setdefault(name, timings[name])
     summary = {
         "metric": "suite_wall_clock",
         "value": total,
@@ -993,6 +1023,21 @@ def main() -> None:
             "events": list(_dedup.LANDING_EVENTS),
             "prefix_checkpoint_decisions": list(_dedup.PREFIX_DECISIONS),
         }
+        # r17 VERDICT #1: landing-write seconds this run actually paid,
+        # ON the printed line — 0.0 means every landing was adopted from
+        # a prior session's files (or none was touched), a positive value
+        # is the in-run build cost the suite total amortizes. The full
+        # event list (who wrote/adopted what, when) stays in the detail.
+        landing_build_s = round(
+            sum(
+                e.get("secs", 0.0)
+                for e in _dedup.LANDING_EVENTS
+                if e.get("decision") in ("written", "re-landed")
+            ),
+            2,
+        )
+        summary["landing_build_s"] = landing_build_s
+        detail["landing_build_s"] = landing_build_s
     except Exception:  # noqa: BLE001 — diagnostics must not fail the bench
         pass
     detail["validated"] = update_validated(

@@ -63,6 +63,19 @@ def source_js_divergence(
     # re-executing for each of the two consumers (vocab + grid). The
     # previous shape exploded the corpus twice: once for groupBy(term),
     # once for the vocab-joined groupBy(source, term).
+    #
+    # r18: persist() was A/B'd per the r17 ADVICE (graceful recompute
+    # after an external clearCache) and REJECTED on measurement —
+    # isolated min-of-6 at sf0.1: 0.998 s persisted vs 0.612 s
+    # checkpointed (the columnar cache serialization costs more than the
+    # barrier saves; plan grew Exchange 26→33). The ADVICE's hazard is
+    # real but narrow: the RETURNED DataFrame handle is single-
+    # collection-scoped — re-collecting the same handle after an
+    # external unpersist-all can hit 'checkpoint block not found'.
+    # Callers (bench.py, the registry) build a fresh plan per run, and
+    # the materialization stays cheap because the (source, term) grain
+    # is bounded by sources × vocabulary — both pinned in
+    # tests/test_drift.py::test_partials_grain_is_bounded.
     st = (
         term.groupBy("source", "term")
         .agg(F.count("*").alias("s_cnt"))

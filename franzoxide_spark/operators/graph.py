@@ -44,6 +44,7 @@ def pagerank(
     symmetric: bool = False,
     checkpoint_every: int = 4,
     pre_materialized: bool = False,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over ``edges (src bigint, dst bigint)``.
 
@@ -68,6 +69,15 @@ def pagerank(
     At the bench SF this halves the per-iteration job count — the
     scheduler floor, not the O(|E|) work, dominates small-graph
     iteration cost (r12 verdict item #3).
+
+    ``n_nodes``: caller-vouched count of distinct nodes (trusted, like
+    ``deg``/``symmetric``). Callers that can derive it from their own
+    edge-build job (q139: countDistinct per bipartite side in the job
+    that materializes its checkpoint) skip the separate count action
+    here. In symmetric mode with ``iters >= 1`` the node table is then
+    never constructed at all — the first iteration folds into one
+    aggregation over the edge relation (uniform start ⇒ every source
+    contributes exactly (1/N)/deg), r18.
 
     ``checkpoint_every``: lineage-flattening cadence. The rank vector
     is consumed ONCE per iteration, so the lazy plan grows LINEARLY
@@ -98,13 +108,18 @@ def pagerank(
     # SAME data a second time at 2x|pairs| width — skip it (r17: q139
     # 1.97 -> 1.66 s isolated min-of-6).
     ed = pre if pre_materialized else pre.localCheckpoint(eager=False)
+    # ``n_nodes``: caller-vouched distinct-node count (trusted like
+    # ``deg``/``symmetric`` — q139 derives it as countDistinct(s) +
+    # countDistinct(c) in the SAME job that materializes its edge
+    # checkpoint, r18: one scheduling round fewer than counting the
+    # doubled edge list's distinct dst here). In symmetric mode the
+    # node table itself is never needed (see below), so a vouched count
+    # removes the entire node-derivation subtree.
     if symmetric:
-        # both directions present -> the dst side already names every node
-        nodes = (
-            ed.select(F.col("dst").alias("node"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
+        nodes = None
+        if n_nodes is None:
+            # both directions present -> dst alone names every node
+            n_nodes = ed.select("dst").distinct().count()
     else:
         nodes = (
             ed.select(F.col("src").alias("node"))
@@ -112,7 +127,8 @@ def pagerank(
             .distinct()
             .localCheckpoint(eager=False)
         )
-    n_nodes = nodes.count()
+        if n_nodes is None:
+            n_nodes = nodes.count()
 
     # The rank vector is |nodes| rows. When that fits a broadcast (the
     # common case even for large graphs — 5M nodes x 16B is ~80 MB), the
@@ -126,9 +142,43 @@ def pagerank(
     small = n_nodes <= broadcast_threshold
     b = F.broadcast if small else (lambda df: df)
 
-    ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
-    for i in range(1, iters + 1):
+    if symmetric and iters >= 1:
+        # First iteration folded (r18, VERDICT #4): from the uniform
+        # start every source contributes exactly (1/N)/deg, so round 1's
+        # edges⋈r0 join is a constant lookup — r1 comes straight off the
+        # edge relation with ONE aggregation, and the node table is
+        # never built at all (r1 already names every node: symmetric ⇒
+        # in-degree >= 1). Bit-for-bit the same arithmetic as the join
+        # form: the joined rank value was the literal 1/N for every row,
+        # and groupBy summation order was never deterministic.
+        ranks = (
+            ed.select(
+                F.col("dst").alias("node"),
+                ((F.lit(1.0) / n_nodes) / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+            .select(
+                "node",
+                (F.lit(base) + damping * F.col("in_mass")).alias("rank"),
+            )
+        )
+        if 1 % checkpoint_every == 0 and 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+        start_iter = 2
+    elif symmetric:
+        # iters == 0: the uniform start itself is the answer — the one
+        # symmetric case that still needs the node list
+        return (
+            ed.select(F.col("dst").alias("node"))
+            .distinct()
+            .select("node", (F.lit(1.0) / n_nodes).alias("rank"))
+        )
+    else:
+        ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
+        start_iter = 1
+    for i in range(start_iter, iters + 1):
         contribs = (
             ed.join(b(ranks), ed["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))

@@ -699,13 +699,38 @@ def fd_report(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     count). Requires a non-empty ``df`` (the fused per-pair groupBy
     yields no rows on an empty table where the old ungrouped aggregates
     yielded one null-stats row per pair; profiling an empty table is
-    meaningless for both shapes).
+    meaningless for both shapes — pinned by tests/test_fd_report.py).
+
+    Grouping keys are string-rendered (one tagged sliver per pair per
+    row), which is injective per column EXCEPT for IEEE signed zero:
+    native value grouping normalizes ``-0.0 == 0.0`` while the string
+    cast renders them apart. Float/double candidates are therefore
+    canonicalized with ``+ 0.0`` before the cast (``-0.0 + 0.0 == +0.0``
+    exactly; every other value is unchanged, and the float→double
+    promotion is exact), matching both the old native-value grouping and
+    ``sql_fd_report`` (r17 ADVICE).
     """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    from pyspark.sql import types as T
+
+    fractional = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
+
+    def _key(col: str):
+        c = F.col(col)
+        if col in fractional:
+            c = c + F.lit(0.0)
+        return c.cast("string")
+
     arms = [
         F.struct(
             F.lit(i).alias("__p"),
-            F.col(det).cast("string").alias("__det"),
-            F.col(dep).cast("string").alias("__dep"),
+            _key(det).alias("__det"),
+            _key(dep).alias("__dep"),
         )
         for i, (det, dep) in enumerate(pairs)
     ]

@@ -237,6 +237,18 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(deg_c), "c")
         .localCheckpoint(eager=False)
     )
+    # Node count folded into the SAME job that materializes the edge
+    # checkpoint (r18, VERDICT #4): the graph's nodes are distinct s ∪
+    # distinct c, and the two sets are disjoint by parity (s = 2·suppkey
+    # even, c = 2·custkey+1 odd), so countDistinct(s) + countDistinct(c)
+    # IS the node count — pagerank() no longer runs its own
+    # distinct-dst count over the 2x-width doubled edge list as a
+    # separate scheduling round.
+    counts = attached.agg(
+        F.countDistinct("s").alias("__ns"),
+        F.countDistinct("c").alias("__nc"),
+    ).collect()[0]
+    n_nodes = int(counts["__ns"]) + int(counts["__nc"])
     edges = attached.select(
         F.col("s").alias("src"),
         F.col("c").alias("dst"),
@@ -249,7 +261,8 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranks = pagerank(
-        edges, iters=3, damping=0.85, symmetric=True, pre_materialized=True
+        edges, iters=3, damping=0.85, symmetric=True,
+        pre_materialized=True, n_nodes=n_nodes,
     ).select("node", F.round("rank", 9).alias("rank"))
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     return (

@@ -47,6 +47,29 @@ def test_printed_line_bounded_even_under_mass_failure():
     assert summary["errors_n"] == 120 and len(summary["error_keys"]) == 15
 
 
+def test_printed_queries_keep_prev_round_names():
+    """A query that merely speeds up out of the top-10 must stay on the
+    printed line (r17: q67/q79/q88 got faster, fell off the sample, and
+    the PERF comparator published false dropped_from_bench rows). The
+    printed map is top-10 UNION the previous round's printed names — and
+    the union must still fit the driver's 2000-byte tail capture."""
+    from bench import PREV_PRINTED_QUERIES
+
+    timings, oracle = _fake_run(150)
+    # every prev-printed name present but FAST — outside the top-10
+    for n in PREV_PRINTED_QUERIES:
+        timings[n] = 0.01
+        oracle[n] = 0.005
+    summary, _ = build_summary(
+        timings, oracle, errors={}, floor=0.21, floor_failed=False, sf=0.1
+    )
+    for n in PREV_PRINTED_QUERIES:
+        assert n in summary["queries"], f"{n} dropped from printed line"
+    assert len(summary["queries"]) <= 10 + len(PREV_PRINTED_QUERIES)
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1800, f"printed line is {len(line)} bytes"
+
+
 def test_summary_keeps_driver_contract_fields():
     timings, oracle = _fake_run(106)
     summary, _ = build_summary(

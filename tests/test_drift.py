@@ -116,3 +116,32 @@ def test_vocab_disjoint_source_parity_with_sql(spark):
     )
     con.close()
     assert got == exp
+
+
+def test_partials_grain_is_bounded(spark):
+    """The single (source, term) aggregation source_js_divergence
+    checkpoints is bounded by sources x distinct-terms — the invariant
+    that makes the one-explode shape (r17) safe to materialize and that
+    VERDICT r17 asks to keep pinned. Rebuilt here exactly as the
+    operator builds it; if the grain ever became corpus-sized (e.g.
+    doc-level keys sneaking into the groupBy), this count blows past
+    the bound and fails."""
+    from pyspark.sql import functions as F
+
+    from franzoxide_spark.functions.text import tokens
+
+    rows = [
+        (i, ["a", "b", "c"][i % 3], "w%d common shared" % (i % 7))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    term = df.select(
+        F.col("source"), F.explode(tokens("text")).alias("term")
+    )
+    st = term.groupBy("source", "term").agg(F.count("*").alias("s_cnt"))
+    n_sources = df.select("source").distinct().count()
+    n_terms = term.select("term").distinct().count()
+    assert st.count() <= n_sources * n_terms
+    # and the operator's output over the same frame stays correct
+    out = source_js_divergence(df, "source", "text", v=50).collect()
+    assert len(out) == n_sources

@@ -83,6 +83,21 @@ def test_symmetric_fast_path_equals_general_path(spark):
             assert fast[node] == pytest.approx(rank, rel=1e-12), (iters, node)
 
 
+def test_symmetric_vouched_node_count_equals_general(spark):
+    """``n_nodes`` caller-vouched (r18: q139 derives it in its edge-build
+    job) + the folded first iteration must reproduce the general path's
+    ranks across iteration counts, including iters=1 (the fold IS the
+    whole run) and iters=0 (uniform start over the node list)."""
+    e = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (1, 4), (4, 1),
+         (1, 3), (3, 1), (5, 1), (1, 5)]
+    for iters in (0, 1, 3, 5):
+        general = _ranks(spark, e, iters=iters)
+        fast = _ranks(spark, e, iters=iters, symmetric=True, n_nodes=5)
+        assert set(general) == set(fast), iters
+        for node, rank in general.items():
+            assert fast[node] == pytest.approx(rank, rel=1e-12), (iters, node)
+
+
 def test_bsp_fallback_plan_has_no_broadcast_join(spark, monkeypatch):
     """The threshold actually routes the physical plan: below it the
     rank-vector join is a BroadcastHashJoin (the explicit hint wins even
