@@ -936,12 +936,26 @@ def simhash_near_duplicates(
     quadratic filter; the join key is (band, band_bits)."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
+    # Input parallelism guard (r18): the signature is an interpreted
+    # higher-order-function expression (32 array passes per doc), so a
+    # single-split input runs the whole signature pass on ONE core — the
+    # 10x replica (one parquet file) measured 43x over base in the slope
+    # sweep purely from this. Project the two consumed columns and
+    # round-robin them to the session's parallelism first; on a real
+    # multi-split corpus the repartition is a no-op (the corpus_stats
+    # _fan_out guard).
+    src = df.select(id_col, text_col)
+    target = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
     # The signature is an interpreted higher-order-function expression;
     # without a pipeline break it would be re-evaluated per band row on
     # BOTH sides of the self-join (measured: ~70x slower). Caching the
     # tiny (id, simhash) table evaluates it exactly once per doc — the
     # standard persist-the-signatures step of any LSH pipeline.
-    sig = simhash_signatures(df, text_col, id_col, bits).cache()
+    sig = simhash_signatures(src, text_col, id_col, bits).cache()
     banded = sig.select(
         F.col(id_col),
         "simhash",

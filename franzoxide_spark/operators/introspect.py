@@ -113,9 +113,27 @@ def parquet_layout_report(spark, paths: list[str]) -> DataFrame:
     this is a seconds-long metadata sweep; the same op over file CONTENT
     would be the full corpus scan this exists to avoid.
     """
+    import os
+
     import pandas as pd
 
-    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    # A table "path" at real scale is a DIRECTORY of part-files (every
+    # Spark-written table; the 10x replica fixtures surfaced this as a
+    # hard failure — pq.ParquetFile cannot open a directory). Expand
+    # directories to their data files driver-side (names only, no
+    # footer reads here); hidden/marker entries (_SUCCESS, .crc) are
+    # skipped the same way Spark's own file index skips them.
+    expanded: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                for n in sorted(names):
+                    if not n.startswith(("_", ".")):
+                        expanded.append(os.path.join(root, n))
+        else:
+            expanded.append(p)
+
+    files = spark.createDataFrame([(p,) for p in expanded], "path string")
 
     def read_footers(batches):
         import pyarrow.parquet as pq

@@ -758,11 +758,16 @@ _Q104_COLS = ("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
 
 
 def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = fanned_table(spark, sf_dir, "lineitem")
-    # The fixtures are single-row-group parquet files Spark cannot split:
-    # without a fan-out the whole hash pass runs on <= 3 cores (measured
-    # 2.7 s -> 1.1 s at sf0.1). On a real multi-row-group table the scan
-    # already yields enough partitions and this is a no-op.
+    # Plain pruned scan + guarded repartition, NOT fanned_table (r18):
+    # the fanned relation persists the FULL 16-column lineitem, but this
+    # checksum consumes 4 columns — at the 10x replica (one ~80 MB file,
+    # still under the fan-out's 256 MB gate) the full-width
+    # materialization dominated the query 44x over base (slope sweep,
+    # OPTIMIZATION_r18.md). The sliver projection rides the round-robin
+    # exchange instead (column pruning pushes through repartition), so
+    # the hash pass parallelizes without caching anything. Guarded: on a
+    # real multi-split table the repartition is a no-op.
+    li = table(spark, sf_dir, "lineitem").select(*_Q104_COLS)
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if li.rdd.getNumPartitions() < target:
         li = li.repartition(target)
@@ -1243,7 +1248,13 @@ register("q130_cdc_apply", q130, _q130_sql())
 #        nesting would silently collapse.
 # --------------------------------------------------------------------------
 def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = fanned_table(spark, sf_dir, "lineitem").select(
+    # Plain pruned scan, NOT fanned_table (r18): this roundtrip consumes
+    # 3 of lineitem's 16 columns, and the fanned relation persists all
+    # of them. Three shapes A/B'd interleaved at sf0.1 AND the 10x
+    # replica (min-of-4, noop sink): plain 0.81/5.20 s, sliver+guarded
+    # repartition 1.07/6.36, fanned 1.45/9.81 — the orderkey groupBy
+    # exchange is the fan-out, and anything added before it only pays.
+    li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
     nested = li.groupBy("l_orderkey").agg(

@@ -76,3 +76,36 @@ def test_parquet_layout_report_matches_pyarrow(spark, tmp_path):
         )
         assert got[col]["compressed_bytes"] == comp
         assert got[col]["ratio"] is not None and got[col]["codec"]
+
+
+def test_parquet_layout_report_expands_directories(spark, tmp_path):
+    """A table path at real scale is a DIRECTORY of part-files (every
+    Spark-written table); the report must expand it to the data files
+    and skip marker entries (r18 — the 10x replica surfaced a hard
+    OSError: 'is a directory')."""
+    out = str(tmp_path / "tdir.parquet")
+    spark.range(100).selectExpr("id", "id * 2 as v").repartition(
+        3
+    ).write.parquet(out)
+    rows = parquet_layout_report_rows(spark, out)
+    # one row per (part-file, column); 3 part files x 2 columns
+    files = {r["file"] for r in rows}
+    assert len(files) == 3
+    assert all(f.endswith(".parquet") for f in files)
+    assert not any(f.startswith("_") for f in files)
+    assert sum(r["n_rows"] for r in rows) == 100 * 2  # each column row
+    # a (dir, plain-file) mix expands only the dir
+    single = str(tmp_path / "single.parquet")
+    import pandas as pd
+
+    pd.DataFrame({"a": [1, 2, 3]}).to_parquet(single)
+    from franzoxide_spark.operators.introspect import parquet_layout_report
+
+    mixed = parquet_layout_report(spark, [out, single]).collect()
+    assert {r["file"] for r in mixed} >= files | {"single.parquet"}
+
+
+def parquet_layout_report_rows(spark, path):
+    from franzoxide_spark.operators.introspect import parquet_layout_report
+
+    return parquet_layout_report(spark, [path]).collect()

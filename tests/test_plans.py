@@ -1416,3 +1416,56 @@ def test_q156_is_one_pass_join_free(spark, sf_dir):
     # partial + final of the ONE aggregation, nothing per-arm
     assert plan.count("HashAggregate (") <= 2, plan
     assert "Union" not in plan, plan
+
+
+def test_fact_landing_served_join_is_exchange_free(spark, sf_dir, monkeypatch):
+    """r18 (VERDICT r17 #7): the co-bucketed fact-fact landing is a
+    SERVED path — fact_join_relations routes a too-big-to-broadcast
+    orderkey join through orderkey-bucketed landings, and the join plan
+    carries no Exchange and no Sort above either scan. Forced on at
+    fixture scale (the size gate keeps bench SFs on the plain
+    broadcast-join scans); rows must be identical to the plain scans."""
+    from franzoxide_spark.operators.landing import fact_join_relations
+
+    monkeypatch.setenv("SPARK_GRAFT_FACTS_LANDING", "force")
+    monkeypatch.setenv("SPARK_GRAFT_FACTS_BUCKETS", "4")
+    li, o = fact_join_relations(
+        spark, sf_dir, "lineitem", "orders", "l_orderkey", "o_orderkey"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.select("l_orderkey", "l_suppkey").join(
+            o.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # identity vs the ungated plain scans
+        monkeypatch.setenv("SPARK_GRAFT_FACTS_LANDING", "0")
+        pli, po = fact_join_relations(
+            spark, sf_dir, "lineitem", "orders", "l_orderkey", "o_orderkey"
+        )
+        pj = pli.select("l_orderkey", "l_suppkey").join(
+            po.select("o_orderkey", "o_custkey"),
+            pli["l_orderkey"] == po["o_orderkey"],
+        )
+        assert j.count() == pj.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_fact_landing_size_gate_stays_off_at_fixture_scale(spark, sf_dir):
+    """At bench SFs the smaller side broadcasts, so the gate must serve
+    the PLAIN scans (no landing write in the bench path) — the
+    scale-adaptive posture the round brief requires of landing routes."""
+    from franzoxide_spark.operators.landing import fact_join_relations
+
+    li, o = fact_join_relations(
+        spark, sf_dir, "lineitem", "orders", "l_orderkey", "o_orderkey"
+    )
+    # plain parquet scans, not catalog tables
+    for df in (li, o):
+        plan = df._jdf.queryExecution().logical().toString()
+        assert "fact_rel_" not in plan, plan
