@@ -88,19 +88,18 @@ PER_QUERY_NOTES = {
         "on q67)"
     ),
     "q60_tfidf_top_terms": (
-        "floor-dominated at sf0.1: three fundamental exchanges — "
-        "(doc,term) tf combine, term-partition df window, doc-partition "
-        "top-k window — all partial-aggregating map-side; the DuckDB "
-        "oracle runs the same shape in ~0.1 s on 5k docs because its "
-        "per-statement constants are smaller, not because a shuffle is "
-        "avoidable. Slope MEASURED r6 (BASELINE.md 'Round-6 corpus-"
-        "statistics family slope'): 1.18 -> 3.09 s at 10x data (2.6x, "
-        "sub-linear; term-shuffle skew is the AQE case). Fan-out "
-        "routing A/B'd r16 and correctly NOT taken (flat: 0.98 plain / "
-        "1.03 fanned — every post-explode stage is itself a shuffle, so "
-        "input parallelism does not bound the job). An over-1 s "
-        "appearance (r16 driver artifact: 1.09 s) is host drift around "
-        "the ~0.6-1.0 s resting floor, not a plan regression"
+        "floor-dominated at sf0.1: two corpus-sized exchanges — "
+        "(doc,term) tf combine and the doc-partition top-k window — "
+        "plus a vocabulary-bounded df aggregate broadcast-joined back "
+        "onto the pair stream (r18: the term-partition df WINDOW was "
+        "replaced; AQE skew handling covers joins only, and the join "
+        "form removes the skewed full-stream term exchange outright — "
+        "A/B'd flat at sf0.1/10x, winning 5/6 rounds at 30x verbatim "
+        "replicas, scripts/ab_q60.py + operator docstring). The DuckDB "
+        "oracle runs ~0.1 s on 5k docs because its per-statement "
+        "constants are smaller. Fan-out routing A/B'd r16 and NOT "
+        "taken. An over-1 s appearance is host drift around the "
+        "~0.6-1.0 s resting floor, not a plan regression"
     ),
     "q139_pagerank_topk": (
         "iterative floor at sf0.1: 3 power iterations x (broadcast-join "

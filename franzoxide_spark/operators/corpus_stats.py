@@ -65,9 +65,18 @@ def _fan_out(df: DataFrame) -> DataFrame:
     explode+aggregate pipeline runs on ONE core (measured 3-5x slower at
     sf0.1). On a real multi-file / multi-row-group corpus the scan already
     yields >= parallelism partitions and this is a no-op; the guarded
-    repartition only ever shuffles the SMALL pre-explode rows."""
+    repartition only ever shuffles the SMALL pre-explode rows.
+
+    Guarded on FILE count when the input is a file scan (r18): parquet
+    splits only at row-group boundaries, so a few single-row-group
+    files plan `target` splits while all rows sit in a handful of
+    non-empty tasks — the planned-split count over-reports exactly when
+    the fan-out matters (measured on q104's x30 replica: 6 files
+    planned as 32 splits, repartition 13.3 s vs plain 23.7 s).
+    Partition count still guards non-file inputs (test frames)."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    if (len(files) if files else df.rdd.getNumPartitions()) < target:
         return df.repartition(target)
     return df
 
@@ -83,13 +92,31 @@ def tfidf_top_terms(
     """Top-``k`` terms per document by smoothed TF-IDF.
 
     ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (sklearn's smooth-idf form).
-    Plan shape: one shuffle to (doc, term) with map-side combine, one
-    term-partition window for df (second shuffle, AQE handles stopword
-    skew), one doc-partition window for the top-k (third). The corpus
+    Plan shape (r18): one shuffle to (doc, term) with map-side combine,
+    df via a vocabulary-bounded aggregate broadcast-joined back onto the
+    pair stream, one doc-partition window for the top-k. The corpus
     document count enters as a broadcast 1-row cross join so the whole
     thing stays a single lazy plan. Scores are rounded to 6 decimals
     BEFORE ranking so the (score desc, term asc) order is identical in
     any engine.
+
+    The df attach was a term-partition WINDOW through r17 — a second
+    full-pair-stream exchange, and the skewed one (stopwords own most
+    pairs; AQE skew handling covers only JOINS, not windows — guide
+    §2.5, correcting the old comment here). The aggregate+broadcast-join
+    form removes that exchange outright: df per term is a map-side-
+    combined count whose output is bounded by the VOCABULARY (Heaps-law
+    sublinear — the same boundedness argument as q61's trigram LM and
+    q94's vocab table), and the probe back onto the pair stream is a
+    broadcast hash join. Interleaved A/B (min-of-6, noop, identity
+    asserted; scripts/ab_q60.py): sf0.1 floor-band flat-to-slightly-
+    worse (r17: 1.299 vs 1.374 min — why it was not taken then), 10x
+    replicas flat in BOTH growth modes (suffixed 2.28/2.36 vs 2.18/2.48,
+    verbatim 1.156/1.205 vs 1.132/1.208 min/med), 30x verbatim the join
+    form wins 5/6 rounds (1.875/1.907 -> 1.740/1.807) and the gap grows
+    with scale — taken on the 30x evidence plus the structural shape
+    (one fewer corpus-sized exchange, no unsplittable hot-term window
+    partition).
     """
     # No _fan_out here: unlike the LM/DSIR scoring scans, every stage
     # after the explode is itself a shuffle, so input parallelism does
@@ -98,9 +125,10 @@ def tfidf_top_terms(
     toks = docs.select(id_col, tokens(text_col).alias("__toks"))
     terms = toks.select(id_col, F.explode("__toks").alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("__n"))
     scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

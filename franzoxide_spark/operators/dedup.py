@@ -948,7 +948,11 @@ def simhash_near_duplicates(
     target = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    if src.rdd.getNumPartitions() < target:
+    # File count when the source is a file scan (planned split count
+    # over-reports parallelism on single-row-group files — the q104
+    # lesson); partition count otherwise (in-memory test frames).
+    files = src.inputFiles()
+    if (len(files) if files else src.rdd.getNumPartitions()) < target:
         src = src.repartition(target)
     # The signature is an interpreted higher-order-function expression;
     # without a pipeline break it would be re-evaluated per band row on
@@ -1476,6 +1480,23 @@ def edit_distance_near_duplicates(
     pairs = simhash_near_duplicates(df, text_col, id_col, max_hamming)
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    # Spread the verify stage (r18): the candidate set is TINY in bytes
+    # (a few thousand narrow rows) but each row costs an O(len_a·len_b)
+    # Levenshtein — AQE's byte-based partition coalescing packs the
+    # join output into one partition and serializes the whole verify
+    # (profiled at the 10x replica: 7.1 s single-task vs 1.2 s for the
+    # same join without the edit distance). Explicit repartition to the
+    # session's parallelism, with persist() as the pushdown barrier so
+    # the rel_edit filter cannot sink back below the exchange onto the
+    # coalesced side (the _fan_out pattern; persist not localCheckpoint
+    # because the relation is tiny — full plan stays visible and the
+    # blocks recompute gracefully after an external cache clear).
+    cand = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .persist()
+    )
     lev = F.levenshtein("__ta", "__tb")
     rel = F.round(
         lev.cast("double")
@@ -1483,9 +1504,7 @@ def edit_distance_near_duplicates(
         6,
     )
     return (
-        pairs.join(ta, "id_a")
-        .join(tb, "id_b")
-        .withColumn("edit_dist", lev.cast("int"))
+        cand.withColumn("edit_dist", lev.cast("int"))
         .withColumn("rel_edit", rel)
         .filter(F.col("rel_edit") <= max_rel_edit)
         .select("id_a", "id_b", "hamming", "edit_dist", "rel_edit")
