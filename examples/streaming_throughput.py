@@ -64,8 +64,18 @@ def measure(spark, name, build, seconds: int, rows_per_s: int) -> dict:
     try:
         time.sleep(seconds)
     finally:
-        q.stop()
-    progress = [json.loads(p) for p in q.recentProgress]
+        try:
+            # stopping mid-micro-batch surfaces the batch's interrupt as
+            # an exception on some paths — the progress history is still
+            # valid, which is all this probe reads
+            q.stop()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: stop raised {type(e).__name__}", file=sys.stderr)
+    # Spark 4 returns StreamingQueryProgress objects; older APIs JSON str
+    progress = [
+        p if isinstance(p, dict) else json.loads(getattr(p, "json", p))
+        for p in q.recentProgress
+    ]
     rates = [
         p["processedRowsPerSecond"]
         for p in progress[1:]
